@@ -1,0 +1,219 @@
+"""Scalar + aggregate function tables, both translation directions.
+
+The scalar core is the reference's 26 binary operators
+(``operator_to_name`` producer.rs:288-318 ⇄ ``name_to_op`` consumer.rs:37-71)
+— we use the Substrait-spec spelling ``subtract`` on BOTH sides rather than
+replicating the reference's roundtrip-breaking ``"substract"`` typo
+(producer.rs:297 vs consumer.rs:46; SURVEY.md §2.3).
+
+Extensions beyond the reference (needed for real Catalyst optimized plans,
+which inject null guards / coercions the reference never sees):
+``not``, ``is_null``, ``is_not_null`` (unary), n-ary ``str_concat``,
+``coalesce``, ``abs``, ``negate``.
+
+Aggregates: the reference hardcodes no list — any name DataFusion 15's
+``AggregateFunction::from_str`` resolves is accepted (consumer.rs:401-407).
+We implement that effective set per the SURVEY.md §2.4 table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.plans.proto import SubstraitError
+
+# ---------------------------------------------------------------------------
+# produce direction: Catalyst expression class simpleName → substrait name
+# (≡ operator_to_name, producer.rs:288-318)
+# ---------------------------------------------------------------------------
+
+CATALYST_BINARY_TO_NAME: dict[str, str] = {
+    "EqualTo": "equal",
+    "LessThan": "lt",
+    "LessThanOrEqual": "lte",
+    "GreaterThan": "gt",
+    "GreaterThanOrEqual": "gte",
+    "Add": "add",
+    "Subtract": "subtract",
+    "Multiply": "multiply",
+    "Divide": "divide",
+    "IntegralDivide": "div",  # integer division, trunc-toward-zero semantics
+    "Remainder": "mod",
+    "Pmod": "mod",  # close enough only for non-negative operands; kept distinct below
+    "And": "and",
+    "Or": "or",
+    "Like": "like",
+    "RLike": "regex_match",
+    # Catalyst optimizes LIKE 'A%' / '%A' / '%A%' into these
+    "StartsWith": "starts_with",
+    "EndsWith": "ends_with",
+    "Contains": "contains",
+    "EqualNullSafe": "is_not_distinct_from",
+    "BitwiseAnd": "bitwise_and",
+    "BitwiseOr": "bitwise_or",
+    "BitwiseXor": "bitwise_xor",
+    "ShiftLeft": "bitwise_shift_left",
+    "ShiftRight": "bitwise_shift_right",
+}
+del CATALYST_BINARY_TO_NAME["Pmod"]  # Pmod ≠ mod for negatives; translate via catch-all error
+
+# Not(inner-class) → negated substrait name (producer's NotEq/NotLike/… forms)
+CATALYST_NOT_TO_NAME: dict[str, str] = {
+    "EqualTo": "not_equal",
+    "Like": "not_like",
+    "RLike": "regex_not_match",
+    "EqualNullSafe": "is_distinct_from",
+}
+
+CATALYST_UNARY_TO_NAME: dict[str, str] = {
+    "Not": "not",
+    "IsNull": "is_null",
+    "IsNotNull": "is_not_null",
+    "UnaryMinus": "negate",
+    "Abs": "abs",
+}
+
+CATALYST_NARY_TO_NAME: dict[str, str] = {
+    "Concat": "str_concat",
+    "Coalesce": "coalesce",
+}
+
+# ---------------------------------------------------------------------------
+# consume direction: substrait name → Column builder (≡ consumer.rs:37-71)
+# ---------------------------------------------------------------------------
+
+
+def _integral_divide(a: Column, b: Column) -> Column:
+    """``a div b`` with trunc-toward-zero semantics, kept exact for full-range
+    int64 by dividing as decimal(38,0) (double division would lose low bits
+    past 2^53)."""
+    d = a.cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    return F.when(d < 0, F.ceil(d)).otherwise(F.floor(d)).cast("bigint")
+
+
+SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
+    "equal": lambda a, b: a == b,
+    "not_equal": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "lte": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "gte": lambda a, b: a >= b,
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: a / b,
+    "mod": lambda a, b: a % b,
+    "div": _integral_divide,
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "like": lambda a, b: F.like(a, b),
+    "starts_with": lambda a, b: F.startswith(a, b),
+    "ends_with": lambda a, b: F.endswith(a, b),
+    "contains": lambda a, b: F.contains(a, b),
+    "not_like": lambda a, b: ~F.like(a, b),
+    "regex_match": lambda a, b: F.rlike(a, b),
+    "regex_imatch": lambda a, b: F.rlike(a, F.concat(F.lit("(?i)"), b)),
+    "regex_not_match": lambda a, b: ~F.rlike(a, b),
+    "regex_not_imatch": lambda a, b: ~F.rlike(a, F.concat(F.lit("(?i)"), b)),
+    "is_distinct_from": lambda a, b: ~a.eqNullSafe(b),
+    "is_not_distinct_from": lambda a, b: a.eqNullSafe(b),
+    "bitwise_and": lambda a, b: a.bitwiseAND(b),
+    "bitwise_or": lambda a, b: a.bitwiseOR(b),
+    "bitwise_xor": lambda a, b: a.bitwiseXOR(b),
+    "bitwise_shift_left": lambda a, b: F.shiftleft(a, b),
+    "bitwise_shift_right": lambda a, b: F.shiftright(a, b),
+    "str_concat": lambda *args: F.concat(*args),
+    "coalesce": lambda *args: F.coalesce(*args),
+    "not": lambda a: ~a,
+    "is_null": lambda a: a.isNull(),
+    "is_not_null": lambda a: a.isNotNull(),
+    "negate": lambda a: -a,
+    "abs": lambda a: F.abs(a),
+}
+
+_VARARG = {"str_concat", "coalesce"}
+
+
+def apply_scalar(name: str, args: list[Column]) -> Column:
+    fn = SCALAR_CONSUME.get(name)
+    if fn is None:
+        raise SubstraitError(f"unknown scalar function {name!r} (≡ consumer.rs:69)")
+    if name not in _VARARG:
+        import inspect
+
+        expected = len(inspect.signature(fn).parameters)
+        if len(args) != expected:
+            raise SubstraitError(
+                f"scalar function {name!r} expects {expected} args, got {len(args)} "
+                "(reference asserts arity 2, consumer.rs:531; we report instead)"
+            )
+    return fn(*args)
+
+
+# ---------------------------------------------------------------------------
+# aggregates (SURVEY.md §2.4: DataFusion 15 from_str set)
+# ---------------------------------------------------------------------------
+
+# produce: Catalyst AggregateFunction.prettyName() → substrait name
+CATALYST_AGG_TO_NAME: dict[str, str] = {
+    "count": "count",
+    "sum": "sum",
+    "avg": "avg",
+    "mean": "avg",
+    "min": "min",
+    "max": "max",
+    "median": "median",
+    "approx_count_distinct": "approx_distinct",
+    "collect_list": "array_agg",
+    "var_samp": "var",
+    "var_pop": "var_pop",
+    "stddev_samp": "stddev",
+    "stddev": "stddev_samp",
+    "stddev_pop": "stddev_pop",
+    "covar_samp": "covar",
+    "covar_pop": "covar_pop",
+    "corr": "corr",
+    "percentile_approx": "approx_percentile_cont",
+    "first": "first_value",
+    "last": "last_value",
+}
+
+# consume: substrait name → (plain builder, distinct builder | None)
+AGG_CONSUME: dict[str, Callable[..., Column]] = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "median": F.median,
+    "approx_distinct": F.approx_count_distinct,
+    "array_agg": F.collect_list,
+    "var": F.var_samp,
+    "variance": F.var_samp,
+    "var_pop": F.var_pop,
+    "stddev": F.stddev_samp,
+    "stddev_samp": F.stddev_samp,
+    "stddev_pop": F.stddev_pop,
+    "covar": F.covar_samp,
+    "covariance": F.covar_samp,
+    "covar_pop": F.covar_pop,
+    "corr": F.corr,
+    "approx_percentile_cont": F.percentile_approx,
+    "approx_median": lambda c: F.percentile_approx(c, 0.5),
+    "grouping": F.grouping,
+    "first_value": lambda c: F.first(c, ignorenulls=False),
+    "last_value": lambda c: F.last(c, ignorenulls=False),
+}
+
+# distinct variants with native Spark support; anything else goes through the
+# consumer's precompute-then-``F.expr("fn(DISTINCT col)")`` fallback.
+AGG_CONSUME_DISTINCT: dict[str, Callable[..., Column]] = {
+    "count": F.count_distinct,
+    "sum": F.sum_distinct,
+    "min": F.min,   # DISTINCT is a no-op for min/max
+    "max": F.max,
+}

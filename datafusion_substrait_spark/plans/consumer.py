@@ -1,0 +1,323 @@
+"""Consumer: Substrait-shaped plan → executable Spark DataFrame.
+
+≡ ``from_substrait_plan`` (consumer.rs:74-112). Pure public PySpark: catalog
+lookup via ``spark.table`` (≡ ctx.table, consumer.rs:339), then
+``.select/.filter/.offset/.limit/.orderBy/.groupBy().agg/.join/.distinct``
+per rel kind. The resulting DataFrame goes through Catalyst's
+analyzer+optimizer on action — the analogue of the reference feeding consumer
+output to ``ctx.optimize`` (tests/roundtrip.rs:253).
+
+Ordinal discipline: Substrait references columns positionally
+(consumer.rs:455-458 does ordinal→name via the input schema). We keep the
+invariant that every consumed DataFrame's columns are named ``f0..fn-1`` in
+Substrait ordinal order, so ordinal *i* is always ``F.col(f"f{i}")``; the
+user-visible names are restored at the root from ``RelRoot.names``
+(which the reference *ignores* on consume, consumer.rs:100-102 — we honor
+them, the friendlier choice, since Spark resolves by name not ordinal).
+Join inputs are alias-qualified (``__sl``/``__sr``) before condition
+resolution — our analogue of DataFusion's ``build_join_schema`` combined
+ordinal space (consumer.rs:288-290).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import decimal
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.functions import ops
+from datafusion_substrait_spark.plans import proto
+from datafusion_substrait_spark.plans.proto import SubstraitError
+from datafusion_substrait_spark.plans.types import substrait_type_to_spark
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+
+# substrait agg name → Spark SQL function name, for the F.expr fallback used
+# by DISTINCT invocations without a native builder (e.g. avg DISTINCT)
+_AGG_SQL_NAME = {
+    "avg": "avg", "mean": "avg", "median": "median", "count": "count",
+    "sum": "sum", "min": "min", "max": "max",
+    "approx_distinct": "approx_count_distinct", "array_agg": "collect_list",
+    "var": "var_samp", "variance": "var_samp", "var_pop": "var_pop",
+    "stddev": "stddev_samp", "stddev_samp": "stddev_samp",
+    "stddev_pop": "stddev_pop",
+}
+
+
+def from_substrait_plan(spark: SparkSession, plan: dict) -> DataFrame:
+    root, names = proto.root_of(plan)
+    consumer = _Consumer(spark, proto.extension_map(plan))
+    df = consumer.rel(root)
+    if names:
+        if len(names) != len(df.columns):
+            raise SubstraitError(
+                f"RelRoot.names has {len(names)} names but plan yields "
+                f"{len(df.columns)} columns"
+            )
+        df = df.toDF(*names)
+    return df
+
+
+def _fnames(n: int) -> list[str]:
+    return [f"f{i}" for i in range(n)]
+
+
+class _Consumer:
+    def __init__(self, spark: SparkSession, extensions: dict[int, str]) -> None:
+        self.spark = spark
+        self.extensions = extensions  # anchor → name (consumer.rs:76-91)
+
+    def _fn_name(self, anchor: int) -> str:
+        name = self.extensions.get(int(anchor))
+        if name is None:
+            raise SubstraitError(f"function anchor {anchor} not registered "
+                                 "(≡ consumer.rs:536-541)")
+        return name
+
+    # -- relations ----------------------------------------------------------
+
+    def rel(self, rel: dict) -> DataFrame:
+        kind = proto.rel_kind(rel)
+        return getattr(self, f"_rel_{kind}")(rel[kind])
+
+    def _rel_read(self, body: dict) -> DataFrame:
+        names = body["namedTable"]["names"]  # 1-3 part (consumer.rs:320-338)
+        df = self.spark.table(".".join(names))
+        items = body.get("projection", {}).get("select", {}).get("structItems", [])
+        mask = [int(it.get("field", 0)) for it in items]
+        cols = df.columns
+        if mask:
+            df = df.select(*[df[cols[i]] for i in mask])
+        return df.toDF(*_fnames(len(df.columns)))
+
+    def _rel_project(self, body: dict) -> DataFrame:
+        df = self.rel(body["input"])
+        exprs = body.get("expressions", [])
+        out = [self.rex(e, lambda i, d=df: d[f"f{i}"]) for e in exprs]
+        return df.select(*out).toDF(*_fnames(len(out)))
+
+    def _rel_filter(self, body: dict) -> DataFrame:
+        df = self.rel(body["input"])
+        cond = self.rex(body["condition"], lambda i, d=df: d[f"f{i}"])
+        return df.filter(cond)
+
+    def _rel_fetch(self, body: dict) -> DataFrame:
+        df = self.rel(body["input"])
+        offset = int(body.get("offset", 0))
+        count = int(body.get("count", proto.NO_LIMIT))
+        if offset > 0:
+            df = df.offset(offset)
+        if count != proto.NO_LIMIT:
+            df = df.limit(count)
+        return df
+
+    _SORT_METHODS = {
+        proto.SORT_ASC_NULLS_FIRST: "asc_nulls_first",
+        proto.SORT_ASC_NULLS_LAST: "asc_nulls_last",
+        proto.SORT_DESC_NULLS_FIRST: "desc_nulls_first",
+        proto.SORT_DESC_NULLS_LAST: "desc_nulls_last",
+    }
+
+    def _rel_sort(self, body: dict) -> DataFrame:
+        df = self.rel(body["input"])
+        keys = []
+        for sf in body.get("sorts", []):
+            method = self._SORT_METHODS.get(sf.get("direction"))
+            if method is None:
+                # Clustered / comparison-function sorts rejected, like
+                # consumer.rs:187-203
+                raise SubstraitError(f"unsupported sort kind {sf}")
+            col = self.rex(sf["expr"], lambda i, d=df: d[f"f{i}"])
+            keys.append(getattr(col, method)())
+        return df.orderBy(*keys)
+
+    def _rel_aggregate(self, body: dict) -> DataFrame:
+        df = self.rel(body["input"])
+        groupings = body.get("groupings", [])
+        if len(groupings) != 1:
+            raise SubstraitError("exactly one grouping set (consumer.rs:230-235)")
+        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        g_exprs = groupings[0].get("groupingExpressions", [])
+        g_cols = [self.rex(g, resolver).alias(f"g{j}") for j, g in enumerate(g_exprs)]
+
+        measures = body.get("measures", [])
+        if not measures:
+            # distinct-as-aggregate (producer.rs:203-222; pinned equivalence
+            # tests/roundtrip.rs:88-103)
+            out = df.select(*g_cols).distinct()
+            return out.toDF(*_fnames(len(out.columns)))
+
+        extra: list[Column] = []  # precomputed args for the F.expr fallback
+        m_cols: list[Column] = []
+        for k, m in enumerate(measures):
+            m_cols.append(self._measure(m, k, resolver, extra))
+        if extra:
+            df = df.select("*", *extra)
+        gdf = df.groupBy(*g_cols).agg(*[c.alias(f"m{k}") for k, c in enumerate(m_cols)])
+        return gdf.toDF(*_fnames(len(g_cols) + len(m_cols)))
+
+    def _measure(self, m: dict, k: int, resolver, extra: list[Column]) -> Column:
+        body = m["measure"]
+        name = self._fn_name(body["functionReference"])
+        args = [self.rex(a["value"], resolver) for a in body.get("arguments", [])]
+        distinct = body.get("invocation") == proto.AGG_DISTINCT
+        filt = m.get("filter")
+        if filt is not None:
+            # per-measure FILTER (consumer.rs:242-251): fn(x) FILTER (WHERE p)
+            # ≡ fn(CASE WHEN p THEN x END) for null-skipping aggregates
+            p = self.rex(filt, resolver)
+            args = [F.when(p, a) for a in args] if args else [F.when(p, F.lit(1))]
+        if distinct:
+            builder = ops.AGG_CONSUME_DISTINCT.get(name)
+            if builder is not None:
+                return builder(*args)
+            sql_name = _AGG_SQL_NAME.get(name)
+            if sql_name is None or len(args) != 1:
+                raise SubstraitError(f"DISTINCT not supported for {name!r}")
+            tmp = f"__m{k}_distinct_arg"
+            extra.append(args[0].alias(tmp))
+            return F.expr(f"{sql_name}(DISTINCT {tmp})")
+        builder = ops.AGG_CONSUME.get(name)
+        if builder is None:
+            raise SubstraitError(
+                f"unknown aggregate function {name!r} (≡ consumer.rs:401-407)"
+            )
+        return builder(*args)
+
+    _JOIN_HOW = {
+        proto.JOIN_TYPE_INNER: "inner",
+        proto.JOIN_TYPE_LEFT: "left",
+        proto.JOIN_TYPE_RIGHT: "right",
+        proto.JOIN_TYPE_OUTER: "full",
+        proto.JOIN_TYPE_SEMI: "left_semi",
+        proto.JOIN_TYPE_ANTI: "left_anti",
+    }
+
+    def _rel_join(self, body: dict) -> DataFrame:
+        left = self.rel(body["left"]).alias("__sl")
+        right = self.rel(body["right"]).alias("__sr")
+        n_left = len(left.columns)
+        how = self._JOIN_HOW.get(body.get("type"))
+        if how is None:
+            raise SubstraitError(f"unsupported join type {body.get('type')} "
+                                 "(consumer.rs:417-439)")
+
+        def resolver(i: int) -> Column:
+            # combined left++right ordinal space (consumer.rs:288-290)
+            if i < n_left:
+                return F.col(f"__sl.f{i}")
+            return F.col(f"__sr.f{i - n_left}")
+
+        cond = self.rex(body["expression"], resolver)
+        joined = left.join(right, on=cond, how=how)
+        return joined.toDF(*_fnames(len(joined.columns)))
+
+    def _rel_set(self, body: dict) -> DataFrame:
+        op = body.get("op")
+        dfs = [self.rel(r) for r in body["inputs"]]
+        if op == "SET_OP_UNION_ALL":
+            out = reduce(DataFrame.unionAll, dfs)
+        elif op == "SET_OP_UNION_DISTINCT":
+            out = reduce(DataFrame.unionAll, dfs).distinct()
+        elif op == "SET_OP_INTERSECTION_PRIMARY":
+            out = reduce(DataFrame.intersect, dfs)
+        elif op == "SET_OP_MINUS_PRIMARY":
+            out = reduce(DataFrame.exceptAll, dfs)
+        else:
+            raise SubstraitError(f"unsupported set op {op}")
+        return out.toDF(*_fnames(len(out.columns)))
+
+    # -- expressions --------------------------------------------------------
+
+    def rex(self, e: dict, resolver) -> Column:
+        kind = proto.expr_kind(e)
+        body = e[kind]
+        if kind == "selection":
+            return resolver(int(body["directReference"]["structField"].get("field", 0)))
+        if kind == "scalarFunction":
+            name = self._fn_name(body["functionReference"])
+            args = [self.rex(a["value"], resolver) for a in body.get("arguments", [])]
+            return ops.apply_scalar(name, args)
+        if kind == "literal":
+            return _literal_column(body)
+        if kind == "ifThen":
+            return self._if_then(body, resolver)
+        if kind == "cast":
+            col = self.rex(body["input"], resolver)
+            spark_type = substrait_type_to_spark(body["type"])
+            if body.get("failureBehavior") == "FAILURE_BEHAVIOR_RETURN_NULL":
+                return col.try_cast(spark_type)
+            return col.cast(spark_type)
+        if kind == "singularOrList":
+            v = self.rex(body["value"], resolver)
+            opts = [self.rex(o, resolver) for o in body["options"]]
+            return reduce(lambda a, b: a | b, [v == o for o in opts])
+        raise SubstraitError(f"unsupported expression {kind} (consumer.rs:611-613)")
+
+    def _if_then(self, body: dict, resolver) -> Column:
+        ifs = list(body.get("ifs", []))
+        if not ifs:
+            raise SubstraitError("ifThen with no branches")
+        # reference convention (consumer.rs:474-490): a leading IfClause with
+        # no `then` carries the base expression of `CASE x WHEN v ...`
+        base = None
+        if "then" not in ifs[0]:
+            base = self.rex(ifs[0]["if"], resolver)
+            ifs = ifs[1:]
+        col = None
+        for clause in ifs:
+            pred = self.rex(clause["if"], resolver)
+            if base is not None:
+                pred = base == pred
+            val = self.rex(clause["then"], resolver)
+            col = F.when(pred, val) if col is None else col.when(pred, val)
+        if "else" in body:
+            col = col.otherwise(self.rex(body["else"], resolver))
+        return col
+
+
+def _literal_column(body: dict) -> Column:
+    """Substrait literal → Spark Column (≡ consumer.rs:563-610 + typed nulls
+    consumer.rs:617-639)."""
+    kinds = [k for k in body if k != "nullable"]
+    if len(kinds) != 1:
+        raise SubstraitError(f"bad literal {body}")
+    kind, v = kinds[0], body[kinds[0]]
+    if kind == "boolean":
+        return F.lit(bool(v))
+    if kind == "i8":
+        return F.lit(int(v)).cast("tinyint")
+    if kind == "i16":
+        return F.lit(int(v)).cast("smallint")
+    if kind == "i32":
+        return F.lit(int(v)).cast("int")
+    if kind == "i64":
+        return F.lit(int(v)).cast("bigint")
+    if kind == "fp32":
+        return F.lit(float(v)).cast("float")
+    if kind == "fp64":
+        return F.lit(float(v)).cast("double")
+    if kind == "string":
+        return F.lit(str(v))
+    if kind == "binary":
+        return F.lit(bytearray(base64.b64decode(v)))
+    if kind == "date":  # epoch days (consumer.rs:579-581)
+        return F.lit(_EPOCH_DATE + datetime.timedelta(days=int(v)))
+    if kind == "timestampTz":  # epoch micros, UTC instant
+        return F.timestamp_micros(F.lit(int(v)))
+    if kind == "timestamp":  # wall-clock micros (session tz pinned to UTC)
+        return F.timestamp_micros(F.lit(int(v))).cast("timestamp_ntz")
+    if kind == "decimal":
+        # 16-byte LE two's-complement unscaled (consumer.rs:588-594
+        # i128::from_le_bytes)
+        unscaled = int.from_bytes(base64.b64decode(v["value"]), "little", signed=True)
+        p, s = int(v["precision"]), int(v.get("scale", 0))
+        d = decimal.Decimal(unscaled).scaleb(-s)
+        return F.lit(str(d)).cast(f"decimal({p},{s})")
+    if kind == "null":
+        return F.lit(None).cast(substrait_type_to_spark(v))
+    raise SubstraitError(f"unsupported literal kind {kind!r} (consumer.rs:604-609)")

@@ -1,0 +1,476 @@
+"""Producer: Spark DataFrame → Substrait-shaped plan.
+
+≡ ``to_substrait_plan`` (producer.rs:37-62). The reference walks DataFusion's
+*optimized* ``LogicalPlan`` (it errors if column pruning hasn't run,
+producer.rs:111-115); we walk Catalyst's optimized logical plan over py4j
+(``df._jdf.queryExecution().optimizedPlan()``) so Catalyst's column pruning,
+constant folding and filter pushdown are inherited the same way.
+
+The one genuinely hard mapping (SURVEY.md §7): Substrait references columns by
+**ordinal**, Catalyst by **exprId**. Every ``_rel`` method therefore returns
+``(rel_dict, out_ids)`` where ``out_ids[i]`` is the Catalyst exprId owning
+Substrait output ordinal ``i``; expression translation resolves an
+``AttributeReference`` to ``out_ids.index(id)`` — the equivalent of the
+reference's ``schema.index_of_column`` (producer.rs:532).
+"""
+
+from __future__ import annotations
+
+import base64
+import decimal
+import re
+
+from pyspark.sql import DataFrame
+
+from datafusion_substrait_spark.functions import ops
+from datafusion_substrait_spark.functions.registry import ExtensionRegistry
+from datafusion_substrait_spark.plans import proto
+from datafusion_substrait_spark.plans.proto import NO_LIMIT, SubstraitError
+from datafusion_substrait_spark.plans.types import spark_type_to_substrait
+from datafusion_substrait_spark.sources import catalog
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(-?\d+)\)$")
+
+# ---------------------------------------------------------------------------
+# py4j helpers
+# ---------------------------------------------------------------------------
+
+
+def _seq(jseq) -> list:
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _opt(jopt):
+    return jopt.get() if jopt.isDefined() else None
+
+
+def _cls(jobj) -> str:
+    return jobj.getClass().getSimpleName()
+
+
+def _attr_ids(jnode) -> list[int]:
+    return [a.exprId().id() for a in _seq(jnode.output())]
+
+
+def _refs(jnode) -> set[int]:
+    """exprIds referenced by a plan node's own expressions."""
+    return {a.exprId().id() for a in _seq(jnode.references().toSeq())}
+
+
+# ---------------------------------------------------------------------------
+
+
+def to_substrait_plan(df: DataFrame) -> dict:
+    """DataFrame → plan dict (≡ producer.rs:37-62). Root carries the
+    DataFrame's user-visible column names (RelRoot.names, producer.rs:45-50)."""
+    producer = _Producer()
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    rel, _ = producer.rel(jplan)
+    return proto.plan(rel, df.columns, producer.registry.declarations())
+
+
+class _Producer:
+    def __init__(self) -> None:
+        self.registry = ExtensionRegistry()
+        self._sentinel = 0  # fresh negative ids for grouping cols absent from output
+
+    def _fresh_id(self) -> int:
+        self._sentinel -= 1
+        return self._sentinel
+
+    # -- relations ----------------------------------------------------------
+
+    def rel(self, node, needed: set[int] | None = None) -> tuple[dict, list[int]]:
+        """Produce ``node``; ``needed`` is the set of exprIds the parent will
+        reference, threaded top-down so every ReadRel gets a column-projection
+        mask — the reference *requires* pruned scans (producer.rs:111-115),
+        and an unpruned 100 TB scan is exactly the plan we must not emit."""
+        kind = _cls(node)
+        handler = getattr(self, f"_rel_{kind}", None)
+        if handler is None:
+            raise SubstraitError(
+                f"unsupported logical operator {kind} "
+                "(≡ producer.rs:281-285 catch-all)"
+            )
+        return handler(node, needed)
+
+    def _rel_LogicalRelation(self, node, needed=None, mask_attrs=None):
+        ct = _opt(node.catalogTable())
+        if ct is not None:
+            table_names = list(ct.identifier().unquotedString().split("."))
+        else:
+            relation = node.relation()
+            if _cls(relation) != "HadoopFsRelation":
+                raise SubstraitError(f"unsupported relation {_cls(relation)}")
+            paths = _seq(relation.location().rootPaths())
+            if len(paths) != 1:
+                raise SubstraitError("multi-path scans not nameable as NamedTable")
+            table_names = [catalog.table_name_for_path(paths[0].toString())]
+        out = _seq(node.output())
+        base_names = [a.name() for a in out]
+        base_types = [spark_type_to_substrait(a.dataType().simpleString()) for a in out]
+        if mask_attrs is None and needed is not None:
+            # top-down pruning: scan only the columns referenced above; keep
+            # one column if nothing is referenced (e.g. bare COUNT(*)) so the
+            # scan stays non-degenerate
+            mask_attrs = [a for a in out if a.exprId().id() in needed] or out[:1]
+        if mask_attrs is None:
+            mask = list(range(len(out)))
+            out_ids = [a.exprId().id() for a in out]
+        else:
+            all_ids = [a.exprId().id() for a in out]
+            mask = [all_ids.index(a.exprId().id()) for a in mask_attrs]
+            out_ids = [a.exprId().id() for a in mask_attrs]
+        return proto.read_rel(table_names, base_names, base_types, mask), out_ids
+
+    def _rel_SubqueryAlias(self, node, needed=None):
+        # aliases have no Substrait counterpart; skip (producer.rs:276-280)
+        return self.rel(node.child(), needed)
+
+    def _rel_Project(self, node, needed=None):
+        exprs = _seq(node.projectList())
+        child = node.child()
+        # pure column selection directly over a scan folds into the ReadRel
+        # projection mask (≡ producer.rs:74-116 requiring scan projection)
+        if _cls(child) == "LogicalRelation" and all(
+            _cls(e) == "AttributeReference" for e in exprs
+        ):
+            return self._rel_LogicalRelation(child, mask_attrs=exprs)
+        crel, cids = self.rel(child, _refs(node))
+        out_ids = []
+        expressions = []
+        for e in exprs:
+            expressions.append(self.rex(e, cids))
+            if _cls(e) in ("Alias", "AttributeReference"):
+                out_ids.append(e.exprId().id())
+            else:
+                out_ids.append(self._fresh_id())
+        return proto.project_rel(crel, expressions), out_ids
+
+    def _rel_Filter(self, node, needed=None):
+        crel, cids = self.rel(
+            node.child(), needed | _refs(node) if needed is not None else None
+        )
+        cond = self.rex(node.condition(), cids)
+        return proto.filter_rel(crel, cond), cids
+
+    def _rel_Sort(self, node, needed=None):
+        crel, cids = self.rel(
+            node.child(), needed | _refs(node) if needed is not None else None
+        )
+        sorts = []
+        for so in _seq(node.order()):
+            direction = {
+                ("Ascending", "NullsFirst"): proto.SORT_ASC_NULLS_FIRST,
+                ("Ascending", "NullsLast"): proto.SORT_ASC_NULLS_LAST,
+                ("Descending", "NullsFirst"): proto.SORT_DESC_NULLS_FIRST,
+                ("Descending", "NullsLast"): proto.SORT_DESC_NULLS_LAST,
+            }[(so.direction().toString(), so.nullOrdering().toString())]
+            sorts.append(proto.sort_field(self.rex(so.child(), cids), direction))
+        return proto.sort_rel(crel, sorts), cids
+
+    def _rel_GlobalLimit(self, node, needed=None):
+        # Catalyst shapes (spiked on 4.1.2):
+        #   LIMIT n           → GlobalLimit(n, LocalLimit(n, child))
+        #   LIMIT n OFFSET o  → GlobalLimit(n, Offset(o, LocalLimit(n+o, child)))
+        count = node.limitExpr().value()
+        inner = node.child()
+        offset = 0
+        if _cls(inner) == "Offset":
+            offset = inner.offsetExpr().value()
+            inner = inner.child()
+        if _cls(inner) == "LocalLimit":
+            inner = inner.child()
+        crel, cids = self.rel(inner, needed)
+        return proto.fetch_rel(crel, offset, count), cids
+
+    def _rel_Offset(self, node, needed=None):
+        # OFFSET without LIMIT; count=NO_LIMIT (NOT the reference's lossy 0,
+        # producer.rs:147-150 — SURVEY.md §2.1 R4 decision)
+        offset = node.offsetExpr().value()
+        crel, cids = self.rel(node.child(), needed)
+        return proto.fetch_rel(crel, offset, NO_LIMIT), cids
+
+    def _rel_LocalLimit(self, node, needed=None):
+        crel, cids = self.rel(node.child(), needed)
+        return proto.fetch_rel(crel, 0, node.limitExpr().value()), cids
+
+    def _rel_Aggregate(self, node, needed=None):
+        crel, cids = self.rel(node.child(), _refs(node))
+        g_exprs = _seq(node.groupingExpressions())
+        a_exprs = _seq(node.aggregateExpressions())
+        groupings = [self.rex(g, cids) for g in g_exprs]
+
+        measures: list[dict] = []
+        measure_ids: list[int] = []
+        grouping_ids: list[int | None] = [None] * len(g_exprs)
+        slots: list[int] = []  # catalyst output position → substrait ordinal
+        for e in a_exprs:
+            kind = _cls(e)
+            target = e.child() if kind == "Alias" else e
+            if _cls(target) == "AggregateExpression":
+                slots.append(len(g_exprs) + len(measures))
+                measures.append(self._measure(target, cids))
+                measure_ids.append(e.exprId().id())
+                continue
+            j = next(
+                (j for j, g in enumerate(g_exprs) if g.semanticEquals(target)), None
+            )
+            if j is None:
+                raise SubstraitError(
+                    f"aggregate output {target.toString()} is neither a measure "
+                    "nor a grouping expression"
+                )
+            slots.append(j)
+            grouping_ids[j] = e.exprId().id()
+
+        out_ids = [
+            gid if gid is not None else self._fresh_id() for gid in grouping_ids
+        ] + measure_ids
+        rel = proto.aggregate_rel(crel, groupings, measures)
+        if slots != list(range(len(out_ids))):
+            # Substrait AggregateRel output is groupings++measures; Catalyst's
+            # output order is arbitrary (e.g. SELECT sum(x), k). Restore it
+            # with a ProjectRel so parent ordinals stay correct.
+            rel = proto.project_rel(rel, [proto.field_ref(s) for s in slots])
+            out_ids = [out_ids[s] for s in slots]
+        return rel, out_ids
+
+    def _measure(self, agg_expr, cids) -> dict:
+        fn = agg_expr.aggregateFunction()
+        pretty = fn.prettyName()
+        name = ops.CATALYST_AGG_TO_NAME.get(pretty)
+        if name is None:
+            raise SubstraitError(
+                f"unsupported aggregate function {pretty!r} "
+                "(effective surface = DataFusion 15 from_str set, SURVEY.md §2.4)"
+            )
+        args = [self.rex(c, cids) for c in _seq(fn.children())]
+        filt = _opt(agg_expr.filter())
+        return proto.measure(
+            self.registry.register(name),
+            args,
+            distinct=agg_expr.isDistinct(),
+            filter_expr=self.rex(filt, cids) if filt is not None else None,
+        )
+
+    _JOIN_TYPES = {
+        "Inner": proto.JOIN_TYPE_INNER,
+        "LeftOuter": proto.JOIN_TYPE_LEFT,
+        "RightOuter": proto.JOIN_TYPE_RIGHT,
+        "FullOuter": proto.JOIN_TYPE_OUTER,
+        "LeftSemi": proto.JOIN_TYPE_SEMI,
+        "LeftAnti": proto.JOIN_TYPE_ANTI,
+        # cross join = inner join on TRUE (valid Substrait; reference rejects
+        # non-equi joins, consumer.rs:289-313 — ours is a documented superset)
+        "Cross": proto.JOIN_TYPE_INNER,
+    }
+
+    def _rel_Join(self, node, needed=None):
+        jt = node.joinType().toString()
+        join_type = self._JOIN_TYPES.get(jt)
+        if join_type is None:
+            raise SubstraitError(f"unsupported join type {jt} (producer.rs:378-391)")
+        if needed is not None:
+            wanted = needed | _refs(node)  # parent refs + ON-condition refs
+            l_needed = wanted & set(_attr_ids(node.left()))
+            r_needed = wanted & set(_attr_ids(node.right()))
+        else:
+            l_needed = r_needed = None
+        l_rel, lids = self.rel(node.left(), l_needed)
+        r_rel, rids = self.rel(node.right(), r_needed)
+        cond = _opt(node.condition())
+        # ON resolved against the combined left++right ordinal space
+        # (≡ build_join_schema, consumer.rs:288-290)
+        expr = (
+            self.rex(cond, lids + rids)
+            if cond is not None
+            else proto.literal("boolean", True)
+        )
+        out_ids = lids if join_type in (proto.JOIN_TYPE_SEMI, proto.JOIN_TYPE_ANTI) \
+            else lids + rids
+        return proto.join_rel(l_rel, r_rel, expr, join_type), out_ids
+
+    def _rel_Deduplicate(self, node, needed=None):
+        # df.distinct() → AggregateRel grouping on all columns, zero measures
+        # (≡ producer.rs:203-222). Optimizer usually rewrites this to
+        # Aggregate already; handle the raw node for robustness.
+        crel, cids = self.rel(node.child())
+        keys = [k.exprId().id() for k in _seq(node.keys())]
+        if sorted(keys) != sorted(cids):
+            raise SubstraitError(
+                "dropDuplicates(subset) keeps an arbitrary row per key and has "
+                "no deterministic Substrait encoding; only full distinct maps "
+                "to group-by-all (producer.rs:203-222)"
+            )
+        groupings = [proto.field_ref(cids.index(k)) for k in keys]
+        return proto.aggregate_rel(crel, groupings, []), keys
+
+    def _rel_Union(self, node, needed=None):
+        # Substrait SetRel (spec §SetRel; NOT in the reference — extension)
+        rels, out = [], None
+        for child in _seq(node.children()):
+            r, ids = self.rel(child)
+            rels.append(r)
+            if out is None:
+                out = ids
+        return proto.set_rel(rels, "SET_OP_UNION_ALL"), _attr_ids(node)
+
+    # -- expressions --------------------------------------------------------
+
+    def rex(self, e, input_ids: list[int]) -> dict:
+        kind = _cls(e)
+        if kind == "AttributeReference":
+            eid = e.exprId().id()
+            try:
+                ordinal = input_ids.index(eid)
+            except ValueError:
+                raise SubstraitError(
+                    f"column {e.name()}#{eid} not found in input ordinal space "
+                    "(≡ producer.rs:532 index_of_column)"
+                ) from None
+            return proto.field_ref(ordinal)
+        if kind == "Alias":  # stripped; names live in RelRoot (producer.rs:605)
+            return self.rex(e.child(), input_ids)
+        if kind == "Literal":
+            return self._literal(e)
+        if kind in ("Cast", "TryCast", "AnsiCast"):
+            safe = kind == "TryCast"
+            return proto.cast(
+                self.rex(e.child(), input_ids),
+                spark_type_to_substrait(e.dataType().simpleString()),
+                safe=safe,
+            )
+        if kind == "CheckOverflow":  # decimal-arithmetic guard → explicit cast
+            return proto.cast(
+                self.rex(e.child(), input_ids),
+                spark_type_to_substrait(e.dataType().simpleString()),
+            )
+        if kind in ("KnownFloatingPointNormalized", "NormalizeNaNAndZero",
+                    "PromotePrecision", "KnownNotNull"):
+            return self.rex(e.child(), input_ids)
+        if kind == "CaseWhen":
+            ifs = [
+                (self.rex(t._1(), input_ids), self.rex(t._2(), input_ids))
+                for t in _seq(e.branches())
+            ]
+            els = _opt(e.elseValue())
+            return proto.if_then(
+                ifs, self.rex(els, input_ids) if els is not None else None
+            )
+        if kind == "If":
+            return proto.if_then(
+                [(self.rex(e.predicate(), input_ids),
+                  self.rex(e.trueValue(), input_ids))],
+                self.rex(e.falseValue(), input_ids),
+            )
+        if kind == "Not":
+            inner = e.child()
+            neg = ops.CATALYST_NOT_TO_NAME.get(_cls(inner))
+            if neg is not None:
+                return self._binary(neg, inner, input_ids)
+            return proto.scalar_function(
+                self.registry.register("not"), [self.rex(inner, input_ids)]
+            )
+        if kind == "In":
+            return proto.singular_or_list(
+                self.rex(e.value(), input_ids),
+                [self.rex(x, input_ids) for x in _seq(e.list())],
+            )
+        if kind == "InSet":
+            return self._inset(e, input_ids)
+        name = ops.CATALYST_BINARY_TO_NAME.get(kind)
+        if name is not None:
+            return self._binary(name, e, input_ids)
+        name = ops.CATALYST_UNARY_TO_NAME.get(kind)
+        if name is not None:
+            return proto.scalar_function(
+                self.registry.register(name), [self.rex(e.child(), input_ids)]
+            )
+        name = ops.CATALYST_NARY_TO_NAME.get(kind)
+        if name is not None:
+            return proto.scalar_function(
+                self.registry.register(name),
+                [self.rex(c, input_ids) for c in _seq(e.children())],
+            )
+        raise SubstraitError(
+            f"unsupported expression {kind}: {e.toString()} "
+            "(≡ producer.rs:606-609 catch-all)"
+        )
+
+    def _binary(self, name: str, e, input_ids) -> dict:
+        return proto.scalar_function(
+            self.registry.register(name),
+            [self.rex(e.left(), input_ids), self.rex(e.right(), input_ids)],
+        )
+
+    def _inset(self, e, input_ids) -> dict:
+        child = e.child()
+        dt = child.dataType().simpleString()
+        it = e.hset().iterator()
+        options = []
+        while it.hasNext():
+            options.append(self._literal_value(it.next(), dt))
+        # stable plan bytes: InSet's hash-set iteration order is unspecified
+        options.sort(key=lambda d: str(sorted(d["literal"].items())))
+        return proto.singular_or_list(self.rex(child, input_ids), options)
+
+    # -- literals (producer.rs:576-655) -------------------------------------
+
+    def _literal(self, e) -> dict:
+        dt = e.dataType().simpleString()
+        v = e.value()
+        if v is None:
+            return proto.null_literal(spark_type_to_substrait(dt))
+        return self._literal_value(v, dt)
+
+    def _literal_value(self, v, dt: str) -> dict:
+        if v is None:
+            return proto.null_literal(spark_type_to_substrait(dt))
+        if dt == "tinyint":
+            return proto.literal("i8", int(v))
+        if dt == "smallint":
+            return proto.literal("i16", int(v))
+        if dt == "int":
+            return proto.literal("i32", int(v))
+        if dt == "bigint":
+            return proto.literal("i64", int(v))
+        if dt == "boolean":
+            return proto.literal("boolean", bool(v))
+        if dt == "float":
+            return proto.literal("fp32", float(v))
+        if dt == "double":
+            return proto.literal("fp64", float(v))
+        if dt == "string":
+            return proto.literal("string", v if isinstance(v, str) else v.toString())
+        if dt == "date":  # Date32 epoch-days (producer.rs:594)
+            return proto.literal("date", int(v))
+        if dt == "timestamp":  # UTC instant, micros
+            return proto.literal("timestampTz", int(v))
+        if dt == "timestamp_ntz":
+            return proto.literal("timestamp", int(v))
+        if dt == "binary":
+            return proto.literal("binary", base64.b64encode(bytes(v)).decode("ascii"))
+        m = _DECIMAL_RE.match(dt)
+        if m:
+            # 16-byte little-endian two's-complement unscaled value, exactly the
+            # reference's i128::to_le_bytes wire format (producer.rs:585-589)
+            precision, scale = int(m.group(1)), int(m.group(2))
+            if not isinstance(v, decimal.Decimal):
+                # org.apache.spark.sql.types.Decimal → java BigDecimal, which
+                # py4j auto-converts to python decimal.Decimal
+                v = v.toJavaBigDecimal()
+            unscaled = int(decimal.Decimal(v).scaleb(scale))
+            return proto.literal(
+                "decimal",
+                {
+                    "value": base64.b64encode(
+                        unscaled.to_bytes(16, "little", signed=True)
+                    ).decode("ascii"),
+                    "precision": precision,
+                    "scale": scale,
+                },
+            )
+        raise SubstraitError(
+            f"unsupported literal type {dt!r} (≡ producer.rs:595 catch-all)"
+        )

@@ -1,0 +1,352 @@
+"""Substrait-shaped plan IR.
+
+The reference (``/root/reference``) uses prost-generated protobuf bindings for
+the Substrait ``Plan`` message (``Cargo.toml:10``). No Substrait/protobuf
+Python packages are installable in this environment, so the IR here is a
+**dict tree using proto3-JSON field names** (``readRel``-style camelCase keys)
+— structurally the JSON serialization of the same messages, so real Substrait
+tooling could ingest it; binary protobuf becomes a drop-in upgrade if bindings
+appear. See SURVEY.md §7.
+
+Message shapes mirrored (reference cites):
+  * ``Plan { version, extensions, relations }``    — producer.rs:45-60
+  * ``PlanRel::Root(RelRoot { input, names })``    — producer.rs:45-50
+  * Rel variants read/project/filter/fetch/sort/aggregate/join
+                                                   — producer.rs:66-285
+  * Expression variants selection/scalarFunction/literal/ifThen/cast
+                                                   — producer.rs:464-611
+
+Deliberate deviations from the reference (SURVEY.md §7 "non-bug-compatible"):
+  * absent fetch limit encoded as ``count: -1`` — NOT the lossy ``0`` of
+    producer.rs:147-150.
+  * ``subtract`` spelling on both sides (reference producer writes
+    "substract", producer.rs:297 — a roundtrip-breaking typo).
+  * expression surface is a Substrait-spec-compliant superset: unary/n-ary
+    scalar functions (is_null / is_not_null / not / str_concat-n), explicit
+    ``cast`` and ``singularOrList`` — required because Spark's optimizer
+    injects ``isnotnull`` guards and type-coercion casts that the reference's
+    26-binary-op surface (consumer.rs:37-71) cannot express.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+PRODUCER_TAG = "datafusion-substrait-spark v0.1"
+
+# ---------------------------------------------------------------------------
+# enums (string values follow proto3-JSON enum-name serialization)
+# ---------------------------------------------------------------------------
+
+SORT_ASC_NULLS_FIRST = "SORT_DIRECTION_ASC_NULLS_FIRST"
+SORT_ASC_NULLS_LAST = "SORT_DIRECTION_ASC_NULLS_LAST"
+SORT_DESC_NULLS_FIRST = "SORT_DIRECTION_DESC_NULLS_FIRST"
+SORT_DESC_NULLS_LAST = "SORT_DIRECTION_DESC_NULLS_LAST"
+SORT_DIRECTIONS = {
+    SORT_ASC_NULLS_FIRST,
+    SORT_ASC_NULLS_LAST,
+    SORT_DESC_NULLS_FIRST,
+    SORT_DESC_NULLS_LAST,
+}
+
+JOIN_TYPE_INNER = "JOIN_TYPE_INNER"
+JOIN_TYPE_LEFT = "JOIN_TYPE_LEFT"
+JOIN_TYPE_RIGHT = "JOIN_TYPE_RIGHT"
+JOIN_TYPE_OUTER = "JOIN_TYPE_OUTER"
+JOIN_TYPE_SEMI = "JOIN_TYPE_SEMI"
+JOIN_TYPE_ANTI = "JOIN_TYPE_ANTI"
+JOIN_TYPES = {
+    JOIN_TYPE_INNER,
+    JOIN_TYPE_LEFT,
+    JOIN_TYPE_RIGHT,
+    JOIN_TYPE_OUTER,
+    JOIN_TYPE_SEMI,
+    JOIN_TYPE_ANTI,
+}
+
+AGG_ALL = "AGGREGATION_INVOCATION_ALL"
+AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
+
+REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set")
+EXPR_KINDS = ("selection", "scalarFunction", "literal", "ifThen", "cast", "singularOrList")
+
+NO_LIMIT = -1  # fetch.count sentinel; see module docstring
+
+
+class SubstraitError(Exception):
+    """Translation error (≡ the reference's DataFusionError::NotImplemented)."""
+
+
+# ---------------------------------------------------------------------------
+# constructors — rels
+# ---------------------------------------------------------------------------
+
+
+def plan(root_rel: dict, names: list[str], extensions: list[dict]) -> dict:
+    """Top-level Plan; single relation tree rooted at RelRoot (producer.rs:44-60)."""
+    return {
+        "version": {"minorNumber": 53, "producer": PRODUCER_TAG},
+        "extensions": extensions,
+        "relations": [{"root": {"input": root_rel, "names": list(names)}}],
+    }
+
+
+def extension_function(anchor: int, name: str) -> dict:
+    """SimpleExtensionDeclaration (producer.rs:407-424)."""
+    return {
+        "extensionFunction": {
+            "extensionUriReference": 0,
+            "functionAnchor": anchor,
+            "name": name,
+        }
+    }
+
+
+def read_rel(table_names: list[str], base_schema_names: list[str],
+             base_schema_types: list[dict] | None, mask: list[int]) -> dict:
+    """ReadRel + NamedTable + projection MaskExpression (producer.rs:74-116).
+
+    Unlike the reference we always emit a mask (identity mask for SELECT *);
+    the reference errors on a maskless scan (producer.rs:111-115).
+    """
+    struct: dict[str, Any] = {"nullability": "NULLABILITY_REQUIRED"}
+    if base_schema_types is not None:
+        struct["types"] = base_schema_types
+    return {
+        "read": {
+            "common": {"direct": {}},
+            "baseSchema": {"names": list(base_schema_names), "struct": struct},
+            "projection": {
+                "select": {"structItems": [{"field": i} for i in mask]},
+                "maintainSingularStruct": True,
+            },
+            "namedTable": {"names": list(table_names)},
+        }
+    }
+
+
+def project_rel(input_rel: dict, expressions: list[dict]) -> dict:
+    """ProjectRel. Reference semantics: ``expressions`` IS the full output row
+    (DataFusion Projection), not Substrait's input++expressions emit form
+    (consumer.rs:122-137 consumes it that way; we keep that convention)."""
+    return {"project": {"common": {"direct": {}}, "input": input_rel,
+                        "expressions": expressions}}
+
+
+def filter_rel(input_rel: dict, condition: dict) -> dict:
+    """FilterRel (producer.rs:132-144)."""
+    return {"filter": {"common": {"direct": {}}, "input": input_rel,
+                       "condition": condition}}
+
+
+def fetch_rel(input_rel: dict, offset: int, count: int) -> dict:
+    """FetchRel (producer.rs:145-160); count==NO_LIMIT means no limit."""
+    return {"fetch": {"common": {"direct": {}}, "input": input_rel,
+                      "offset": int(offset), "count": int(count)}}
+
+
+def sort_rel(input_rel: dict, sorts: list[dict]) -> dict:
+    """SortRel (producer.rs:161-176)."""
+    return {"sort": {"common": {"direct": {}}, "input": input_rel, "sorts": sorts}}
+
+
+def sort_field(expr: dict, direction: str) -> dict:
+    """SortField with direction enum (producer.rs:657-688)."""
+    if direction not in SORT_DIRECTIONS:
+        raise SubstraitError(f"bad sort direction {direction}")
+    return {"expr": expr, "direction": direction}
+
+
+def aggregate_rel(input_rel: dict, grouping_expressions: list[dict],
+                  measures: list[dict]) -> dict:
+    """AggregateRel with exactly ONE grouping set (producer.rs:177-202;
+    consumer.rs:230-235 rejects >1). Output = groupings ++ measures."""
+    return {
+        "aggregate": {
+            "common": {"direct": {}},
+            "input": input_rel,
+            "groupings": [{"groupingExpressions": grouping_expressions}],
+            "measures": measures,
+        }
+    }
+
+
+def measure(function_anchor: int, arguments: list[dict], distinct: bool = False,
+            filter_expr: dict | None = None) -> dict:
+    """AggregateRel.Measure: fn + DISTINCT invocation + optional FILTER
+    (producer.rs:320-376, consumer.rs:242-258)."""
+    m: dict[str, Any] = {
+        "measure": {
+            "functionReference": function_anchor,
+            "arguments": [{"value": a} for a in arguments],
+            "invocation": AGG_DISTINCT if distinct else AGG_ALL,
+            "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+        }
+    }
+    if filter_expr is not None:
+        m["filter"] = filter_expr
+    return m
+
+
+def join_rel(left: dict, right: dict, expression: dict, join_type: str) -> dict:
+    """JoinRel (producer.rs:223-275). The reference accepts only AND-chains of
+    column equalities (consumer.rs:289-313); we accept any boolean expression
+    (superset — Spark executes arbitrary join conditions)."""
+    if join_type not in JOIN_TYPES:
+        raise SubstraitError(f"bad join type {join_type}")
+    return {"join": {"common": {"direct": {}}, "left": left, "right": right,
+                     "expression": expression, "type": join_type}}
+
+
+def set_rel(inputs: list[dict], op: str) -> dict:
+    """SetRel (Substrait spec; NOT in the reference — capability extension).
+
+    op ∈ {SET_OP_UNION_ALL, SET_OP_UNION_DISTINCT, SET_OP_INTERSECTION_PRIMARY,
+    SET_OP_MINUS_PRIMARY}.
+    """
+    return {"set": {"common": {"direct": {}}, "inputs": inputs, "op": op}}
+
+
+# ---------------------------------------------------------------------------
+# constructors — expressions
+# ---------------------------------------------------------------------------
+
+
+def field_ref(ordinal: int) -> dict:
+    """Direct StructField reference by ordinal (producer.rs:690-704)."""
+    return {
+        "selection": {
+            "directReference": {"structField": {"field": int(ordinal)}},
+            "rootReference": {},
+        }
+    }
+
+
+def scalar_function(anchor: int, arguments: list[dict],
+                    output_type: dict | None = None) -> dict:
+    """ScalarFunction call (producer.rs:434-461). N-ary (superset of the
+    reference's exactly-2 assertion, consumer.rs:531)."""
+    f: dict[str, Any] = {
+        "functionReference": anchor,
+        "arguments": [{"value": a} for a in arguments],
+    }
+    if output_type is not None:
+        f["outputType"] = output_type
+    return {"scalarFunction": f}
+
+
+def if_then(ifs: list[tuple[dict, dict]], else_expr: dict | None) -> dict:
+    """IfThen for CASE WHEN (producer.rs:541-575). Catalyst desugars the
+    base-expression CASE form during analysis, so the reference's
+    leading-then=None convention (consumer.rs:474-490) never arises here."""
+    node: dict[str, Any] = {"ifs": [{"if": i, "then": t} for i, t in ifs]}
+    if else_expr is not None:
+        node["else"] = else_expr
+    return {"ifThen": node}
+
+
+def cast(input_expr: dict, to_type: dict, safe: bool = False) -> dict:
+    """Explicit cast (Substrait spec; reference has none — SURVEY.md §2.2 E-gap)."""
+    return {
+        "cast": {
+            "type": to_type,
+            "input": input_expr,
+            "failureBehavior": (
+                "FAILURE_BEHAVIOR_RETURN_NULL" if safe
+                else "FAILURE_BEHAVIOR_THROW_EXCEPTION"
+            ),
+        }
+    }
+
+
+def singular_or_list(value: dict, options: list[dict]) -> dict:
+    """IN-list (Substrait SingularOrList; reference has none)."""
+    return {"singularOrList": {"value": value, "options": options}}
+
+
+def literal(kind: str, value: Any) -> dict:
+    """Literal; kind is the proto3-JSON oneof field name (producer.rs:576-604)."""
+    return {"literal": {kind: value}}
+
+
+def null_literal(of_type: dict) -> dict:
+    """Typed null (producer.rs:613-655)."""
+    return {"literal": {"null": of_type}}
+
+
+# ---------------------------------------------------------------------------
+# serde + structural helpers
+# ---------------------------------------------------------------------------
+
+
+def dumps(p: dict) -> bytes:
+    return json.dumps(p, separators=(",", ":"), sort_keys=True).encode("utf-8")
+
+
+def loads(b: bytes) -> dict:
+    p = json.loads(b.decode("utf-8"))
+    validate_plan(p)
+    return p
+
+
+def rel_kind(rel: dict) -> str:
+    kinds = [k for k in rel if k in REL_KINDS]
+    if len(kinds) != 1:
+        raise SubstraitError(f"rel must have exactly one kind, got {sorted(rel)}")
+    return kinds[0]
+
+
+def expr_kind(expr: dict) -> str:
+    kinds = [k for k in expr if k in EXPR_KINDS]
+    if len(kinds) != 1:
+        raise SubstraitError(f"expression must have exactly one kind, got {sorted(expr)}")
+    return kinds[0]
+
+
+def extension_map(p: dict) -> dict[int, str]:
+    """anchor → function name, built before walking rels (consumer.rs:76-91)."""
+    out: dict[int, str] = {}
+    for decl in p.get("extensions", []):
+        f = decl.get("extensionFunction")
+        if f is not None:
+            out[int(f["functionAnchor"])] = f["name"]
+    return out
+
+
+def root_of(p: dict) -> tuple[dict, list[str]]:
+    """Single-relation-tree requirement (consumer.rs:93-111)."""
+    rels = p.get("relations", [])
+    if len(rels) != 1:
+        raise SubstraitError(f"plan must have exactly 1 relation tree, got {len(rels)}")
+    entry = rels[0]
+    if "root" in entry:
+        return entry["root"]["input"], list(entry["root"].get("names", []))
+    if "rel" in entry:  # bare Rel accepted like consumer.rs:96-105
+        return entry["rel"], []
+    raise SubstraitError("relation entry must be 'root' or 'rel'")
+
+
+def validate_plan(p: dict) -> None:
+    root, _ = root_of(p)
+    _validate_rel(root)
+
+
+def _validate_rel(rel: dict) -> None:
+    kind = rel_kind(rel)
+    body = rel[kind]
+    if kind == "read":
+        if "namedTable" not in body:
+            raise SubstraitError("only NamedTable reads are supported (consumer.rs:371-373)")
+    elif kind in ("project", "filter", "fetch", "sort", "aggregate"):
+        _validate_rel(body["input"])
+        if kind == "aggregate" and len(body.get("groupings", [])) != 1:
+            raise SubstraitError("exactly one grouping set required (consumer.rs:230-235)")
+    elif kind == "join":
+        _validate_rel(body["left"])
+        _validate_rel(body["right"])
+        if body.get("type") not in JOIN_TYPES:
+            raise SubstraitError(f"unsupported join type {body.get('type')}")
+    elif kind == "set":
+        for i in body["inputs"]:
+            _validate_rel(i)

@@ -1,0 +1,79 @@
+"""Catalog registration: named tables over file sources.
+
+The reference resolves ``NamedTable`` names against the session catalog
+(``ctx.table``, consumer.rs:339); tables enter the catalog via
+``ctx.register_csv`` (tests/roundtrip.rs:294-297). Spark temp views play that
+role here — but Spark's *optimized* logical plan collapses a temp view into
+its underlying file relation, losing the name. This module therefore keeps a
+process-wide path→name map filled at registration time, which the producer
+uses to recover the NamedTable name from a scan's root path (the analogue of
+DataFusion keeping ``table_name`` on its TableScan node, producer.rs:104-107).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_substrait_spark.plans.proto import SubstraitError
+
+_PATH_TO_NAME: dict[str, str] = {}
+
+
+def _norm(path: str) -> str:
+    p = path.removeprefix("file://").removeprefix("file:")
+    return os.path.abspath(p).rstrip("/")
+
+
+def register_parquet(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` + temp view + name recovery (≡ register_csv
+    in tests/roundtrip.rs:294-297, with parquet as the idiomatic Spark format)."""
+    df = spark.read.parquet(path)
+    df.createOrReplaceTempView(name)
+    _PATH_TO_NAME[_norm(path)] = name
+    return df
+
+
+def register_csv(spark: SparkSession, name: str, path: str, schema=None) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    df = reader.schema(schema).csv(path) if schema is not None else \
+        reader.option("inferSchema", "true").csv(path)
+    df.createOrReplaceTempView(name)
+    _PATH_TO_NAME[_norm(path)] = name
+    return df
+
+
+def register_view(name: str, path: str) -> None:
+    """Record name recovery for an externally created view/relation."""
+    _PATH_TO_NAME[_norm(path)] = name
+
+
+def table_name_for_path(path: str) -> str:
+    name = _PATH_TO_NAME.get(_norm(path))
+    if name is None:
+        raise SubstraitError(
+            f"scan over unregistered path {path!r}: register the table via "
+            "datafusion_substrait_spark.sources.catalog so its NamedTable name "
+            "is recoverable (≡ producer.rs:104-107 table_name)"
+        )
+    return name
+
+
+def register_testdata(spark: SparkSession, sf_dir: str,
+                      tables: tuple[str, ...] = (
+                          "region", "nation", "customer", "supplier", "part",
+                          "orders", "lineitem", "events", "documents", "embeddings",
+                      )) -> dict[str, DataFrame]:
+    """Register the driver's synthetic TPC-H-ish tables (TESTDATA.md)."""
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects; read nanos as raw int64 instead. The registered `events.ts` is
+    # therefore epoch-NANOS bigint — time bucketing uses exact integer
+    # arithmetic on it (see operators/ and FIXTURES.md).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            out[t] = register_parquet(spark, t, p)
+    return out

@@ -1,10 +1,24 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every relational query (q*) runs through the FULL interchange pipeline —
+DataFrame/SQL → ``to_substrait_plan`` → plan JSON → ``from_substrait_plan``
+→ execution — so the correctness gate exercises the product, not just Spark.
+Pipeline extras (d*/s*/t*/e* = dedup, similarity, text, events) run the
+operators in ``datafusion_substrait_spark.operators`` / ``streaming``
+directly (their surface is beyond the reference's interchange fence,
+SURVEY.md §2.5).
+
+Oracle notes:
+  * every computed column is aliased identically in Spark and SQL;
+  * double aggregates are rounded in-query on BOTH sides (sums 2dp,
+    ratios/avgs 4-6dp) so IEEE summation-order drift cannot flip the hash;
+  * DuckDB ``sum(BIGINT)`` returns HUGEINT → oracles cast to BIGINT;
+  * ``events.ts`` is TIMESTAMP_NS in DuckDB but epoch-nanos BIGINT in Spark
+    (nanosAsLong read) → oracles use ``epoch_ns(ts)``;
+  * minhash/simhash/LSH signature queries have no oracle entry (DuckDB 1.0
+    lacks crc32, so signatures are not replayable) → driver records the
+    rows-only check; their exact-verification stages ARE oracle-checked via
+    d1/d4.
 """
 
 from __future__ import annotations
@@ -12,27 +26,483 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark import roundtrip
+from datafusion_substrait_spark.operators import dedup, similarity, text
+from datafusion_substrait_spark.sources.catalog import register_testdata
+from datafusion_substrait_spark.streaming import events as ev
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    register_testdata(spark, sf_dir)
+
+
+def _rt(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """SQL → substrait plan → consume → DataFrame (the product's hot path)."""
+    _prep(spark, sf_dir)
+    return roundtrip(spark.sql(sql))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-style pricing summary through produce→consume."""
+    return QUERIES["q01_pricing_summary"](spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# relational queries (all via substrait roundtrip)
+# ---------------------------------------------------------------------------
+
+_SQL: dict[str, str] = {
+    # R1+R2: scan with projection mask
+    "q02_scan_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+    """,
+    # R3+E2/E3: filter + arithmetic + literals
+    # "rounding" via pure IEEE ops (mul/add/floor are bit-identical across
+    # engines; each engine's round() differs on .5 boundaries — 54/7953 rows
+    # flipped at sf0.01 before this)
+    "q03_filter_arith": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 10000 + 0.5) AS BIGINT) AS charged_e4
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_returnflag = 'R'
+    """,
+    # R4+R5: sort (all four direction variants are pinned in tests) + fetch
+    "q04_sort_fetch": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 10
+    """,
+    # R6: aggregate with several measures
+    "q05_group_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    # R6: DISTINCT + FILTER measures, HAVING
+    "q06_agg_distinct_filter": """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_cust,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                   AS urgent_price
+        FROM orders GROUP BY o_orderstatus HAVING count(*) > 10
+    """,
+    # R7: distinct
+    "q07_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    # R8: inner equi-join chain (3-way)
+    "q08_join3": """
+        SELECT n_name, r_name, round(sum(c_acctbal), 2) AS bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    """,
+    "q09_left_join": """
+        SELECT c_custkey, c_name, o_orderkey
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "q10_right_join": """
+        SELECT o_orderkey, c_name
+        FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+    "q11_full_join": """
+        SELECT c_custkey, o_orderkey
+        FROM customer FULL JOIN orders ON c_custkey = o_custkey
+    """,
+    "q12_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    "q13_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    # E5+E6: CASE (both forms) + BETWEEN
+    "q14_case_between": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 100000 THEN 'small'
+                    WHEN o_totalprice < 300000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END AS status_code
+        FROM orders WHERE o_totalprice BETWEEN 50000 AND 400000
+    """,
+    # E3/E4: decimal + typed-null literals
+    "q15_literals": """
+        SELECT o_orderkey,
+               CAST(0.07 AS DECIMAL(5,2)) AS tax_rate,
+               CAST(NULL AS BIGINT) AS missing
+        FROM orders WHERE o_totalprice < 10000
+    """,
+    # IN-list (SingularOrList)
+    "q16_in_list": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderstatus IN ('F', 'P') AND o_custkey IN (1, 2, 3, 5, 8, 13, 21)
+    """,
+    # SetRel extension: UNION ALL
+    "q17_union_all": """
+        SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT s_name AS name, s_acctbal AS bal FROM supplier
+    """,
+    # cross join (→ inner on TRUE)
+    "q18_cross_join": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    # scalar function battery: string + date parts + math
+    "q19_scalar_funcs": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS pri,
+               length(o_orderstatus) AS st_len,
+               year(o_orderdate) AS y, month(o_orderdate) AS m,
+               round(sqrt(o_totalprice), 4) AS root_price,
+               substring(o_orderpriority, 1, 1) AS pri_code
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    # TPC-H Q3-style: join + agg + sort + limit
+    "q20_top_revenue": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 20
+    """,
+    # like / starts_with family
+    "q21_like": """
+        SELECT n_name FROM nation
+        WHERE n_name LIKE 'A%' OR n_name LIKE '%IA' OR n_name LIKE '%AN%'
+    """,
+}
+
+# TPC-H Q1 (pricing summary) — the flagship; kept out of _SQL so entry() can
+# reference it by name
+_Q01 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline extras (direct DataFrame operators)
+# ---------------------------------------------------------------------------
+
+
+def _d1_exact_dedup(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return dedup.exact_dedup(spark.table("documents"))
+
+
+def _d2_minhash_pairs(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.35)
+
+
+def _d3_simhash_pairs(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return dedup.simhash_pairs(spark.table("documents"), max_hamming=8)
+
+
+def _d4_ngram_jaccard(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(spark.table("documents"), threshold=0.12)
+
+
+def _d5_embedding_neardup(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return dedup.embedding_neardup_pairs(spark.table("embeddings"), threshold=0.9)
+
+
+def _s1_bruteforce_topk(spark, sf_dir):
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+def _s2_lsh_topk(spark, sf_dir):
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries, k=10, planes=6)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+def _t1_token_count(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def _t2_quality(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return text.quality_features(spark.table("documents"))
+
+
+def _t3_lang_id(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return text.lang_id(spark.table("documents"))
+
+
+def _t4_fingerprint(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return text.fingerprint(spark.table("documents"))
+
+
+def _e1_windowed_counts(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return ev.windowed_event_counts(ev._with_event_time(spark.table("events")))
+
+
+def _e2_sessionize(spark, sf_dir):
+    _prep(spark, sf_dir)
+    out = ev.sessionize(ev._with_event_time(spark.table("events")))
+    return out.select(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events", "sum_value",
+    )
+
+
+def _m1_multimodal_meta(spark, sf_dir):
+    from datafusion_substrait_spark.operators import multimodal
+
+    _prep(spark, sf_dir)
+    payloads = multimodal.attach_binary_payload(spark.table("documents"))
+    return multimodal.extract_image_metadata(payloads)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": lambda spark, sf: _rt(spark, sf, _Q01),
+    **{
+        name: (lambda spark, sf, s=sql: _rt(spark, sf, s))
+        for name, sql in _SQL.items()
+    },
+    "d1_exact_dedup": _d1_exact_dedup,
+    "d2_minhash_pairs": _d2_minhash_pairs,
+    "d3_simhash_pairs": _d3_simhash_pairs,
+    "d4_ngram_jaccard": _d4_ngram_jaccard,
+    "d5_embedding_neardup": _d5_embedding_neardup,
+    "s1_bruteforce_topk": _s1_bruteforce_topk,
+    "s2_lsh_topk": _s2_lsh_topk,
+    "t1_token_count": _t1_token_count,
+    "t2_quality": _t2_quality,
+    "t3_lang_id": _t3_lang_id,
+    "t4_fingerprint": _t4_fingerprint,
+    "e1_windowed_counts": _e1_windowed_counts,
+    "e2_sessionize": _e2_sessionize,
+    "m1_multimodal_meta": _m1_multimodal_meta,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_NORM = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+
+# stopword SQL literals generated from the SAME source as the Spark operators
+# (operators/text.py) so the two sides cannot drift
+from datafusion_substrait_spark.operators.text import LANG_STOPWORDS as _LS  # noqa: E402
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in _LS.items()
+}
+_ALL_STOP_SQL = "[" + ", ".join(
+    f"'{w}'" for ws in _LS.values() for w in ws
+) + "]"
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_scan_project": _SQL["q02_scan_project"],
+    "q03_filter_arith": _SQL["q03_filter_arith"],
+    "q04_sort_fetch": _SQL["q04_sort_fetch"],
+    "q05_group_agg": _SQL["q05_group_agg"],
+    "q06_agg_distinct_filter": _SQL["q06_agg_distinct_filter"],
+    "q07_distinct": _SQL["q07_distinct"],
+    "q08_join3": _SQL["q08_join3"],
+    "q09_left_join": _SQL["q09_left_join"],
+    "q10_right_join": _SQL["q10_right_join"],
+    "q11_full_join": _SQL["q11_full_join"],
+    "q12_semi_join": _SQL["q12_semi_join"],
+    "q13_anti_join": _SQL["q13_anti_join"],
+    "q14_case_between": _SQL["q14_case_between"],
+    "q15_literals": _SQL["q15_literals"],
+    "q16_in_list": _SQL["q16_in_list"],
+    "q17_union_all": _SQL["q17_union_all"],
+    "q18_cross_join": _SQL["q18_cross_join"],
+    "q19_scalar_funcs": _SQL["q19_scalar_funcs"],
+    "q20_top_revenue": _SQL["q20_top_revenue"],
+    "q21_like": _SQL["q21_like"],
+    "d1_exact_dedup": f"""
+        SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
+        FROM documents GROUP BY md5({_NORM})
+    """,
+    "d4_ngram_jaccard": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {_TOKS} AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                           i -> array_to_string(t[i:i+2], ' ')))
+                   END AS g
+            FROM toks
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / len(list_distinct(a.g || b.g)), 6) AS jaccard
+        FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / len(list_distinct(a.g || b.g)), 6) >= 0.12
+    """,
+    "s1_bruteforce_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_dot_product(q.qv, e.ev)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cosine
+            FROM q CROSS JOIN e
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    "t1_token_count": f"""
+        SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+    """,
+    "t2_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len({_TOKS}) AS DOUBLE) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+                   CAST(len(list_distinct(list_intersect({_TOKS},
+                        {_ALL_STOP_SQL}))) AS DOUBLE) AS n_stop
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, n_chars, n_tokens,
+                   round(n_chars / n_tokens, 6) AS mean_token_len,
+                   round(n_punct / n_chars, 6) AS punct_ratio,
+                   round(n_stop / n_tokens, 6) AS stopword_ratio
+            FROM base
+        )
+        SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+               round(CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+                     least(n_tokens / 100.0, 1.0) * 0.5
+                     + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+                     + least(stopword_ratio * 5.0, 1.0) * 0.25 END, 6) AS quality_score
+        FROM feats
+    """,
+    "t3_lang_id": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(list_distinct(list_intersect({_TOKS}, {_STOP_SQL['en']}))) AS score_en,
+                   len(list_distinct(list_intersect({_TOKS}, {_STOP_SQL['fr']}))) AS score_fr,
+                   len(list_distinct(list_intersect({_TOKS}, {_STOP_SQL['de']}))) AS score_de,
+                   len(list_distinct(list_intersect({_TOKS}, {_STOP_SQL['es']}))) AS score_es
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(score_en AS INT) AS score_en, CAST(score_fr AS INT) AS score_fr,
+               CAST(score_de AS INT) AS score_de, CAST(score_es AS INT) AS score_es,
+               CASE WHEN greatest(score_en, score_fr, score_de, score_es) <= 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+                    WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+                    WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+                    ELSE 'es' END AS lang_pred
+        FROM s
+    """,
+    "t4_fingerprint": f"""
+        SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    """,
+    "e1_windowed_counts": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "e2_sessionize": """
+        WITH o AS (
+            SELECT user_id, value, epoch_ns(ts) AS tns, event_id,
+                   lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_ns(ts), event_id) AS prev
+            FROM events
+        ), marked AS (
+            SELECT user_id, value, tns, event_id,
+                   CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ), sid AS (
+            SELECT user_id, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM sid GROUP BY user_id, session_id
+    """,
+    # d2/d3/d5, s2, m1: no oracle — crc32/LSH signatures and sha256-of-blob
+    # are not replayable in DuckDB 1.0; driver records rows-only checks.
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

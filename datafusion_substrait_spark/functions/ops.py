@@ -74,11 +74,25 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "IsNotNull": "is_not_null",
     "UnaryMinus": "negate",
     "Abs": "abs",
+    "Floor": "floor",
+    "Ceil": "ceil",
+    "Sqrt": "sqrt",
+    "Lower": "lower",
+    "Upper": "upper",
+    "Length": "char_length",
+    "Year": "year",
+    "Month": "month",
+    "DayOfMonth": "day",
+    "Md5": "md5",
 }
 
 CATALYST_NARY_TO_NAME: dict[str, str] = {
     "Concat": "str_concat",
     "Coalesce": "coalesce",
+    "Substring": "substring",
+    "Round": "round",
+    "Greatest": "greatest",
+    "Least": "least",
 }
 
 # ---------------------------------------------------------------------------
@@ -132,9 +146,25 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "is_not_null": lambda a: a.isNotNull(),
     "negate": lambda a: -a,
     "abs": lambda a: F.abs(a),
+    "floor": lambda a: F.floor(a),
+    "ceil": lambda a: F.ceil(a),
+    "sqrt": lambda a: F.sqrt(a),
+    "lower": lambda a: F.lower(a),
+    "upper": lambda a: F.upper(a),
+    "char_length": lambda a: F.length(a),
+    "year": lambda a: F.year(a),
+    "month": lambda a: F.month(a),
+    "day": lambda a: F.dayofmonth(a),
+    "md5": lambda a: F.md5(a),
+    "substring": lambda a, b, c: a.substr(b, c),
+    "greatest": lambda *args: F.greatest(*args),
+    "least": lambda *args: F.least(*args),
+    # round's scale argument is special-cased in the consumer (needs a python
+    # int for F.round); this entry covers the scale-0 unary form
+    "round": lambda a: F.round(a),
 }
 
-_VARARG = {"str_concat", "coalesce"}
+_VARARG = {"str_concat", "coalesce", "greatest", "least"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines.
+
+All computations are built from JVM-side ``pyspark.sql.functions`` (no Python
+UDFs), so they stay inside whole-stage codegen and scale linearly with
+partitions — at 100 TB each of these is a single narrow map stage: no
+shuffle, no Python serialization, and column pruning limits the scan to
+``text`` (+ key).
+
+Each operator is deliberately expressible in portable SQL so the DuckDB
+oracle can replay it bit-for-bit (division orders fixed; doubles rounded at
+the edge where cross-engine FP drift is possible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language-ID heuristic: stopword hit sets per language (distinct-token
+# intersection counts). Deterministic, engine-portable.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "you", "that", "was"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+}
+_LANG_ORDER = ("en", "fr", "de", "es")  # deterministic tie-break priority
+
+_TOKEN_SPLIT = "[^a-z0-9]+"  # applied to lower(text); RE2/Java compatible
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alpha-numeric tokens, empties removed (array<string>)."""
+    return F.array_remove(F.split(F.lower(text), _TOKEN_SPLIT), "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct-boundary token count (the "BPE-ish regex" counter)."""
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingles of the normalized text (array<string>).
+
+    Row-local (``F.transform`` over an index sequence) — no explode, no
+    shuffle; used as the shingle stage of MinHash dedup.
+    """
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    ln = F.length(norm)
+    return F.when(
+        ln < n, F.array(norm)
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                    lambda i: norm.substr(i, F.lit(n)))
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>), row-local."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Heuristics follow the usual pretraining-filter recipe (length, mean token
+    length, punctuation density, stopword density). Pure narrow map; rounded
+    to 6 dp so the DuckDB oracle hash-matches despite FP formatting.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_chars = F.length(text).cast("double")
+    n_toks = F.size(toks).cast("double")
+    all_stop = F.array(*[F.lit(w) for ws in LANG_STOPWORDS.values() for w in ws])
+    feats = {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "mean_token_len": F.round(n_chars / n_toks, 6),
+        "punct_ratio": F.round(
+            F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("double") / n_chars, 6
+        ),
+        "stopword_ratio": F.round(
+            F.size(F.array_intersect(toks, all_stop)).cast("double") / n_toks, 6
+        ),
+    }
+    score = F.round(
+        F.when(n_toks <= 0, F.lit(0.0)).otherwise(
+            (F.least(n_toks / 100.0, F.lit(1.0)) * 0.5)
+            + (1.0 - F.least(feats["punct_ratio"] * 10.0, F.lit(1.0))) * 0.25
+            + F.least(feats["stopword_ratio"] * 5.0, F.lit(1.0)) * 0.25
+        ),
+        6,
+    )
+    return df.select(
+        *key_cols, *[c.alias(k) for k, c in feats.items()], score.alias("quality_score")
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: distinct stopword hits per
+    language, argmax with fixed priority tie-break, 'und' when no hits."""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(_LANG_ORDER):  # earlier langs win ties → apply last
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    return df.select(
+        *key_cols,
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text.
+
+    md5 is bit-identical across engines (unlike xxhash64/DuckDB hash), so the
+    oracle can verify; collision-safe enough for dedup keys at 100 TB
+    (2^64 docs before birthday trouble).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(*key_cols, F.md5(norm).alias("fingerprint"))

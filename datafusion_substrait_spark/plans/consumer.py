@@ -240,7 +240,18 @@ class _Consumer:
             return resolver(int(body["directReference"]["structField"].get("field", 0)))
         if kind == "scalarFunction":
             name = self._fn_name(body["functionReference"])
-            args = [self.rex(a["value"], resolver) for a in body.get("arguments", [])]
+            raw = [a["value"] for a in body.get("arguments", [])]
+            if name == "round" and len(raw) == 2:
+                # F.round needs a python-int scale; pull it from the literal
+                lit = raw[1].get("literal", {})
+                scale = next(
+                    (int(lit[k]) for k in ("i32", "i64", "i16", "i8") if k in lit),
+                    None,
+                )
+                if scale is None:
+                    raise SubstraitError("round scale must be an integer literal")
+                return F.round(self.rex(raw[0], resolver), scale)
+            args = [self.rex(a, resolver) for a in raw]
             return ops.apply_scalar(name, args)
         if kind == "literal":
             return _literal_column(body)

@@ -72,7 +72,11 @@ def to_substrait_plan(df: DataFrame) -> dict:
 class _Producer:
     def __init__(self) -> None:
         self.registry = ExtensionRegistry()
-        self._sentinel = 0  # fresh negative ids for grouping cols absent from output
+        self._sentinel = 0  # fresh negative ids for non-named output expressions
+        # rex-translation hook: maps a Catalyst node to a substrait expr (or
+        # None); used by _rel_Aggregate to splice measure/grouping field refs
+        # into post-aggregation scalar expressions
+        self._override = None
 
     def _fresh_id(self) -> int:
         self._sentinel -= 1
@@ -196,47 +200,67 @@ class _Producer:
         return proto.fetch_rel(crel, 0, node.limitExpr().value()), cids
 
     def _rel_Aggregate(self, node, needed=None):
+        """Substrait AggregateRel output is groupings++measures
+        (producer.rs:177-202). Catalyst's Aggregate output is arbitrary
+        NamedExpressions that may (a) reorder groupings/measures and (b) wrap
+        measures in scalar expressions (e.g. ``round(sum(x), 2)``). We
+        therefore extract every AggregateExpression as a measure, then — if
+        outputs are not exactly the identity over groupings++measures — wrap
+        the AggregateRel in a ProjectRel that rebuilds each Catalyst output
+        over the (groupings ++ measures) ordinal space."""
         crel, cids = self.rel(node.child(), _refs(node))
         g_exprs = _seq(node.groupingExpressions())
         a_exprs = _seq(node.aggregateExpressions())
         groupings = [self.rex(g, cids) for g in g_exprs]
+        n_g = len(g_exprs)
 
         measures: list[dict] = []
-        measure_ids: list[int] = []
-        grouping_ids: list[int | None] = [None] * len(g_exprs)
-        slots: list[int] = []  # catalyst output position → substrait ordinal
-        for e in a_exprs:
-            kind = _cls(e)
-            target = e.child() if kind == "Alias" else e
-            if _cls(target) == "AggregateExpression":
-                slots.append(len(g_exprs) + len(measures))
-                measures.append(self._measure(target, cids))
-                measure_ids.append(e.exprId().id())
-                continue
-            j = next(
-                (j for j, g in enumerate(g_exprs) if g.semanticEquals(target)), None
-            )
-            if j is None:
-                raise SubstraitError(
-                    f"aggregate output {target.toString()} is neither a measure "
-                    "nor a grouping expression"
-                )
-            slots.append(j)
-            grouping_ids[j] = e.exprId().id()
+        measure_nodes: list = []
 
-        out_ids = [
-            gid if gid is not None else self._fresh_id() for gid in grouping_ids
-        ] + measure_ids
+        def agg_override(e):
+            kind = _cls(e)
+            if kind == "AggregateExpression":
+                for idx, m in enumerate(measure_nodes):
+                    if m.semanticEquals(e):
+                        return proto.field_ref(n_g + idx)
+                measure_nodes.append(e)
+                measures.append(self._measure(e, cids))
+                return proto.field_ref(n_g + len(measures) - 1)
+            for j, g in enumerate(g_exprs):
+                if g.semanticEquals(e):
+                    return proto.field_ref(j)
+            return None
+
+        out_exprs: list[dict] = []
+        out_ids: list[int] = []
+        prev_override = self._override
+        self._override = agg_override
+        try:
+            for e in a_exprs:
+                out_exprs.append(self.rex(e, cids))
+                if _cls(e) in ("Alias", "AttributeReference"):
+                    out_ids.append(e.exprId().id())
+                else:
+                    out_ids.append(self._fresh_id())
+        finally:
+            self._override = prev_override
+
         rel = proto.aggregate_rel(crel, groupings, measures)
-        if slots != list(range(len(out_ids))):
-            # Substrait AggregateRel output is groupings++measures; Catalyst's
-            # output order is arbitrary (e.g. SELECT sum(x), k). Restore it
-            # with a ProjectRel so parent ordinals stay correct.
-            rel = proto.project_rel(rel, [proto.field_ref(s) for s in slots])
-            out_ids = [out_ids[s] for s in slots]
+        identity = [proto.field_ref(i) for i in range(n_g + len(measures))]
+        if out_exprs != identity:
+            rel = proto.project_rel(rel, out_exprs)
         return rel, out_ids
 
     def _measure(self, agg_expr, cids) -> dict:
+        # measure args/filters live in the aggregate's INPUT ordinal space —
+        # the output-space override must not apply inside them
+        prev, self._override = self._override, None
+        try:
+            return self._measure_inner(agg_expr, cids)
+        finally:
+            self._override = prev
+
+    def _measure_inner(self, agg_expr, cids) -> dict:
         fn = agg_expr.aggregateFunction()
         pretty = fn.prettyName()
         name = ops.CATALYST_AGG_TO_NAME.get(pretty)
@@ -319,6 +343,10 @@ class _Producer:
     # -- expressions --------------------------------------------------------
 
     def rex(self, e, input_ids: list[int]) -> dict:
+        if self._override is not None:
+            hit = self._override(e)
+            if hit is not None:
+                return hit
         kind = _cls(e)
         if kind == "AttributeReference":
             eid = e.exprId().id()

@@ -1,0 +1,107 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.5) — this is the
+engine's Spark-native extension for continuous pipelines: file-source
+streams, watermarked tumbling-window aggregation, and an
+``Trigger.AvailableNow``-style batch-replay harness so tests and the oracle
+can pin results.
+
+``events.ts`` arrives as epoch-NANOS bigint (see sources/catalog.py); the
+stream converts to TimestampType once at ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # epoch nanos (nanosAsLong read)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # integer division by 1000 is exact on bigint nanos → micros
+    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet. ``path`` may be a directory of
+    part-files (production layout) or a single ``*.parquet`` file (the test
+    tables) — the single-file case streams its parent dir with a glob filter.
+    maxFilesPerTrigger bounds per-micro-batch work (backpressure knob)."""
+    import os
+
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1)
+    )
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return _with_event_time(reader.parquet(path))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with late-data
+    watermark. Works on both a stream (stateful, incremental) and a batch
+    DataFrame (identical results — used by tests and the oracle check)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("event_time", watermark)
+    return (
+        src.groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user (gap-based). Batch variant uses a window
+    function; streaming uses ``F.session_window`` — same session boundaries."""
+    if events.isStreaming:
+        return (
+            events.withWatermark("event_time", f"{2 * gap_minutes} minutes")
+            .groupBy(F.session_window("event_time", f"{gap_minutes} minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        )
+    from pyspark.sql import Window
+
+    # order by (ts, event_id) so tie-handling is deterministic and the
+    # DuckDB oracle can replay session assignment exactly
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    return (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev_ts").isNull() | ((F.col("ts") - F.col("prev_ts")) > gap_ns)).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a stream with an available-now trigger into a memory sink and
+    return the materialized result (test harness path)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

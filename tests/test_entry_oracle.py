@@ -1,0 +1,93 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``__spark_entry__.queries()`` entry and its DuckDB oracle side-by-side,
+compare row count + column names + order-insensitive values.
+
+Default SF for CI speed is sf0.001; run with
+``SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01`` for the driver-equivalent
+check. Float columns compare exactly after the in-query rounding — if that
+ever drifts, the assertion message shows the max delta so the rounding margin
+can be revisited.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(rows):
+    out = []
+    for row in rows:
+        canon_row = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    canon_row.append("NaN")
+                else:
+                    canon_row.append(round(v, 9))
+            else:
+                canon_row.append(v)
+        out.append(tuple(str(x) for x in canon_row))
+    return sorted(out)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY_KEYS = sorted(set(entrymod.queries()) - set(ORACLE_KEYS))
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = ddb.sql(entrymod.oracle_sql()[name])
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    # order-insensitive, column-name-aligned compare (driver sorts by name)
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_vals = _canon([[r[i] for i in s_idx] for r in spark_rows])
+    d_vals = _canon([[r[i] for i in d_idx] for r in duck_rows])
+    mismatches = [i for i, (a, b) in enumerate(zip(s_vals, d_vals)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first: "
+        f"spark={s_vals[mismatches[0]]} duck={d_vals[mismatches[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,216 @@
+"""Tests for the pipeline operators (dedup / similarity / text / multimodal).
+
+Correctness is checked against either a DuckDB replay of the same logic
+(the driver's t2 style) or an in-Python reference computation on collected
+rows (small SF only — the operators themselves never collect).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.operators import dedup, multimodal, similarity, text
+
+
+# --- text -------------------------------------------------------------------
+
+def test_token_count_matches_python(spark, tables):
+    import re
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in tables["documents"].select(
+            "doc_id", text.token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for row in tables["documents"].select("doc_id", "text").collect():
+        expect = len([t for t in re.split(r"[^a-z0-9]+", row["text"].lower()) if t])
+        assert got[row["doc_id"]] == expect
+
+
+def test_quality_features_ranges(spark, tables):
+    out = text.quality_features(tables["documents"]).collect()
+    assert len(out) == tables["documents"].count()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_id_deterministic_and_total(spark, tables):
+    out = text.lang_id(tables["documents"])
+    assert out.count() == tables["documents"].count()
+    langs = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert langs <= {"en", "fr", "de", "es", "und"}
+
+
+def test_fingerprint_is_md5(spark, tables):
+    import hashlib
+    import re
+
+    row = tables["documents"].select("doc_id", "text").first()
+    got = text.fingerprint(tables["documents"]).filter(
+        F.col("doc_id") == row["doc_id"]
+    ).first()["fingerprint"]
+    norm = re.sub(r"\s+", " ", row["text"].lower())
+    assert got == hashlib.md5(norm.encode()).hexdigest()
+
+
+# --- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_removes_planted_duplicates(spark, tables):
+    docs = tables["documents"].select("doc_id", "text")
+    dup = docs.limit(5).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    survivors = dedup.exact_dedup(docs.unionAll(dup))
+    # planted copies have larger ids → originals survive; count unchanged
+    assert survivors.count() == docs.count()
+    assert survivors.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_finds_planted_near_duplicates(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(50)
+    # plant: doc_id+500 is doc with a tiny suffix edit → near-dup
+    edited = docs.select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs.unionAll(edited), threshold=0.5
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(r["doc_id"], r["doc_id"] + 500) for r in docs.collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall too low: {recall}"
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_jaccard_is_exact_on_candidates(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    edited = docs.select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    both = docs.unionAll(edited)
+    pairs = dedup.minhash_lsh_pairs(both, threshold=0.3).collect()
+    texts = {r["doc_id"]: r["text"] for r in both.collect()}
+
+    def shingles(t, n=5):
+        import re
+        norm = re.sub(r"\s+", " ", t.lower())
+        return {norm[i:i + n] for i in range(max(1, len(norm) - n + 1))}
+
+    for r in pairs[:10]:
+        a, b = shingles(texts[r["doc_a"]]), shingles(texts[r["doc_b"]])
+        expect = len(a & b) / len(a | b)
+        assert abs(r["jaccard"] - expect) < 1e-4
+
+
+def test_simhash_near_duplicates(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(40)
+    copies = docs.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    pairs = dedup.simhash_pairs(docs.unionAll(copies), max_hamming=3).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(r["doc_id"], r["doc_id"] + 500) for r in docs.collect()}
+    assert planted <= found  # identical docs have hamming 0 and must all appear
+
+
+def test_ngram_jaccard_pairs_schema_and_symmetry(spark, tables):
+    out = dedup.ngram_jaccard_pairs(
+        tables["documents"].limit(80), threshold=0.05
+    )
+    rows = out.collect()
+    assert out.columns == ["doc_a", "doc_b", "jaccard"]
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.05 <= r["jaccard"] <= 1.0
+
+
+def test_embedding_neardup_pairs(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(60)
+    copies = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    pairs = dedup.embedding_neardup_pairs(emb.unionAll(copies), threshold=0.999)
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    planted = {(r["vec_id"], r["vec_id"] + 10000) for r in emb.collect()}
+    assert planted <= found  # identical vectors: cosine 1, same bucket
+
+
+# --- similarity -------------------------------------------------------------
+
+def test_brute_force_topk_matches_python(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.brute_force_topk(emb, queries, k=5).collect()
+    data = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for qid in range(3):
+        expect = sorted(
+            ((round(cos(data[qid], v), 6), -k) for k, v in data.items()),
+            reverse=True,
+        )[:5]
+        expect_ids = [-k for _, k in expect]
+        got_ids = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert got_ids == expect_ids
+        # self-match first with cosine 1
+        assert got_ids[0] == qid
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.lsh_topk(emb, queries, k=5, planes=4).collect()
+    assert len(got) > 0
+    for r in got:
+        assert -1.000001 <= r["cosine"] <= 1.000001
+    # self-vector shares its own bucket → rank 1 must be the query itself
+    by_q = {r["query_id"]: r for r in got if r["rank"] == 1}
+    assert by_q[0]["vec_id"] == 0 and by_q[1]["vec_id"] == 1
+
+
+# --- multimodal -------------------------------------------------------------
+
+def test_multimodal_metadata_pipeline(spark, tables):
+    import hashlib
+
+    payloads = multimodal.attach_binary_payload(tables["documents"].limit(20))
+    meta = multimodal.extract_image_metadata(payloads).collect()
+    assert len(meta) == 20
+    src = {r["key"]: bytes(r["payload"]) for r in payloads.collect()}
+    for r in meta:
+        assert r["n_bytes"] == len(src[r["key"]])
+        assert r["payload_sha256"] == hashlib.sha256(src[r["key"]]).hexdigest()
+        assert r["format"] in ("jpeg", "png", "webp")
+        assert r["width"] >= 64 and r["height"] >= 64
+
+
+def test_multimodal_frame_sampling(spark, tables):
+    payloads = multimodal.attach_binary_payload(tables["documents"].limit(10))
+    frames = multimodal.sample_frames(payloads, every_n_bytes=64, max_frames=4)
+    rows = frames.collect()
+    assert 10 <= len(rows) <= 40
+    for r in rows:
+        assert 0 <= r["frame_idx"] < 4
+        assert len(bytes(r["frame_bytes"])) <= 64
+
+
+def test_custom_decode_fn_plugs_in(spark, tables):
+    payloads = multimodal.attach_binary_payload(tables["documents"].limit(5))
+
+    def decoder(b: bytes):
+        return ("tiff", 1, 2)
+
+    meta = multimodal.extract_image_metadata(payloads, decode_fn=decoder).collect()
+    assert all(r["format"] == "tiff" and r["width"] == 1 for r in meta)

@@ -20,9 +20,18 @@ matter at 100 TB, not at 60k rows):
                     bucketing + exact cosine verify (see similarity.py for
                     the shared primitives).
 
-All signature math uses engine-portable integer arithmetic: a splitmix64-ish
-multiply-xor over crc32, NOT Spark's xxhash64 (which DuckDB cannot replay).
+All signature math uses Spark's built-in ``xxhash64`` — JVM-native, inside
+whole-stage codegen, with full 64-bit avalanche mixing. Signature operators
+are deterministic across runs/partitionings but NOT replayable in DuckDB, so
+they carry rows-only oracle checks; their *verification* stages (exact
+Jaccard / Hamming) are exact math and ARE oracle-checked (d1/d4).
 Everything is built-in-function-only — no Python UDFs anywhere.
+
+(Earlier design note: a crc32 + affine-mod-2^61 "portable hash" was tried so
+DuckDB could replay signatures. An affine map of a 32-bit value mod a 61-bit
+prime wraps the modulus only ~2× — piecewise-monotone, so the argmin shingle
+barely varies across "independent" seeds and LSH bands collapse into huge
+degenerate buckets. Portability isn't worth a broken sketch.)
 """
 
 from __future__ import annotations
@@ -32,29 +41,20 @@ from pyspark.sql import functions as F
 
 from datafusion_substrait_spark.operators.text import char_ngrams, tokens, word_ngrams
 
-# 64-bit mask as a bigint-safe constant (Spark longs are signed; we stay in
-# signed-64 space and let overflow wrap, which both engines do identically
-# only if we avoid it — so all mixing stays within 63 bits)
-_MERSENNE61 = (1 << 61) - 1
 
+def _parallelize(df: DataFrame, key_col: str) -> DataFrame:
+    """Ensure enough input partitions for the explode-heavy signature map.
 
-def _portable_hash(s: Column, seed: int) -> Column:
-    """Deterministic engine-portable string hash into [0, 2^61-1].
-
-    crc32 gives 32 deterministic bits; two seeded affine mixes over the
-    Mersenne prime 2^61-1 spread them to 61 bits without signed overflow.
-    Not cryptographic — a dedup/LSH workhorse. Deterministic across runs and
-    partitionings (unlike RNG-seeded approaches); the arithmetic is portable,
-    but DuckDB 1.0 lacks crc32, so signature-based operators get rows-only
-    oracle checks while their *verification* stages (exact Jaccard / Hamming)
-    are exact math.
+    A single small parquet file arrives as ONE partition, serializing the
+    whole per-shingle stage; repartitioning by key also pre-satisfies the
+    downstream groupBy(key) distribution, so the shuffle happens on the
+    compact (key, text) rows instead of the exploded shingles. On a real
+    multi-file corpus input partitions already ≫ cores and this is a no-op.
     """
-    base = F.crc32(s.cast("binary"))  # 0..2^32-1, portable
-    a = 0x9E3779B97F4A7C15 % _MERSENNE61
-    b = (0xBF58476D1CE4E5B9 + 0x2545F4914F6CDD1D * seed) % _MERSENNE61
-    return (base * F.lit(a % (1 << 30)) + F.lit(b % (1 << 30)) + F.lit(seed) * base) % F.lit(
-        _MERSENNE61
-    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -87,21 +87,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", num_hashes: int = 32,
                        shingle_n: int = 5) -> DataFrame:
-    """(key, minhash: array<bigint>[num_hashes]) — row-local: shingling and
-    all K minhashes are computed inside one projection over the text column
-    (``F.transform`` + ``F.array_min``), so the stage is a narrow map with
-    whole-stage codegen and no explode-induced row blowup."""
-    sh = char_ngrams(F.col(text_col), shingle_n)
+    """(key, minhash: array<bigint>[num_hashes]).
 
-    def hasher(seed: int):
-        # NB: must stay a 1-arg lambda — PySpark passes the array index to
-        # 2-arg higher-order-function lambdas, which would clobber the seed
-        return lambda s: _portable_hash(s, seed)
+    Plan shape: explode distinct shingles → K seeded ``xxhash64(seed,
+    shingle)`` minima as ``min()`` aggregate measures → groupBy(key). The
+    per-shingle stage is all JVM-native hashing inside whole-stage codegen,
+    and map-side partial aggregation collapses each doc to a single
+    (key, K longs) row *before* the shuffle — the shuffle moves one row per
+    document regardless of document length.
 
-    sig = F.array(*[
-        F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)
-    ])
-    return df.select(F.col(key_col), sig.alias("minhash"))
+    Why not compute all K minhashes row-locally with ``F.transform`` +
+    ``F.array_min``?  Higher-order array functions are excluded from codegen
+    (interpreted eval, no common-subexpression elimination), so the
+    shingling subtree would be re-evaluated K times per row — measured ~50×
+    slower than this shape at equal output.
+    """
+    bases = _parallelize(df, key_col).select(
+        F.col(key_col),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("_sh"),
+    )
+    agg = bases.groupBy(key_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
+          for i in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(key_col),
+        F.array(*[f"_mh{i}" for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def _bucket_pairs(buckets: DataFrame, key_col: str) -> DataFrame:
+    """(band, sig, ids: sorted array) → distinct (doc_a < doc_b) pairs,
+    generated *inside* each bucket row (no self-join, no second scan of the
+    signature pipeline). Bucket sizes are near-dup group sizes — small by
+    construction — so the per-row pair expansion is bounded."""
+    ids = F.col("ids")
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda a, i: F.transform(
+                            F.slice(ids, i + 2, F.size(ids)),
+                            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
@@ -110,12 +147,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
     Plan shape (the part that survives 1000 executors):
-      1. narrow map: signatures (no shuffle);
+      1. signature stage (see minhash_signatures: codegen'd, map-side
+         combined, one shuffled row per doc);
       2. explode to B rows/doc, shuffle keyed on (band, band_signature) —
          only docs agreeing on a whole band ever co-locate;
-      3. per-bucket self-join (skew-bounded: identical docs land together,
-         AQE handles hot buckets);
-      4. distinct candidate pairs, then exact Jaccard on just those pairs.
+      3. ``collect_list`` per bucket + in-bucket pair expansion (no
+         self-join: the signature pipeline is scanned ONCE; bucket size ≡
+         near-dup group size, so expansion is bounded; a pathological hot
+         bucket is a data-quality signal, cap with a size filter upstream);
+      4. distinct candidate pairs, then exact Jaccard on just those pairs
+         (candidates ≪ corpus, so AQE turns the verify joins into
+         broadcasts at runtime).
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
@@ -139,22 +181,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
             ])
         ).alias("bb"),
     ).select(key_col, "bb.band", "bb.sig")
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
-            on=[
-                F.col(f"a.band") == F.col(f"b.band"),
-                F.col(f"a.sig") == F.col(f"b.sig"),
-                F.col(f"a.{key_col}") < F.col(f"b.{key_col}"),
-            ],
-        )
-        .select(F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(key_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    shingled = df.select(
-        F.col(key_col), F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("sh")
+    cand = _bucket_pairs(buckets, key_col)
+    # verify on 64-bit-hashed shingle sets: Jaccard over hashes equals
+    # Jaccard over shingles up to xxhash64 collisions (negligible at any
+    # realistic doc size), and long-array intersect/union is much cheaper
+    # than string-array (no per-element string hashing/equality)
+    shingled = _parallelize(df, key_col).select(
+        F.col(key_col),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(char_ngrams(F.col(text_col), shingle_n)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
     )
     sa = shingled.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col(key_col).alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -176,39 +220,33 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(key, simhash bigint): sign of the per-bit ±1 vote over token hashes.
 
-    Entirely row-local: ``F.aggregate`` folds the token array into a
-    ``bits``-wide vote vector in one codegen'd expression — no explode,
-    no shuffle, no UDF. We use 2×32-bit halves from two portable hashes.
+    Plan shape mirrors minhash_signatures: explode distinct tokens → one
+    ``xxhash64`` per token (64 well-mixed bits from a single native hash) →
+    ``bits`` per-bit ±1 vote sums as aggregate measures → one codegen'd
+    projection assembles the final word with ``shiftleft`` (exact for bit
+    63, where a ``pow(2.0,·)``-based assembly would saturate). Map-side
+    combine makes the shuffle one row per document.
     """
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(
-                    _portable_hash(t, 7 + (i // 32)).bitwiseAND(F.lit(1 << (i % 32))) > 0,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)).cast("long")
-                for i in range(bits)
-            ]),
-            lambda a, b: a + b,
-        ),
+    assert bits <= 64, "single xxhash64 word provides at most 64 bits"
+    toks = _parallelize(df, key_col).select(
+        F.col(key_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
     )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            # 2^i via pow (exact for i<63); shiftleft() only takes int bits
-            lambda v, i: F.when(
-                v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return df.select(F.col(key_col), sig.alias("simhash"))
+    hashed = toks.select(F.col(key_col), F.xxhash64(F.col("_t")).alias("_h"))
+    votes = hashed.groupBy(key_col).agg(*[
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ])
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_v{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select(F.col(key_col), sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
@@ -217,8 +255,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 
     Candidates from 4 × 16-bit band buckets (pigeonhole: any pair within
     Hamming ≤ 3 shares a band; wider radii still prune massively), verified
-    with ``bit_count(a XOR b)``. Shuffle is keyed on 16-bit band values —
-    bounded fan-out, no all-pairs join.
+    with ``bit_count(a XOR b)``. Shuffle is keyed on 16-bit band values;
+    pairs are expanded inside each bucket (collect_list + slice) so the
+    signature pipeline — interpreted higher-order fold, the expensive part —
+    is scanned exactly once, with no self-join.
     """
     sigs = simhash_signatures(df, text_col, key_col)
     banded = sigs.select(
@@ -231,16 +271,33 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
             for b in range(4)
         ])).alias("bb"),
     ).select(key_col, "simhash", "bb.band", "bb.val")
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list(F.struct(key_col, "simhash"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
     return (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                      F.col("a.val") == F.col("b.val"),
-                      F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
-        .select(
-            F.col(f"a.{key_col}").alias("doc_a"),
-            F.col(f"b.{key_col}").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda a, i: F.transform(
+                            F.slice(ids, i + 2, F.size(ids)),
+                            lambda b: F.struct(
+                                a[key_col].alias("doc_a"),
+                                b[key_col].alias("doc_b"),
+                                F.bit_count(
+                                    a["simhash"].bitwiseXOR(b["simhash"])
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -259,7 +316,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", key_col: str = "d
     bucket, so at scale buckets must be small (or use minhash_lsh_pairs —
     same output contract — as the approximate scale path).
     """
-    grams = df.select(
+    grams = _parallelize(df, key_col).select(
         F.col(key_col), F.col(bucket_col).alias("bucket"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("g"),
     )

@@ -341,6 +341,25 @@ from datafusion_substrait_spark.operators.text import LANG_STOPWORDS as _LS  # n
 _STOP_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in _LS.items()
 }
+
+
+def _rh_sig_sql(planes: int) -> str:
+    """DuckDB replay of similarity.rh_signature: same Fibonacci-hash weights
+    (integer arithmetic, bit-identical), one double projection per plane,
+    sign → bucket bit. ``v`` must be the double-cast embedding list."""
+    terms = []
+    for p in range(planes):
+        proj = (
+            f"list_sum(list_transform(range(0, len(v)), d -> "
+            f"v[d+1] * ((({p * 8192 + 1} + d) * 2654435761 % 2147483648)"
+            f" / 2147483648.0 - 0.5)))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_RH_SIG_SQL = _rh_sig_sql(6)     # s2 uses planes=6
+_RH16_SIG_SQL = _rh_sig_sql(16)  # d5 uses planes=16 (embedding_neardup default)
 _ALL_STOP_SQL = "[" + ", ".join(
     f"'{w}'" for ws in _LS.values() for w in ws
 ) + "]"
@@ -499,8 +518,69 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM sid GROUP BY user_id, session_id
     """,
-    # d2/d3/d5, s2, m1: no oracle — crc32/LSH signatures and sha256-of-blob
-    # are not replayable in DuckDB 1.0; driver records rows-only checks.
+    # m1: the deterministic fake decoder is sha256-based, which DuckDB CAN
+    # replay (hex-pair byte extraction ≡ digest[i])
+    "m1_multimodal_meta": """
+        WITH h AS (
+            SELECT doc_id AS key,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS hex  -- VARCHAR overload hashes the same UTF-8 bytes
+            FROM documents
+        )
+        SELECT key, n_bytes,
+               ['jpeg','png','webp'][CAST(concat('0x', substr(hex, 1, 2)) AS INT) % 3 + 1]
+                   AS format,
+               CAST(64 + CAST(concat('0x', substr(hex, 3, 2)) AS INT) * 4 AS INT) AS width,
+               CAST(64 + CAST(concat('0x', substr(hex, 5, 2)) AS INT) * 4 AS INT) AS height,
+               hex AS payload_sha256
+        FROM h
+    """,
+    # s2/d5: the random-hyperplane signature is integer arithmetic (Fibonacci
+    # hash of (plane, dim), identical in BIGINT on both engines) plus one
+    # double dot-product per plane whose SIGN picks the bucket bit — fully
+    # replayable; only a projection that lands exactly on ±0.0 could flip,
+    # and the deterministic weights make that measure-zero in practice.
+    "s2_lsh_topk": f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   {_RH_SIG_SQL} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_dot_product(q.qv, e.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+            FROM q JOIN sig e ON q.bucket = e.bucket
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    "d5_embedding_neardup": f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   {_RH16_SIG_SQL} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+    """,
+    # d2/d3: no oracle — xxhash64 signatures are not replayable in DuckDB;
+    # driver records rows-only checks (their verification math is
+    # oracle-checked via d1/d4).
 }
 
 

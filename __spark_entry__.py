@@ -256,6 +256,16 @@ def _s2_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
+def _s3_ivf_topk(spark, sf_dir):
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=3)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
 def _t1_token_count(spark, sf_dir):
     _prep(spark, sf_dir)
     return spark.table("documents").select(
@@ -292,6 +302,20 @@ def _e2_sessionize(spark, sf_dir):
     )
 
 
+def _e3_user_stats(spark, sf_dir):
+    from datafusion_substrait_spark.streaming import stateful
+
+    _prep(spark, sf_dir)
+    return stateful.running_user_stats(spark.table("events"))
+
+
+def _e4_stream_dedup(spark, sf_dir):
+    from datafusion_substrait_spark.streaming import stateful
+
+    _prep(spark, sf_dir)
+    return stateful.streaming_exact_dedup(spark.table("events"))
+
+
 def _m1_multimodal_meta(spark, sf_dir):
     from datafusion_substrait_spark.operators import multimodal
 
@@ -313,12 +337,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d5_embedding_neardup": _d5_embedding_neardup,
     "s1_bruteforce_topk": _s1_bruteforce_topk,
     "s2_lsh_topk": _s2_lsh_topk,
+    "s3_ivf_topk": _s3_ivf_topk,
     "t1_token_count": _t1_token_count,
     "t2_quality": _t2_quality,
     "t3_lang_id": _t3_lang_id,
     "t4_fingerprint": _t4_fingerprint,
     "e1_windowed_counts": _e1_windowed_counts,
     "e2_sessionize": _e2_sessionize,
+    "e3_user_stats": _e3_user_stats,
+    "e4_stream_dedup": _e4_stream_dedup,
     "m1_multimodal_meta": _m1_multimodal_meta,
 }
 
@@ -517,6 +544,26 @@ ORACLES: dict[str, str] = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM sid GROUP BY user_id, session_id
+    """,
+    "e3_user_stats": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(max(value), 6) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    "e4_stream_dedup": """
+        WITH keyed AS (
+            SELECT md5(concat_ws(chr(31), CAST(user_id AS VARCHAR), event_type))
+                       AS fingerprint,
+                   event_id, user_id, value
+            FROM events
+        ), first AS (
+            SELECT fingerprint, min(event_id) AS event_id
+            FROM keyed GROUP BY fingerprint
+        )
+        SELECT k.fingerprint, k.event_id, k.user_id, k.value
+        FROM first f JOIN keyed k
+          ON f.fingerprint = k.fingerprint AND f.event_id = k.event_id
     """,
     # m1: the deterministic fake decoder is sha256-based, which DuckDB CAN
     # replay (hex-pair byte extraction ≡ digest[i])

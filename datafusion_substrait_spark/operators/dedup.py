@@ -187,6 +187,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
         .filter(F.size("ids") > 1)
     )
     cand = _bucket_pairs(buckets, key_col)
+    # ESTIMATE prefilter: the signatures are already computed, and the
+    # fraction of agreeing minhash positions is an unbiased Jaccard
+    # estimator with σ = √(J(1-J)/K) ≈ 0.084 at K=32, J=0.35. Candidates
+    # whose estimate falls 2σ below threshold are overwhelmingly
+    # false-positive band collisions, so the expensive exact intersect runs
+    # only on survivors. At scale this is the load-bearing cut: the
+    # est-join shuffles (key, K longs) signature rows, the exact verify
+    # shuffles whole shingle sets — a 10× candidate cut there dominates.
+    # (The margin must sit above rows_per_band/num_hashes, else a single
+    # shared band already passes and the filter is vacuous.)
+    margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_hashes))
+    cand = (
+        cand.join(sigs.select(F.col(key_col).alias("doc_a"),
+                              F.col("minhash").alias("mh_a")), "doc_a")
+        .join(sigs.select(F.col(key_col).alias("doc_b"),
+                          F.col("minhash").alias("mh_b")), "doc_b")
+        .filter(est >= F.lit(threshold - margin))
+        .select("doc_a", "doc_b")
+    )
     # verify on 64-bit-hashed shingle sets: Jaccard over hashes equals
     # Jaccard over shingles up to xxhash64 collisions (negligible at any
     # realistic doc size), and long-array intersect/union is much cheaper

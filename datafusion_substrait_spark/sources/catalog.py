@@ -44,6 +44,25 @@ def register_csv(spark: SparkSession, name: str, path: str, schema=None) -> Data
     return df
 
 
+def register_json(spark: SparkSession, name: str, path: str, schema=None) -> DataFrame:
+    """JSON-lines source + temp view + name recovery. Pass an explicit
+    schema in production — inference is a full extra pass over the data."""
+    reader = spark.read
+    df = reader.schema(schema).json(path) if schema is not None else reader.json(path)
+    df.createOrReplaceTempView(name)
+    _PATH_TO_NAME[_norm(path)] = name
+    return df
+
+
+def register_orc(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """ORC source + temp view + name recovery (schema from file metadata,
+    same pushdown/pruning properties as parquet)."""
+    df = spark.read.orc(path)
+    df.createOrReplaceTempView(name)
+    _PATH_TO_NAME[_norm(path)] = name
+    return df
+
+
 def register_view(name: str, path: str) -> None:
     """Record name recovery for an externally created view/relation."""
     _PATH_TO_NAME[_norm(path)] = name

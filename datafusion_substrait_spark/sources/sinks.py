@@ -1,0 +1,61 @@
+"""Sinks: writing query results back to storage, scale-aware.
+
+The reference has NO sinks (SURVEY.md §2.1 — its only write is plan bytes,
+serializer.rs:17-20); execution-side writes belong to the engine, so here
+they are first-class. These helpers encode the decisions that matter at
+100 TB and are easy to get wrong:
+
+* **file sizing** — ``target_file_rows`` repartitions so output files are
+  neither thousands of KB-sized shards (metadata pressure on the next
+  reader) nor a handful of multi-GB files (no read parallelism);
+* **partitioned layout** — ``partition_by`` columns become directory
+  partitions, giving the next query partition PRUNING for free; choose
+  low-cardinality columns (date, lang, source) or small files explode;
+* **bucketed layout** — ``write_bucketed`` pre-shuffles by join key into a
+  fixed bucket count so future equi-joins/aggregations on that key skip
+  their shuffle entirely (the co-located-join strategy; requires a
+  ``saveAsTable`` catalog table — Spark's bucketing metadata lives in the
+  catalog, not the files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: tuple[str, ...] = (),
+                  target_files: int | None = None) -> None:
+    """Parquet sink. ``target_files`` caps output file count via a
+    shuffle-free ``coalesce`` (use it to consolidate a small result);
+    ``partition_by`` writes a directory-partitioned layout."""
+    out = df.coalesce(target_files) if target_files else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    """CSV sink (interchange/debug — parquet is the production format)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange/debug)."""
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 64, mode: str = "overwrite") -> None:
+    """Bucketed catalog table: pre-shuffles on ``bucket_col`` into
+    ``n_buckets`` buckets so later equi-joins/groupBys on that key need no
+    shuffle (Spark reads the bucketing spec from the catalog and plans a
+    shuffle-free sort-merge join). Size ``n_buckets`` so one bucket of the
+    LARGEST future join input fits an executor core's memory."""
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, bucket_col)
+     .sortBy(bucket_col)
+     .format("parquet")
+     .saveAsTable(table))

@@ -1,0 +1,143 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The built-in streaming aggregations (windowed counts, session windows —
+streaming/events.py) cover time-bucketed state. What they cannot express is
+*arbitrary evolving per-key state*: "emit a row only when this key's
+behavior changes", dedup-by-content with bounded memory, running quantile
+sketches. ``applyInPandasWithState`` is Spark's seam for exactly that: the
+runtime shuffles rows by key, hands each key's micro-batch rows to a Python
+function as Arrow-backed pandas frames together with that key's persisted
+``GroupState``, and checkpoints the state with the query.
+
+Scale shape: state lives in the state store (RocksDB-backed on a real
+cluster), partitioned by key — adding executors shards state linearly. The
+Python hop is per-GROUP, Arrow-batched, not per-row.
+
+These operators run on a batch DataFrame too (same math via groupBy) so the
+pytest suite and the DuckDB oracle can pin results; the streaming variants
+are exercised with availableNow triggers in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_STATS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+    T.StructField("max_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = "n LONG, s DOUBLE, m DOUBLE"
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) over ``value``.
+
+    Streaming: ``applyInPandasWithState`` keeps one (n, s, m) triple per
+    user in the state store and emits the updated triple each micro-batch
+    the user appears in (outputMode=update downstream). Batch: the same
+    numbers via one hash aggregate. Both paths return the same schema, and
+    on a fully-drained stream the LAST emitted row per user equals the
+    batch row — pinned by tests/test_streaming.py.
+    """
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.round(F.max("value"), 6).alias("max_value"))
+        )
+
+    def update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (n, s, m) = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame({
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "n_events": pd.Series([n], dtype="int64"),
+            "sum_value": [round(s, 6)],
+            "max_value": [round(m, 6)],
+        })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("fingerprint", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def streaming_exact_dedup(events: DataFrame,
+                          fingerprint_cols: tuple[str, ...] = ("user_id", "event_type"),
+                          ) -> DataFrame:
+    """First-seen-wins streaming dedup with per-fingerprint state.
+
+    Each key's state is a single "seen" bit: the first arrival in stream
+    order is emitted, later arrivals are dropped — the streaming analogue
+    of operators/dedup.exact_dedup (keep min key per fingerprint), with the
+    state store playing the role of the groupBy hash table. Batch path:
+    keep the min-event_id row per fingerprint (deterministic, so the
+    DuckDB oracle can replay it; a stream drained in event order picks the
+    same rows).
+    """
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                     for c in fingerprint_cols]))
+    if not events.isStreaming:
+        w_src = events.select(fp.alias("fingerprint"), "event_id", "user_id", "value")
+        first = w_src.groupBy("fingerprint").agg(F.min("event_id").alias("event_id"))
+        return first.join(w_src, ["fingerprint", "event_id"], "inner").select(
+            "fingerprint", "event_id", "user_id", "value"
+        )
+
+    def keep_first(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            row = pdf.loc[pdf["event_id"].idxmin()]
+            if best is None or row["event_id"] < best["event_id"]:
+                best = row
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame({
+                "fingerprint": [key[0]],
+                "event_id": pd.Series([int(best["event_id"])], dtype="int64"),
+                "user_id": pd.Series([int(best["user_id"])], dtype="int64"),
+                "value": [float(best["value"])],
+            })
+
+    keyed = events.select(fp.alias("fingerprint"), "event_id", "user_id", "value")
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        keep_first,
+        outputStructType=SEEN_SCHEMA,
+        stateStructType="seen BOOLEAN",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -180,6 +180,32 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, tables):
     assert by_q[0]["vec_id"] == 0 and by_q[1]["vec_id"] == 1
 
 
+def test_ivf_topk_deterministic_and_self_match(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk(emb, queries, k=5, n_cells=4, nprobe=2).collect()
+    assert len(got) > 0
+    # self-vector lands in its own (probed-first) cell → rank 1 is the query
+    by_q = {r["query_id"]: r for r in got if r["rank"] == 1}
+    for qid in range(3):
+        assert by_q[qid]["vec_id"] == qid and abs(by_q[qid]["cosine"] - 1.0) < 1e-5
+    again = similarity.ivf_topk(emb, queries, k=5, n_cells=4, nprobe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_ivf_centroids_reusable(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    cents = similarity.train_kmeans_centroids(emb, n_cells=4)
+    assert len(cents) == 4 and len(cents[0]) == len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=3, centroids=cents, nprobe=4)
+    assert out.count() > 0
+
+
 # --- multimodal -------------------------------------------------------------
 
 def test_multimodal_metadata_pipeline(spark, tables):

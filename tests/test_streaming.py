@@ -34,6 +34,39 @@ def test_stream_equals_batch(spark, batch_events, tmp_path):
     assert rows_set(got) == rows_set(expect)
 
 
+def test_stateful_running_stats_stream_equals_batch(spark, batch_events):
+    from datafusion_substrait_spark.streaming import stateful
+
+    stream = ev.read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    out = stateful.running_user_stats(stream)
+    q = (out.writeStream.format("memory").queryName("user_stats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last emitted row per user == batch aggregate
+    got = (spark.table("user_stats")
+           .withColumn("_r", F.monotonically_increasing_id())
+           .groupBy("user_id").agg(F.max_by(F.struct("n_events", "sum_value", "max_value"),
+                                            "_r").alias("s"))
+           .select("user_id", "s.n_events", "s.sum_value", "s.max_value"))
+    expect = stateful.running_user_stats(spark.table("events"))
+    assert rows_set(got) == rows_set(expect)
+
+
+def test_streaming_dedup_first_seen_wins(spark, batch_events):
+    from datafusion_substrait_spark.streaming import stateful
+
+    stream = ev.read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    out = stateful.streaming_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream")
+    # one row per fingerprint, and it is the min-event_id row (single-file
+    # stream arrives in event order, matching the batch min-id choice)
+    expect = stateful.streaming_exact_dedup(spark.table("events"))
+    assert rows_set(got) == rows_set(expect)
+
+
 def test_sessionize_batch(spark, batch_events):
     out = ev.sessionize(batch_events)
     rows = out.collect()

@@ -185,6 +185,32 @@ _SQL: dict[str, str] = {
         SELECT n_name FROM nation
         WHERE n_name LIKE 'A%' OR n_name LIKE '%IA' OR n_name LIKE '%AN%'
     """,
+    # set ops beyond UNION ALL: Catalyst rewrites INTERSECT→left-semi+distinct
+    # and EXCEPT→left-anti+distinct before the producer walks the plan, so
+    # these exercise the interchange of those rewrites end-to-end
+    "q22_intersect": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    "q23_except": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    """,
+    # window functions (ConsistentPartitionWindowRel extension; every ORDER BY
+    # carries a unique tie-break so results are deterministic for the oracle)
+    "q24_window": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total,
+               lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS prev_price,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling3
+        FROM orders WHERE o_custkey < 500
+    """,
 }
 
 # TPC-H Q1 (pricing summary) — the flagship; kept out of _SQL so entry() can
@@ -427,6 +453,9 @@ ORACLES: dict[str, str] = {
     "q19_scalar_funcs": _SQL["q19_scalar_funcs"],
     "q20_top_revenue": _SQL["q20_top_revenue"],
     "q21_like": _SQL["q21_like"],
+    "q22_intersect": _SQL["q22_intersect"],
+    "q23_except": _SQL["q23_except"],
+    "q24_window": _SQL["q24_window"],
     "d1_exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
         FROM documents GROUP BY md5({_NORM})

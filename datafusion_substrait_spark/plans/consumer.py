@@ -231,6 +231,66 @@ class _Consumer:
             raise SubstraitError(f"unsupported set op {op}")
         return out.toDF(*_fnames(len(out.columns)))
 
+    _RANKING_FNS = {
+        "row_number": F.row_number,
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+        "percent_rank": F.percent_rank,
+        "cume_dist": F.cume_dist,
+    }
+
+    def _rel_window(self, body: dict) -> DataFrame:
+        """ConsistentPartitionWindowRel → ``col.over(Window...)`` columns
+        appended to the input (extension beyond the reference)."""
+        from pyspark.sql.window import Window as W
+
+        df = self.rel(body["input"])
+        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        part = [self.rex(p, resolver) for p in body.get("partitionExpressions", [])]
+        order = []
+        for sf in body.get("sorts", []):
+            method = self._SORT_METHODS.get(sf.get("direction"))
+            if method is None:
+                raise SubstraitError(f"unsupported window sort {sf}")
+            order.append(getattr(self.rex(sf["expr"], resolver), method)())
+
+        n = len(df.columns)
+        outs = []
+        for j, wf in enumerate(body.get("windowFunctions", [])):
+            name = self._fn_name(wf["functionReference"])
+            raw = [a["value"] for a in wf.get("arguments", [])]
+            spec = W.partitionBy(*part)
+            if order:
+                spec = spec.orderBy(*order)
+            framed = True  # ranking/offset functions forbid explicit frames
+            if name in self._RANKING_FNS:
+                col, framed = self._RANKING_FNS[name](), False
+            elif name == "ntile":
+                col, framed = F.ntile(_int_literal(raw[0], "ntile buckets")), False
+            elif name in ("lag", "lead"):
+                fn = F.lag if name == "lag" else F.lead
+                off = _int_literal(raw[1], f"{name} offset")
+                # F.lag/lead take the default as a plain value, not a Column
+                default = _scalar_literal(raw[2]) if len(raw) > 2 else None
+                col, framed = fn(self.rex(raw[0], resolver), off, default), False
+            elif name == "nth_value":
+                col = F.nth_value(self.rex(raw[0], resolver),
+                                  _int_literal(raw[1], "nth_value n"))
+            else:
+                builder = ops.AGG_CONSUME.get(name)
+                if builder is None:
+                    raise SubstraitError(f"unknown window function {name!r}")
+                col = builder(*[self.rex(a, resolver) for a in raw])
+            if framed:
+                lo = _frame_bound(wf.get("lowerBound"), lower=True)
+                hi = _frame_bound(wf.get("upperBound"), lower=False)
+                if wf.get("boundsType") == proto.BOUNDS_RANGE:
+                    spec = spec.rangeBetween(lo, hi)
+                else:
+                    spec = spec.rowsBetween(lo, hi)
+            outs.append(col.over(spec).alias(f"f{n + j}"))
+        return df.select("*", *outs)
+
     # -- expressions --------------------------------------------------------
 
     def rex(self, e: dict, resolver) -> Column:
@@ -289,6 +349,48 @@ class _Consumer:
         if "else" in body:
             col = col.otherwise(self.rex(body["else"], resolver))
         return col
+
+
+def _scalar_literal(e: dict):
+    """Python value of a plan literal (lag/lead default); null → None."""
+    lit = e.get("literal")
+    if lit is None:
+        raise SubstraitError(f"expected a literal, got {e}")
+    if "null" in lit:
+        return None
+    kind = next(iter(k for k in lit if k != "nullable"))
+    v = lit[kind]
+    if kind in ("i8", "i16", "i32", "i64"):
+        return int(v)
+    if kind in ("fp32", "fp64"):
+        return float(v)
+    if kind in ("string", "boolean"):
+        return v
+    raise SubstraitError(f"unsupported literal default {kind!r}")
+
+
+def _int_literal(e: dict, what: str) -> int:
+    lit = e.get("literal", {})
+    for k in ("i32", "i64", "i16", "i8"):
+        if k in lit:
+            return int(lit[k])
+    raise SubstraitError(f"{what} must be an integer literal, got {e}")
+
+
+def _frame_bound(b: dict | None, lower: bool):
+    from pyspark.sql.window import Window as W
+
+    if not b:
+        return W.unboundedPreceding if lower else W.unboundedFollowing
+    if "unbounded" in b:
+        return W.unboundedPreceding if lower else W.unboundedFollowing
+    if "currentRow" in b:
+        return W.currentRow
+    if "preceding" in b:
+        return -int(b["preceding"]["offset"])
+    if "following" in b:
+        return int(b["following"]["offset"])
+    raise SubstraitError(f"unsupported frame bound {b}")
 
 
 def _literal_column(body: dict) -> Column:

@@ -340,6 +340,105 @@ class _Producer:
                 out = ids
         return proto.set_rel(rels, "SET_OP_UNION_ALL"), _attr_ids(node)
 
+    _WINDOW_FN_NAMES = {
+        "RowNumber": "row_number",
+        "Rank": "rank",
+        "DenseRank": "dense_rank",
+        "PercentRank": "percent_rank",
+        "CumeDist": "cume_dist",
+        "NTile": "ntile",
+        "Lag": "lag",
+        "Lead": "lead",
+        "NthValue": "nth_value",
+    }
+
+    def _rel_Window(self, node, needed=None):
+        """Catalyst Window → ConsistentPartitionWindowRel (extension beyond
+        the reference, which has no window surface — SURVEY.md §2.5).
+        Catalyst already groups same-spec window expressions into one node
+        and stacks nodes for differing specs, matching Substrait's
+        one-spec-per-rel shape exactly. Output = child ++ window columns."""
+        crel, cids = self.rel(
+            node.child(), needed | _refs(node) if needed is not None else None
+        )
+        part = [self.rex(p, cids) for p in _seq(node.partitionSpec())]
+        sorts = []
+        for so in _seq(node.orderSpec()):
+            direction = {
+                ("Ascending", "NullsFirst"): proto.SORT_ASC_NULLS_FIRST,
+                ("Ascending", "NullsLast"): proto.SORT_ASC_NULLS_LAST,
+                ("Descending", "NullsFirst"): proto.SORT_DESC_NULLS_FIRST,
+                ("Descending", "NullsLast"): proto.SORT_DESC_NULLS_LAST,
+            }[(so.direction().toString(), so.nullOrdering().toString())]
+            sorts.append(proto.sort_field(self.rex(so.child(), cids), direction))
+
+        wfs = []
+        out_ids = list(cids)
+        for we in _seq(node.windowExpressions()):
+            if _cls(we) != "Alias" or _cls(we.child()) != "WindowExpression":
+                raise SubstraitError(
+                    f"unsupported window output {_cls(we)}: {we.toString()}"
+                )
+            wexpr = we.child()
+            fn = wexpr.windowFunction()
+            kind = _cls(fn)
+            if kind == "AggregateExpression":
+                if fn.isDistinct():
+                    raise SubstraitError("DISTINCT window aggregates unsupported")
+                inner = fn.aggregateFunction()
+                name = ops.CATALYST_AGG_TO_NAME.get(inner.prettyName())
+                if name is None:
+                    raise SubstraitError(
+                        f"unsupported window aggregate {inner.prettyName()!r}"
+                    )
+                args = [self.rex(c, cids) for c in _seq(inner.children())]
+            elif kind in self._WINDOW_FN_NAMES:
+                name = self._WINDOW_FN_NAMES[kind]
+                if kind in ("Lag", "Lead"):
+                    # children[1] is the user-facing positive offset (Lag's
+                    # toString/frame show the negated internal form — do NOT
+                    # re-negate)
+                    children = _seq(fn.children())
+                    args = [self.rex(children[0], cids),
+                            proto.literal("i32", int(children[1].value())),
+                            self.rex(children[2], cids)]
+                elif kind == "NTile":
+                    args = [self.rex(_seq(fn.children())[0], cids)]
+                elif kind == "NthValue":
+                    children = _seq(fn.children())
+                    args = [self.rex(children[0], cids), self.rex(children[1], cids)]
+                else:
+                    # ranking functions: Catalyst keeps the order exprs as
+                    # children for internal bookkeeping; Substrait takes none
+                    args = []
+            else:
+                raise SubstraitError(f"unsupported window function {kind}")
+            lb, ub, btype = self._frame(wexpr.windowSpec().frameSpecification())
+            wfs.append(proto.window_function(
+                self.registry.register(name), args, lb, ub, btype
+            ))
+            out_ids.append(we.exprId().id())
+        return proto.window_rel(crel, wfs, part, sorts), out_ids
+
+    def _frame(self, frame) -> tuple[dict, dict, str]:
+        if _cls(frame) != "SpecifiedWindowFrame":
+            raise SubstraitError(f"unsupported window frame {_cls(frame)}")
+        btype = proto.BOUNDS_ROWS if _cls(frame.frameType()) == "RowFrame$" \
+            else proto.BOUNDS_RANGE
+
+        def bound(b):
+            k = _cls(b)
+            if k in ("UnboundedPreceding$", "UnboundedFollowing$"):
+                return proto.bound_unbounded()
+            if k == "CurrentRow$":
+                return proto.bound_current_row()
+            if k == "Literal":
+                v = int(b.value())
+                return proto.bound_preceding(-v) if v < 0 else proto.bound_following(v)
+            raise SubstraitError(f"unsupported frame bound {k}")
+
+        return bound(frame.lower()), bound(frame.upper()), btype
+
     # -- expressions --------------------------------------------------------
 
     def rex(self, e, input_ids: list[int]) -> dict:

@@ -68,7 +68,11 @@ JOIN_TYPES = {
 AGG_ALL = "AGGREGATION_INVOCATION_ALL"
 AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
 
-REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set")
+REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set",
+             "window")
+
+BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
+BOUNDS_RANGE = "BOUNDS_TYPE_RANGE"
 EXPR_KINDS = ("selection", "scalarFunction", "literal", "ifThen", "cast", "singularOrList")
 
 NO_LIMIT = -1  # fetch.count sentinel; see module docstring
@@ -206,6 +210,56 @@ def set_rel(inputs: list[dict], op: str) -> dict:
     SET_OP_MINUS_PRIMARY}.
     """
     return {"set": {"common": {"direct": {}}, "inputs": inputs, "op": op}}
+
+
+def window_rel(input_rel: dict, window_functions: list[dict],
+               partition_expressions: list[dict], sorts: list[dict]) -> dict:
+    """ConsistentPartitionWindowRel (Substrait spec; NOT in the reference —
+    SURVEY.md §2.5 lists window functions as absent there. Capability
+    extension). All functions in one rel share the partition/sort spec —
+    exactly Catalyst's Window node grouping. Output = input ++ one column
+    per window function."""
+    return {
+        "window": {
+            "common": {"direct": {}},
+            "input": input_rel,
+            "windowFunctions": window_functions,
+            "partitionExpressions": partition_expressions,
+            "sorts": sorts,
+        }
+    }
+
+
+def window_function(anchor: int, arguments: list[dict], lower_bound: dict,
+                    upper_bound: dict, bounds_type: str) -> dict:
+    """ConsistentPartitionWindowRel.WindowRelFunction."""
+    if bounds_type not in (BOUNDS_ROWS, BOUNDS_RANGE):
+        raise SubstraitError(f"bad bounds type {bounds_type}")
+    return {
+        "functionReference": anchor,
+        "arguments": [{"value": a} for a in arguments],
+        "lowerBound": lower_bound,
+        "upperBound": upper_bound,
+        "boundsType": bounds_type,
+        "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+        "invocation": AGG_ALL,
+    }
+
+
+def bound_unbounded() -> dict:
+    return {"unbounded": {}}
+
+
+def bound_current_row() -> dict:
+    return {"currentRow": {}}
+
+
+def bound_preceding(offset: int) -> dict:
+    return {"preceding": {"offset": int(offset)}}
+
+
+def bound_following(offset: int) -> dict:
+    return {"following": {"offset": int(offset)}}
 
 
 # ---------------------------------------------------------------------------
@@ -350,3 +404,8 @@ def _validate_rel(rel: dict) -> None:
     elif kind == "set":
         for i in body["inputs"]:
             _validate_rel(i)
+    elif kind == "window":
+        _validate_rel(body["input"])
+        for wf in body.get("windowFunctions", []):
+            if wf.get("boundsType") not in (BOUNDS_ROWS, BOUNDS_RANGE):
+                raise SubstraitError(f"bad window bounds type in {wf}")

@@ -300,6 +300,47 @@ def test_union_all(spark):
     """)
 
 
+def test_intersect_and_except(spark):
+    # Catalyst rewrites INTERSECT/EXCEPT to semi/anti joins pre-produce
+    check(spark, """
+        SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer
+    """)
+    check(spark, """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """)
+
+
+# --- window functions (ConsistentPartitionWindowRel extension) -------------
+
+def test_window_ranking_and_aggregates(spark):
+    check(spark, """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               rank() OVER (ORDER BY o_totalprice DESC) AS global_rank,
+               dense_rank() OVER (ORDER BY o_orderstatus) AS status_rank,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n_status
+        FROM orders WHERE o_custkey < 200
+    """)
+
+
+def test_window_offsets_and_frames(spark):
+    check(spark, """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS prev_price,
+               lead(o_totalprice, 2, -1.0) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderkey) AS next2,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling3,
+               round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_avg
+        FROM orders WHERE o_custkey < 200
+    """)
+
+
 # --- extension registry (roundtrip.rs:264-282, used at :28-40) -------------
 
 def test_extension_registry(spark):
@@ -319,8 +360,7 @@ def test_extension_registry(spark):
 def test_unsupported_operator_errors(spark):
     from datafusion_substrait_spark import SubstraitError
 
-    df = spark.sql("""
-        SELECT o_custkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders
-    """)
+    # Generate (explode) has no Substrait rel here → named, actionable error
+    df = spark.sql("SELECT explode(sequence(1, n_nationkey)) FROM nation")
     with pytest.raises(SubstraitError):
         to_substrait_plan(df)

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q08_join3",             # broadcast join chain
     "q11_full_join",         # shuffle join
     "q20_top_revenue",       # TPC-H Q3 shape: join+agg+topk
+    "q24_window",            # window functions through the interchange
     "d1_exact_dedup",
     "d2_minhash_pairs",
     "d3_simhash_pairs",

@@ -163,8 +163,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle_n)
+    # the signature (K longs ≈ 256 B) rides along through the band shuffle so
+    # candidate pairs emerge WITH both signatures attached — the signature
+    # pipeline is scanned exactly once and the estimate prefilter below needs
+    # no extra joins
     banded = sigs.select(
         F.col(key_col),
+        F.col("minhash"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -180,36 +185,50 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(key_col, "bb.band", "bb.sig")
+    ).select(key_col, "minhash", "bb.band", "bb.sig")
     buckets = (
         banded.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list(key_col)).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct(key_col, "minhash"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    cand = _bucket_pairs(buckets, key_col)
-    # ESTIMATE prefilter: the signatures are already computed, and the
-    # fraction of agreeing minhash positions is an unbiased Jaccard
-    # estimator with σ = √(J(1-J)/K) ≈ 0.084 at K=32, J=0.35. Candidates
-    # whose estimate falls 2σ below threshold are overwhelmingly
-    # false-positive band collisions, so the expensive exact intersect runs
-    # only on survivors. At scale this is the load-bearing cut: the
-    # est-join shuffles (key, K longs) signature rows, the exact verify
-    # shuffles whole shingle sets — a 10× candidate cut there dominates.
-    # (The margin must sit above rows_per_band/num_hashes, else a single
-    # shared band already passes and the filter is vacuous.)
+    ids = F.col("ids")
+    pair_structs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda a, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda b: F.struct(
+                            a[key_col].alias("doc_a"),
+                            b[key_col].alias("doc_b"),
+                            # minhash-estimate of J: fraction of agreeing
+                            # positions — unbiased, σ = √(J(1-J)/K)
+                            F.aggregate(
+                                F.zip_with(a["minhash"], b["minhash"],
+                                           lambda x, y: (x == y).cast("int")),
+                                F.lit(0),
+                                lambda acc, x: acc + x,
+                            ).alias("agree"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.agree")
+    # ESTIMATE prefilter: candidates whose estimate falls 2σ below threshold
+    # are overwhelmingly false-positive band collisions; the expensive exact
+    # intersect runs only on survivors. At scale this is the load-bearing
+    # cut — the exact verify shuffles whole shingle sets, so a 10× candidate
+    # cut there dominates. (The margin must sit above
+    # rows_per_band/num_hashes, else a single shared band already passes
+    # and the filter is vacuous.)
     margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
-    est = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(float(num_hashes))
+    min_agree = int((threshold - margin) * num_hashes)
     cand = (
-        cand.join(sigs.select(F.col(key_col).alias("doc_a"),
-                              F.col("minhash").alias("mh_a")), "doc_a")
-        .join(sigs.select(F.col(key_col).alias("doc_b"),
-                          F.col("minhash").alias("mh_b")), "doc_b")
-        .filter(est >= F.lit(threshold - margin))
+        pair_structs.filter(F.col("agree") >= min_agree)
         .select("doc_a", "doc_b")
+        .distinct()
     )
     # verify on 64-bit-hashed shingle sets: Jaccard over hashes equals
     # Jaccard over shingles up to xxhash64 collisions (negligible at any

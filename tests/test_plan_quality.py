@@ -1,0 +1,80 @@
+"""Physical-plan quality gates: the plan shapes that matter at 100 TB.
+
+These pin that translation through the interchange layer does NOT break
+Catalyst's optimizations (BASELINE.md: the 2× bench target is about not
+breaking Spark's optimizer in translation): filters reach the parquet scan,
+scans read only referenced columns, small dimension tables broadcast, and
+aggregates keep their map-side partial phase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark import roundtrip
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_survives_roundtrip(spark):
+    out = roundtrip(
+        spark.table("lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _phys(out)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,30" in plan
+
+
+def test_column_pruning_survives_roundtrip(spark):
+    out = roundtrip(spark.table("lineitem").select("l_orderkey", "l_quantity"))
+    read_schema = _phys(out).split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema, "scan reads unreferenced columns"
+
+
+def test_small_dim_join_broadcasts(spark):
+    out = roundtrip(
+        spark.table("customer")
+        .join(spark.table("nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_name", "n_name")
+    )
+    assert "BroadcastHashJoin" in _phys(out), (
+        "small dimension join should broadcast, not shuffle"
+    )
+
+
+def test_aggregate_keeps_partial_phase(spark):
+    out = roundtrip(
+        spark.table("orders").groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    assert "partial_sum" in _phys(out), (
+        "map-side combine (partial aggregation) missing — every row would "
+        "cross the shuffle"
+    )
+
+
+def test_semi_join_for_exists(spark):
+    out = roundtrip(spark.sql("""
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """))
+    assert "LeftSemi" in _phys(out)
+
+
+def test_signature_stage_is_codegen(spark, tables):
+    """The minhash signature aggregation must stay inside whole-stage
+    codegen — the interpreted-HOF shape was ~50× slower (dedup.py docstring
+    records the measurement)."""
+    from datafusion_substrait_spark.operators import dedup
+
+    sigs = dedup.minhash_signatures(tables["documents"])
+    plan = _phys(sigs)
+    assert "xxhash64" in plan
+    # the per-shingle hash evaluation happens inside a codegen'd
+    # HashAggregate, not an interpreted projection
+    assert "HashAggregate" in plan

@@ -36,8 +36,16 @@ from datafusion_substrait_spark.streaming import events as ev
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def _prep(spark: SparkSession, sf_dir: str) -> None:
-    register_testdata(spark, sf_dir)
+    # registration re-reads 10 parquet footers; memoize per (session, dir) —
+    # temp views persist for the session lifetime, so once is enough
+    key = (id(spark), sf_dir)
+    if key not in _REGISTERED:
+        register_testdata(spark, sf_dir)
+        _REGISTERED.add(key)
 
 
 def _rt(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

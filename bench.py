@@ -70,10 +70,11 @@ def main() -> None:
     queries = entry.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        # best-of-2: steady-state per-query cost, robust to cross-query GC /
-        # shuffle-cleanup interference inside the shared local JVM
+        # best-of-3: steady-state per-query cost, robust to cross-query GC /
+        # shuffle-cleanup interference and noisy-neighbor load (observed
+        # 3-6x swings on identical code under external contention)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()

@@ -265,8 +265,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     )
     sa = shingled.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col(key_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    # |A∪B| = |A|+|B|-|A∩B| on distinct arrays: array_union (a second full
+    # hash-set pass per pair) is replaced by two cheap size() calls
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
@@ -379,7 +381,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", key_col: str = "d
     )
     a, b = grams.alias("a"), grams.alias("b")
     inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
-    union = F.size(F.array_union("a.g", "b.g")).cast("double")
+    union = F.size("a.g") + F.size("b.g") - inter  # |A∪B| on distinct arrays
     return (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                       F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])

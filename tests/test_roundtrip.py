@@ -341,6 +341,24 @@ def test_window_offsets_and_frames(spark):
     """)
 
 
+def test_cte_and_derived_table(spark):
+    # CTEs/derived tables are inlined by Catalyst pre-produce (the analogue
+    # of the reference's SubqueryAlias elision, producer.rs:276-280)
+    check(spark, """
+        WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                     WHERE o_totalprice > 200000),
+             agg AS (SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey)
+        SELECT c_name, n FROM agg JOIN customer ON c_custkey = o_custkey
+        WHERE n > 1
+    """)
+    check(spark, """
+        SELECT s.o_orderstatus, s.m
+        FROM (SELECT o_orderstatus, max(o_totalprice) AS m
+              FROM orders GROUP BY o_orderstatus) s
+        WHERE s.m > 100000
+    """)
+
+
 def test_string_and_date_function_battery(spark):
     check(spark, """
         SELECT trim(o_orderpriority) AS t, ltrim(o_orderpriority) AS lt,

@@ -206,6 +206,14 @@ _SQL: dict[str, str] = {
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
     """,
+    # uncorrelated scalar subqueries (Expression.Subquery.Scalar extension;
+    # Catalyst merges the two into one struct subquery, split back on produce)
+    "q25_scalar_subquery": """
+        SELECT o_orderkey,
+               round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6) AS frac
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
     # window functions (ConsistentPartitionWindowRel extension; every ORDER BY
     # carries a unique tie-break so results are deterministic for the oracle)
     "q24_window": """
@@ -464,6 +472,7 @@ ORACLES: dict[str, str] = {
     "q22_intersect": _SQL["q22_intersect"],
     "q23_except": _SQL["q23_except"],
     "q24_window": _SQL["q24_window"],
+    "q25_scalar_subquery": _SQL["q25_scalar_subquery"],
     "d1_exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
         FROM documents GROUP BY md5({_NORM})

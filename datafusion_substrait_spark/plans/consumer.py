@@ -70,6 +70,9 @@ class _Consumer:
     def __init__(self, spark: SparkSession, extensions: dict[int, str]) -> None:
         self.spark = spark
         self.extensions = extensions  # anchor → name (consumer.rs:76-91)
+        # canonical-JSON of a scalar-subquery expr → attached column name,
+        # scoped to the project/filter currently being consumed
+        self._sq_map: dict[str, str] = {}
 
     def _fn_name(self, anchor: int) -> str:
         name = self.extensions.get(int(anchor))
@@ -97,13 +100,56 @@ class _Consumer:
     def _rel_project(self, body: dict) -> DataFrame:
         df = self.rel(body["input"])
         exprs = body.get("expressions", [])
-        out = [self.rex(e, lambda i, d=df: d[f"f{i}"]) for e in exprs]
+        df, prev = self._attach_scalar_subqueries(df, exprs)
+        try:
+            out = [self.rex(e, lambda i, d=df: d[f"f{i}"]) for e in exprs]
+        finally:
+            self._sq_map = prev
         return df.select(*out).toDF(*_fnames(len(out)))
 
     def _rel_filter(self, body: dict) -> DataFrame:
         df = self.rel(body["input"])
-        cond = self.rex(body["condition"], lambda i, d=df: d[f"f{i}"])
-        return df.filter(cond)
+        n = len(df.columns)
+        df, prev = self._attach_scalar_subqueries(df, [body["condition"]])
+        try:
+            cond = self.rex(body["condition"], lambda i, d=df: d[f"f{i}"])
+        finally:
+            self._sq_map = prev
+        out = df.filter(cond)
+        if len(out.columns) > n:  # drop attached __sq columns
+            out = out.select(*_fnames(n))
+        return out
+
+    def _attach_scalar_subqueries(self, df: DataFrame, exprs) -> tuple[DataFrame, dict]:
+        """Cross-join each scalar subquery's 1-row result (broadcast) onto
+        the input so enclosing expressions reference it as a plain column —
+        fully lazy, no driver-side evaluation at consume time."""
+        import json as _json
+
+        found: list[tuple[str, dict]] = []
+
+        def scan(e):
+            if isinstance(e, dict):
+                if "subquery" in e:
+                    key = _json.dumps(e, sort_keys=True)
+                    if key not in [k for k, _ in found]:
+                        found.append((key, e))
+                    return  # don't descend into the subquery's own plan
+                for v in e.values():
+                    scan(v)
+            elif isinstance(e, list):
+                for v in e:
+                    scan(v)
+
+        scan(exprs)
+        prev = self._sq_map
+        self._sq_map = {}
+        for n, (key, e) in enumerate(found):
+            sub = self.rel(e["subquery"]["scalar"]["input"])
+            name = f"__sq{n}"
+            df = df.crossJoin(F.broadcast(sub.toDF(name)))
+            self._sq_map[key] = name
+        return df, prev
 
     def _rel_fetch(self, body: dict) -> DataFrame:
         df = self.rel(body["input"])
@@ -333,6 +379,16 @@ class _Consumer:
             v = self.rex(body["value"], resolver)
             opts = [self.rex(o, resolver) for o in body["options"]]
             return reduce(lambda a, b: a | b, [v == o for o in opts])
+        if kind == "subquery":
+            import json as _json
+
+            name = self._sq_map.get(_json.dumps(e, sort_keys=True))
+            if name is None:
+                raise SubstraitError(
+                    "scalar subquery supported only inside project/filter "
+                    "expressions"
+                )
+            return F.col(name)
         raise SubstraitError(f"unsupported expression {kind} (consumer.rs:611-613)")
 
     def _if_then(self, body: dict, resolver) -> Column:

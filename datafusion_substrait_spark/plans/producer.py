@@ -499,6 +499,13 @@ class _Producer:
             return proto.scalar_function(
                 self.registry.register("not"), [self.rex(inner, input_ids)]
             )
+        if kind == "ScalarSubquery":
+            return self._scalar_subquery(e)
+        if kind == "GetStructField" and _cls(e.child()) == "ScalarSubquery":
+            # Spark 4 wraps subquery output in a struct access; Catalyst's
+            # MergeScalarSubqueries also packs SEVERAL subqueries into one
+            # struct — each field access becomes its own 1-column subquery
+            return self._scalar_subquery(e.child(), int(e.ordinal()))
         if kind == "In":
             return proto.singular_or_list(
                 self.rex(e.value(), input_ids),
@@ -530,6 +537,39 @@ class _Producer:
             f"unsupported expression {kind}: {e.toString()} "
             "(≡ producer.rs:606-609 catch-all)"
         )
+
+    def _scalar_subquery(self, sq, field_ordinal: int | None = None) -> dict:
+        """Uncorrelated scalar subquery → Expression.Subquery.Scalar
+        (extension; the reference has no subquery surface, SURVEY.md §2.5).
+
+        ``field_ordinal`` handles the MergeScalarSubqueries shape — a root
+        ``Project [named_struct(n0, v0, n1, v1, …)]`` — by emitting a
+        subquery that projects only ``v_i``; the shared child aggregate
+        appears once per field in the plan, and Spark's exchange reuse
+        de-duplicates it at execution."""
+        if sq.outerAttrs().size() > 0:
+            raise SubstraitError(
+                "correlated scalar subquery unsupported (only uncorrelated "
+                "subqueries have a self-contained plan to serialize)"
+            )
+        # the subquery plan is self-contained: suspend any aggregate-output
+        # override while producing it
+        prev, self._override = self._override, None
+        try:
+            plan = sq.plan()
+            if field_ordinal is not None and _cls(plan) == "Project":
+                outs = _seq(plan.projectList())
+                inner = outs[0].child() if _cls(outs[0]) == "Alias" else outs[0]
+                if len(outs) == 1 and _cls(inner) == "CreateNamedStruct":
+                    crel, cids = self.rel(plan.child())
+                    vals = _seq(inner.children())[1::2]  # (name, val) pairs
+                    return proto.scalar_subquery(
+                        proto.project_rel(crel, [self.rex(vals[field_ordinal], cids)])
+                    )
+            sub_rel, _ = self.rel(plan)
+        finally:
+            self._override = prev
+        return proto.scalar_subquery(sub_rel)
 
     def _binary(self, name: str, e, input_ids) -> dict:
         return proto.scalar_function(

@@ -73,7 +73,8 @@ REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", 
 
 BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
 BOUNDS_RANGE = "BOUNDS_TYPE_RANGE"
-EXPR_KINDS = ("selection", "scalarFunction", "literal", "ifThen", "cast", "singularOrList")
+EXPR_KINDS = ("selection", "scalarFunction", "literal", "ifThen", "cast",
+              "singularOrList", "subquery")
 
 NO_LIMIT = -1  # fetch.count sentinel; see module docstring
 
@@ -317,6 +318,12 @@ def cast(input_expr: dict, to_type: dict, safe: bool = False) -> dict:
 def singular_or_list(value: dict, options: list[dict]) -> dict:
     """IN-list (Substrait SingularOrList; reference has none)."""
     return {"singularOrList": {"value": value, "options": options}}
+
+
+def scalar_subquery(input_rel: dict) -> dict:
+    """Expression.Subquery.Scalar (Substrait spec; reference has no subquery
+    surface — SURVEY.md §2.5. Uncorrelated only)."""
+    return {"subquery": {"scalar": {"input": input_rel}}}
 
 
 def literal(kind: str, value: Any) -> dict:

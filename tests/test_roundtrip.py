@@ -359,6 +359,36 @@ def test_cte_and_derived_table(spark):
     """)
 
 
+def test_scalar_subqueries(spark):
+    # uncorrelated scalar subqueries (extension; Catalyst merges multiple
+    # into one struct-returning subquery — each field access round-trips as
+    # its own 1-column subquery)
+    check(spark, """
+        SELECT o_orderkey FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """)
+    check(spark, """
+        SELECT o_orderkey,
+               round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6) AS frac
+        FROM orders WHERE o_custkey < 50
+    """)
+    check(spark, """
+        SELECT o_orderkey FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          AND o_totalprice < (SELECT max(o_totalprice) FROM orders) * 0.9
+    """)
+
+
+def test_correlated_scalar_subquery_via_decorrelation(spark):
+    # Catalyst decorrelates this into a left outer join + aggregate before
+    # the producer runs, so it round-trips through the join path
+    check(spark, """
+        SELECT c_custkey,
+               (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS m
+        FROM customer
+    """)
+
+
 def test_string_and_date_function_battery(spark):
     check(spark, """
         SELECT trim(o_orderpriority) AS t, ltrim(o_orderpriority) AS lt,

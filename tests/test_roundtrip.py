@@ -379,6 +379,17 @@ def test_scalar_subqueries(spark):
     """)
 
 
+def test_in_subqueries_via_semi_anti_rewrite(spark):
+    check(spark, """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """)
+    check(spark, """
+        SELECT n_name FROM nation
+        WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    """)
+
+
 def test_correlated_scalar_subquery_via_decorrelation(spark):
     # Catalyst decorrelates this into a left outer join + aggregate before
     # the producer runs, so it round-trips through the join path

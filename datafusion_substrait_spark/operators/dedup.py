@@ -357,8 +357,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
             F.explode(_pair_expansion(ids, sh_pair, max_bucket_size)).alias("p")
         )
         .select("p.doc_a", "p.doc_b", "p.hamming")
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink
+        .distinct()                               # the dedup shuffle input
     )
 
 

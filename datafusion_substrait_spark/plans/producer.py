@@ -92,6 +92,12 @@ class _Producer:
         kind = _cls(node)
         handler = getattr(self, f"_rel_{kind}", None)
         if handler is None:
+            if kind == "Expand":
+                raise SubstraitError(
+                    "GROUPING SETS / ROLLUP / CUBE (Catalyst Expand) are not "
+                    "serializable: exactly one grouping set per aggregate, "
+                    "matching the reference (consumer.rs:230-235)"
+                )
             raise SubstraitError(
                 f"unsupported logical operator {kind} "
                 "(≡ producer.rs:281-285 catch-all)"

@@ -437,3 +437,10 @@ def test_unsupported_operator_errors(spark):
     df = spark.sql("SELECT explode(sequence(1, n_nationkey)) FROM nation")
     with pytest.raises(SubstraitError):
         to_substrait_plan(df)
+    # multiple grouping sets rejected like the reference (consumer.rs:230-235)
+    df2 = spark.sql("""
+        SELECT o_orderstatus, count(*) FROM orders
+        GROUP BY ROLLUP(o_orderstatus)
+    """)
+    with pytest.raises(SubstraitError, match="ROLLUP"):
+        to_substrait_plan(df2)

@@ -326,6 +326,17 @@ def test_window_ranking_and_aggregates(spark):
     """)
 
 
+def test_window_nth_value_and_rank_ratios(spark):
+    check(spark, """
+        SELECT o_custkey, o_orderkey,
+               nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderkey) AS second_price,
+               round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+               round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        FROM orders WHERE o_custkey < 100
+    """)
+
+
 def test_window_offsets_and_frames(spark):
     check(spark, """
         SELECT o_custkey, o_orderkey,

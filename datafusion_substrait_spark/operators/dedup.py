@@ -237,10 +237,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
         F.explode(_pair_expansion(ids, mh_pair, max_bucket_size)).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.agree")
     # ESTIMATE prefilter: candidates whose estimate falls 2σ below threshold
-    # are overwhelmingly false-positive band collisions; the expensive exact
-    # intersect runs only on survivors. At scale this is the load-bearing
-    # cut — the exact verify shuffles whole shingle sets, so a 10× candidate
-    # cut there dominates. (The margin must sit above
+    # cannot plausibly verify, so the exact intersect skips them. How much
+    # this cuts depends on the corpus: distinctive docs → band collisions
+    # are flukes and most candidates die here; template-heavy corpora →
+    # candidates genuinely hover near threshold and mostly pass (measured
+    # ~1% cut on the synthetic test docs). It costs one integer comparison
+    # per candidate either way. (The margin must sit above
     # rows_per_band/num_hashes, else a single shared band already passes
     # and the filter is vacuous.)
     margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5

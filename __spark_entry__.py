@@ -206,6 +206,19 @@ _SQL: dict[str, str] = {
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
     """,
+    # statistical aggregates (DataFusion-15 from_str surface, SURVEY §2.4):
+    # exact same math in both engines, rounded against FP summation drift
+    "q26_stats": """
+        SELECT o_orderstatus,
+               round(var_pop(o_totalprice), 2) AS vp,
+               round(var_samp(o_totalprice), 2) AS vs,
+               round(stddev_pop(o_totalprice), 4) AS sp,
+               round(stddev_samp(o_totalprice), 4) AS ss,
+               round(covar_pop(o_totalprice, o_custkey), 2) AS cvp,
+               round(corr(o_totalprice, o_custkey), 6) AS cr,
+               median(o_totalprice) AS med
+        FROM orders GROUP BY o_orderstatus
+    """,
     # uncorrelated scalar subqueries (Expression.Subquery.Scalar extension;
     # Catalyst merges the two into one struct subquery, split back on produce)
     "q25_scalar_subquery": """
@@ -473,6 +486,7 @@ ORACLES: dict[str, str] = {
     "q23_except": _SQL["q23_except"],
     "q24_window": _SQL["q24_window"],
     "q25_scalar_subquery": _SQL["q25_scalar_subquery"],
+    "q26_stats": _SQL["q26_stats"],
     "d1_exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
         FROM documents GROUP BY md5({_NORM})

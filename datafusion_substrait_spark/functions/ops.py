@@ -228,6 +228,7 @@ CATALYST_AGG_TO_NAME: dict[str, str] = {
     "covar_pop": "covar_pop",
     "corr": "corr",
     "percentile_approx": "approx_percentile_cont",
+    "percentile": "percentile",  # Spark desugars median() to percentile(c, 0.5)
     "first": "first_value",
     "last": "last_value",
 }
@@ -254,6 +255,7 @@ AGG_CONSUME: dict[str, Callable[..., Column]] = {
     "covar_pop": F.covar_pop,
     "corr": F.corr,
     "approx_percentile_cont": F.percentile_approx,
+    "percentile": F.percentile,
     "approx_median": lambda c: F.percentile_approx(c, 0.5),
     "grouping": F.grouping,
     "first_value": lambda c: F.first(c, ignorenulls=False),

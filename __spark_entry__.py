@@ -23,6 +23,7 @@ Oracle notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,22 +31,20 @@ from pyspark.sql import functions as F
 
 from datafusion_substrait_spark import roundtrip
 from datafusion_substrait_spark.operators import dedup, similarity, text
-from datafusion_substrait_spark.sources.catalog import register_testdata
+from datafusion_substrait_spark.sources.catalog import register_testdata, testdata_dir
 from datafusion_substrait_spark.streaming import events as ev
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-_REGISTERED: set[tuple[int, str]] = set()
-
-
 def _prep(spark: SparkSession, sf_dir: str) -> None:
-    # registration re-reads 10 parquet footers; memoize per (session, dir) —
-    # temp views persist for the session lifetime, so once is enough
-    key = (id(spark), sf_dir)
-    if key not in _REGISTERED:
-        register_testdata(spark, sf_dir)
-        _REGISTERED.add(key)
+    # Register once per (session, dir); the catalog tracks which dir the
+    # session's views are bound to, so this is a cheap no-op on repeat calls
+    # and an *explicit* rebind when a caller genuinely switches scale factor
+    # (round-1 bug: a memoized set here let entry()'s sf0.001 registration
+    # silently clobber a session already bound to sf0.01).
+    if testdata_dir(spark) != os.path.abspath(sf_dir).rstrip("/"):
+        register_testdata(spark, sf_dir, allow_rebind=True)
 
 
 def _rt(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -55,8 +54,13 @@ def _rt(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H-style pricing summary through produce→consume."""
-    return QUERIES["q01_pricing_summary"](spark, SF_SMOKE)
+    """Flagship: TPC-H-style pricing summary through produce→consume.
+
+    Reuses the scale factor the session's views are already bound to (if
+    any) so a smoke call never clobbers tables other code is reading; a
+    fresh session gets the contract default sf0.001.
+    """
+    return QUERIES["q01_pricing_summary"](spark, testdata_dir(spark) or SF_SMOKE)
 
 
 # ---------------------------------------------------------------------------

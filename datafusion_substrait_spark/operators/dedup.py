@@ -173,97 +173,91 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
     Plan shape (the part that survives 1000 executors):
-      1. signature stage (see minhash_signatures: codegen'd, map-side
-         combined, one shuffled row per doc);
-      2. explode to B rows/doc, shuffle keyed on (band, band_signature) —
-         only docs agreeing on a whole band ever co-locate;
-      3. ``collect_list`` per bucket + in-bucket pair expansion (no
-         self-join: the signature pipeline is scanned ONCE; buckets over
-         ``max_bucket_size`` fall back to star pairs — see _pair_expansion
-         for the measured super-linear blowup this prevents);
-      4. distinct candidate pairs, then exact Jaccard on just those pairs
-         (candidates ≪ corpus, so AQE turns the verify joins into
-         broadcasts at runtime).
+      1. signature stage: explode distinct shingles → K seeded minima as
+         aggregate measures (codegen'd, map-side combined, one shuffled row
+         per doc — see minhash_signatures), kept as K flat long columns;
+      2. each band's signature collapses to ONE codegen'd ``xxhash64`` over
+         that band's minima (a 64-bit band fingerprint: equal bands always
+         collide, a false collision only adds a candidate that exact-verify
+         kills) → explode to B compact (key, band, sig) rows — the shuffle
+         moves 3 longs/row instead of round 1's key + K-long array × B;
+      3. ``collect_list(key)`` per (band, sig) bucket + in-bucket pair
+         expansion over the bare key array (buckets over ``max_bucket_size``
+         fall back to star pairs — see _pair_expansion for the measured
+         super-linear blowup this prevents); the per-pair work is two long
+         copies — round 1 evaluated an interpreted 32-element zip_with/
+         aggregate agreement estimate per pair here, which was 58% of the
+         whole bench and is gone;
+      4. distinct candidate pairs (persisted: reused by three consumers,
+         and at scale recomputing the signature pipeline per consumer is
+         the real cost), then exact Jaccard on *candidate docs only*: the
+         corpus is semi-joined down to docs that appear in some pair before
+         any shingle-set materialization, so verify-side shingle hashing is
+         O(candidate docs), not O(corpus).
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle_n)
-    # the signature (K longs ≈ 256 B) rides along through the band shuffle so
-    # candidate pairs emerge WITH both signatures attached — the signature
-    # pipeline is scanned exactly once and the estimate prefilter below needs
-    # no extra joins
-    banded = sigs.select(
+    bases = _parallelize(df, key_col).select(
         F.col(key_col),
-        F.col("minhash"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.array_join(
-                        F.transform(
-                            F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        "_",
-                    ).alias("sig"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(key_col, "minhash", "bb.band", "bb.sig")
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("_sh"),
+    )
+    minima = bases.groupBy(key_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
+          for i in range(num_hashes)]
+    )
+    banded = minima.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"_mh{b * rows_per_band + i}")
+                             for i in range(rows_per_band)]).alias("sig"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(key_col, "bb.band", "bb.sig")
     buckets = (
         banded.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list(F.struct(key_col, "minhash"))).alias("ids"))
+        .agg(F.sort_array(F.collect_list(key_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    ids = F.col("ids")
-
-    def mh_pair(a, b):
-        return F.struct(
-            a[key_col].alias("doc_a"),
-            b[key_col].alias("doc_b"),
-            # minhash-estimate of J: fraction of agreeing positions —
-            # unbiased, σ = √(J(1-J)/K)
-            F.aggregate(
-                F.zip_with(a["minhash"], b["minhash"],
-                           lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).alias("agree"),
-        )
-
-    pair_structs = buckets.select(
-        F.explode(_pair_expansion(ids, mh_pair, max_bucket_size)).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.agree")
-    # ESTIMATE prefilter: candidates whose estimate falls 2σ below threshold
-    # cannot plausibly verify, so the exact intersect skips them. How much
-    # this cuts depends on the corpus: distinctive docs → band collisions
-    # are flukes and most candidates die here; template-heavy corpora →
-    # candidates genuinely hover near threshold and mostly pass (measured
-    # ~1% cut on the synthetic test docs). It costs one integer comparison
-    # per candidate either way. (The margin must sit above
-    # rows_per_band/num_hashes, else a single shared band already passes
-    # and the filter is vacuous.)
-    margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
-    min_agree = int((threshold - margin) * num_hashes)
     cand = (
-        pair_structs.filter(F.col("agree") >= min_agree)
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                _pair_expansion(
+                    F.col("ids"),
+                    lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                    max_bucket_size,
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(key_col))
+        .unionAll(cand.select(F.col("doc_b").alias(key_col)))
         .distinct()
     )
-    # verify on 64-bit-hashed shingle sets: Jaccard over hashes equals
-    # Jaccard over shingles up to xxhash64 collisions (negligible at any
-    # realistic doc size), and long-array intersect/union is much cheaper
-    # than string-array (no per-element string hashing/equality)
-    shingled = _parallelize(df, key_col).select(
-        F.col(key_col),
-        F.array_distinct(
-            F.transform(
-                F.array_distinct(char_ngrams(F.col(text_col), shingle_n)),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("sh"),
+    # verify on 64-bit-hashed shingle sets, computed ONLY for candidate docs:
+    # Jaccard over hashes equals Jaccard over shingles up to xxhash64
+    # collisions (negligible at any realistic doc size), and long-array
+    # intersect/union is much cheaper than string-array. Persisted because
+    # both join sides read it.
+    shingled = (
+        df.join(F.broadcast(cand_ids), key_col)
+        .select(
+            F.col(key_col),
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(char_ngrams(F.col(text_col), shingle_n)),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
+        )
+        .persist()
     )
     sa = shingled.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col(key_col).alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -347,18 +341,25 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     )
     ids = F.col("ids")
 
+    # pair expansion only COPIES the two (key, simhash) structs; the Hamming
+    # distance is computed after explode, on flat columns, inside codegen
+    # (round 1 ran bit_count per pair inside the interpreted HOF)
     def sh_pair(a, b):
         return F.struct(
             a[key_col].alias("doc_a"),
             b[key_col].alias("doc_b"),
-            F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias("hamming"),
+            a["simhash"].alias("sim_a"),
+            b["simhash"].alias("sim_b"),
         )
 
     return (
         buckets.select(
             F.explode(_pair_expansion(ids, sh_pair, max_bucket_size)).alias("p")
         )
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .select(
+            "p.doc_a", "p.doc_b",
+            F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink
         .distinct()                               # the dedup shuffle input
     )

@@ -20,6 +20,13 @@ from datafusion_substrait_spark.plans.proto import SubstraitError
 
 _PATH_TO_NAME: dict[str, str] = {}
 
+# session id → sf_dir its testdata views are bound to. Temp-view registration
+# silently rebinds names (createOrReplaceTempView), so callers that mix scale
+# factors in one session would otherwise read the wrong tables without any
+# error; this record lets register_testdata refuse (or knowingly rebind) and
+# lets entry()-style callers reuse whatever the session is already bound to.
+_SESSION_SF_DIR: dict[int, str] = {}
+
 
 def _norm(path: str) -> str:
     p = path.removeprefix("file://").removeprefix("file:")
@@ -79,12 +86,34 @@ def table_name_for_path(path: str) -> str:
     return name
 
 
+def testdata_dir(spark: SparkSession) -> str | None:
+    """The sf_dir this session's testdata views are bound to (None if never
+    registered). Callers that only need *some* consistent scale factor —
+    e.g. ``entry()`` smoke paths — should reuse this instead of forcing a
+    re-registration that would clobber views other code is reading."""
+    return _SESSION_SF_DIR.get(id(spark))
+
+
 def register_testdata(spark: SparkSession, sf_dir: str,
                       tables: tuple[str, ...] = (
                           "region", "nation", "customer", "supplier", "part",
                           "orders", "lineitem", "events", "documents", "embeddings",
-                      )) -> dict[str, DataFrame]:
-    """Register the driver's synthetic TPC-H-ish tables (TESTDATA.md)."""
+                      ), allow_rebind: bool = False) -> dict[str, DataFrame]:
+    """Register the driver's synthetic TPC-H-ish tables (TESTDATA.md).
+
+    Raises if the session is already bound to a *different* sf_dir, because
+    ``createOrReplaceTempView`` would silently swap every table out from
+    under concurrent readers (the round-1 cross-SF clobbering bug). Pass
+    ``allow_rebind=True`` to rebind deliberately.
+    """
+    bound = _SESSION_SF_DIR.get(id(spark))
+    norm_dir = _norm(sf_dir)
+    if bound is not None and bound != norm_dir and not allow_rebind:
+        raise SubstraitError(
+            f"session testdata views are bound to {bound!r}; refusing to "
+            f"silently rebind them to {sf_dir!r} (pass allow_rebind=True "
+            "to swap scale factors deliberately)"
+        )
     # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
     # rejects; read nanos as raw int64 instead. The registered `events.ts` is
     # therefore epoch-NANOS bigint — time bucketing uses exact integer
@@ -95,4 +124,5 @@ def register_testdata(spark: SparkSession, sf_dir: str,
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             out[t] = register_parquet(spark, t, p)
+    _SESSION_SF_DIR[id(spark)] = norm_dir
     return out

@@ -91,3 +91,30 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_entry_does_not_clobber_session_views(spark):
+    """Round-1 regression: entry() hard-coded sf0.001 and re-registered every
+    temp view over a session bound to another scale factor, so later tests
+    silently read the wrong tables. entry() must reuse the bound dir."""
+    from datafusion_substrait_spark.sources import catalog
+
+    before = spark.table("events").count()
+    entrymod.entry(spark)
+    assert catalog.testdata_dir(spark) == os.path.abspath(SF_DIR).rstrip("/")
+    assert spark.table("events").count() == before
+    expect = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    assert before == expect
+
+
+def test_register_testdata_refuses_silent_rebind(spark):
+    from datafusion_substrait_spark.plans.proto import SubstraitError
+    from datafusion_substrait_spark.sources import catalog
+
+    other = ("/root/testdata/sf0.01"
+             if os.path.abspath(SF_DIR) != "/root/testdata/sf0.01"
+             else "/root/testdata/sf0.001")
+    with pytest.raises(SubstraitError, match="refusing"):
+        catalog.register_testdata(spark, other)
+    # session binding unchanged
+    assert catalog.testdata_dir(spark) == os.path.abspath(SF_DIR).rstrip("/")

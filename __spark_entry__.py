@@ -35,6 +35,8 @@ from datafusion_substrait_spark.sources.catalog import register_testdata, testda
 from datafusion_substrait_spark.streaming import events as ev
 
 SF_SMOKE = "/root/testdata/sf0.001"
+EMB_DIM = 64  # testdata embedding width (fixed across all SFs); sizes the
+              # s3 deterministic-centroid quantizer below
 
 
 def _prep(spark: SparkSession, sf_dir: str) -> None:
@@ -315,13 +317,23 @@ def _s2_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
+# s3 runs with data-independent deterministic centroids (the "pre-trained
+# quantizer" production shape) precisely so the DuckDB oracle can replay
+# IVF assignment + probing + scoring end-to-end; train_kmeans_centroids is
+# exercised by tests/test_operators.py instead (iterative training is not
+# SQL-expressible).
+_S3_CELLS, _S3_NPROBE = 8, 3
+_S3_CENTROIDS = similarity.deterministic_centroids(_S3_CELLS, EMB_DIM)
+
+
 def _s3_ivf_topk(spark, sf_dir):
     _prep(spark, sf_dir)
     emb = spark.table("embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=3)
+    out = similarity.ivf_topk(emb, queries, k=10, centroids=_S3_CENTROIDS,
+                              nprobe=_S3_NPROBE)
     return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
@@ -446,6 +458,61 @@ def _rh_sig_sql(planes: int) -> str:
 
 _RH_SIG_SQL = _rh_sig_sql(6)     # s2 uses planes=6
 _RH16_SIG_SQL = _rh_sig_sql(16)  # d5 uses planes=16 (embedding_neardup default)
+
+
+def _ivf_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
+    """DuckDB replay of similarity.ivf_topk with pre-trained centroids.
+
+    Assignment parity: Spark's _nearest_cell keeps the FIRST index
+    attaining the max cosine (strict ``>`` chain); DuckDB's
+    ``list_position(ss, list_max(ss))`` also returns the first match.
+    Probe-cell parity: Spark sorts (−score, cell) structs ascending ≡
+    ``ORDER BY score DESC, cell``. All score arithmetic is the same
+    left-to-right double summation on both sides (Spark's unrolled chain ≡
+    ``list_dot_product``), and centroid literals are exact double reprs.
+    """
+    n_cells = len(centroids)
+    cells_sql = []
+    for c in centroids:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        cn = repr(sum(x * x for x in c) ** 0.5)
+        cells_sql.append(
+            f"list_dot_product(v, {lit}) / (sqrt(list_dot_product(v, v)) * {cn})"
+        )
+    ss = "[" + ",\n                   ".join(cells_sql) + "]"
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), cell_scores AS (
+            SELECT vec_id, v, {ss} AS ss FROM e
+        ), assigned AS (
+            SELECT vec_id, v, list_position(ss, list_max(ss)) - 1 AS cell
+            FROM cell_scores
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, ss AS qss
+            FROM cell_scores WHERE vec_id < 5
+        ), qcells AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT query_id, qv, c.cell AS cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY qss[c.cell + 1] DESC, c.cell) AS cr
+                FROM q, (SELECT unnest(range(0, {n_cells})) AS cell) c
+            ) WHERE cr <= {nprobe}
+        ), scored AS (
+            SELECT qc.query_id, a.vec_id,
+                   round(list_dot_product(qc.qv, a.v)
+                         / (sqrt(list_dot_product(qc.qv, qc.qv))
+                            * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+            FROM qcells qc JOIN assigned a ON qc.cell = a.cell
+        ), ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
 _ALL_STOP_SQL = "[" + ", ".join(
     f"'{w}'" for ws in _LS.values() for w in ws
 ) + "]"
@@ -689,6 +756,7 @@ ORACLES: dict[str, str] = {
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
     """,
+    "s3_ivf_topk": _ivf_sql(_S3_CENTROIDS, _S3_NPROBE, 10),
     # d2/d3: no oracle — xxhash64 signatures are not replayable in DuckDB;
     # driver records rows-only checks (their verification math is
     # oracle-checked via d1/d4).

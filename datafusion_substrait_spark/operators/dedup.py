@@ -410,7 +410,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     High cosine ⇒ high sign-agreement probability (1 - θ/π per plane), so a
     16-bit full-signature match keeps recall high at 0.95+ while cutting the
-    join from O(n²) to per-bucket.
+    join from O(n²) to per-bucket. (The HOF-fold signature/cosine shape is
+    a measured choice — see similarity.py's module docstring.)
     """
     from datafusion_substrait_spark.operators.similarity import cosine, rh_signature
 

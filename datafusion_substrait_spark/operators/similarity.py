@@ -1,29 +1,41 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Primitives (``dot``/``cosine``) are pure ``F.zip_with``/``F.aggregate``
-expressions — JVM-side, codegen'd, no Python in the hot path.
+Primitives (``dot``/``cosine``/``rh_signature``) are pure ``F.zip_with``/
+``F.aggregate`` expressions — JVM-side, no Python in the hot path. They run
+*interpreted* (higher-order functions are outside whole-stage codegen), and
+that is a measured, deliberate choice: unlike the minhash-signature case
+(operators/dedup.py — where the HOF shape re-evaluated an expensive
+shingling subtree K times, 50× slowdown), the input here is an already-
+materialized array column, so there is no shared subtree for CSE to miss.
+Benchmarked on 200k × 64-dim vectors, 16 planes (scratch/bench_sig2.py):
+HOF fold 0.11 s vs 0.16 s for a fully-unrolled ``element_at`` chain (janino
+rejects the giant generated method → interpreted fallback of a much larger
+tree) vs 0.30 s for explode→measures (pays a per-vector shuffle). The HOF
+fold is also the only shape that stays a **zero-shuffle narrow map**, at
+~4–5 µs/vector/core — ~1 core-hour per billion vectors, never the term
+that dominates a 100 TB plan.
 
-Two search paths, same output contract (query_id, vec_id, cosine, rank):
+Three search paths, same output contract (query_id, vec_id, cosine, rank):
 
 * ``brute_force_topk`` — exact baseline. The *queries* side is broadcast
   (tiny), so the big embeddings table is scanned exactly once with NO
-  shuffle of the vectors; only the (n_queries × k)-bounded scored rows move
-  in the final top-k. This is the shape that survives 100 TB: never shuffle
-  the corpus, broadcast the probes.
+  shuffle of the vectors; norms are computed once per corpus row and once
+  per query — NOT once per (query, row) pair, which cuts the per-pair work
+  from three array folds to one.
 * ``lsh_topk`` — approximate scale path: random-hyperplane sign buckets
-  prune the corpus to same/near-bucket candidates before exact scoring.
-  Recall is tunable via ``planes`` (fewer planes → bigger buckets → higher
-  recall & cost).
-
-* ``ivf_topk`` — IVF (inverted-file) scale path: a k-means coarse
-  quantizer assigns every corpus vector to its nearest centroid; a query
-  probes only the ``nprobe`` nearest cells. Training is a bounded driver
-  loop of pure DataFrame jobs (assign = narrow map over broadcast
-  centroids; update = one groupBy(cell) shuffle of dim-sized partial
-  sums), with deterministic hash-picked initial centroids, so results are
-  reproducible run-to-run. At 100 TB the corpus can additionally be
+  prune the corpus to same-bucket candidates before exact scoring.
+* ``ivf_topk`` — IVF (inverted-file) scale path: a coarse quantizer
+  assigns every corpus vector to its nearest centroid; a query probes only
+  the ``nprobe`` nearest cells. At 100 TB the corpus can additionally be
   *written bucketed by cell_id* so a probe prunes file groups instead of
   scanning.
+
+Top-k ranking is **two-phase** in all three paths (``_topk_per_query``):
+a per-(query, input-partition) local rank prunes to ≤ k rows, then the
+global rank runs over ≤ k × num_partitions rows per query. A single
+``row_number() OVER (PARTITION BY query_id)`` would drag every scored row
+of a query through ONE task's sort — fine at sf0.1, a scale-killer on a
+1000-executor corpus scan.
 """
 
 from __future__ import annotations
@@ -35,12 +47,19 @@ _KNUTH = 2654435761  # Fibonacci-hash multiplier for deterministic planes
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ as double (inputs may be array<float>)."""
+    """Σ aᵢ·bᵢ as double (inputs may be array<float>). Left fold from +0.0,
+    matching a sequential-sum oracle (DuckDB ``list_dot_product``)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot_const(a: Column, values: list[float]) -> Column:
+    """Σ aᵢ·cᵢ against a plan-time constant vector (a literal array — no
+    join, no broadcast variable; the constant ships inside the plan)."""
+    return dot(a, F.array(*[F.lit(float(v)) for v in values]))
 
 
 def norm(a: Column) -> Column:
@@ -49,6 +68,13 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _plane_weight_py(plane: int, d: int) -> float:
+    """Python twin of ``_plane_weight`` — exact (all intermediates are
+    dyadic rationals below 2³¹, so the double arithmetic is lossless)."""
+    mixed = (plane * 8192 + 1 + d) * _KNUTH % (1 << 31)
+    return mixed / float(1 << 31) - 0.5
 
 
 def _plane_weight(plane: int, d: Column) -> Column:
@@ -80,6 +106,31 @@ def rh_signature(vec: Column, planes: int = 16) -> Column:
     return sig
 
 
+def _topk_per_query(scored: DataFrame, k: int, query_key_col: str,
+                    key_col: str) -> DataFrame:
+    """Per-query top-k of (query, key, cosine) rows, scale-safely.
+
+    Phase 1 ranks within (query, spark_partition_id()): the shuffle spreads
+    a query's rows over num_partitions × num_queries sort groups, each
+    bounded by one input partition — no single task ever sorts a whole
+    corpus scan. Phase 2 ranks the survivors (≤ k × num_partitions per
+    query — thousands of rows, not billions). The local ordering is the
+    global ordering, so phase 1 provably retains every global top-k row
+    regardless of how rows landed in partitions.
+    """
+    order = [F.col("cosine").desc(), F.col(key_col).asc()]
+    local = Window.partitionBy(query_key_col, "__pid").orderBy(*order)
+    final = Window.partitionBy(query_key_col).orderBy(*order)
+    return (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local))
+        .filter(F.col("__lrank") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(query_key_col, key_col, "cosine", "rank")
+    )
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", key_col: str = "vec_id",
                      query_key_col: str = "query_id") -> DataFrame:
@@ -89,35 +140,67 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     vec_id so results are deterministic for the oracle.
     """
     q = queries.select(
-        F.col(query_key_col), F.col(vec_col).alias("__qvec")
+        F.col(query_key_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = embeddings.join(F.broadcast(q), on=F.lit(True), how="inner").select(
+    e = embeddings.select(
+        key_col, vec_col, norm(F.col(vec_col)).alias("__enorm")
+    )
+    scored = e.join(F.broadcast(q), on=F.lit(True), how="inner").select(
         query_key_col,
         key_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qnorm") * F.col("__enorm")),
+            6,
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_key_col).orderBy(
-        F.col("cosine").desc(), F.col(key_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key_col, key_col, "cosine", "rank")
+    return _topk_per_query(scored, k, query_key_col, key_col)
+
+
+def deterministic_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Data-independent pseudo-random centroids (Fibonacci-hashed, same
+    scheme as the LSH plane weights, exact in double). The "pre-trained
+    centroids" production shape with a quantizer any engine can replay —
+    used by the s3 oracle entry so IVF assignment + scoring is
+    DuckDB-checkable end-to-end."""
+    return [
+        [_plane_weight_py(8191 + c, d) for d in range(dim)]
+        for c in range(n_cells)
+    ]
+
+
+def _with_cell_scores(df: DataFrame, vec_col: str,
+                      centroids: list[list[float]]) -> DataFrame:
+    """Append one cosine-to-centroid column per cell (``__s0``…``__sN``).
+
+    Centroids are plan literals — effectively broadcast — so this is a
+    narrow map. Scores MUST be materialized as named columns before any
+    argmax/sort is built over them: an iterative ``F.when(s > best, …)``
+    chain over the raw score expressions duplicates every prior subtree
+    per step — tree size grows ~3^n_cells and OOMs the driver during
+    optimization (observed at n_cells=8).
+    """
+    n = norm(F.col(vec_col))
+    return df.select(
+        "*",
+        *[
+            (dot_const(F.col(vec_col), c)
+             / (n * F.lit(sum(x * x for x in c) ** 0.5))).alias(f"__s{i}")
+            for i, c in enumerate(centroids)
+        ],
     )
 
 
-def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index (int) of the centroid with max cosine to ``vec``. Centroids are
-    plan literals — effectively broadcast — so assignment is a narrow map."""
-    best_i, best_s = F.lit(0), F.lit(float("-inf"))
-    n = norm(vec)
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        s = dot(vec, carr) / (n * F.lit(sum(x * x for x in c) ** 0.5))
-        better = s > best_s
-        best_i = F.when(better, F.lit(i)).otherwise(best_i)
-        best_s = F.when(better, s).otherwise(best_s)
-    return best_i
+def _nearest_cell(n_cells: int) -> Column:
+    """Index (int) of the FIRST cell attaining the max score, over the
+    ``__s*`` columns of _with_cell_scores — ``array_position(ss,
+    array_max(ss))`` picks the first occurrence, exactly like the DuckDB
+    oracle's ``list_position(ss, list_max(ss))``, with linear (not
+    exponential) expression-tree size."""
+    ss = F.array(*[F.col(f"__s{i}") for i in range(n_cells)])
+    return (F.array_position(ss, F.array_max(ss)) - 1).cast("int")
 
 
 def train_kmeans_centroids(embeddings: DataFrame, n_cells: int = 16,
@@ -170,42 +253,44 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     if centroids is None:
         centroids = train_kmeans_centroids(embeddings, n_cells, vec_col=vec_col,
                                            key_col=key_col)
-    e = embeddings.withColumn("__cell", _nearest_cell(F.col(vec_col), centroids))
-    # query → its nprobe nearest cells, exploded to (query, probe_cell) rows
-    scores = [
-        (i,
-         dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-         / (norm(F.col(vec_col)) * F.lit(sum(x * x for x in c) ** 0.5)))
-        for i, c in enumerate(centroids)
-    ]
+    n_cells = len(centroids)
+    e = _with_cell_scores(embeddings, vec_col, centroids).select(
+        key_col, vec_col,
+        _nearest_cell(n_cells).alias("__cell"),
+        norm(F.col(vec_col)).alias("__enorm"),
+    )
+    # query → its nprobe nearest cells, exploded to (query, probe_cell)
+    # rows. The tiny sort-of-n_cells array (over the named score columns)
+    # runs on the broadcast-small query side only.
     ranked_cells = F.slice(
         F.transform(
             F.array_sort(
-                F.array(*[F.struct((-s).alias("negs"), F.lit(i).alias("cell"))
-                          for i, s in scores])
+                F.array(*[
+                    F.struct((-F.col(f"__s{i}")).alias("negs"),
+                             F.lit(i).alias("cell"))
+                    for i in range(n_cells)
+                ])
             ),
             lambda st: st["cell"],
         ),
         1, nprobe,
     )
-    q = queries.select(
+    q = _with_cell_scores(queries, vec_col, centroids).select(
         F.col(query_key_col),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
         F.explode(ranked_cells).alias("__cell"),
     )
     scored = e.join(F.broadcast(q), on="__cell", how="inner").select(
         query_key_col,
         key_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qnorm") * F.col("__enorm")),
+            6,
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_key_col).orderBy(
-        F.col("cosine").desc(), F.col(key_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key_col, key_col, "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, query_key_col, key_col)
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -213,22 +298,24 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              query_key_col: str = "query_id", planes: int = 8) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Same schema as brute_force_topk; recall < 1 by design."""
-    e = embeddings.withColumn("__bucket", rh_signature(F.col(vec_col), planes))
+    e = embeddings.select(
+        key_col, vec_col,
+        rh_signature(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__enorm"),
+    )
     q = queries.select(
         F.col(query_key_col),
         F.col(vec_col).alias("__qvec"),
         rh_signature(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__qnorm"),
     )
     scored = e.join(F.broadcast(q), on="__bucket", how="inner").select(
         query_key_col,
         key_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col))
+            / (F.col("__qnorm") * F.col("__enorm")),
+            6,
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_key_col).orderBy(
-        F.col("cosine").desc(), F.col(key_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key_col, key_col, "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, query_key_col, key_col)

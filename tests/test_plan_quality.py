@@ -66,6 +66,34 @@ def test_semi_join_for_exists(spark):
     assert "LeftSemi" in _phys(out)
 
 
+def test_similarity_topk_is_two_phase(spark, tables):
+    """Top-k ranking must never run a single window partitioned only by
+    query_id over the full scored input — that drags every scored row of a
+    query through ONE task's sort (correct at sf0.1, dead at 1000
+    executors). The two-phase shape ranks per (query, input-partition)
+    first, so the final per-query window sees ≤ k × num_partitions rows."""
+    from datafusion_substrait_spark.operators import similarity
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for out in (
+        similarity.brute_force_topk(emb, queries, k=5),
+        similarity.lsh_topk(emb, queries, k=5, planes=4),
+        similarity.ivf_topk(
+            emb, queries, k=5, nprobe=2,
+            centroids=similarity.deterministic_centroids(4, 64)),
+    ):
+        plan = _phys(out)
+        windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert len(windows) == 2, plan
+        # phase 1 partitions by (query_id, __pid); only the pruned phase 2
+        # window may partition by query_id alone
+        local = [w for w in windows if "__pid" in w]
+        assert len(local) == 1, windows
+
+
 def test_signature_stage_is_codegen(spark, tables):
     """The minhash signature aggregation must stay inside whole-stage
     codegen — the interpreted-HOF shape was ~50× slower (dedup.py docstring

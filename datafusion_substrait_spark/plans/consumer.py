@@ -90,11 +90,30 @@ class _Consumer:
     def _rel_read(self, body: dict) -> DataFrame:
         names = body["namedTable"]["names"]  # 1-3 part (consumer.rs:320-338)
         df = self.spark.table(".".join(names))
+        # resolve mask ordinals via baseSchema NAMES, not live positions: if
+        # the table schema changed between produce and consume (column added/
+        # reordered), positional selection silently reads wrong columns. A
+        # name recorded in the plan but gone from the table is an error.
+        base = body.get("baseSchema", {}).get("names") or []
+        if base:
+            live = set(df.columns)
+            missing = [n for n in base if n not in live]
+            if missing:
+                raise SubstraitError(
+                    f"table {'.'.join(names)}: plan baseSchema columns "
+                    f"{missing} no longer exist (live schema: {df.columns})"
+                )
+        source = base or df.columns
         items = body.get("projection", {}).get("select", {}).get("structItems", [])
         mask = [int(it.get("field", 0)) for it in items]
-        cols = df.columns
-        if mask:
-            df = df.select(*[df[cols[i]] for i in mask])
+        bad = [i for i in mask if i >= len(source)]
+        if bad:
+            raise SubstraitError(
+                f"table {'.'.join(names)}: projection ordinals {bad} exceed "
+                f"baseSchema width {len(source)}"
+            )
+        df = df.select(*[df[source[i]] for i in mask]) if mask \
+            else df.select(*[df[c] for c in source])
         return df.toDF(*_fnames(len(df.columns)))
 
     def _rel_project(self, body: dict) -> DataFrame:
@@ -121,9 +140,17 @@ class _Consumer:
         return out
 
     def _attach_scalar_subqueries(self, df: DataFrame, exprs) -> tuple[DataFrame, dict]:
-        """Cross-join each scalar subquery's 1-row result (broadcast) onto
-        the input so enclosing expressions reference it as a plain column —
-        fully lazy, no driver-side evaluation at consume time."""
+        """Cross-join each scalar subquery's result (broadcast) onto the
+        input so enclosing expressions reference it as a plain column —
+        fully lazy, no driver-side evaluation at consume time.
+
+        SQL scalar-subquery semantics are enforced by collapsing the
+        subquery through an ungrouped aggregate, which ALWAYS yields exactly
+        one row: an empty result becomes NULL (a bare cross join would drop
+        every outer row), and a multi-row result raises at execution via
+        ``assert_true`` (a bare cross join would silently multiply outer
+        rows). The ``limit(2)`` bounds the work the guard can ever do.
+        """
         import json as _json
 
         found: list[tuple[str, dict]] = []
@@ -147,7 +174,19 @@ class _Consumer:
         for n, (key, e) in enumerate(found):
             sub = self.rel(e["subquery"]["scalar"]["input"])
             name = f"__sq{n}"
-            df = df.crossJoin(F.broadcast(sub.toDF(name)))
+            one = sub.toDF(name).limit(2).agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.first(name).alias(name),
+            ).select(
+                F.when(
+                    F.assert_true(
+                        F.col("__n") <= 1,
+                        F.lit("scalar subquery returned more than one row"),
+                    ).isNull(),
+                    F.col(name),
+                ).alias(name)
+            )
+            df = df.crossJoin(F.broadcast(one))
             self._sq_map[key] = name
         return df, prev
 

@@ -275,6 +275,14 @@ class _Producer:
                 f"unsupported aggregate function {pretty!r} "
                 "(effective surface = DataFusion 15 from_str set, SURVEY.md §2.4)"
             )
+        if pretty in ("first", "last") and bool(fn.ignoreNulls()):
+            # the flag is not in children(), so it cannot ride through the
+            # plan as an argument; consuming would silently rebuild with
+            # ignorenulls=False — translate-or-error, like the fences above
+            raise SubstraitError(
+                f"{pretty}(expr, ignoreNulls=true) has no Substrait encoding "
+                "in the DataFusion-15 surface; rewrite without ignoreNulls"
+            )
         args = [self.rex(c, cids) for c in _seq(fn.children())]
         filt = _opt(agg_expr.filter())
         return proto.measure(

@@ -441,6 +441,71 @@ def test_extension_registry(spark):
     assert "gt" in names and "lt" in names and "and" in names
 
 
+def test_scalar_subquery_empty_yields_null(spark):
+    # SQL semantics: a 0-row scalar subquery is NULL — the consumer must not
+    # drop every outer row (a bare cross join against an empty side would)
+    check(spark, """
+        SELECT o_orderkey,
+               (SELECT o_totalprice FROM orders WHERE o_orderkey = -1) AS m
+        FROM orders WHERE o_custkey < 20
+    """)
+
+
+def test_scalar_subquery_multi_row_raises(spark):
+    from datafusion_substrait_spark import from_substrait_plan, to_substrait_plan
+
+    df = spark.sql("""
+        SELECT o_orderkey,
+               (SELECT o_totalprice FROM orders WHERE o_orderkey < 10) AS m
+        FROM orders WHERE o_custkey < 20
+    """)
+    consumed = from_substrait_plan(spark, to_substrait_plan(df))
+    with pytest.raises(Exception, match="more than one row"):
+        consumed.collect()
+
+
+def test_first_ignorenulls_fenced(spark):
+    import pyspark.sql.functions as F
+
+    from datafusion_substrait_spark import SubstraitError
+
+    # the flag is not in children(), so it cannot roundtrip — must error,
+    # not silently rebuild as ignorenulls=False
+    df = spark.table("orders").groupBy("o_orderstatus").agg(
+        F.first("o_orderpriority", ignorenulls=True).alias("f"))
+    with pytest.raises(SubstraitError, match="ignoreNulls"):
+        to_substrait_plan(df)
+
+
+def test_read_base_schema_validated(spark):
+    from datafusion_substrait_spark import SubstraitError, from_substrait_plan
+
+    plan = to_substrait_plan(spark.table("nation").select("n_name", "n_regionkey"))
+
+    def tamper(node, fn):
+        if isinstance(node, dict):
+            if "baseSchema" in node:
+                fn(node["baseSchema"])
+            for v in node.values():
+                tamper(v, fn)
+        elif isinstance(node, list):
+            for v in node:
+                tamper(v, fn)
+
+    import copy
+
+    # a baseSchema name that no longer exists in the live table → named error
+    p1 = copy.deepcopy(plan)
+    tamper(p1, lambda bs: bs["names"].__setitem__(0, "n_dropped_col"))
+    with pytest.raises(SubstraitError, match="n_dropped_col"):
+        from_substrait_plan(spark, p1).collect()
+    # a projection ordinal beyond the recorded schema width → named error
+    p2 = copy.deepcopy(plan)
+    tamper(p2, lambda bs: bs["names"].__delitem__(len(bs["names"]) - 1))
+    with pytest.raises(SubstraitError):
+        from_substrait_plan(spark, p2).collect()
+
+
 def test_unsupported_operator_errors(spark):
     from datafusion_substrait_spark import SubstraitError
 

@@ -15,10 +15,12 @@ Oracle notes:
   * DuckDB ``sum(BIGINT)`` returns HUGEINT → oracles cast to BIGINT;
   * ``events.ts`` is TIMESTAMP_NS in DuckDB but epoch-nanos BIGINT in Spark
     (nanosAsLong read) → oracles use ``epoch_ns(ts)``;
-  * minhash/simhash/LSH signature queries have no oracle entry (DuckDB 1.0
-    lacks crc32, so signatures are not replayable) → driver records the
-    rows-only check; their exact-verification stages ARE oracle-checked via
-    d1/d4.
+  * d2's oracle is the exact all-pairs Jaccard (valid because LSH recall is
+    deterministically 1 on this data — see the ORACLES entry); d3 is the
+    one rows-only entry left (xxhash64 simhash signatures are not
+    replayable in DuckDB, and a Hamming-radius set has no exact-similarity
+    equivalent) — its expected pair set is value-checked by the planted
+    ground-truth test in tests/test_operators.py instead.
 """
 
 from __future__ import annotations
@@ -232,6 +234,21 @@ _SQL: dict[str, str] = {
                round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6) AS frac
         FROM orders
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    # GROUPING SETS / ROLLUP via Substrait's native multi-grouping
+    # AggregateRel (spec-superset; the reference rejects >1 grouping)
+    "q27_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    # Generate/explode via the ExtensionSingleRel GenerateRel escape hatch
+    "q28_explode": """
+        SELECT part, count(*) AS n
+        FROM (SELECT explode(split(o_orderpriority, '-')) AS part FROM orders)
+        GROUP BY part
     """,
     # window functions (ConsistentPartitionWindowRel extension; every ORDER BY
     # carries a unique tie-break so results are deterministic for the oracle)
@@ -558,6 +575,14 @@ ORACLES: dict[str, str] = {
     "q24_window": _SQL["q24_window"],
     "q25_scalar_subquery": _SQL["q25_scalar_subquery"],
     "q26_stats": _SQL["q26_stats"],
+    "q27_rollup": _SQL["q27_rollup"],
+    # DuckDB's split is not regex-based, so the oracle uses string_split +
+    # unnest; '-' has no regex metacharacters, so the two agree exactly
+    "q28_explode": """
+        SELECT part, count(*) AS n
+        FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS part FROM orders)
+        GROUP BY part
+    """,
     "d1_exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
         FROM documents GROUP BY md5({_NORM})
@@ -757,9 +782,35 @@ ORACLES: dict[str, str] = {
                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
     """,
     "s3_ivf_topk": _ivf_sql(_S3_CENTROIDS, _S3_NPROBE, 10),
-    # d2/d3: no oracle — xxhash64 signatures are not replayable in DuckDB;
-    # driver records rows-only checks (their verification math is
-    # oracle-checked via d1/d4).
+    # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid
+    # because (a) d2's output is exact-verified Jaccard over LSH candidates,
+    # so Spark == oracle iff LSH recall is 1 on this dataset, and (b) recall
+    # here is a deterministic fact, not a probability: xxhash64 is
+    # deterministic and every qualifying sf0.01 pair is a planted near-dup
+    # with J ≥ 0.92 (band-collision probability 1-(1-J^4)^8 ≈ 1-1e-9; checked
+    # empirically: 25/25 pairs, values equal at 6dp). Jaccard over hashed
+    # shingles equals Jaccard over strings absent xxhash64 collisions.
+    "d2_minhash_pairs": r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 (SELECT list(DISTINCT substr(norm, i, 5))
+                  FROM unnest(range(1, greatest(len(norm) - 3, 2))) AS t(i)) AS g
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+                FROM documents)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.35
+    """,
+    # d3: no oracle — xxhash64 simhash signatures are not replayable in
+    # DuckDB and Hamming-radius sets have no exact-similarity equivalent;
+    # the driver records a rows-only check, and the planted-ground-truth
+    # test in tests/test_operators.py value-checks the expected pair set.
 }
 
 

@@ -105,6 +105,7 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "Least": "least",
     "ConcatWs": "concat_ws",  # separator literal special-cased on consume
     "StringReplace": "replace",
+    "StringSplit": "regexp_split",  # (str, pattern, limit) — Spark's split()
 }
 
 # ---------------------------------------------------------------------------
@@ -149,8 +150,11 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "bitwise_and": lambda a, b: a.bitwiseAND(b),
     "bitwise_or": lambda a, b: a.bitwiseOR(b),
     "bitwise_xor": lambda a, b: a.bitwiseXOR(b),
-    "bitwise_shift_left": lambda a, b: F.shiftleft(a, b),
-    "bitwise_shift_right": lambda a, b: F.shiftright(a, b),
+    # call_function, not F.shiftleft/right: the python wrappers demand a
+    # plain-int bit count, but consumed plans pass it as a Column (e.g. the
+    # grouping() bit-extraction over a reconstructed grouping_id)
+    "bitwise_shift_left": lambda a, b: F.call_function("shiftleft", a, b),
+    "bitwise_shift_right": lambda a, b: F.call_function("shiftright", a, b),
     "str_concat": lambda *args: F.concat(*args),
     "coalesce": lambda *args: F.coalesce(*args),
     "not": lambda a: ~a,
@@ -180,6 +184,9 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "date_sub": lambda a, b: F.date_sub(a, b),
     "date_diff": lambda a, b: F.datediff(a, b),
     "replace": lambda a, b, c: F.replace(a, b, c),
+    # call_function: the F.split wrapper wants pattern/limit as python
+    # values, but consumed plans pass all three as Columns
+    "regexp_split": lambda a, b, c: F.call_function("split", a, b, c),
     # round's scale argument is special-cased in the consumer (needs a python
     # int for F.round); this entry covers the scale-0 unary form
     "round": lambda a: F.round(a),

@@ -223,6 +223,8 @@ class _Consumer:
     def _rel_aggregate(self, body: dict) -> DataFrame:
         df = self.rel(body["input"])
         groupings = body.get("groupings", [])
+        if body.get("groupingExpressions") or len(groupings) > 1:
+            return self._rel_aggregate_grouping_sets(df, body)
         if len(groupings) != 1:
             raise SubstraitError("exactly one grouping set (consumer.rs:230-235)")
         resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
@@ -244,6 +246,50 @@ class _Consumer:
             df = df.select("*", *extra)
         gdf = df.groupBy(*g_cols).agg(*[c.alias(f"m{k}") for k, c in enumerate(m_cols)])
         return gdf.toDF(*_fnames(len(g_cols) + len(m_cols)))
+
+    def _rel_aggregate_grouping_sets(self, df: DataFrame, body: dict) -> DataFrame:
+        """Multi-grouping AggregateRel (GROUPING SETS / ROLLUP / CUBE) via
+        ``DataFrame.groupingSets``. Output follows the producer's documented
+        convention: grouping expressions (declaration order, null when
+        absent from a row's set) ++ measures ++ i32 grouping-set index —
+        reconstructed from Spark's ``grouping_id()`` bitmask (bit j,
+        MSB-first, set ⇔ grouping column j absent)."""
+        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        flat = body.get("groupingExpressions", [])
+        if not flat:
+            raise SubstraitError(
+                "multiple grouping sets require rel-level groupingExpressions"
+            )
+        n_g = len(flat)
+        g_cols = [self.rex(g, resolver).alias(f"__g{j}")
+                  for j, g in enumerate(flat)]
+        sets = [[int(i) for i in g.get("expressionReferences", [])]
+                for g in body.get("groupings", [])]
+        measures = body.get("measures", [])
+        extra: list[Column] = []
+        m_cols = [self._measure(m, k, resolver, extra)
+                  for k, m in enumerate(measures)]
+        base = df.select("*", *g_cols, *extra)
+        gcols = [F.col(f"__g{j}") for j in range(n_g)]
+        gd = base.groupingSets(
+            [[F.col(f"__g{j}") for j in s] for s in sets], *gcols
+        )
+        agged = gd.agg(
+            *[c.alias(f"m{k}") for k, c in enumerate(m_cols)],
+            F.grouping_id().alias("__gid"),
+        )
+        set_idx = None
+        for r, s in enumerate(sets):
+            mask = sum(1 << (n_g - 1 - j) for j in range(n_g) if j not in s)
+            cond = F.col("__gid") == mask
+            set_idx = F.when(cond, F.lit(r)) if set_idx is None \
+                else set_idx.when(cond, F.lit(r))
+        out = agged.select(
+            *gcols,
+            *[F.col(f"m{k}") for k in range(len(m_cols))],
+            set_idx.cast("int").alias("__gset"),
+        )
+        return out.toDF(*_fnames(n_g + len(m_cols) + 1))
 
     def _measure(self, m: dict, k: int, resolver, extra: list[Column]) -> Column:
         body = m["measure"]
@@ -376,6 +422,34 @@ class _Consumer:
             outs.append(col.over(spec).alias(f"f{n + j}"))
         return df.select("*", *outs)
 
+    def _rel_extensionSingle(self, body: dict) -> DataFrame:
+        """ExtensionSingleRel dispatch by the detail's Any @type."""
+        t = body.get("detail", {}).get("@type", "")
+        if t.endswith("GenerateRel"):
+            return self._generate(body)
+        raise SubstraitError(f"unknown extension relation type {t!r}")
+
+    def _generate(self, body: dict) -> DataFrame:
+        """GenerateRel (explode/posexplode) — see proto.generate_rel for the
+        layout. Output = requiredChildIndices columns ++ generated columns."""
+        detail = body["detail"]
+        df = self.rel(body["input"])
+        arg = self.rex(detail["argument"], lambda i, d=df: d[f"f{i}"])
+        fns = {
+            ("explode", False): F.explode,
+            ("explode", True): F.explode_outer,
+            ("posexplode", False): F.posexplode,
+            ("posexplode", True): F.posexplode_outer,
+        }
+        fn = fns.get((detail.get("mode"), bool(detail.get("outer"))))
+        if fn is None:
+            raise SubstraitError(
+                f"unsupported generator mode {detail.get('mode')!r}"
+            )
+        req = [df[f"f{i}"] for i in detail.get("requiredChildIndices", [])]
+        out = df.select(*req, fn(arg))
+        return out.toDF(*_fnames(len(out.columns)))
+
     # -- expressions --------------------------------------------------------
 
     def rex(self, e: dict, resolver) -> Column:
@@ -428,6 +502,11 @@ class _Consumer:
                     "expressions"
                 )
             return F.col(name)
+        if kind == "nested":
+            if "list" in body:
+                return F.array(*[self.rex(v, resolver)
+                                 for v in body["list"].get("values", [])])
+            raise SubstraitError("only Nested.List is supported")
         raise SubstraitError(f"unsupported expression {kind} (consumer.rs:611-613)")
 
     def _if_then(self, body: dict, resolver) -> Column:

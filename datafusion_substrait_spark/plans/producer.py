@@ -94,9 +94,9 @@ class _Producer:
         if handler is None:
             if kind == "Expand":
                 raise SubstraitError(
-                    "GROUPING SETS / ROLLUP / CUBE (Catalyst Expand) are not "
-                    "serializable: exactly one grouping set per aggregate, "
-                    "matching the reference (consumer.rs:230-235)"
+                    "bare Catalyst Expand outside a GROUP BY aggregate is not "
+                    "serializable (GROUPING SETS / ROLLUP / CUBE under an "
+                    "Aggregate ARE — see _rel_Aggregate_grouping_sets)"
                 )
             raise SubstraitError(
                 f"unsupported logical operator {kind} "
@@ -214,6 +214,8 @@ class _Producer:
         outputs are not exactly the identity over groupings++measures — wrap
         the AggregateRel in a ProjectRel that rebuilds each Catalyst output
         over the (groupings ++ measures) ordinal space."""
+        if _cls(node.child()) == "Expand":
+            return self._rel_Aggregate_grouping_sets(node)
         crel, cids = self.rel(node.child(), _refs(node))
         g_exprs = _seq(node.groupingExpressions())
         a_exprs = _seq(node.aggregateExpressions())
@@ -256,6 +258,167 @@ class _Producer:
         if out_exprs != identity:
             rel = proto.project_rel(rel, out_exprs)
         return rel, out_ids
+
+    def _rel_Aggregate_grouping_sets(self, node):
+        """GROUP BY GROUPING SETS / ROLLUP / CUBE.
+
+        Catalyst lowers these to Aggregate over Expand: Expand replicates
+        each input row once per grouping set, nulling the grouping columns
+        absent from that set and tagging rows with a ``spark_grouping_id``
+        bitmask (bit j, MSB-first, set ⇔ grouping column j is NOT in the
+        set). Substrait models the same natively — AggregateRel.groupings
+        is a LIST (the reference rejects >1, consumer.rs:230-235; the spec
+        does not) — so we recover the sets from the Expand projections and
+        emit ``aggregate_rel_multi``. References to ``spark_grouping_id``
+        in post-agg expressions (``grouping()``/``grouping_id()`` lower to
+        bit-ops over it during analysis) become a CASE over the trailing
+        grouping-set-index column that rebuilds each set's bitmask.
+        """
+        ex = node.child()
+        rows = [_seq(r) for r in _seq(ex.projections())]
+        out_attrs = _seq(ex.output())
+        out_ids = [a.exprId().id() for a in out_attrs]
+        gid_positions = [i for i, a in enumerate(out_attrs)
+                         if a.name() == "spark_grouping_id"]
+        if len(gid_positions) != 1:
+            raise SubstraitError(
+                "Expand without exactly one spark_grouping_id output is not "
+                "a grouping-sets aggregate"
+            )
+        gid_pos = gid_positions[0]
+        gid_id = out_ids[gid_pos]
+        g_positions: list[int] = []
+        for g in _seq(node.groupingExpressions()):
+            if _cls(g) != "AttributeReference":
+                raise SubstraitError(
+                    "grouping-sets aggregate with a non-attribute grouping "
+                    f"expression {_cls(g)}"
+                )
+            if g.exprId().id() != gid_id:
+                g_positions.append(out_ids.index(g.exprId().id()))
+
+        def is_null_slot(e) -> bool:
+            return _cls(e) == "Literal" and e.value() is None
+
+        used = {a.exprId().id() for r in rows for e in r
+                for a in _seq(e.references().toSeq())}
+        crel, cids = self.rel(ex.child(), used or None)
+
+        g_exprs_sub: list[dict] = []
+        for j in g_positions:
+            src = next((r[j] for r in rows if not is_null_slot(r[j])), None)
+            if src is None:
+                raise SubstraitError(
+                    "grouping column absent from every grouping set"
+                )
+            g_exprs_sub.append(self.rex(src, cids))
+        sets: list[list[int]] = []
+        masks: list[int] = []
+        for r in rows:
+            sets.append([k for k, j in enumerate(g_positions)
+                         if not is_null_slot(r[j])])
+            masks.append(int(r[gid_pos].value()))
+        if len({tuple(s) for s in sets}) != len(sets):
+            raise SubstraitError(
+                "duplicate grouping sets cannot be reconstructed from "
+                "grouping_id on consume"
+            )
+
+        n_g = len(g_positions)
+        measures: list[dict] = []
+        measure_nodes: list = []
+        a_exprs = _seq(node.aggregateExpressions())
+        g_pos_by_id = {out_ids[j]: k for k, j in enumerate(g_positions)}
+
+        def make_override(set_idx_ordinal: int | None):
+            def agg_override(e):
+                kind = _cls(e)
+                if kind == "AggregateExpression":
+                    for idx, m in enumerate(measure_nodes):
+                        if m.semanticEquals(e):
+                            return proto.field_ref(n_g + idx)
+                    measure_nodes.append(e)
+                    measures.append(self._measure(e, cids))
+                    return proto.field_ref(n_g + len(measures) - 1)
+                if kind == "AttributeReference":
+                    eid = e.exprId().id()
+                    if eid == gid_id:
+                        if set_idx_ordinal is None:
+                            return proto.literal("i64", 0)  # pass-1 stub
+                        eq = self.registry.register("equal")
+                        ref = proto.field_ref(set_idx_ordinal)
+                        return proto.if_then(
+                            [(proto.scalar_function(
+                                eq, [ref, proto.literal("i32", r)]),
+                              proto.literal("i64", masks[r]))
+                             for r in range(len(masks) - 1)],
+                            proto.literal("i64", masks[-1]),
+                        )
+                    if eid in g_pos_by_id:
+                        return proto.field_ref(g_pos_by_id[eid])
+                return None
+            return agg_override
+
+        # pass 1: collect the full measure list — the set-index column sits
+        # AFTER the measures, and a spark_grouping_id reference may appear in
+        # the output list before some measures do
+        prev_override = self._override
+        self._override = make_override(None)
+        try:
+            for e in a_exprs:
+                self.rex(e, cids)
+        finally:
+            self._override = prev_override
+        set_idx_ord = n_g + len(measures)
+        # pass 2: real outputs (measure ordinals are now stable;
+        # semanticEquals dedup resolves repeats to the same refs)
+        out_exprs: list[dict] = []
+        out_ids_out: list[int] = []
+        self._override = make_override(set_idx_ord)
+        try:
+            for e in a_exprs:
+                out_exprs.append(self.rex(e, cids))
+                if _cls(e) in ("Alias", "AttributeReference"):
+                    out_ids_out.append(e.exprId().id())
+                else:
+                    out_ids_out.append(self._fresh_id())
+        finally:
+            self._override = prev_override
+
+        rel = proto.aggregate_rel_multi(crel, g_exprs_sub, sets, measures)
+        identity = [proto.field_ref(i) for i in range(set_idx_ord + 1)]
+        if out_exprs != identity:
+            rel = proto.project_rel(rel, out_exprs)
+        return rel, out_ids_out
+
+    def _rel_Generate(self, node, needed=None):
+        """Explode/posexplode → ExtensionSingleRel GenerateRel (the spec's
+        engine-specific escape hatch; neither core Substrait nor the
+        reference has an unnest relation — SURVEY.md §2.5 beyond-fence)."""
+        gen = node.generator()
+        modes = {"Explode": "explode", "PosExplode": "posexplode"}
+        mode = modes.get(_cls(gen))
+        if mode is None:
+            raise SubstraitError(
+                f"unsupported generator {_cls(gen)} (explode/posexplode only)"
+            )
+        req = _seq(node.requiredChildOutput())
+        child_needed = (
+            {a.exprId().id() for a in req}
+            | {a.exprId().id()
+               for a in _seq(gen.references().toSeq())}
+        ) if needed is not None else None
+        crel, cids = self.rel(node.child(), child_needed)
+        arg = self.rex(_seq(gen.children())[0], cids)
+        req_ordinals = [cids.index(a.exprId().id()) for a in req]
+        gen_out = _seq(node.generatorOutput())
+        out_ids = [a.exprId().id() for a in req] + \
+                  [a.exprId().id() for a in gen_out]
+        return (
+            proto.generate_rel(crel, arg, mode, bool(node.outer()),
+                               req_ordinals, len(gen_out)),
+            out_ids,
+        )
 
     def _measure(self, agg_expr, cids) -> dict:
         # measure args/filters live in the aggregate's INPUT ordinal space —
@@ -520,6 +683,10 @@ class _Producer:
             # MergeScalarSubqueries also packs SEVERAL subqueries into one
             # struct — each field access becomes its own 1-column subquery
             return self._scalar_subquery(e.child(), int(e.ordinal()))
+        if kind == "CreateArray":
+            return proto.nested_list(
+                [self.rex(c, input_ids) for c in _seq(e.children())]
+            )
         if kind == "In":
             return proto.singular_or_list(
                 self.rex(e.value(), input_ids),

@@ -69,12 +69,12 @@ AGG_ALL = "AGGREGATION_INVOCATION_ALL"
 AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
 
 REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set",
-             "window")
+             "window", "extensionSingle")
 
 BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
 BOUNDS_RANGE = "BOUNDS_TYPE_RANGE"
 EXPR_KINDS = ("selection", "scalarFunction", "literal", "ifThen", "cast",
-              "singularOrList", "subquery")
+              "singularOrList", "subquery", "nested")
 
 NO_LIMIT = -1  # fetch.count sentinel; see module docstring
 
@@ -173,6 +173,59 @@ def aggregate_rel(input_rel: dict, grouping_expressions: list[dict],
             "input": input_rel,
             "groupings": [{"groupingExpressions": grouping_expressions}],
             "measures": measures,
+        }
+    }
+
+
+def aggregate_rel_multi(input_rel: dict, grouping_expressions: list[dict],
+                        sets: list[list[int]], measures: list[dict]) -> dict:
+    """AggregateRel with MULTIPLE grouping sets (GROUPING SETS / ROLLUP /
+    CUBE) in the Substrait-native shape: the rel carries the distinct
+    grouping expressions once, and each Grouping selects a subset via
+    ``expressionReferences``. The reference rejects >1 grouping
+    (consumer.rs:230-235) — this is a documented spec-superset.
+
+    Output = grouping expressions (in declaration order; columns absent
+    from a row's grouping set are null) ++ measures ++ one trailing i32
+    grouping-set index (the 0-based index into ``groupings``), per the
+    Substrait spec's multi-grouping output convention.
+    """
+    return {
+        "aggregate": {
+            "common": {"direct": {}},
+            "input": input_rel,
+            "groupingExpressions": list(grouping_expressions),
+            "groupings": [
+                {"expressionReferences": [int(i) for i in s]} for s in sets
+            ],
+            "measures": measures,
+        }
+    }
+
+
+def generate_rel(input_rel: dict, argument: dict, mode: str, outer: bool,
+                 required_child_ordinals: list[int], n_outputs: int) -> dict:
+    """Generate (explode/posexplode) as a Substrait ExtensionSingleRel —
+    the spec's escape hatch for engine-specific single-input rels (core
+    Substrait has no unnest relation; DataFusion's consumer has none
+    either). ``detail`` is the proto3 ``Any`` JSON form.
+
+    Output = input columns selected by ``requiredChildIndices`` (ordinals
+    into the input) ++ ``generatorOutputs`` generated columns (1 for
+    array explode, 2 for posexplode / map explode).
+    """
+    return {
+        "extensionSingle": {
+            "common": {"direct": {}},
+            "input": input_rel,
+            "detail": {
+                "@type": "type.googleapis.com/spark.substrait_spark.GenerateRel",
+                "mode": mode,
+                "outer": bool(outer),
+                "argument": argument,
+                "requiredChildIndices": [int(i) for i in required_child_ordinals],
+                "generatorOutputs": int(n_outputs),
+            },
         }
     }
 
@@ -326,6 +379,12 @@ def scalar_subquery(input_rel: dict) -> dict:
     return {"subquery": {"scalar": {"input": input_rel}}}
 
 
+def nested_list(values: list[dict]) -> dict:
+    """Expression.Nested.List — an array built from element expressions
+    (Substrait spec; Catalyst CreateArray)."""
+    return {"nested": {"list": {"values": values}}}
+
+
 def literal(kind: str, value: Any) -> dict:
     """Literal; kind is the proto3-JSON oneof field name (producer.rs:576-604)."""
     return {"literal": {kind: value}}
@@ -401,8 +460,15 @@ def _validate_rel(rel: dict) -> None:
             raise SubstraitError("only NamedTable reads are supported (consumer.rs:371-373)")
     elif kind in ("project", "filter", "fetch", "sort", "aggregate"):
         _validate_rel(body["input"])
-        if kind == "aggregate" and len(body.get("groupings", [])) != 1:
-            raise SubstraitError("exactly one grouping set required (consumer.rs:230-235)")
+        if kind == "aggregate":
+            groupings = body.get("groupings", [])
+            if len(groupings) < 1:
+                raise SubstraitError("aggregate requires at least one grouping set")
+            if len(groupings) > 1 and not body.get("groupingExpressions"):
+                raise SubstraitError(
+                    "multiple grouping sets require rel-level "
+                    "groupingExpressions + per-grouping expressionReferences"
+                )
     elif kind == "join":
         _validate_rel(body["left"])
         _validate_rel(body["right"])
@@ -416,3 +482,7 @@ def _validate_rel(rel: dict) -> None:
         for wf in body.get("windowFunctions", []):
             if wf.get("boundsType") not in (BOUNDS_ROWS, BOUNDS_RANGE):
                 raise SubstraitError(f"bad window bounds type in {wf}")
+    elif kind == "extensionSingle":
+        _validate_rel(body["input"])
+        if "@type" not in body.get("detail", {}):
+            raise SubstraitError("extensionSingle detail must carry an Any @type")

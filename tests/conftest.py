@@ -41,8 +41,11 @@ def tables(spark):
 
 
 def rows_set(df):
-    """Order-insensitive comparable representation of a DataFrame result."""
-    return sorted(tuple(r) for r in df.collect())
+    """Order-insensitive comparable representation of a DataFrame result.
+    Sorted by repr: null-safe (None and str don't compare) and type-mixed
+    columns can't break the sort; equality of the sorted lists is all the
+    callers check."""
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 def assert_same_result(df_direct, df_roundtripped):

@@ -118,6 +118,21 @@ def test_simhash_near_duplicates(spark, tables):
     assert planted <= found  # identical docs have hamming 0 and must all appear
 
 
+def test_simhash_exact_expected_pair_set(spark):
+    # deterministic planted ground truth, value-checked as an exact SET (not
+    # a recall bound): disjoint-vocabulary docs are ~32 bits apart in a
+    # 64-bit simhash, so with max_hamming=3 the output must be precisely the
+    # planted copy pairs — no misses, no extras. This is the d3 stand-in for
+    # a DuckDB oracle (xxhash64 signatures are not SQL-replayable).
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(20)]
+    rows = docs + [(i + 100, t) for i, t in docs]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert found == {(i, i + 100) for i in range(20)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
 def test_ngram_jaccard_pairs_schema_and_symmetry(spark, tables):
     out = dedup.ngram_jaccard_pairs(
         tables["documents"].limit(80), threshold=0.05

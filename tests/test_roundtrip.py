@@ -506,17 +506,71 @@ def test_read_base_schema_validated(spark):
         from_substrait_plan(spark, p2).collect()
 
 
+def test_grouping_sets_rollup_cube(spark):
+    # GROUPING SETS / ROLLUP / CUBE via Substrait's native multi-grouping
+    # AggregateRel (spec-superset: the reference rejects >1 grouping,
+    # consumer.rs:230-235)
+    check(spark, """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sp,
+               grouping(o_orderstatus) AS g1, grouping(o_orderpriority) AS g2
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """)
+    check(spark, """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """)
+    check(spark, """
+        SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS sp
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+    check(spark, """
+        SELECT o_orderstatus, grouping_id() AS gid, count(*) AS n
+        FROM orders GROUP BY ROLLUP(o_orderstatus)
+    """)
+    # grouping expression (not a bare column) + grouping() in HAVING
+    check(spark, """
+        SELECT year(o_orderdate) AS y, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+        HAVING grouping(o_orderstatus) = 0 OR count(*) > 100
+    """)
+
+
+def test_generate_explode(spark):
+    # Generate → ExtensionSingleRel GenerateRel (spec escape hatch; neither
+    # core Substrait nor the reference has an unnest relation)
+    check(spark, """
+        SELECT l_orderkey, x FROM lineitem
+        LATERAL VIEW explode(array(l_quantity, l_discount)) t AS x
+        WHERE l_orderkey < 10
+    """)
+    check(spark, """
+        SELECT l_orderkey, pos, x FROM lineitem
+        LATERAL VIEW posexplode(array(l_extendedprice, l_tax)) t AS pos, x
+        WHERE l_orderkey < 10
+    """)
+    check(spark, """
+        SELECT s, count(*) AS n FROM (
+            SELECT explode(split(o_orderpriority, '-')) AS s FROM orders
+        ) GROUP BY s
+    """)
+    # OUTER variant keeps rows whose array is empty/null
+    check(spark, """
+        SELECT c_custkey, o.okey FROM customer
+        LATERAL VIEW OUTER explode(array(c_custkey * 10)) o AS okey
+        WHERE c_custkey < 5
+    """)
+
+
 def test_unsupported_operator_errors(spark):
     from datafusion_substrait_spark import SubstraitError
 
-    # Generate (explode) has no Substrait rel here → named, actionable error
-    df = spark.sql("SELECT explode(sequence(1, n_nationkey)) FROM nation")
-    with pytest.raises(SubstraitError):
+    # TABLESAMPLE (Catalyst Sample) has no Substrait rel → named error
+    df = spark.sql("SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT)")
+    with pytest.raises(SubstraitError, match="Sample"):
         to_substrait_plan(df)
-    # multiple grouping sets rejected like the reference (consumer.rs:230-235)
-    df2 = spark.sql("""
-        SELECT o_orderstatus, count(*) FROM orders
-        GROUP BY ROLLUP(o_orderstatus)
-    """)
-    with pytest.raises(SubstraitError, match="ROLLUP"):
+    # unsupported generator type under Generate → named error
+    df2 = spark.sql("SELECT j.* FROM orders LATERAL VIEW json_tuple("
+                    "'{\"a\":1}', 'a') j AS a")
+    with pytest.raises(SubstraitError, match="generator"):
         to_substrait_plan(df2)

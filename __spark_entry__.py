@@ -250,6 +250,21 @@ _SQL: dict[str, str] = {
         FROM (SELECT explode(split(o_orderpriority, '-')) AS part FROM orders)
         GROUP BY part
     """,
+    # the §2.4 aggregates previously untested by any oracle: covar_samp,
+    # approx_distinct (HLL is exact at this cardinality — 5 priorities),
+    # approx_percentile_cont (GK sketch is exact when group size <= accuracy,
+    # and returns an actual data value = DuckDB quantile_disc), array_agg
+    # (sorted + joined to a deterministic string)
+    "q29_more_aggs": """
+        SELECT o_orderstatus,
+               approx_count_distinct(o_orderpriority) AS n_pri,
+               percentile_approx(o_totalprice, 0.5, 100000) AS p50,
+               percentile_approx(o_totalprice, 0.9, 100000) AS p90,
+               round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
+               array_join(sort_array(collect_list(o_orderpriority)
+                   FILTER (WHERE o_orderkey % 97 = 0)), ',') AS pri_list
+        FROM orders GROUP BY o_orderstatus
+    """,
     # window functions (ConsistentPartitionWindowRel extension; every ORDER BY
     # carries a unique tie-break so results are deterministic for the oracle)
     "q24_window": """
@@ -576,6 +591,16 @@ ORACLES: dict[str, str] = {
     "q25_scalar_subquery": _SQL["q25_scalar_subquery"],
     "q26_stats": _SQL["q26_stats"],
     "q27_rollup": _SQL["q27_rollup"],
+    "q29_more_aggs": """
+        SELECT o_orderstatus,
+               count(DISTINCT o_orderpriority) AS n_pri,
+               quantile_disc(o_totalprice, 0.5) AS p50,
+               quantile_disc(o_totalprice, 0.9) AS p90,
+               round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
+               array_to_string(list_sort(list(o_orderpriority)
+                   FILTER (WHERE o_orderkey % 97 = 0)), ',') AS pri_list
+        FROM orders GROUP BY o_orderstatus
+    """,
     # DuckDB's split is not regex-based, so the oracle uses string_split +
     # unnest; '-' has no regex metacharacters, so the two agree exactly
     "q28_explode": """

@@ -106,6 +106,8 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "ConcatWs": "concat_ws",  # separator literal special-cased on consume
     "StringReplace": "replace",
     "StringSplit": "regexp_split",  # (str, pattern, limit) — Spark's split()
+    "SortArray": "sort_array",      # (array, asc) — asc rides as a literal
+    "ArrayJoin": "array_join",      # (array, delimiter)
 }
 
 # ---------------------------------------------------------------------------
@@ -184,9 +186,11 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "date_sub": lambda a, b: F.date_sub(a, b),
     "date_diff": lambda a, b: F.datediff(a, b),
     "replace": lambda a, b, c: F.replace(a, b, c),
-    # call_function: the F.split wrapper wants pattern/limit as python
-    # values, but consumed plans pass all three as Columns
+    # call_function: the F.split/F.sort_array wrappers want pattern/limit/
+    # asc as python values, but consumed plans pass everything as Columns
     "regexp_split": lambda a, b, c: F.call_function("split", a, b, c),
+    "sort_array": lambda a, b: F.call_function("sort_array", a, b),
+    "array_join": lambda a, b: F.call_function("array_join", a, b),
     # round's scale argument is special-cased in the consumer (needs a python
     # int for F.round); this entry covers the scale-0 unary form
     "round": lambda a: F.round(a),

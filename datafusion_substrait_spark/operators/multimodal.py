@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side architecture is real and tested — schemas, Arrow-batched
-``mapInPandas`` plumbing, partition-size guidance — while the actual
-image/audio decoding is STUBBED (this container has no codec libraries):
-``decode_fn=None`` uses a clearly-marked deterministic fake so the pipeline
-shape can be exercised end-to-end; pass a real decoder (e.g. PIL/librosa
-based) in production.
+``mapInPandas`` plumbing, partition-size guidance. Metadata extraction
+(format/width/height) is REAL for PNG/JPEG/GIF/BMP: dimensions live in
+fixed-format container headers (PNG IHDR, JPEG SOFn, GIF screen
+descriptor, BMP info header), so ``parse_image_header`` reads them with no
+codec library at all. Full pixel decoding is the one stubbed seam (this
+container has no codec libraries): payloads that aren't a recognized image
+container fall back to a clearly-marked deterministic fake so the pipeline
+shape can be exercised end-to-end on the synthetic text-derived blobs;
+pass ``decode_fn`` (e.g. PIL/librosa based) to replace the whole decode.
 
 Scale notes baked into the design:
 * payloads stay in executor-side Arrow batches — never collected;
@@ -18,6 +22,7 @@ Scale notes baked into the design:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -40,13 +45,67 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    # SOFn frame headers carry the dimensions; C4/C8/CC are DHT/JPG/DAC,
+    # not frame headers
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+
+def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from container header bytes — real parsing,
+    no codec library: PNG stores dimensions big-endian in the IHDR chunk,
+    JPEG in the first SOFn marker segment, GIF little-endian in the logical
+    screen descriptor, BMP little-endian in the DIB info header. Returns
+    None for anything that is not a recognized image container."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" \
+            and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", int(w), int(h)
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+                i += 2
+                continue
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 > len(data):
+                    return None
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                return "jpeg", int(w), int(h)
+            seglen = struct.unpack(">H", data[i + 2:i + 4])[0]
+            i += 2 + seglen
+        return None
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        if w > 0 and h > 0:
+            return "gif", int(w), int(h)
+        return None
+    if len(data) >= 26 and data[:2] == b"BM" and data[14] in (12, 40, 108, 124):
+        # data[14] = DIB header size: guards against non-image payloads that
+        # merely start with the ASCII letters "BM"
+        w, h = struct.unpack("<ii", data[18:26])
+        if 0 < w < 1 << 24 and 0 < abs(h) < 1 << 24:
+            return "bmp", int(w), abs(int(h))
+        return None
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """DETERMINISTIC FAKE decoder (no codec libs in this container): derives
-    a plausible (format, width, height) from the payload hash. Replace via
-    ``decode_fn`` for real decoding."""
+    """DETERMINISTIC FAKE decoder for unrecognized payloads (no codec libs
+    in this container): derives a plausible (format, width, height) from
+    the payload hash. Replace the whole decode via ``decode_fn``."""
     h = hashlib.sha256(payload).digest()
     fmt = ("jpeg", "png", "webp")[h[0] % 3]
     return fmt, 64 + h[1] * 4, 64 + h[2] * 4
+
+
+def _default_decode(payload: bytes) -> tuple[str, int, int]:
+    """Real header parse first; deterministic fake only as fallback."""
+    return parse_image_header(payload) or _fake_decode(payload)
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text",
@@ -69,7 +128,7 @@ def extract_image_metadata(df: DataFrame, payload_col: str = "payload",
     record batches, touches payload bytes zero-copy-ish, emits a compact
     metadata frame. This is the pattern for any per-blob feature extraction.
     """
-    decode = decode_fn or _fake_decode
+    decode = decode_fn or _default_decode
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -753,6 +753,24 @@ class _Producer:
         return proto.scalar_subquery(sub_rel)
 
     def _binary(self, name: str, e, input_ids) -> dict:
+        if name in ("regex_match", "regex_not_match"):
+            # Spark has no case-insensitive RLike operator class; a literal
+            # "(?i)"-prefixed pattern IS the case-insensitive form, so strip
+            # the flag and produce the reference's imatch pair
+            # (consumer.rs:56-59, producer.rs:305-308) — the consumer
+            # re-prepends "(?i)" on rebuild.
+            right = e.right()
+            if _cls(right) == "Literal":
+                pat = right.value()
+                pat = None if pat is None else str(pat)
+                if pat is not None and pat.startswith("(?i)") \
+                        and "(?" not in pat[4:]:
+                    iname = name.replace("match", "imatch")
+                    return proto.scalar_function(
+                        self.registry.register(iname),
+                        [self.rex(e.left(), input_ids),
+                         proto.literal("string", pat[4:])],
+                    )
         return proto.scalar_function(
             self.registry.register(name),
             [self.rex(e.left(), input_ids), self.rex(e.right(), input_ids)],

@@ -223,6 +223,63 @@ def test_ivf_centroids_reusable(spark, tables):
 
 # --- multimodal -------------------------------------------------------------
 
+def _png_bytes(w: int, h: int) -> bytes:
+    """A REAL, fully valid PNG (signature, IHDR/IDAT/IEND chunks with
+    correct CRCs; one zlib-compressed RGBA scanline row per pixel row)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00\x00\x00\xff" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal JPEG header stream: SOI, APP0/JFIF, then a baseline SOF0
+    frame header carrying the dimensions (big-endian height first)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+        + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_parse_image_header_real_containers(spark):
+    import struct
+
+    assert multimodal.parse_image_header(_png_bytes(3, 7)) == ("png", 3, 7)
+    assert multimodal.parse_image_header(_jpeg_bytes(640, 480)) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    assert multimodal.parse_image_header(gif) == ("gif", 12, 34)
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) \
+        + struct.pack("<ii", 20, -30) + b"\x00" * 8
+    assert multimodal.parse_image_header(bmp) == ("bmp", 20, 30)
+    # non-image payloads (incl. ones starting with the ASCII letters "BM")
+    # must fall through to None, not parse garbage dimensions
+    assert multimodal.parse_image_header(b"plain text payload" * 4) is None
+    assert multimodal.parse_image_header(b"BMW dealerships report strong sales"
+                                         b" this quarter across all regions") is None
+
+
+def test_extract_metadata_decodes_real_png_payloads(spark):
+    rows = [(1, _png_bytes(5, 9)), (2, _jpeg_bytes(100, 200)),
+            (3, b"not an image at all, just bytes")]
+    df = spark.createDataFrame(rows, "key LONG, payload BINARY")
+    got = {r["key"]: r for r in
+           multimodal.extract_image_metadata(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 5, 9)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 100, 200)
+    import hashlib
+    assert got[3]["payload_sha256"] == hashlib.sha256(rows[2][1]).hexdigest()
+
+
 def test_multimodal_metadata_pipeline(spark, tables):
     import hashlib
 

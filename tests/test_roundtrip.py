@@ -441,6 +441,32 @@ def test_extension_registry(spark):
     assert "gt" in names and "lt" in names and "and" in names
 
 
+def test_regex_imatch_produce_path(spark):
+    from datafusion_substrait_spark import to_substrait_plan
+
+    # a literal "(?i)"-prefixed pattern produces the reference's imatch pair
+    # (consumer.rs:56-59) instead of riding the flag inside the pattern
+    sql = """
+        SELECT n_name FROM nation
+        WHERE n_name RLIKE '(?i)^a' AND NOT (n_name RLIKE '(?i)land$')
+    """
+    plan = to_substrait_plan(spark.sql(sql))
+    names = {d["extensionFunction"]["name"] for d in plan["extensions"]}
+    assert "regex_imatch" in names and "regex_not_imatch" in names
+    check(spark, sql)
+
+
+def test_weighted_percentile_roundtrip(spark):
+    # percentile with a frequency weight (the DataFusion-15 surface's
+    # weighted approx_percentile_cont analogue — Spark's exact form)
+    check(spark, """
+        SELECT o_orderstatus,
+               percentile(o_totalprice, 0.5, CAST(o_orderkey % 3 + 1 AS INT))
+                   AS wmed
+        FROM orders GROUP BY o_orderstatus
+    """)
+
+
 def test_scalar_subquery_empty_yields_null(spark):
     # SQL semantics: a 0-row scalar subquery is NULL — the consumer must not
     # drop every outer row (a bare cross join against an empty side would)

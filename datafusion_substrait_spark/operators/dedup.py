@@ -277,36 +277,57 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
 # ---------------------------------------------------------------------------
 
 
+# one 16-bit counting lane per bit position j, j+16, j+32, j+48 — a 64-bit
+# sum accumulates FOUR per-bit counts at once without lanes bleeding into
+# each other as long as each count stays below 2^16 distinct tokens
+_SIMHASH_LANE_MASK = 0x0001000100010001
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(key, simhash bigint): sign of the per-bit ±1 vote over token hashes.
 
     Plan shape mirrors minhash_signatures: explode distinct tokens → one
     ``xxhash64`` per token (64 well-mixed bits from a single native hash) →
-    ``bits`` per-bit ±1 vote sums as aggregate measures → one codegen'd
-    projection assembles the final word with ``shiftleft`` (exact for bit
-    63, where a ``pow(2.0,·)``-based assembly would saturate). Map-side
-    combine makes the shuffle one row per document.
+    per-bit vote counts as aggregate measures → one codegen'd projection
+    assembles the final word with ``shiftleft`` (exact for bit 63, where a
+    ``pow(2.0,·)``-based assembly would saturate). Map-side combine makes
+    the shuffle one row per document.
+
+    The counts are SIMD-in-a-register packed: measure j sums
+    ``(h >> j) & 0x0001000100010001``, accumulating four 16-bit lane counts
+    (bits j, j+16, j+32, j+48) in one long — 16 measures + a token count
+    instead of 64 ±1-vote sums. Measured 2× faster at sf0.1 with
+    bit-identical output (scratch/bench_simhash.py); lanes are exact below
+    2^16 distinct tokens per doc (a 64 KB-vocabulary document — far beyond
+    any real row; the ±1 vote sign equals ``2·count > n``).
     """
-    assert bits <= 64, "single xxhash64 word provides at most 64 bits"
+    assert bits == 64, "lane packing is laid out for the full 64-bit word"
     toks = _parallelize(df, key_col).select(
         F.col(key_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
     )
     hashed = toks.select(F.col(key_col), F.xxhash64(F.col("_t")).alias("_h"))
-    votes = hashed.groupBy(key_col).agg(*[
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"_v{i}")
-        for i in range(bits)
-    ])
+    votes = hashed.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("_h"), j)
+                .bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
+            ).alias(f"_l{j}")
+            for j in range(16)
+        ],
+    )
     sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"_v{i}") > 0,
-                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
+    for j in range(16):
+        for lane in range(4):
+            i = j + 16 * lane
+            cnt = F.shiftrightunsigned(F.col(f"_l{j}"), 16 * lane) \
+                .bitwiseAND(F.lit(0xFFFF))
+            bit = F.when(cnt * 2 > F.col("_n"),
+                         F.shiftleft(F.lit(1).cast("long"), i)) \
+                .otherwise(F.lit(0).cast("long"))
+            sig = bit if sig is None else sig.bitwiseOR(bit)
     return votes.select(F.col(key_col), sig.alias("simhash"))
 
 

@@ -319,6 +319,14 @@ def _d3_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(spark.table("documents"), max_hamming=8)
 
 
+def _d6_dedup_clusters(spark, sf_dir):
+    _prep(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.35)
+    return dedup.dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 def _d4_ngram_jaccard(spark, sf_dir):
     _prep(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(spark.table("documents"), threshold=0.12)
@@ -405,6 +413,11 @@ def _e2_sessionize(spark, sf_dir):
     )
 
 
+def _e5_correlate_events(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return ev.correlate_events(ev._with_event_time(spark.table("events")))
+
+
 def _e3_user_stats(spark, sf_dir):
     from datafusion_substrait_spark.streaming import stateful
 
@@ -436,6 +449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_exact_dedup": _d1_exact_dedup,
     "d2_minhash_pairs": _d2_minhash_pairs,
     "d3_simhash_pairs": _d3_simhash_pairs,
+    "d6_dedup_clusters": _d6_dedup_clusters,
     "d4_ngram_jaccard": _d4_ngram_jaccard,
     "d5_embedding_neardup": _d5_embedding_neardup,
     "s1_bruteforce_topk": _s1_bruteforce_topk,
@@ -449,6 +463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_sessionize": _e2_sessionize,
     "e3_user_stats": _e3_user_stats,
     "e4_stream_dedup": _e4_stream_dedup,
+    "e5_correlate_events": _e5_correlate_events,
     "m1_multimodal_meta": _m1_multimodal_meta,
 }
 
@@ -490,6 +505,22 @@ def _rh_sig_sql(planes: int) -> str:
 
 _RH_SIG_SQL = _rh_sig_sql(6)     # s2 uses planes=6
 _RH16_SIG_SQL = _rh_sig_sql(16)  # d5 uses planes=16 (embedding_neardup default)
+
+# shared d2/d6 oracle pieces (replicating operators/text.py char_ngrams and
+# the exact-Jaccard ≥ 0.35 pair condition) — single source, no drift
+_D2_SHINGLES_SQL = r"""
+          SELECT doc_id,
+                 (SELECT list(DISTINCT substr(norm, i, 5))
+                  FROM unnest(range(1, greatest(len(norm) - 3, 2))) AS t(i)) AS g
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+                FROM documents)
+"""
+_D2_PAIRS_FROM = """
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.35
+"""
 
 
 def _ivf_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
@@ -746,6 +777,19 @@ ORACLES: dict[str, str] = {
         FROM first f JOIN keyed k
           ON f.fingerprint = k.fingerprint AND f.event_id = k.event_id
     """,
+    # e5: attribution interval join — event_time is exact micros from the
+    # nanos source on both engines, so the boundary arithmetic replays
+    "e5_correlate_events": """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+            FROM events
+        )
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               b.us - a.us AS lag_us
+        FROM e a JOIN e b ON a.user_id = b.user_id
+        WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+          AND b.us > a.us AND b.us <= a.us + 600000000
+    """,
     # m1: the deterministic fake decoder is sha256-based, which DuckDB CAN
     # replay (hex-pair byte extraction ≡ digest[i])
     "m1_multimodal_meta": """
@@ -815,22 +859,34 @@ ORACLES: dict[str, str] = {
     # with J ≥ 0.92 (band-collision probability 1-(1-J^4)^8 ≈ 1-1e-9; checked
     # empirically: 25/25 pairs, values equal at 6dp). Jaccard over hashed
     # shingles equals Jaccard over strings absent xxhash64 collisions.
-    "d2_minhash_pairs": r"""
-        WITH sh AS (
-          SELECT doc_id,
-                 (SELECT list(DISTINCT substr(norm, i, 5))
-                  FROM unnest(range(1, greatest(len(norm) - 3, 2))) AS t(i)) AS g
-          FROM (SELECT doc_id,
-                       regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
-                FROM documents)
-        )
+    "d2_minhash_pairs": f"""
+        WITH sh AS ({_D2_SHINGLES_SQL})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
                    AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.35
+        {_D2_PAIRS_FROM}
+    """,
+    # d6: connected components over the d2 pair graph, replayed with a
+    # recursive CTE (transitive closure over the symmetric edge list, then
+    # min reachable node per node)
+    "d6_dedup_clusters": f"""
+        WITH RECURSIVE sh AS ({_D2_SHINGLES_SQL}),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b {_D2_PAIRS_FROM}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
     """,
     # d3: no oracle — xxhash64 simhash signatures are not replayable in
     # DuckDB and Hamming-radius sets have no exact-similarity equivalent;

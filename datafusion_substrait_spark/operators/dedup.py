@@ -419,6 +419,67 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", key_col: str = "d
 
 
 # ---------------------------------------------------------------------------
+# connected components: near-dup pairs → cluster ids
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every node
+    gets ``cluster_id`` = the smallest key reachable from it. This is the
+    step that turns pairwise LSH output into dedup decisions (keep one doc
+    per cluster, e.g. ``cluster_id`` itself).
+
+    Iterative min-label propagation as a bounded driver loop of pure
+    DataFrame jobs — the standard Spark shape for iterative graph
+    algorithms (each iteration: one join + one groupBy, both on compact
+    (node, label) longs; per-iteration convergence check is an aggregate,
+    not a collect of the data). LSH pair graphs converge in a handful of
+    iterations: the hot-bucket star cap (see _pair_expansion) already
+    bounds component diameter, and label propagation halves the effective
+    diameter per step. ``max_iter`` is a safety rail, not the expected
+    path; hitting it raises rather than returning half-merged clusters.
+
+    Output: (node, cluster_id) for every node in ``pairs``, one row each.
+    """
+    edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(sym["a"].alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionAll(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations"
+        )
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -93,6 +93,53 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def correlate_events(events: DataFrame, type_a: str = "view",
+                     type_b: str = "purchase",
+                     within_minutes: int = 10) -> DataFrame:
+    """Stream-stream (or batch) event correlation: pair every ``type_a``
+    event with the same user's ``type_b`` events that follow within
+    ``within_minutes`` — the attribution-join shape (view→purchase,
+    signup→first-error, …).
+
+    Streaming: a watermarked stream-stream INNER join with an event-time
+    range condition — Spark bounds the join state to the watermark +
+    interval, so state does not grow with the stream. Batch: the identical
+    join expression (used by tests and the DuckDB oracle; event_time is
+    exact micros from the nanos source, so the boundary arithmetic replays
+    engine-portably).
+
+    Output: (user_id, a_id, b_id, lag_us) with lag_us in (0, interval].
+    """
+    interval = f"INTERVAL {int(within_minutes)} MINUTES"
+    a = events.filter(F.col("event_type") == type_a).select(
+        F.col("user_id"),
+        F.col("event_id").alias("a_id"),
+        F.col("event_time").alias("a_time"),
+    )
+    b = events.filter(F.col("event_type") == type_b).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("event_time").alias("b_time"),
+    )
+    if events.isStreaming:
+        a = a.withWatermark("a_time", f"{2 * within_minutes} minutes")
+        b = b.withWatermark("b_time", f"{2 * within_minutes} minutes")
+    return (
+        a.join(
+            b,
+            on=[
+                a["user_id"] == b["b_user"],
+                b["b_time"] > a["a_time"],
+                b["b_time"] <= F.col("a_time") + F.expr(interval),
+            ],
+        )
+        .select(
+            "user_id", "a_id", "b_id",
+            (F.unix_micros("b_time") - F.unix_micros("a_time")).alias("lag_us"),
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain a stream with an available-now trigger into a memory sink and
     return the materialized result (test harness path)."""

@@ -118,6 +118,19 @@ def test_simhash_near_duplicates(spark, tables):
     assert planted <= found  # identical docs have hamming 0 and must all appear
 
 
+def test_dedup_clusters_connected_components(spark):
+    # chain 1-2-3-4-5 (diameter 4, forces multiple propagation rounds),
+    # a separate pair, and a triangle with redundant edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_simhash_exact_expected_pair_set(spark):
     # deterministic planted ground truth, value-checked as an exact SET (not
     # a recall bound): disjoint-vocabulary docs are ~32 bits apart in a

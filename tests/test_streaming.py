@@ -34,6 +34,20 @@ def test_stream_equals_batch(spark, batch_events, tmp_path):
     assert rows_set(got) == rows_set(expect)
 
 
+def test_correlate_events_stream_equals_batch(spark, batch_events):
+    # stream-stream interval join (watermarked, state bounded by watermark +
+    # interval) must emit exactly the batch join's pairs
+    stream = ev.read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    out = ev.correlate_events(stream)
+    q = (out.writeStream.format("memory").queryName("correlated")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("correlated")
+    expect = ev.correlate_events(batch_events)
+    assert rows_set(got) == rows_set(expect)
+    assert got.columns == ["user_id", "a_id", "b_id", "lag_us"]
+
+
 def test_stateful_running_stats_stream_equals_batch(spark, batch_events):
     from datafusion_substrait_spark.streaming import stateful
 

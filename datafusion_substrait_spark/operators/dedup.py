@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_substrait_spark.operators.text import char_ngrams, tokens, word_ngrams
+from datafusion_substrait_spark.operators.text import tokens, word_ngrams
 
 
 def _parallelize(df: DataFrame, key_col: str) -> DataFrame:
@@ -84,17 +84,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 # ---------------------------------------------------------------------------
 
 
+def _exploded_shingles(df: DataFrame, text_col: str, key_col: str,
+                       shingle_n: int) -> DataFrame:
+    """(key, _sh) rows: one char-n-gram shingle per row, duplicates KEPT.
+
+    This is the whole-stage-codegen shingle shape: ``explode(sequence(1,
+    len-(n-1)))`` then a flat ``substr`` — no array is ever materialized,
+    every operator is codegen'd. The row-local alternative
+    (``char_ngrams`` = interpreted ``F.transform`` building a ~len-element
+    string array, then ``array_distinct``, then explode) measured **31.7 s
+    vs 0.86 s** for the sf0.1 signature-minima stage (scratch/bench_d2b.py)
+    — HOFs run interpreted and the array materialization dominates.
+    Duplicate shingles are kept because consumers are duplicate-invariant:
+    ``min()`` aggregate measures (signatures) or ``collect_set`` (the
+    Jaccard verify stage's set build).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    base = _parallelize(df, key_col).select(F.col(key_col), norm.alias("_n"))
+    seq = base.select(
+        key_col, "_n",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length("_n") - (shingle_n - 1), F.lit(1))
+        )).alias("_i"),
+    )
+    return seq.select(
+        key_col, F.col("_n").substr(F.col("_i"), F.lit(shingle_n)).alias("_sh")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", num_hashes: int = 32,
                        shingle_n: int = 5) -> DataFrame:
     """(key, minhash: array<bigint>[num_hashes]).
 
-    Plan shape: explode distinct shingles → K seeded ``xxhash64(seed,
-    shingle)`` minima as ``min()`` aggregate measures → groupBy(key). The
-    per-shingle stage is all JVM-native hashing inside whole-stage codegen,
-    and map-side partial aggregation collapses each doc to a single
-    (key, K longs) row *before* the shuffle — the shuffle moves one row per
-    document regardless of document length.
+    Plan shape: explode shingles (codegen'd, no array materialization — see
+    _exploded_shingles) → K seeded ``xxhash64(seed, shingle)`` minima as
+    ``min()`` aggregate measures → groupBy(key). The per-shingle stage is
+    all JVM-native hashing inside whole-stage codegen, and map-side partial
+    aggregation collapses each doc to a single (key, K longs) row *before*
+    the shuffle — the shuffle moves one row per document regardless of
+    document length.
 
     Why not compute all K minhashes row-locally with ``F.transform`` +
     ``F.array_min``?  Higher-order array functions are excluded from codegen
@@ -102,10 +131,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     shingling subtree would be re-evaluated K times per row — measured ~50×
     slower than this shape at equal output.
     """
-    bases = _parallelize(df, key_col).select(
-        F.col(key_col),
-        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("_sh"),
-    )
+    bases = _exploded_shingles(df, text_col, key_col, shingle_n)
     agg = bases.groupBy(key_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
           for i in range(num_hashes)]
@@ -173,9 +199,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
 
     Plan shape (the part that survives 1000 executors):
-      1. signature stage: explode distinct shingles → K seeded minima as
-         aggregate measures (codegen'd, map-side combined, one shuffled row
-         per doc — see minhash_signatures), kept as K flat long columns;
+      1. signature stage: explode shingles (codegen'd sequence+substr, no
+         array materialization — see _exploded_shingles) → K seeded minima
+         as aggregate measures (map-side combined, one shuffled row per doc
+         — see minhash_signatures), kept as K flat long columns;
       2. each band's signature collapses to ONE codegen'd ``xxhash64`` over
          that band's minima (a 64-bit band fingerprint: equal bands always
          collide, a false collision only adds a candidate that exact-verify
@@ -198,10 +225,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    bases = _parallelize(df, key_col).select(
-        F.col(key_col),
-        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("_sh"),
-    )
+    bases = _exploded_shingles(df, text_col, key_col, shingle_n)
     minima = bases.groupBy(key_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
           for i in range(num_hashes)]
@@ -244,19 +268,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     # verify on 64-bit-hashed shingle sets, computed ONLY for candidate docs:
     # Jaccard over hashes equals Jaccard over shingles up to xxhash64
     # collisions (negligible at any realistic doc size), and long-array
-    # intersect/union is much cheaper than string-array. Persisted because
-    # both join sides read it.
+    # intersect/union is much cheaper than string-array. The set is built
+    # through the same codegen'd explode as the signature stage +
+    # ``collect_set`` — the row-local HOF build (char_ngrams → transform →
+    # array_distinct) measured 97 s vs 8 s for 4.6k sf0.1 candidate docs
+    # (scratch/bench_verify.py; same pairs bit-identically). An
+    # explode+join+count Jaccard with no arrays at all was also measured
+    # (14.1 s vs 6.7 s for this array_intersect verify) — the candidate set
+    # is small enough that per-pair set intersection beats re-shuffling
+    # exploded shingle rows. Persisted because both join sides read it.
     shingled = (
-        df.join(F.broadcast(cand_ids), key_col)
-        .select(
-            F.col(key_col),
-            F.array_distinct(
-                F.transform(
-                    F.array_distinct(char_ngrams(F.col(text_col), shingle_n)),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("sh"),
-        )
+        _exploded_shingles(df.join(F.broadcast(cand_ids), key_col),
+                           text_col, key_col, shingle_n)
+        .groupBy(key_col)
+        .agg(F.collect_set(F.xxhash64("_sh")).alias("sh"))
         .persist()
     )
     sa = shingled.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -5,8 +5,8 @@ the Substrait ``Plan`` message (``Cargo.toml:10``). No Substrait/protobuf
 Python packages are installable in this environment, so the IR here is a
 **dict tree using proto3-JSON field names** (``readRel``-style camelCase keys)
 — structurally the JSON serialization of the same messages, so real Substrait
-tooling could ingest it; binary protobuf becomes a drop-in upgrade if bindings
-appear. See SURVEY.md §7.
+tooling could ingest it; ``plans/wire.py`` additionally encodes/decodes the
+same dicts to the binary protobuf wire format. See SURVEY.md §7.
 
 Message shapes mirrored (reference cites):
   * ``Plan { version, extensions, relations }``    — producer.rs:45-60

@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_substrait_spark import roundtrip
-from datafusion_substrait_spark.operators import dedup, similarity, text
+from datafusion_substrait_spark.operators import (dedup, sampling, similarity,
+                                                  temporal, text)
 from datafusion_substrait_spark.sources.catalog import register_testdata, testdata_dir
 from datafusion_substrait_spark.streaming import events as ev
 
@@ -399,6 +400,34 @@ def _t4_fingerprint(spark, sf_dir):
     return text.fingerprint(spark.table("documents"))
 
 
+def _t5_hash_sample(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return sampling.hash_sample(
+        spark.table("documents"), "doc_id", 0.25).select("doc_id", "lang")
+
+
+def _t6_stratified_sample(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return sampling.stratified_hash_sample(
+        spark.table("documents"), "doc_id", "lang",
+        {"en": 0.2, "zh": 0.5}, default_rate=0.9).select("doc_id", "lang")
+
+
+def _e6_asof_join(spark, sf_dir):
+    # ts compares in MICROS (`ts DIV 1000`): DuckDB's parquet scan truncates
+    # TIMESTAMP(NANOS) to micro precision, so the oracle can only replay the
+    # join at micro granularity (events are ~minutes apart — no two rows for
+    # a user share a microsecond, so the match set is identical).
+    _prep(spark, sf_dir)
+    e = spark.table("events").withColumn("ts", F.expr("ts DIV 1000"))
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return temporal.asof_join(clicks, views, on="user_id", ts_col="ts",
+                              right_cols=["value"])
+
+
 def _e1_windowed_counts(spark, sf_dir):
     _prep(spark, sf_dir)
     return ev.windowed_event_counts(ev._with_event_time(spark.table("events")))
@@ -459,11 +488,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t2_quality": _t2_quality,
     "t3_lang_id": _t3_lang_id,
     "t4_fingerprint": _t4_fingerprint,
+    "t5_hash_sample": _t5_hash_sample,
+    "t6_stratified_sample": _t6_stratified_sample,
     "e1_windowed_counts": _e1_windowed_counts,
     "e2_sessionize": _e2_sessionize,
     "e3_user_stats": _e3_user_stats,
     "e4_stream_dedup": _e4_stream_dedup,
     "e5_correlate_events": _e5_correlate_events,
+    "e6_asof_join": _e6_asof_join,
     "m1_multimodal_meta": _m1_multimodal_meta,
 }
 
@@ -789,6 +821,40 @@ ORACLES: dict[str, str] = {
         FROM e a JOIN e b ON a.user_id = b.user_id
         WHERE a.event_type = 'view' AND b.event_type = 'purchase'
           AND b.us > a.us AND b.us <= a.us + 600000000
+    """,
+    # e6: DuckDB's native ASOF LEFT JOIN has exactly asof_join's contract
+    # (greatest right ts with r.ts <= l.ts, inclusive, NULL when none);
+    # the right side is pre-deduped to unique (user_id, ts) on both sides
+    # so the match is well-defined. ts is epoch-MICROS bigint on both sides:
+    # DuckDB's parquet scan truncates TIMESTAMP(NANOS) to micro precision,
+    # so the Spark side divides its nanos down to match (_e6_asof_join).
+    "e6_asof_join": """
+        WITH clicks AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts
+            FROM events WHERE event_type = 'click'
+        ), views AS (
+            SELECT user_id, epoch_us(ts) AS ts, max(value) AS value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, epoch_us(ts)
+        )
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_r, r.value AS value_r
+        FROM clicks l ASOF LEFT JOIN views r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    # t5/t6: the hash-threshold sample is RNG-free — md5 lowercase hex of
+    # the same UTF-8 key bytes compares identically in any engine, so the
+    # oracle replays the exact row set (thresholds generated from the SAME
+    # _threshold_hex the Spark operator uses)
+    "t5_hash_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '{sampling._threshold_hex(0.25)}'
+    """,
+    "t6_stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+            CASE WHEN lang = 'zh' THEN '{sampling._threshold_hex(0.5)}'
+                 WHEN lang = 'en' THEN '{sampling._threshold_hex(0.2)}'
+                 ELSE '{sampling._threshold_hex(0.9)}' END
     """,
     # m1: the deterministic fake decoder is sha256-based, which DuckDB CAN
     # replay (hex-pair byte extraction ≡ digest[i])

@@ -1,0 +1,63 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference has no sampling surface (SURVEY.md §2.5); these are the
+Spark-native extensions a corpus pipeline needs: reproducible subsets
+(re-runs and backfills must pick the SAME rows — ``df.sample()`` does
+not survive a re-run, a repartition, or an engine change) and per-stratum
+rates (e.g. downsample dominant languages, keep the tail).
+
+Mechanism: keep a row iff ``md5(key || salt) < threshold(rate)``, comparing
+lowercase hex strings. md5 is uniform over keys, so P(keep) = rate to
+~2^-32; any engine with md5 reproduces the exact row set (the DuckDB
+oracle replays it verbatim — no RNG, no row order dependence). The
+predicate is a narrow map over the key column: no shuffle, full codegen,
+pushable below joins, and stable under any partitioning — at 100 TB the
+sample decision never moves data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.plans.proto import SubstraitError
+
+
+def _threshold_hex(rate: float) -> str:
+    """32-hex-digit cutoff: md5 hex below it ⇔ uniform draw below rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise SubstraitError(f"sample rate must be in [0,1], got {rate}")
+    # clamp to the 128-bit max: rate=1.0 keeps everything (md5 == ffff…ff
+    # is excluded with probability 2^-128)
+    cut = min(int(rate * (1 << 128)), (1 << 128) - 1)
+    return format(cut, "032x")
+
+
+def sample_predicate(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean keep-decision column (composable into any filter)."""
+    return F.md5(F.concat(key.cast("string"), F.lit(salt))) < _threshold_hex(rate)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float,
+                salt: str = "") -> DataFrame:
+    """Uniform deterministic sample: keep ~``rate`` of rows by key hash.
+    Same (key, salt) ⇒ same decision everywhere — across re-runs,
+    partitionings, and engines. Vary ``salt`` to draw an independent
+    sample (e.g. disjoint train/validation splits via different salts +
+    rejection, or holdout = NOT sample_predicate)."""
+    return df.filter(sample_predicate(F.col(key_col), rate, salt))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
+                           rates: dict[str, float], default_rate: float = 1.0,
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic rates (e.g. ``{"en": 0.1, "de": 0.5}``):
+    downsample over-represented strata, keep the tail. One CASE over the
+    stratum column picks the threshold; the hash is computed once. Same
+    narrow-map/no-shuffle properties as ``hash_sample``."""
+    thr: Column = F.lit(_threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == value,
+                     F.lit(_threshold_hex(rate))).otherwise(thr)
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.filter(h < thr)

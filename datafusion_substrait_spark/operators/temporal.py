@@ -1,0 +1,96 @@
+"""Temporal joins for event/feature pipelines.
+
+The reference has no temporal-join surface (SURVEY.md §2.5); these are the
+Spark-native extensions a training-data pipeline needs when joining event
+streams to slowly-changing features (label joins, point-in-time-correct
+feature lookup, last-touch attribution).
+
+``asof_join`` uses the union-window shape, not a range self-join:
+
+* both sides are tagged and unioned (a narrow map),
+* ONE shuffle on the join key sorts each key's timeline once,
+* ``last(right_payload, ignorenulls=True)`` over
+  ``rowsBetween(unboundedPreceding, currentRow)`` carries the most recent
+  right-side row forward to every left row.
+
+At 100 TB this is the difference between one shuffle of (key, ts, payload)
+rows and an exploding ``l.ts BETWEEN r.ts - δ AND r.ts`` range join
+(Spark's optimizer turns that into a broadcast-nested-loop or a cartesian
+per key — quadratic in events per key). Skewed keys behave like any
+windowed aggregation: AQE splits oversized partitions, and the payload
+carried through the shuffle is only the projected right columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.plans.proto import SubstraitError
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
+              right_cols: list[str] | None = None,
+              direction: str = "backward",
+              tolerance: int | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Point-in-time join: each left row picks the nearest right row per
+    ``on`` key with ``right.ts <= left.ts`` (backward, inclusive) or
+    ``right.ts >= left.ts`` (forward). Left rows keep NULL right columns
+    when no right row qualifies (left-join semantics); ``tolerance``
+    (same unit as ``ts_col``) nulls matches further away than the bound.
+
+    Ties: a right row at exactly the left timestamp matches (inclusive);
+    among equal right timestamps the last in (ts, input) order wins —
+    callers wanting determinism should dedupe right to unique (key, ts),
+    which is also what makes the operation well-defined in any engine
+    (DuckDB's ASOF JOIN has the same contract).
+
+    Output: all left columns, then ``ts_col+suffix`` (matched right
+    timestamp) and each of ``right_cols`` suffixed.
+    """
+    if direction not in ("backward", "forward"):
+        raise SubstraitError(f"asof direction must be backward/forward, got {direction!r}")
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+
+    # tag + union: left payload rides as-is, right payload rides in a struct
+    # so one last(ignorenulls) carries ts and all right columns atomically
+    rpay = F.struct(F.col(ts_col).alias(ts_col),
+                    *[F.col(c) for c in right_cols]).alias("_rpay")
+    l_tag = left.select(
+        F.col(on), F.col(ts_col).alias("_ts"), F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
+        F.lit(None).cast(right.select(rpay).schema["_rpay"].dataType).alias("_rpay"),
+    )
+    r_tag = right.select(
+        F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(
+            F.struct(*[F.col(c) for c in left.columns]).alias("_lpay")
+        ).schema["_lpay"].dataType).alias("_lpay"),
+        rpay,
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # backward: ascending timeline, right rows sort before left at equal ts
+    # (side 0 < 1) so the inclusive match is visible to last(); forward is
+    # the mirrored ordering.
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").asc()]
+    w = (Window.partitionBy(on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (
+        unioned.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        dist = (F.col("_ts") - F.col(f"_m.{ts_col}") if direction == "backward"
+                else F.col(f"_m.{ts_col}") - F.col("_ts"))
+        matched = matched.withColumn(
+            "_m", F.when(dist <= F.lit(tolerance), F.col("_m")))
+    return matched.select(
+        *[F.col(f"_lpay.{c}").alias(c) for c in left.columns],
+        F.col(f"_m.{ts_col}").alias(ts_col + suffix),
+        *[F.col(f"_m.{c}").alias(c + suffix) for c in right_cols],
+    )

@@ -1,0 +1,156 @@
+"""As-of join (operators/temporal.py) and deterministic sampling
+(operators/sampling.py): planted-truth correctness, direction/tolerance
+semantics, shuffle-count plan quality, and cross-run determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.operators import sampling, temporal
+from datafusion_substrait_spark.plans.proto import SubstraitError
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    left = _mk(spark, [
+        (1, 10, "l-a"), (1, 20, "l-b"), (1, 5, "l-c"),   # key 1
+        (2, 15, "l-d"),                                   # key 2: no match
+        (3, 30, "l-e"),                                   # key 3: exact-ts tie
+    ], ["k", "ts", "lval"])
+    right = _mk(spark, [
+        (1, 8, 0.8), (1, 18, 1.8),    # key 1: two versions
+        (3, 30, 3.0),                  # key 3: at exactly left ts
+        (4, 1, 4.0),                   # key 4: right-only, must not appear
+    ], ["k", "ts", "rval"])
+    return left, right
+
+
+def test_asof_backward_planted(planted):
+    left, right = planted
+    out = temporal.asof_join(left, right, on="k", ts_col="ts",
+                             right_cols=["rval"])
+    got = {(r.k, r.ts): (r.ts_r, r.rval_r) for r in out.collect()}
+    assert got == {
+        (1, 10): (8, 0.8),     # nearest at-or-before
+        (1, 20): (18, 1.8),
+        (1, 5): (None, None),  # left row before any right: kept, nulls
+        (2, 15): (None, None),  # key with no right rows: kept, nulls
+        (3, 30): (30, 3.0),    # inclusive equal-ts match
+    }
+
+
+def test_asof_forward_planted(planted):
+    left, right = planted
+    out = temporal.asof_join(left, right, on="k", ts_col="ts",
+                             right_cols=["rval"], direction="forward")
+    got = {(r.k, r.ts): (r.ts_r, r.rval_r) for r in out.collect()}
+    assert got == {
+        (1, 10): (18, 1.8),    # nearest at-or-after
+        (1, 20): (None, None),
+        (1, 5): (8, 0.8),
+        (2, 15): (None, None),
+        (3, 30): (30, 3.0),    # inclusive both directions
+    }
+
+
+def test_asof_tolerance(planted):
+    left, right = planted
+    out = temporal.asof_join(left, right, on="k", ts_col="ts",
+                             right_cols=["rval"], tolerance=2)
+    got = {(r.k, r.ts): (r.ts_r, r.rval_r) for r in out.collect()}
+    # (1,10) is 2 past (1,8): inside; (1,20) is 2 past (1,18): inside;
+    # tighten to 1 and both fall out but rows stay
+    assert got[(1, 10)] == (8, 0.8) and got[(1, 20)] == (18, 1.8)
+    tight = temporal.asof_join(left, right, on="k", ts_col="ts",
+                               right_cols=["rval"], tolerance=1)
+    got = {(r.k, r.ts): (r.ts_r, r.rval_r) for r in tight.collect()}
+    assert got[(1, 10)] == (None, None)
+    assert got[(3, 30)] == (30, 3.0)  # distance 0 always inside
+
+
+def test_asof_bad_direction(planted):
+    left, right = planted
+    with pytest.raises(SubstraitError, match="backward/forward"):
+        temporal.asof_join(left, right, on="k", ts_col="ts",
+                           direction="sideways")
+
+
+def test_asof_single_shuffle(planted):
+    """The union-window shape must shuffle exactly once (on the key) —
+    a range-join rewrite or per-side repartition would show extra
+    exchanges and die at scale."""
+    left, right = planted
+    out = temporal.asof_join(left, right, on="k", ts_col="ts",
+                             right_cols=["rval"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_row_count_is_left_count(spark, tables):
+    e = tables["events"]
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = temporal.asof_join(clicks, views, on="user_id", ts_col="ts",
+                             right_cols=["value"])
+    assert out.count() == clicks.count()
+    # matched ts must never exceed the left ts (backward contract)
+    assert out.filter(F.col("ts_r") > F.col("ts")).count() == 0
+
+
+# -- sampling ----------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_stable(tables):
+    docs = tables["documents"]
+    a = sampling.hash_sample(docs, "doc_id", 0.3).select("doc_id")
+    b = sampling.hash_sample(docs.repartition(7), "doc_id", 0.3).select("doc_id")
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a == ids_b, "sample must not depend on partitioning"
+    n = docs.count()
+    assert 0.15 * n < len(ids_a) < 0.45 * n  # loose binomial bound
+
+
+def test_hash_sample_edge_rates(tables):
+    docs = tables["documents"]
+    assert sampling.hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+    assert sampling.hash_sample(docs, "doc_id", 0.0).count() == 0
+    with pytest.raises(SubstraitError, match="rate"):
+        sampling.hash_sample(docs, "doc_id", 1.5)
+
+
+def test_hash_sample_salt_varies_draw(tables):
+    docs = tables["documents"]
+    a = {r.doc_id for r in
+         sampling.hash_sample(docs, "doc_id", 0.3, salt="a").collect()}
+    b = {r.doc_id for r in
+         sampling.hash_sample(docs, "doc_id", 0.3, salt="b").collect()}
+    assert a != b, "different salts must draw different samples"
+
+
+def test_stratified_rates_apply_per_stratum(tables):
+    docs = tables["documents"]
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.0}, default_rate=1.0)
+    kept = out.groupBy("lang").count().collect()
+    langs = {r.lang: r["count"] for r in kept}
+    totals = {r.lang: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    assert "en" not in langs, "rate-0 stratum must vanish"
+    for lang, n in totals.items():
+        if lang != "en":
+            assert langs[lang] == n, "default rate 1.0 keeps everything else"
+
+
+def test_sample_is_narrow_map(tables):
+    """The keep-decision must not shuffle: filter over a scan only."""
+    out = sampling.hash_sample(tables["documents"], "doc_id", 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -316,8 +316,11 @@ def _d2_minhash_pairs(spark, sf_dir):
 
 
 def _d3_simhash_pairs(spark, sf_dir):
+    # md5_token_hash (not the xxhash64 default) so the DuckDB oracle can
+    # replay the exact signature pipeline bit-for-bit
     _prep(spark, sf_dir)
-    return dedup.simhash_pairs(spark.table("documents"), max_hamming=8)
+    return dedup.simhash_pairs(spark.table("documents"), max_hamming=8,
+                               hash_fn=dedup.md5_token_hash)
 
 
 def _d6_dedup_clusters(spark, sf_dir):
@@ -510,6 +513,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _NORM = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+
+# d3 signature replay: per-bit majority vote over md5-60bit token hashes,
+# assembled into one bigint — 60 aggregate CASE terms generated from the
+# same bit layout as operators/dedup.py:simhash_signatures (bits 60-63
+# never vote under the 60-bit hash, identically zero on both engines)
+_D3_SIG_EXPR = " + ".join(
+    f"(CASE WHEN 2 * sum((h >> {b}) & 1) > count(*) THEN {1 << b} ELSE 0 END)"
+    for b in range(60)
+)
 
 # stopword SQL literals generated from the SAME source as the Spark operators
 # (operators/text.py) so the two sides cannot drift
@@ -954,10 +966,39 @@ ORACLES: dict[str, str] = {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src
     """,
-    # d3: no oracle — xxhash64 simhash signatures are not replayable in
-    # DuckDB and Hamming-radius sets have no exact-similarity equivalent;
-    # the driver records a rows-only check, and the planted-ground-truth
-    # test in tests/test_operators.py value-checks the expected pair set.
+    # d3: exact pipeline replay — the queries() entry uses md5_token_hash
+    # (not xxhash64) precisely so every stage is cross-engine deterministic:
+    # distinct tokens → 60-bit md5 hash → per-bit majority signature →
+    # 4×16-bit band buckets → star-capped pair expansion (> 500 members ⇒
+    # hub-only pairs, hub = min doc_id, mirroring _pair_expansion) →
+    # bit_count(xor) Hamming verify ≤ 8
+    "d3_simhash_pairs": f"""
+        WITH th AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS t FROM documents)
+        ),
+        sigs AS (
+            SELECT doc_id, CAST({_D3_SIG_EXPR} AS BIGINT) AS sig
+            FROM th GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, sig, band, (sig >> (16 * band)) & 65535 AS val
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(band)
+        ),
+        bstats AS (
+            SELECT band, val, count(*) AS n, min(doc_id) AS hub
+            FROM banded GROUP BY band, val HAVING count(*) > 1
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.val = b.val
+                     AND a.doc_id < b.doc_id
+        JOIN bstats s ON s.band = a.band AND s.val = a.val
+        WHERE (s.n <= 500 OR a.doc_id = s.hub)
+          AND bit_count(xor(a.sig, b.sig)) <= 8
+    """,
 }
 
 

@@ -308,8 +308,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
 _SIMHASH_LANE_MASK = 0x0001000100010001
 
 
+def md5_token_hash(c: Column) -> Column:
+    """Cross-engine-replayable 60-bit token hash (first 15 md5 hex chars).
+
+    ``xxhash64`` is the fast default, but no other engine reproduces it;
+    md5 is universal, so an oracle can replay the exact simhash pipeline
+    (DuckDB: ``CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)`` — verified
+    byte-identical against this expression). 15 hex chars = 60 bits keeps
+    the value positive in a signed i64; bits 60–63 never vote, so the
+    signature carries 60 effective bits — the Hamming verify is unaffected
+    (both sides of every XOR hold zeros there).
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       key_col: str = "doc_id", bits: int = 64) -> DataFrame:
+                       key_col: str = "doc_id", bits: int = 64,
+                       hash_fn=None) -> DataFrame:
     """(key, simhash bigint): sign of the per-bit ±1 vote over token hashes.
 
     Plan shape mirrors minhash_signatures: explode distinct tokens → one
@@ -326,13 +341,18 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     bit-identical output (scratch/bench_simhash.py); lanes are exact below
     2^16 distinct tokens per doc (a 64 KB-vocabulary document — far beyond
     any real row; the ±1 vote sign equals ``2·count > n``).
+
+    ``hash_fn`` swaps the per-token hash (default ``xxhash64``); pass
+    :func:`md5_token_hash` for an oracle-replayable signature.
     """
     assert bits == 64, "lane packing is laid out for the full 64-bit word"
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = _parallelize(df, key_col).select(
         F.col(key_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
     )
-    hashed = toks.select(F.col(key_col), F.xxhash64(F.col("_t")).alias("_h"))
+    hashed = toks.select(F.col(key_col), hash_fn(F.col("_t")).alias("_h"))
     votes = hashed.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
@@ -357,7 +377,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
-                  max_hamming: int = 6, max_bucket_size: int = 500) -> DataFrame:
+                  max_hamming: int = 6, max_bucket_size: int = 500,
+                  hash_fn=None) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Candidates from 4 × 16-bit band buckets (pigeonhole: any pair within
@@ -369,7 +390,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     a replicated-corpus stress showed unbounded expansion going 17×
     super-linear at 10× data).
     """
-    sigs = simhash_signatures(df, text_col, key_col)
+    sigs = simhash_signatures(df, text_col, key_col, hash_fn=hash_fn)
     banded = sigs.select(
         key_col, "simhash",
         F.explode(F.array(*[

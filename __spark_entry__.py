@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_substrait_spark import roundtrip
-from datafusion_substrait_spark.operators import (dedup, sampling, similarity,
+from datafusion_substrait_spark.operators import (contamination, dedup,
+                                                  sampling, similarity,
                                                   temporal, text)
 from datafusion_substrait_spark.sources.catalog import register_testdata, testdata_dir
 from datafusion_substrait_spark.streaming import events as ev
@@ -403,6 +404,35 @@ def _t4_fingerprint(spark, sf_dir):
     return text.fingerprint(spark.table("documents"))
 
 
+def _t7_repetition(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return text.repetition_features(spark.table("documents"))
+
+
+def _t8_vocab_topk(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return text.vocab_topk(spark.table("documents"), k=100)
+
+
+def _bench_docs(spark):
+    # deterministic stand-in benchmark/eval set: every 97th document
+    return (spark.table("documents").filter(F.col("doc_id") % 97 == 0)
+            .select(F.col("doc_id").alias("bench_id"), "text"))
+
+
+def _c1_ngram_overlap(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return contamination.ngram_overlap(
+        spark.table("documents"), _bench_docs(spark), n=5)
+
+
+def _c2_decontaminate(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return contamination.decontaminate(
+        spark.table("documents"), _bench_docs(spark), n=5
+    ).select("doc_id", "lang")
+
+
 def _t5_hash_sample(spark, sf_dir):
     _prep(spark, sf_dir)
     return sampling.hash_sample(
@@ -493,6 +523,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t4_fingerprint": _t4_fingerprint,
     "t5_hash_sample": _t5_hash_sample,
     "t6_stratified_sample": _t6_stratified_sample,
+    "t7_repetition": _t7_repetition,
+    "t8_vocab_topk": _t8_vocab_topk,
+    "c1_ngram_overlap": _c1_ngram_overlap,
+    "c2_decontaminate": _c2_decontaminate,
     "e1_windowed_counts": _e1_windowed_counts,
     "e2_sessionize": _e2_sessionize,
     "e3_user_stats": _e3_user_stats,
@@ -513,6 +547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _NORM = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+
+# word-n-gram replica of operators/text.py:word_ngrams — including the
+# short-document edge (fewer than n tokens → one joined-token gram)
+def _wgrams_sql(n: int) -> str:
+    return f"""CASE WHEN len({_TOKS}) < {n}
+        THEN [array_to_string({_TOKS}, ' ')]
+        ELSE list_transform(range(1, len({_TOKS}) - {n} + 2),
+                            i -> array_to_string(list_slice({_TOKS}, i, i + {n} - 1), ' '))
+        END"""
+
 
 # d3 signature replay: per-bit majority vote over md5-60bit token hashes,
 # assembled into one bigint — 60 aggregate CASE terms generated from the
@@ -857,6 +901,64 @@ ORACLES: dict[str, str] = {
     # the same UTF-8 key bytes compares identically in any engine, so the
     # oracle replays the exact row set (thresholds generated from the SAME
     # _threshold_hex the Spark operator uses)
+    # t7: within-doc repetition — token and word-2-gram occurrence counts
+    # replayed with unnest + two-level GROUP BY (integer sums, one rounded
+    # division at the edge, exactly like the Spark side)
+    "t7_repetition": f"""
+        WITH tc AS (
+            SELECT doc_id, t, count(*) AS c
+            FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+            GROUP BY doc_id, t
+        ), tf AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
+            FROM tc GROUP BY doc_id
+        ), gc AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest({_wgrams_sql(2)}) AS g FROM documents)
+            GROUP BY doc_id, g
+        ), gf AS (
+            SELECT doc_id,
+                   round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0
+                         / sum(c), 6) AS dup_2gram_frac
+            FROM gc GROUP BY doc_id
+        )
+        SELECT tf.doc_id, tf.n_tokens, tf.top_token_frac, gf.dup_2gram_frac
+        FROM tf JOIN gf ON tf.doc_id = gf.doc_id
+    """,
+    # t8: corpus token frequencies; the (freq DESC, token ASC) tie-break
+    # makes the top-100 a well-defined set on both engines
+    "t8_vocab_topk": f"""
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+        GROUP BY t ORDER BY freq DESC, token ASC LIMIT 100
+    """,
+    # c1/c2: benchmark decontamination — distinct shared word-5-grams
+    # against the deterministic every-97th-doc benchmark subset
+    "c1_ngram_overlap": f"""
+        WITH dg AS (
+            SELECT doc_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
+            FROM documents
+        ), bg AS (
+            SELECT doc_id AS bench_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
+            FROM documents WHERE doc_id % 97 = 0
+        )
+        SELECT dg.doc_id, bg.bench_id, CAST(count(*) AS BIGINT) AS overlap
+        FROM dg JOIN bg USING (g)
+        GROUP BY dg.doc_id, bg.bench_id
+    """,
+    "c2_decontaminate": f"""
+        WITH dg AS (
+            SELECT doc_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
+            FROM documents
+        ), bg AS (
+            SELECT doc_id AS bench_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
+            FROM documents WHERE doc_id % 97 = 0
+        )
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT DISTINCT dg.doc_id
+                             FROM dg JOIN bg USING (g))
+    """,
     "t5_hash_sample": f"""
         SELECT doc_id, lang FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR)) < '{sampling._threshold_hex(0.25)}'

@@ -125,6 +125,65 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        key_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    (key, n_tokens, top_token_frac, dup_2gram_frac):
+    ``top_token_frac`` = count of the most frequent token / token count;
+    ``dup_2gram_frac`` = fraction of word-2-gram occurrences whose 2-gram
+    appears more than once in the document. High values flag boilerplate
+    and degenerate repetition — the classic pretraining repetition filter
+    (the corpus here has no line structure, so the line-based variants of
+    the rule reduce to these token/2-gram forms).
+
+    Scale shape: two explode → two-level aggregation pipelines, each keyed
+    on the document, with map-side combine collapsing the exploded rows
+    before the shuffle — per doc the shuffle carries its distinct
+    token/2-gram counts, never the text. The final join co-locates on the
+    same key both sides were just shuffled on. Rounded to 6 dp for the
+    cross-engine oracle, like :func:`quality_features`.
+    """
+    key = F.col(key_col)
+    tok_counts = (
+        df.select(key, F.explode(tokens(F.col(text_col))).alias("_t"))
+        .groupBy(key_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tok_feats = tok_counts.groupBy(key_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.round(F.max("_c") / F.sum("_c"), 6).alias("top_token_frac"),
+    )
+    gram_counts = (
+        df.select(key, F.explode(word_ngrams(F.col(text_col), 2)).alias("_g"))
+        .groupBy(key_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gram_feats = gram_counts.groupBy(key_col).agg(
+        F.round(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0)))
+            / F.sum("_c"),
+            6,
+        ).alias("dup_2gram_frac")
+    )
+    return tok_feats.join(gram_feats, key_col)
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-wide token frequencies, top ``k`` by (freq desc, token asc).
+
+    The deterministic tie-break makes the result a well-defined SET, so it
+    is oracle-checkable. Scale shape: explode → hash aggregate with
+    map-side combine (the shuffle is vocabulary-sized, not corpus-sized) →
+    Spark plans the sort+limit as TakeOrderedAndProject: per-partition
+    top-k then a k-row driver merge, never a global sort.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.

@@ -6,19 +6,21 @@ streams, watermarked tumbling-window aggregation, and an
 ``Trigger.AvailableNow``-style batch-replay harness so tests and the oracle
 can pin results.
 
-``events.ts`` arrives as epoch-NANOS bigint (see sources/catalog.py); the
-stream converts to TimestampType once at ingestion.
+``events.ts`` is parquet TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ — see
+sources/catalog.py); the stream converts to TimestampType once at
+ingestion. ``ts_micros`` also accepts the legacy epoch-nanos bigint layout
+so synthetic test frames keep working.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # epoch nanos (nanosAsLong read)
+    T.StructField("ts", T.TimestampNTZType()),  # parquet timestamp[us], not UTC-adjusted
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -26,9 +28,22 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 
+def ts_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-micros bigint for an event-time column, whatever its physical
+    type: TIMESTAMP / TIMESTAMP_NTZ (current testdata: parquet
+    timestamp[us]) or epoch-nanos bigint (the legacy nanosAsLong layout).
+    The NTZ→LTZ cast is exact under the UTC session timezone pinned at
+    registration (sources/catalog.py), so DuckDB's ``epoch_us(ts)`` replays
+    the same integers."""
+    t = df.schema[col].dataType
+    if isinstance(t, T.LongType):
+        # integer division by 1000 is exact on bigint nanos → micros
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # integer division by 1000 is exact on bigint nanos → micros
-    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("event_time", F.timestamp_micros(ts_micros(df)))
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -77,14 +92,16 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     # order by (ts, event_id) so tie-handling is deterministic and the
-    # DuckDB oracle can replay session assignment exactly
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ns = gap_minutes * 60 * 1_000_000_000
+    # DuckDB oracle can replay session assignment exactly; gap arithmetic
+    # runs on exact integer micros regardless of the source ts type
+    events = events.withColumn("_tsu", ts_micros(events))
+    w = Window.partitionBy("user_id").orderBy("_tsu", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
     return (
-        events.withColumn("prev_ts", F.lag("ts").over(w))
+        events.withColumn("prev_ts", F.lag("_tsu").over(w))
         .withColumn(
             "new_session",
-            (F.col("prev_ts").isNull() | ((F.col("ts") - F.col("prev_ts")) > gap_ns)).cast("int"),
+            (F.col("prev_ts").isNull() | ((F.col("_tsu") - F.col("prev_ts")) > gap_us)).cast("int"),
         )
         .withColumn("session_id", F.sum("new_session").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -13,8 +13,13 @@ Oracle notes:
   * double aggregates are rounded in-query on BOTH sides (sums 2dp,
     ratios/avgs 4-6dp) so IEEE summation-order drift cannot flip the hash;
   * DuckDB ``sum(BIGINT)`` returns HUGEINT → oracles cast to BIGINT;
-  * ``events.ts`` is TIMESTAMP_NS in DuckDB but epoch-nanos BIGINT in Spark
-    (nanosAsLong read) → oracles use ``epoch_ns(ts)``;
+  * ``events.ts`` is parquet timestamp[us] — TIMESTAMP in DuckDB, read as
+    TIMESTAMP_NTZ by Spark. Event-time integer arithmetic goes through
+    ``streaming.events.ts_micros`` on the Spark side ↔ ``epoch_us(ts)``
+    (or ``epoch_ns(ts)``, exactly 1000×) in DuckDB; both are exact under
+    the UTC session timezone pinned in ``register_testdata``;
+  * the dict is kept at ≤50 entries (driver CORRECTNESS window) by merging
+    mirror-shaped relational queries — see COVERAGE.md for the map;
   * d2's oracle is the exact all-pairs Jaccard (valid because LSH recall is
     deterministically 1 on this data — see the ORACLES entry); d3 is the
     one rows-only entry left (xxhash64 simhash signatures are not
@@ -124,12 +129,14 @@ _SQL: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY n_name, r_name
     """,
-    "q09_left_join": """
-        SELECT c_custkey, c_name, o_orderkey
+    # LEFT + RIGHT outer in one roundtrip (they are mirror plan shapes;
+    # merged so the streaming/multimodal tail fits the driver's 50-entry
+    # CORRECTNESS window). The UNION ALL also re-exercises set_rel.
+    "q09_outer_joins": """
+        SELECT c_custkey, c_name, o_orderkey, 'L' AS side
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    """,
-    "q10_right_join": """
-        SELECT o_orderkey, c_name
+        UNION ALL
+        SELECT c_custkey, c_name, o_orderkey, 'R' AS side
         FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
     """,
     "q11_full_join": """
@@ -145,26 +152,22 @@ _SQL: dict[str, str] = {
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    # E5+E6: CASE (both forms) + BETWEEN
+    # E5+E6: CASE (both forms) + BETWEEN, with the former q15/q16 surfaces
+    # folded in (E3/E4 decimal + typed-null literals; IN-lists on string and
+    # bigint, the second inside a disjunction so row volume survives) —
+    # merged to keep the dict inside the driver's 50-entry window
     "q14_case_between": """
         SELECT o_orderkey,
                CASE WHEN o_totalprice < 100000 THEN 'small'
                     WHEN o_totalprice < 300000 THEN 'medium'
                     ELSE 'large' END AS bucket,
-               CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END AS status_code
-        FROM orders WHERE o_totalprice BETWEEN 50000 AND 400000
-    """,
-    # E3/E4: decimal + typed-null literals
-    "q15_literals": """
-        SELECT o_orderkey,
+               CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END AS status_code,
                CAST(0.07 AS DECIMAL(5,2)) AS tax_rate,
                CAST(NULL AS BIGINT) AS missing
-        FROM orders WHERE o_totalprice < 10000
-    """,
-    # IN-list (SingularOrList)
-    "q16_in_list": """
-        SELECT o_orderkey, o_orderstatus FROM orders
-        WHERE o_orderstatus IN ('F', 'P') AND o_custkey IN (1, 2, 3, 5, 8, 13, 21)
+        FROM orders
+        WHERE o_totalprice BETWEEN 50000 AND 400000
+          AND o_orderstatus IN ('F', 'P', 'O')
+          AND (o_custkey IN (1, 2, 3, 5, 8, 13, 21) OR o_orderkey > 50)
     """,
     # SetRel extension: UNION ALL
     "q17_union_all": """
@@ -176,14 +179,27 @@ _SQL: dict[str, str] = {
     "q18_cross_join": """
         SELECT r_name, n_name FROM region CROSS JOIN nation
     """,
-    # scalar function battery: string + date parts + math
+    # scalar function battery: string + date parts + math, plus the §2.3
+    # tail previously pinned only by pytest roundtrips — regex match /
+    # (?i)-imatch, all five bitwise binaries, and null-safe equality in
+    # both polarities (is_[not_]distinct_from), each DuckDB-replayable
     "q19_scalar_funcs": """
         SELECT o_orderkey,
                upper(o_orderpriority) AS pri,
                length(o_orderstatus) AS st_len,
                year(o_orderdate) AS y, month(o_orderdate) AS m,
                round(sqrt(o_totalprice), 4) AS root_price,
-               substring(o_orderpriority, 1, 1) AS pri_code
+               substring(o_orderpriority, 1, 1) AS pri_code,
+               o_orderpriority RLIKE '^[1-3]-' AS re_match,
+               o_orderpriority RLIKE '(?i)urgent' AS re_imatch,
+               CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+               CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+               CAST(o_orderkey ^ o_custkey AS BIGINT) AS b_xor,
+               CAST(shiftleft(o_orderkey, 3) AS BIGINT) AS b_shl,
+               CAST(shiftright(o_orderkey, 2) AS BIGINT) AS b_shr,
+               o_orderstatus <=> 'F' AS nse,
+               nullif(o_orderstatus, 'F') <=> o_orderstatus AS nse_null,
+               NOT (o_orderstatus <=> 'O') AS sd
         FROM orders WHERE o_orderkey % 7 = 0
     """,
     # TPC-H Q3-style: join + agg + sort + limit
@@ -206,18 +222,28 @@ _SQL: dict[str, str] = {
     # set ops beyond UNION ALL: Catalyst rewrites INTERSECT→left-semi+distinct
     # and EXCEPT→left-anti+distinct before the producer walks the plan, so
     # these exercise the interchange of those rewrites end-to-end
-    "q22_intersect": """
-        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
-        INTERSECT
-        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
-    """,
-    "q23_except": """
-        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
-        EXCEPT
-        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    "q22_set_ops": """
+        SELECT 'intersect' AS op, custkey FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+            INTERSECT
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        )
+        UNION ALL
+        SELECT 'except' AS op, custkey FROM (
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        )
     """,
     # statistical aggregates (DataFusion-15 from_str surface, SURVEY §2.4):
-    # exact same math in both engines, rounded against FP summation drift
+    # exact same math in both engines, rounded against FP summation drift.
+    # The former q29 battery is merged in (same table + grouping): covar_samp,
+    # approx_distinct (HLL exact at 5-priority cardinality), approx_percentile
+    # (GK sketch exact when group size <= accuracy, returns a data value =
+    # DuckDB quantile_disc), array_agg, and the weighted percentile
+    # `percentile(c, p, freq)` — DuckDB replays the weighting by expanding
+    # each row freq times (see the oracle) and interpolating with the same
+    # lo + frac*(hi-lo) arithmetic.
     "q26_stats": """
         SELECT o_orderstatus,
                round(var_pop(o_totalprice), 2) AS vp,
@@ -225,8 +251,16 @@ _SQL: dict[str, str] = {
                round(stddev_pop(o_totalprice), 4) AS sp,
                round(stddev_samp(o_totalprice), 4) AS ss,
                round(covar_pop(o_totalprice, o_custkey), 2) AS cvp,
+               round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
                round(corr(o_totalprice, o_custkey), 6) AS cr,
-               median(o_totalprice) AS med
+               median(o_totalprice) AS med,
+               approx_count_distinct(o_orderpriority) AS n_pri,
+               percentile_approx(o_totalprice, 0.5, 100000) AS p50,
+               percentile_approx(o_totalprice, 0.9, 100000) AS p90,
+               round(percentile(o_totalprice, 0.5, CAST(o_custkey % 3 + 1 AS INT)), 4)
+                   AS wp50,
+               array_join(sort_array(collect_list(o_orderpriority)
+                   FILTER (WHERE o_orderkey % 97 = 0)), ',') AS pri_list
         FROM orders GROUP BY o_orderstatus
     """,
     # uncorrelated scalar subqueries (Expression.Subquery.Scalar extension;
@@ -251,21 +285,6 @@ _SQL: dict[str, str] = {
         SELECT part, count(*) AS n
         FROM (SELECT explode(split(o_orderpriority, '-')) AS part FROM orders)
         GROUP BY part
-    """,
-    # the §2.4 aggregates previously untested by any oracle: covar_samp,
-    # approx_distinct (HLL is exact at this cardinality — 5 priorities),
-    # approx_percentile_cont (GK sketch is exact when group size <= accuracy,
-    # and returns an actual data value = DuckDB quantile_disc), array_agg
-    # (sorted + joined to a deterministic string)
-    "q29_more_aggs": """
-        SELECT o_orderstatus,
-               approx_count_distinct(o_orderpriority) AS n_pri,
-               percentile_approx(o_totalprice, 0.5, 100000) AS p50,
-               percentile_approx(o_totalprice, 0.9, 100000) AS p90,
-               round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
-               array_join(sort_array(collect_list(o_orderpriority)
-                   FILTER (WHERE o_orderkey % 97 = 0)), ',') AS pri_list
-        FROM orders GROUP BY o_orderstatus
     """,
     # window functions (ConsistentPartitionWindowRel extension; every ORDER BY
     # carries a unique tie-break so results are deterministic for the oracle)
@@ -447,12 +466,14 @@ def _t6_stratified_sample(spark, sf_dir):
 
 
 def _e6_asof_join(spark, sf_dir):
-    # ts compares in MICROS (`ts DIV 1000`): DuckDB's parquet scan truncates
-    # TIMESTAMP(NANOS) to micro precision, so the oracle can only replay the
-    # join at micro granularity (events are ~minutes apart — no two rows for
-    # a user share a microsecond, so the match set is identical).
+    # ts compares as epoch-MICROS bigint on both sides: events.ts is parquet
+    # timestamp[us]; ev.ts_micros (type-dispatching, UTC-pinned) yields the
+    # exact integers DuckDB's epoch_us(ts) produces. Events are ~minutes
+    # apart — no two rows for a user share a microsecond, so the asof match
+    # set is well-defined.
     _prep(spark, sf_dir)
-    e = spark.table("events").withColumn("ts", F.expr("ts DIV 1000"))
+    events = spark.table("events")
+    e = events.withColumn("ts", ev.ts_micros(events))
     clicks = e.filter(F.col("event_type") == "click") \
         .select("event_id", "user_id", "ts")
     views = (e.filter(F.col("event_type") == "view")
@@ -502,12 +523,26 @@ def _m1_multimodal_meta(spark, sf_dir):
     return multimodal.extract_image_metadata(payloads)
 
 
+# Exactly 50 entries, matching the driver's observed 50-entry CORRECTNESS
+# window (r02–r04 each recorded precisely the first 50 of what was then a
+# 55-entry dict, silently dropping the tail — how the r04 e6 breakage went
+# unnoticed). Mirror-shaped relational queries were merged (q09+q10,
+# q14+q15+q16, q22+q23, q26+q29) and the streaming/multimodal entries
+# ordered right after the relational block so nothing important could fall
+# past a cap even if it shrinks.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": lambda spark, sf: _rt(spark, sf, _Q01),
     **{
         name: (lambda spark, sf, s=sql: _rt(spark, sf, s))
         for name, sql in _SQL.items()
     },
+    "e1_windowed_counts": _e1_windowed_counts,
+    "e2_sessionize": _e2_sessionize,
+    "e3_user_stats": _e3_user_stats,
+    "e4_stream_dedup": _e4_stream_dedup,
+    "e5_correlate_events": _e5_correlate_events,
+    "e6_asof_join": _e6_asof_join,
+    "m1_multimodal_meta": _m1_multimodal_meta,
     "d1_exact_dedup": _d1_exact_dedup,
     "d2_minhash_pairs": _d2_minhash_pairs,
     "d3_simhash_pairs": _d3_simhash_pairs,
@@ -527,14 +562,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t8_vocab_topk": _t8_vocab_topk,
     "c1_ngram_overlap": _c1_ngram_overlap,
     "c2_decontaminate": _c2_decontaminate,
-    "e1_windowed_counts": _e1_windowed_counts,
-    "e2_sessionize": _e2_sessionize,
-    "e3_user_stats": _e3_user_stats,
-    "e4_stream_dedup": _e4_stream_dedup,
-    "e5_correlate_events": _e5_correlate_events,
-    "e6_asof_join": _e6_asof_join,
-    "m1_multimodal_meta": _m1_multimodal_meta,
 }
+assert len(QUERIES) <= 50, (
+    f"{len(QUERIES)} queries() entries — the driver records only the first "
+    "50; merge or reorder before adding more (see COVERAGE.md)"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -691,35 +723,73 @@ ORACLES: dict[str, str] = {
     "q06_agg_distinct_filter": _SQL["q06_agg_distinct_filter"],
     "q07_distinct": _SQL["q07_distinct"],
     "q08_join3": _SQL["q08_join3"],
-    "q09_left_join": _SQL["q09_left_join"],
-    "q10_right_join": _SQL["q10_right_join"],
+    "q09_outer_joins": _SQL["q09_outer_joins"],
     "q11_full_join": _SQL["q11_full_join"],
     "q12_semi_join": _SQL["q12_semi_join"],
     "q13_anti_join": _SQL["q13_anti_join"],
     "q14_case_between": _SQL["q14_case_between"],
-    "q15_literals": _SQL["q15_literals"],
-    "q16_in_list": _SQL["q16_in_list"],
     "q17_union_all": _SQL["q17_union_all"],
     "q18_cross_join": _SQL["q18_cross_join"],
-    "q19_scalar_funcs": _SQL["q19_scalar_funcs"],
+    # q19: DuckDB spellings for the §2.3 tail — regexp_matches for RLIKE,
+    # xor()/<</>> for Spark's ^/shiftleft/shiftright (DuckDB's ^ is power),
+    # IS [NOT] DISTINCT FROM for <=> / NOT <=>; every alias identical
+    "q19_scalar_funcs": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS pri,
+               length(o_orderstatus) AS st_len,
+               year(o_orderdate) AS y, month(o_orderdate) AS m,
+               round(sqrt(o_totalprice), 4) AS root_price,
+               substring(o_orderpriority, 1, 1) AS pri_code,
+               regexp_matches(o_orderpriority, '^[1-3]-') AS re_match,
+               regexp_matches(o_orderpriority, '(?i)urgent') AS re_imatch,
+               CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+               CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+               CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS b_xor,
+               CAST(o_orderkey << 3 AS BIGINT) AS b_shl,
+               CAST(o_orderkey >> 2 AS BIGINT) AS b_shr,
+               (o_orderstatus IS NOT DISTINCT FROM 'F') AS nse,
+               (nullif(o_orderstatus, 'F') IS NOT DISTINCT FROM o_orderstatus)
+                   AS nse_null,
+               (o_orderstatus IS DISTINCT FROM 'O') AS sd
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
     "q20_top_revenue": _SQL["q20_top_revenue"],
     "q21_like": _SQL["q21_like"],
-    "q22_intersect": _SQL["q22_intersect"],
-    "q23_except": _SQL["q23_except"],
+    "q22_set_ops": _SQL["q22_set_ops"],
     "q24_window": _SQL["q24_window"],
     "q25_scalar_subquery": _SQL["q25_scalar_subquery"],
-    "q26_stats": _SQL["q26_stats"],
-    "q27_rollup": _SQL["q27_rollup"],
-    "q29_more_aggs": """
-        SELECT o_orderstatus,
-               count(DISTINCT o_orderpriority) AS n_pri,
-               quantile_disc(o_totalprice, 0.5) AS p50,
-               quantile_disc(o_totalprice, 0.9) AS p90,
-               round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
-               array_to_string(list_sort(list(o_orderpriority)
-                   FILTER (WHERE o_orderkey % 97 = 0)), ',') AS pri_list
-        FROM orders GROUP BY o_orderstatus
+    # q26: DuckDB spellings for the merged battery — count(DISTINCT) for the
+    # HLL (exact at this cardinality), quantile_disc for the GK sketch, and
+    # the weighted percentile replayed by expanding each row freq times
+    # (unnest(range(freq))) then quantile_cont — same linear interpolation
+    "q26_stats": """
+        WITH w AS (
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS wp50
+            FROM (SELECT o_orderstatus, o_totalprice,
+                         unnest(range(0, CAST(o_custkey % 3 AS BIGINT) + 1)) AS dup
+                  FROM orders)
+            GROUP BY o_orderstatus
+        ), m AS (
+            SELECT o_orderstatus,
+                   round(var_pop(o_totalprice), 2) AS vp,
+                   round(var_samp(o_totalprice), 2) AS vs,
+                   round(stddev_pop(o_totalprice), 4) AS sp,
+                   round(stddev_samp(o_totalprice), 4) AS ss,
+                   round(covar_pop(o_totalprice, o_custkey), 2) AS cvp,
+                   round(covar_samp(o_totalprice, o_custkey), 2) AS cvs,
+                   round(corr(o_totalprice, o_custkey), 6) AS cr,
+                   median(o_totalprice) AS med,
+                   count(DISTINCT o_orderpriority) AS n_pri,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   array_to_string(list_sort(list(o_orderpriority)
+                       FILTER (WHERE o_orderkey % 97 = 0)), ',') AS pri_list
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT m.*, w.wp50 FROM m JOIN w USING (o_orderstatus)
     """,
+    "q27_rollup": _SQL["q27_rollup"],
     # DuckDB's split is not regex-based, so the oracle uses string_split +
     # unnest; '-' has no regex metacharacters, so the two agree exactly
     "q28_explode": """

@@ -52,7 +52,12 @@ def _parallelize(df: DataFrame, key_col: str) -> DataFrame:
     multi-file corpus input partitions already ≫ cores and this is a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() reads only the plan's file index (no RDD materialization
+    # on the driver, unlike df.rdd.getNumPartitions()). It undercounts when
+    # a file splits into several partitions and returns [] for non-file
+    # relations — both err toward repartitioning compact (key, text) rows,
+    # which is the cheap direction.
+    if len(df.inputFiles()) < target:
         return df.repartition(target, F.col(key_col))
     return df
 

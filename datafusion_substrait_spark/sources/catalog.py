@@ -114,15 +114,38 @@ def register_testdata(spark: SparkSession, sf_dir: str,
             f"silently rebind them to {sf_dir!r} (pass allow_rebind=True "
             "to swap scale factors deliberately)"
         )
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    # rejects; read nanos as raw int64 instead. The registered `events.ts` is
-    # therefore epoch-NANOS bigint — time bucketing uses exact integer
-    # arithmetic on it (see operators/ and FIXTURES.md).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # `events.ts` is parquet timestamp[us], which Spark reads as
+    # TIMESTAMP_NTZ. Event-time integer arithmetic goes through
+    # streaming.events.ts_micros (type-dispatching NTZ/LTZ/legacy-bigint →
+    # epoch-micros); the NTZ→timestamp cast there is exact — and DuckDB-
+    # replayable via epoch_us(ts) — only under UTC, so the session timezone
+    # is pinned here, next to where the views are created.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             out[t] = register_parquet(spark, t, p)
+    if "events" in out:
+        _assert_events_ts_type(out["events"])
     _SESSION_SF_DIR[id(spark)] = norm_dir
     return out
+
+
+def _assert_events_ts_type(events: DataFrame) -> None:
+    """Pin the events.ts physical-type contract at the only place it can
+    drift: registration. ts must be a timestamp (current testdata layout:
+    parquet timestamp[us] → TIMESTAMP_NTZ) or the legacy epoch-nanos
+    bigint — streaming.events.ts_micros dispatches on exactly these.
+    Failing loudly here beats the DATATYPE_MISMATCH-at-a-distance a silent
+    layout change caused in round 4."""
+    from pyspark.sql import types as T
+
+    t = events.schema["ts"].dataType
+    if not isinstance(t, (T.TimestampNTZType, T.TimestampType, T.LongType)):
+        raise SubstraitError(
+            f"events.ts has unsupported type {t}: expected TIMESTAMP_NTZ/"
+            "TIMESTAMP (parquet timestamp[us]) or epoch-nanos BIGINT (legacy "
+            "nanosAsLong layout) — update streaming.events.ts_micros and this "
+            "assertion together if the testdata layout really changed"
+        )

@@ -32,13 +32,19 @@ def ts_micros(df: DataFrame, col: str = "ts") -> Column:
     """Epoch-micros bigint for an event-time column, whatever its physical
     type: TIMESTAMP / TIMESTAMP_NTZ (current testdata: parquet
     timestamp[us]) or epoch-nanos bigint (the legacy nanosAsLong layout).
-    The NTZ→LTZ cast is exact under the UTC session timezone pinned at
-    registration (sources/catalog.py), so DuckDB's ``epoch_us(ts)`` replays
-    the same integers."""
+    Every path is session-timezone-independent — the NTZ wall time is
+    measured against an NTZ epoch literal, never cast through LTZ — so the
+    integers match DuckDB's ``epoch_us(ts)`` in any session. (Registration
+    still pins UTC, sources/catalog.py: hour-window *display* columns like
+    e1's window_start render in the session zone.)"""
     t = df.schema[col].dataType
     if isinstance(t, T.LongType):
         # integer division by 1000 is exact on bigint nanos → micros
         return F.expr(f"{col} div 1000")
+    if isinstance(t, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 

@@ -88,3 +88,77 @@ def test_sessionize_batch(spark, batch_events):
     # every user's events are fully assigned to sessions
     total = sum(r["n_events"] for r in rows)
     assert total == spark.table("events").count()
+
+
+def test_ts_micros_all_three_layouts(spark):
+    """ts_micros must dispatch on the ts column's physical type: epoch-nanos
+    bigint (legacy nanosAsLong layout), TIMESTAMP_NTZ (current parquet
+    timestamp[us] testdata), and plain TIMESTAMP — all yielding the same
+    epoch-micros integers (round-4 regression: an entry wrapper hard-coded
+    the bigint arithmetic and broke when the testdata layout changed)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    us = 1_700_000_123_456_789  # an arbitrary instant, micro precision
+    dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+
+    legacy = spark.createDataFrame(
+        [(us * 1000,)], T.StructType([T.StructField("ts", T.LongType())]))
+    ntz = spark.createDataFrame(
+        [(dt,)], T.StructType([T.StructField("ts", T.TimestampNTZType())]))
+    ltz = spark.createDataFrame(
+        [(dt,)], T.StructType([T.StructField("ts", T.TimestampType())]))
+
+    for df in (legacy, ntz, ltz):
+        assert df.select(ev.ts_micros(df).alias("us")).head()[0] == us
+
+
+def test_ts_micros_ntz_independent_of_session_timezone(spark):
+    """The NTZ path measures wall time against an NTZ epoch literal, so a
+    non-UTC session must produce the same integers DuckDB's epoch_us gives
+    (previously the NTZ→LTZ cast silently shifted by the session offset)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    us = 86_400_000_000  # 1970-01-02 00:00:00
+    dt = datetime.datetime(1970, 1, 2)
+    ntz = spark.createDataFrame(
+        [(dt,)], T.StructType([T.StructField("ts", T.TimestampNTZType())]))
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert ntz.select(ev.ts_micros(ntz).alias("us")).head()[0] == us
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_register_testdata_pins_events_ts_contract(spark, tmp_path):
+    """register_testdata must fail loudly when events.ts has a layout the
+    event-time operators cannot dispatch on (e.g. a string column), instead
+    of letting a later query die with DATATYPE_MISMATCH-at-a-distance."""
+    import os
+    import shutil
+
+    import pytest
+
+    from datafusion_substrait_spark.plans.proto import SubstraitError
+    from datafusion_substrait_spark.sources import catalog
+
+    bad_dir = str(tmp_path / "badsf")
+    os.makedirs(bad_dir)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(bad_dir, "events.parquet"))
+
+    bound = catalog.testdata_dir(spark)
+    with pytest.raises(SubstraitError, match="events.ts"):
+        catalog.register_testdata(spark, bad_dir, tables=("events",),
+                                  allow_rebind=True)
+    # restore the session binding for the rest of the suite
+    catalog.register_testdata(spark, bound, allow_rebind=True)
+    shutil.rmtree(bad_dir, ignore_errors=True)

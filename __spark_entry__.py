@@ -1142,7 +1142,7 @@ ORACLES: dict[str, str] = {
     # (not xxhash64) precisely so every stage is cross-engine deterministic:
     # distinct tokens → 60-bit md5 hash → per-bit majority signature →
     # 4×16-bit band buckets → star-capped pair expansion (> 500 members ⇒
-    # hub-only pairs, hub = min doc_id, mirroring _pair_expansion) →
+    # hub-only pairs, hub = min doc_id, mirroring _exploded_bucket_pairs) →
     # bit_count(xor) Hamming verify ≤ 8
     "d3_simhash_pairs": f"""
         WITH th AS (

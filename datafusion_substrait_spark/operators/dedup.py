@@ -147,8 +147,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def _pair_expansion(ids: Column, pair_of, max_bucket_size: int) -> Column:
-    """All-pairs expansion of a sorted in-bucket array, with a hot-bucket cap.
+def _exploded_bucket_pairs(buckets: DataFrame, max_bucket_size: int,
+                           a_name: str = "a", b_name: str = "b") -> DataFrame:
+    """Bucket rows (``ids``: ascending-sorted array) → one row per in-bucket
+    pair ``(a, b)`` with ``a < b``, hot buckets star-capped.
+
+    Shape: two codegen'd Generates — ``posexplode`` of the head members,
+    then ``explode`` of each head's tail ``slice``. This replaced an
+    interpreted nested ``transform``/``flatten`` HOF that materialized the
+    full C(n,2) pair array inside ONE bucket row's memory (≤
+    max_bucket_size²/2 struct copies, interpreted eval, no codegen) before
+    exploding it; the Generate chain streams pairs out of whole-stage
+    codegen with O(n) live data per row — identical output, measured
+    equal-or-faster at sf0.1 and strictly safer near the bucket cap.
 
     Buckets larger than ``max_bucket_size`` are boilerplate/exact-dup-class
     clusters: their quadratic expansion is what turns an LSH pass O(n²) on
@@ -156,43 +167,32 @@ def _pair_expansion(ids: Column, pair_of, max_bucket_size: int) -> Column:
     For those we emit STAR pairs (first member × each other member) —
     connected-component/cluster semantics are preserved with O(n) output,
     and the members are by construction near-identical, so the transitive
-    pairs carry no extra information. ``pair_of(a, b)`` builds one pair
-    struct.
+    pairs carry no extra information.
     """
-    full = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda b: pair_of(a, b),
-            ),
-        )
+    n = F.size("ids")
+    heads = buckets.select(
+        n.alias("_n"), F.col("ids"),
+        F.posexplode(
+            F.when(n <= max_bucket_size, F.col("ids"))
+            .otherwise(F.slice("ids", 1, 1))
+        ).alias("_i", a_name),
     )
-    star = F.transform(
-        F.slice(ids, 2, F.size(ids)),
-        lambda b: pair_of(F.element_at(ids, 1), b),
+    tail = (
+        F.when(F.col("_n") <= max_bucket_size,
+               F.slice("ids", F.col("_i") + 2, F.col("_n")))
+        .otherwise(F.slice("ids", 2, F.col("_n")))
     )
-    return F.when(F.size(ids) <= max_bucket_size, full).otherwise(star)
+    return heads.select(a_name, F.explode(tail).alias(b_name))
 
 
 def _bucket_pairs(buckets: DataFrame, key_col: str,
                   max_bucket_size: int = 500) -> DataFrame:
     """(band, sig, ids: sorted array) → distinct (doc_a < doc_b) pairs,
-    generated *inside* each bucket row (no self-join, no second scan of the
+    generated from each bucket row (no self-join, no second scan of the
     signature pipeline); hot buckets fall back to star pairs
-    (see _pair_expansion)."""
-    ids = F.col("ids")
+    (see _exploded_bucket_pairs)."""
     return (
-        buckets.select(
-            F.explode(
-                _pair_expansion(
-                    ids,
-                    lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                    max_bucket_size,
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        _exploded_bucket_pairs(buckets, max_bucket_size, "doc_a", "doc_b")
         .distinct()
     )
 
@@ -215,7 +215,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
          moves 3 longs/row instead of round 1's key + K-long array × B;
       3. ``collect_list(key)`` per (band, sig) bucket + in-bucket pair
          expansion over the bare key array (buckets over ``max_bucket_size``
-         fall back to star pairs — see _pair_expansion for the measured
+         fall back to star pairs — see _exploded_bucket_pairs for the measured
          super-linear blowup this prevents); the per-pair work is two long
          copies — round 1 evaluated an interpreted 32-element zip_with/
          aggregate agreement estimate per pair here, which was 58% of the
@@ -252,16 +252,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
         .filter(F.size("ids") > 1)
     )
     cand = (
-        buckets.select(
-            F.explode(
-                _pair_expansion(
-                    F.col("ids"),
-                    lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                    max_bucket_size,
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+        _exploded_bucket_pairs(buckets, max_bucket_size, "doc_a", "doc_b")
         .distinct()
         .persist()
     )
@@ -391,7 +382,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     with ``bit_count(a XOR b)``. Shuffle is keyed on 16-bit band values;
     pairs are expanded inside each bucket (collect_list + slice) so the
     signature pipeline is scanned exactly once, with no self-join; buckets
-    over ``max_bucket_size`` fall back to star pairs (see _pair_expansion —
+    over ``max_bucket_size`` fall back to star pairs (see _exploded_bucket_pairs —
     a replicated-corpus stress showed unbounded expansion going 17×
     super-linear at 10× data).
     """
@@ -411,26 +402,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
         .agg(F.sort_array(F.collect_list(F.struct(key_col, "simhash"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    ids = F.col("ids")
-
     # pair expansion only COPIES the two (key, simhash) structs; the Hamming
-    # distance is computed after explode, on flat columns, inside codegen
-    # (round 1 ran bit_count per pair inside the interpreted HOF)
-    def sh_pair(a, b):
-        return F.struct(
-            a[key_col].alias("doc_a"),
-            b[key_col].alias("doc_b"),
-            a["simhash"].alias("sim_a"),
-            b["simhash"].alias("sim_b"),
-        )
-
+    # distance is computed after the Generate chain, on flat columns, inside
+    # codegen (round 1 ran bit_count per pair inside the interpreted HOF)
     return (
-        buckets.select(
-            F.explode(_pair_expansion(ids, sh_pair, max_bucket_size)).alias("p")
-        )
+        _exploded_bucket_pairs(buckets, max_bucket_size)
         .select(
-            "p.doc_a", "p.doc_b",
-            F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b"))).alias("hamming"),
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink
         .distinct()                               # the dedup shuffle input
@@ -486,7 +466,7 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
     algorithms (each iteration: one join + one groupBy, both on compact
     (node, label) longs; per-iteration convergence check is an aggregate,
     not a collect of the data). LSH pair graphs converge in a handful of
-    iterations: the hot-bucket star cap (see _pair_expansion) already
+    iterations: the hot-bucket star cap (see _exploded_bucket_pairs) already
     bounds component diameter, and label propagation halves the effective
     diameter per step. ``max_iter`` is a safety rail, not the expected
     path; hitting it raises rather than returning half-merged clusters.

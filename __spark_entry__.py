@@ -21,11 +21,11 @@ Oracle notes:
   * the dict is kept at ≤50 entries (driver CORRECTNESS window) by merging
     mirror-shaped relational queries — see COVERAGE.md for the map;
   * d2's oracle is the exact all-pairs Jaccard (valid because LSH recall is
-    deterministically 1 on this data — see the ORACLES entry); d3 is the
-    one rows-only entry left (xxhash64 simhash signatures are not
-    replayable in DuckDB, and a Hamming-radius set has no exact-similarity
-    equivalent) — its expected pair set is value-checked by the planted
-    ground-truth test in tests/test_operators.py instead.
+    deterministically 1 on this data — see the ORACLES entry); d3 runs on
+    ``md5_token_hash`` instead of the xxhash64 production default exactly
+    so DuckDB can replay its full pipeline bit-for-bit (the xxhash64 path
+    is value-checked by the planted ground-truth test in
+    tests/test_operators.py instead) — every entry has a value oracle.
 """
 
 from __future__ import annotations

@@ -9,9 +9,9 @@ matter at 100 TB, not at 60k rows):
                     from a *band-bucket self-join* (shuffle keyed on
                     (band, signature), so only colliding docs ever meet),
                     then exact Jaccard verification on the candidates only.
-* **SimHash**     — 64-bit signature computed *row-locally* with
-                    ``F.aggregate`` over the token array (zero shuffles until
-                    the final bucket join); Hamming-distance verify via
+* **SimHash**     — 64-bit signature via codegen'd distinct-token explode +
+                    packed-lane vote aggregation (map-side combined: ONE
+                    shuffled row per doc); Hamming-distance verify via
                     ``bit_count(a XOR b)``.
 * **n-gram Jaccard** — exact word-3-gram Jaccard on candidate pairs; the
                     all-pairs form is only for oracle-checkable correctness
@@ -20,12 +20,13 @@ matter at 100 TB, not at 60k rows):
                     bucketing + exact cosine verify (see similarity.py for
                     the shared primitives).
 
-All signature math uses Spark's built-in ``xxhash64`` — JVM-native, inside
-whole-stage codegen, with full 64-bit avalanche mixing. Signature operators
-are deterministic across runs/partitionings but NOT replayable in DuckDB, so
-they carry rows-only oracle checks; their *verification* stages (exact
-Jaccard / Hamming) are exact math and ARE oracle-checked (d1/d4).
-Everything is built-in-function-only — no Python UDFs anywhere.
+All signature math defaults to Spark's built-in ``xxhash64`` — JVM-native,
+inside whole-stage codegen, with full 64-bit avalanche mixing; it is
+deterministic across runs/partitionings but not replayable in DuckDB, so
+oracle entries either verify with exact math the oracle CAN replay (d1/d2/
+d4: Jaccard over candidate pairs) or swap in ``md5_token_hash`` (d3) so the
+full pipeline replays bit-for-bit. Everything is built-in-function-only —
+no Python UDFs anywhere.
 
 (Earlier design note: a crc32 + affine-mod-2^61 "portable hash" was tried so
 DuckDB could replay signatures. An affine map of a 32-bit value mod a 61-bit

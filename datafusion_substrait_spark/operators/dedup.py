@@ -281,14 +281,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
         .agg(F.collect_set(F.xxhash64("_sh")).alias("sh"))
         .persist()
     )
-    sa = shingled.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col(key_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = shingled.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a"),
+                         F.size("sh").alias("_na"))
+    sb = shingled.select(F.col(key_col).alias("doc_b"), F.col("sh").alias("sh_b"),
+                         F.size("sh").alias("_nb"))
     # |A∪B| = |A|+|B|-|A∩B| on distinct arrays: array_union (a second full
     # hash-set pass per pair) is replaced by two cheap size() calls
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    union = F.col("_na") + F.col("_nb") - inter
+    # EXACT size-ratio prune before the intersect: J ≤ min(|A|,|B|)/max —
+    # with |A| ≤ |B|, I ≤ |A| so J ≤ |A|/(|A|+|B|-|A|) = |A|/|B|; any pair
+    # with min < t·max provably scores J < t, so skipping its intersection
+    # drops no qualifying pair. The filter sits before the projection in the
+    # same codegen stage, so pruned candidates never pay the O(|A|+|B|)
+    # set build (10× stress: 3.9 M candidates → the prune removes the bulk
+    # of band-collision noise pairs before the expensive step).
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.least("_na", "_nb").cast("double")
+                >= F.lit(threshold) * F.greatest("_na", "_nb"))
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

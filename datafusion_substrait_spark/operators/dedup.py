@@ -449,9 +449,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", key_col: str = "d
     a, b = grams.alias("a"), grams.alias("b")
     inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
     union = F.size("a.g") + F.size("b.g") - inter  # |A∪B| on distinct arrays
+    # exact size-ratio prune (J ≤ min/max — see minhash_lsh_pairs): pairs
+    # whose gram-set sizes already rule out the threshold skip the
+    # intersection inside the same codegen stage; output set unchanged
+    na, nb = F.size("a.g"), F.size("b.g")
     return (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                       F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+        .filter(F.least(na, nb).cast("double") >= F.lit(threshold) * F.greatest(na, nb))
         .select(
             F.col(f"a.{key_col}").alias("doc_a"),
             F.col(f"b.{key_col}").alias("doc_b"),

@@ -175,3 +175,98 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "k
             })
 
     return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """DETERMINISTIC FAKE pixel buffer (no codec libs in this container):
+    a real ``resize_fn`` (PIL/opencv) drops in at the same seam. Emits a
+    width×height grayscale buffer whose bytes are a keyed sha256 stream of
+    the payload — deterministic, size-exact, content-dependent."""
+    out = bytearray()
+    counter = 0
+    while len(out) < width * height:
+        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[: width * height])
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  payload_col: str = "payload", key_col: str = "key",
+                  resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+                  ) -> DataFrame:
+    """Resize plumbing: one fixed-size pixel buffer per payload.
+
+    The Spark side is the real thing — Arrow-batched ``mapInPandas``, a
+    typed (key, width, height, pixels) output schema, narrow map with no
+    shuffle; only the pixel transform itself is the stubbed seam
+    (``_fake_resize``), exactly like ``extract_image_metadata``'s decoder.
+    Output pixel buffers are width×height bytes (grayscale stand-in), so
+    downstream batch sizing behaves like a real resized-image column.
+    """
+    resize = resize_fn or _fake_resize
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "pixels": [resize(bytes(p), width, height)
+                           for p in pdf[payload_col]],
+            })
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """DETERMINISTIC FAKE embedding (no model runtimes in this container):
+    unit-normalized floats from a keyed sha256 stream — content-dependent
+    and stable across runs/partitionings, so joins/ANN over the column are
+    exercisable end-to-end. A real encoder drops in via ``feature_fn``."""
+    raw = bytearray()
+    counter = 0
+    while len(raw) < dim:
+        raw += hashlib.sha256(payload + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    vec = [b / 255.0 - 0.5 for b in raw[:dim]]
+    norm = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [x / norm for x in vec]
+
+
+def extract_features(df: DataFrame, dim: int = 64,
+                     payload_col: str = "payload", key_col: str = "key",
+                     feature_fn: Callable[[bytes, int], list[float]] | None = None,
+                     ) -> DataFrame:
+    """Feature-extraction plumbing: one ``array<float>`` embedding per
+    payload, Arrow-batched, schema-compatible with the ``embeddings`` table
+    operators (``similarity.brute_force_topk`` etc. consume the output
+    as-is). The encoder is the stubbed seam; batching, schema, and the
+    narrow-map plan shape are the real 100 TB design.
+    """
+    feats = feature_fn or _fake_features
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "features": [feats(bytes(p), dim) for p in pdf[payload_col]],
+            })
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

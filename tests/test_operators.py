@@ -325,3 +325,42 @@ def test_custom_decode_fn_plugs_in(spark, tables):
 
     meta = multimodal.extract_image_metadata(payloads, decode_fn=decoder).collect()
     assert all(r["format"] == "tiff" and r["width"] == 1 for r in meta)
+
+
+def test_multimodal_resize_plumbing(spark, tables):
+    payloads = multimodal.attach_binary_payload(tables["documents"].limit(20))
+    out = multimodal.resize_images(payloads, width=8, height=6)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert out.columns == ["key", "width", "height", "pixels"]
+    for r in rows:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.pixels) == 8 * 6  # size-exact grayscale stand-in
+    # deterministic across runs/partitionings
+    again = {r.key: bytes(r.pixels)
+             for r in multimodal.resize_images(
+                 payloads.repartition(7), width=8, height=6).collect()}
+    assert {r.key: bytes(r.pixels) for r in rows} == again
+    # the real-resizer seam
+    custom = multimodal.resize_images(
+        payloads, width=2, height=2,
+        resize_fn=lambda p, w, h: bytes([len(p) % 256] * (w * h)))
+    assert all(len(r.pixels) == 4 for r in custom.collect())
+
+
+def test_multimodal_feature_extraction_feeds_similarity(spark, tables):
+    payloads = multimodal.attach_binary_payload(tables["documents"].limit(30))
+    feats = multimodal.extract_features(payloads, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30 and all(len(r.features) == 16 for r in rows)
+    for r in rows:  # unit-normalized
+        assert abs(sum(x * x for x in r.features) - 1.0) < 1e-5
+    # output schema composes with the similarity operators as-is
+    emb = feats.select(F.col("key").alias("vec_id"),
+                       F.col("features").alias("embedding"))
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.brute_force_topk(emb, queries, k=3)
+    got = top.collect()
+    assert len(got) == 6
+    self_hits = {r.query_id for r in got if r.query_id == r.vec_id and r.rank == 1}
+    assert len(self_hits) == 2  # each query's nearest neighbour is itself

@@ -488,16 +488,28 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
     diameter per step. ``max_iter`` is a safety rail, not the expected
     path; hitting it raises rather than returning half-merged clusters.
 
+    Lineage is truncated with eager ``localCheckpoint`` every iteration —
+    MANDATORY for iterative DataFrame algorithms: with plain persist each
+    ``labels_i`` logical plan still embeds the full upstream pair pipeline
+    plus every previous iteration, so plan size grows linearly in
+    iterations × pipeline size and the driver dies in Catalyst plan
+    processing long before the data is big (reproduced: Java-heap OOM
+    rendering the plan string on a 10× replicated corpus at iteration
+    ~10). The trade: checkpoint blocks live on executors, so a lost
+    executor fails the job instead of recomputing — the right default for
+    a convergence loop; pass a reliable checkpoint dir pattern if running
+    on preemptible fleets.
+
     Output: (node, cluster_id) for every node in ``pairs``, one row each.
     """
     edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
     sym = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -508,14 +520,13 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
             labels.unionAll(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") != F.col("old"))
             .limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -523,7 +534,6 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} iterations"
         )
-    sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -1,0 +1,95 @@
+"""Opt-in 10× replicated-corpus stress (set SPARK_GRAFT_STRESS=1 to run).
+
+Makes the README "Scale stress" claim executable: every document gains 9
+near-copies (tiny suffix perturbation), which is adversarial for LSH — the
+TRUE near-dup pair set grows ~1000×, not 10×. Because the planted structure
+is exact, the output size is provable, not approximate:
+
+  pairs(10×) == 100 · pairs(1×) + 45 · n_docs
+
+(each 1× qualifying pair becomes 10×10 clone-cross pairs; each replication
+group adds C(10,2)=45 intra pairs). Asserting EQUALITY also pins LSH recall
+= 1 on the planted structure end-to-end (clone Jaccard ≈ 0.99 → band
+collision probability 1 − ~1e-12). Wall-clock is printed but NOT asserted:
+this sandbox swings 3–10× under external load; the structural gates live in
+test_plan_quality.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.operators import dedup
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_STRESS"),
+    reason="stress run is opt-in: SPARK_GRAFT_STRESS=1",
+)
+
+
+def test_minhash_10x_replication_exact_pair_count(spark, tables):
+    docs = tables["documents"]
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit(" v"), F.col("rep"))).alias("text"),
+        )
+    )
+
+    t0 = time.perf_counter()
+    base = dedup.minhash_lsh_pairs(docs, threshold=0.35).count()
+    t1 = time.perf_counter()
+    big = dedup.minhash_lsh_pairs(docs10, threshold=0.35).count()
+    t2 = time.perf_counter()
+    print(f"\nminhash 1x: {t1-t0:.1f}s {base} pairs; "
+          f"10x: {t2-t1:.1f}s {big} pairs")
+    assert big == 100 * base + 45 * n_docs
+
+
+def test_simhash_10x_replication_groups_stay_connected(spark, tables):
+    """Simhash gives no exact closed form for clone pairs: one inserted
+    token shifts every per-bit vote margin by ±1, so bits sitting at a
+    razor-thin margin flip — a pair of clones can legitimately exceed the
+    Hamming radius (measured at sf0.01: 24/500 groups not perfectly
+    clustered, IDENTICAL with the star cap disabled, i.e. it is simhash
+    semantics, not the cap — the d3 oracle replays the same sets in
+    DuckDB). So pin the quantified contract: every group appears in the
+    graph, ≥90% of groups resolve to exactly one full 10-member cluster,
+    and total output stays far below the uncapped quadratic blowup."""
+    docs = tables["documents"]
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit(" v"), F.col("rep"))).alias("text"),
+        )
+    )
+    t0 = time.perf_counter()
+    pairs = dedup.simhash_pairs(docs10, max_hamming=8)
+    intra = pairs.filter(F.expr("doc_a div 10 = doc_b div 10")).count()
+    total = pairs.count()
+    clusters = dedup.dedup_clusters(pairs)
+    groups = (
+        clusters.groupBy(F.expr("node div 10").alias("grp"))
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"),
+             F.count("*").alias("n_members"))
+    )
+    bad = groups.filter(
+        (F.col("n_clusters") != 1) | (F.col("n_members") != 10)).count()
+    n_groups = groups.count()
+    print(f"\nsimhash 10x: {time.perf_counter()-t0:.1f}s, {total} pairs "
+          f"({intra} intra-group), {n_groups} groups, {bad} imperfect")
+    assert n_groups == n_docs          # no group vanishes from the graph
+    assert bad <= n_docs // 10         # >=90% perfectly clustered
+    assert total < (10 * n_docs) ** 2 / 4  # far from quadratic

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "t3_lang_id",
     "e1_windowed_counts",
     "e2_sessionize",
+    "e6_asof_join",           # union+window single-shuffle temporal join
+    "m1_multimodal_meta",     # Arrow-batched mapInPandas seam
 ]
 
 

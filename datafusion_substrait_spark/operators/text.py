@@ -35,8 +35,27 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace/punct-boundary token count (the "BPE-ish regex" counter)."""
+    """Whitespace/punct-boundary token count (alphanumeric word splitter)."""
     return F.size(tokens(text))
+
+
+# GPT-2-style pre-tokenizer shape (simplified, case-folded): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs — the
+# segmentation a byte-pair encoder runs on BEFORE merges, so its count is
+# the right "token budget" estimator when no tokenizer library is present.
+# Kept RE2/Java-portable (no \p classes, no lookarounds).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-pre-tokenizer token count: segments lowercased text with
+    :data:`BPE_PRETOKEN_RE` (one match = one pre-token, whitespace rides as
+    the following token's prefix, exactly like GPT-2's pattern). Counts are
+    an upper bound on real BPE token counts (merges only fuse pre-tokens'
+    interiors, never split across them) and a far better budget estimate
+    than word counts for punctuation/number-heavy text. Whole-stage
+    codegen'd ``regexp_extract_all`` — no UDF, no tokenizer library."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0))
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

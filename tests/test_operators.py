@@ -364,3 +364,20 @@ def test_multimodal_feature_extraction_feeds_similarity(spark, tables):
     assert len(got) == 6
     self_hits = {r.query_id for r in got if r.query_id == r.vec_id and r.rank == 1}
     assert len(self_hits) == 2  # each query's nearest neighbour is itself
+
+
+def test_bpe_token_count_segmentation(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world"),            # 2 pre-tokens
+         (2, "it's 2024, folks!"),      # it|'s| 2024|,| folks|! = 6
+         (3, "a b c"),                  # 3
+         (4, "price: $3.50"),           # price|:| $|3|.|50 = 6
+         (5, "")],                      # 0
+        "id bigint, text string")
+    got = {r.id: r.n for r in df.select(
+        "id", text.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 2, 2: 6, 3: 3, 4: 6, 5: 0}, got
+    # upper-bounds the plain word counter on punctuation-heavy text
+    wc = {r.id: r.n for r in df.select(
+        "id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert all(got[k] >= wc[k] for k in got)

@@ -143,6 +143,8 @@ def test_no_rdd_or_collect_in_package_hot_paths(spark):
             code = line.split("#", 1)[0]  # comments may *mention* the pattern
             if ".rdd" in code:
                 offenders.append(f"{p.name}:{i}: .rdd")
-            if ".collect()" in code and "similarity.py" not in str(p):
+            # the single allowed collect is the bounded deterministic
+            # k-means sample (similarity.train_kmeans_centroids)
+            if ".collect()" in code and "limit(n_sample)" not in code:
                 offenders.append(f"{p.name}:{i}: .collect()")
     assert not offenders, offenders

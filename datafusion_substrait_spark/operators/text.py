@@ -213,3 +213,43 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.select(*key_cols, F.md5(norm).alias("fingerprint"))
+
+
+def rolling_fingerprints(df: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id", k: int = 25,
+                         window: int = 16) -> DataFrame:
+    """Winnowing fingerprints (MOSS-style rolling-hash selection): hash
+    every char k-gram of the normalized text, then keep the MINIMUM hash of
+    each ``window``-length sliding window, deduplicated. Two documents
+    sharing any passage of length ≥ k + window − 1 are GUARANTEED to share
+    a fingerprint (the winnowing coverage theorem), which whole-document
+    ``fingerprint`` cannot see — this is the shared-passage / partial-copy
+    detection primitive.
+
+    Plan shape at 100 TB: k-grams come from the codegen'd
+    ``posexplode(sequence) + substr`` pattern (no array materialization,
+    like _exploded_shingles), hashing is JVM-native ``xxhash64``, and the
+    only shuffle is the per-document window sort — the same single-shuffle
+    profile as sessionization. Output rows are (key, fingerprint) longs;
+    a self-join on fingerprint finds candidate passage-sharing pairs.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    base = df.select(F.col(key_col), norm.alias("_n"))
+    grams = base.select(
+        key_col,
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.length("_n") - (k - 1), F.lit(1)))
+        ).alias("_ord", "_i"),
+        F.col("_n"),
+    ).select(
+        key_col, "_i",
+        F.xxhash64(F.col("_n").substr(F.col("_i"), F.lit(k))).alias("_h"),
+    )
+    win = (W.partitionBy(key_col).orderBy("_i")
+           .rowsBetween(W.currentRow, window - 1))
+    return (
+        grams.select(key_col, F.min("_h").over(win).alias("fingerprint"))
+        .distinct()
+    )

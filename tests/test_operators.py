@@ -381,3 +381,27 @@ def test_bpe_token_count_segmentation(spark):
     wc = {r.id: r.n for r in df.select(
         "id", text.token_count(F.col("text")).alias("n")).collect()}
     assert all(got[k] >= wc[k] for k in got)
+
+
+def test_rolling_fingerprints_shared_passage_guarantee(spark):
+    """Winnowing coverage: documents sharing a passage of length >=
+    k + window - 1 must share at least one fingerprint; disjoint documents
+    share none (up to xxhash64 collisions)."""
+    passage = "the five boxing wizards jump quickly over the lazy dog tonight"
+    rows = [
+        (1, "intro text alpha. " + passage + " closing remarks one."),
+        (2, "completely different opening, " + passage + " and another end."),
+        (3, "no overlap here at all: just some plain filler sentences."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = text.rolling_fingerprints(df, k=25, window=16)
+    sets = {i: {r.fingerprint for r in fp.filter(F.col("doc_id") == i).collect()}
+            for i in (1, 2, 3)}
+    assert sets[1] & sets[2], "shared passage must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # deterministic across partitionings
+    fp2 = text.rolling_fingerprints(df.repartition(5), k=25, window=16)
+    assert {tuple(r) for r in fp.collect()} == {tuple(r) for r in fp2.collect()}
+    # short documents (< k chars) still emit exactly one fingerprint
+    tiny = spark.createDataFrame([(9, "tiny")], "doc_id bigint, text string")
+    assert text.rolling_fingerprints(tiny).count() == 1

@@ -148,3 +148,23 @@ def test_no_rdd_or_collect_in_package_hot_paths(spark):
             if ".collect()" in code and "limit(n_sample)" not in code:
                 offenders.append(f"{p.name}:{i}: .collect()")
     assert not offenders, offenders
+
+
+def test_text_feature_ops_are_narrow_maps(spark, tables):
+    """Per-document text features (quality, lang-id, token counts,
+    fingerprints) must plan as pure narrow maps — zero Exchange nodes, no
+    Python evaluation. At 100 TB these run as a single pass over the
+    corpus co-partitioned with the scan; any shuffle here is a bug."""
+    from datafusion_substrait_spark.operators import text
+
+    docs = tables["documents"]
+    for out in (
+        text.quality_features(docs),
+        text.lang_id(docs),
+        text.fingerprint(docs),
+        docs.select("doc_id", text.token_count(F.col("text")).alias("n"),
+                    text.bpe_token_count(F.col("text")).alias("b")),
+    ):
+        plan = _phys(out)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

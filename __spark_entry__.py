@@ -1176,3 +1176,9 @@ ORACLES: dict[str, str] = {
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# every entry carries a value oracle (no rows-only fallbacks); keep the two
+# dicts in lockstep so a future entry can't silently ship half-checked
+assert set(ORACLES) == set(QUERIES), (
+    sorted(set(ORACLES) ^ set(QUERIES)))

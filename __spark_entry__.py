@@ -1084,19 +1084,26 @@ ORACLES: dict[str, str] = {
         )
         SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """,
+    # hot-bucket star cap (> 500 members ⇒ hub-only pairs, hub = min
+    # vec_id) replayed exactly like d3's bstats pattern
     "d5_embedding_neardup": f"""
         WITH sig AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                    {_RH16_SIG_SQL} AS bucket
             FROM embeddings
+        ), bstats AS (
+            SELECT bucket, count(*) AS n, min(vec_id) AS hub
+            FROM sig GROUP BY bucket HAVING count(*) > 1
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v))
                         * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
+        JOIN bstats s ON s.bucket = a.bucket
+        WHERE (s.n <= 500 OR a.vec_id = s.hub)
+          AND round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
     """,

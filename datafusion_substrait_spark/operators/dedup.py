@@ -544,7 +544,8 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             key_col: str = "vec_id", threshold: float = 0.95,
-                            planes: int = 16) -> DataFrame:
+                            planes: int = 16,
+                            max_bucket_size: int = 500) -> DataFrame:
     """Vector near-duplicates: cosine ≥ threshold, candidates from
     random-hyperplane LSH (sign-bit bucket join), exact cosine verify.
 
@@ -552,15 +553,28 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     16-bit full-signature match keeps recall high at 0.95+ while cutting the
     join from O(n²) to per-bucket. (The HOF-fold signature/cosine shape is
     a measured choice — see similarity.py's module docstring.)
+
+    Buckets over ``max_bucket_size`` (duplicate-embedding classes: zero
+    vectors, boilerplate pages embedded identically) fall back to star
+    pairs against the bucket's min-key hub — the same bounded-output trade
+    as the text dedup family (see _exploded_bucket_pairs); without it a
+    degenerate cluster of n identical vectors costs n²/2 cosine
+    evaluations. The d5 oracle replays the cap bit-for-bit.
     """
     from datafusion_substrait_spark.operators.similarity import cosine, rh_signature
 
     sigs = df.select(F.col(key_col), F.col(vec_col),
                      rh_signature(F.col(vec_col), planes).alias("bucket"))
+    counts = (sigs.groupBy("bucket")
+              .agg(F.count("*").alias("_n"), F.min(key_col).alias("_hub"))
+              .filter(F.col("_n") > 1))
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
-        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
-                      F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+        a.join(F.broadcast(counts), "bucket")
+        .join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                     F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+        .filter((F.col("_n") <= max_bucket_size)
+                | (F.col(f"a.{key_col}") == F.col("_hub")))
         .select(
             F.col(f"a.{key_col}").alias("vec_a"),
             F.col(f"b.{key_col}").alias("vec_b"),

@@ -405,3 +405,21 @@ def test_rolling_fingerprints_shared_passage_guarantee(spark):
     # short documents (< k chars) still emit exactly one fingerprint
     tiny = spark.createDataFrame([(9, "tiny")], "doc_id bigint, text string")
     assert text.rolling_fingerprints(tiny).count() == 1
+
+
+def test_embedding_neardup_hot_bucket_star_cap(spark):
+    """A degenerate class of identical vectors must produce O(n) star pairs
+    (hub = min key x each other member), not C(n,2) — the same bounded-
+    output contract as the text dedup family."""
+    import math
+
+    n = 40
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    rows.append((1000, [-1.0, 5.0, -3.0, 2.0]))  # other bucket, no pair
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    capped = dedup.embedding_neardup_pairs(df, threshold=0.99,
+                                           max_bucket_size=10)
+    got = sorted((r.vec_a, r.vec_b) for r in capped.collect())
+    assert got == [(0, i) for i in range(1, n)]  # star: hub 0 x 39 others
+    full = dedup.embedding_neardup_pairs(df, threshold=0.99)
+    assert full.count() == math.comb(n, 2)  # under the cap: all pairs

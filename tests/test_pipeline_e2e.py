@@ -1,0 +1,55 @@
+"""End-to-end training-data pipeline composition: the operators are built
+to chain — dedup → decontaminate → quality-gate → deterministic sample →
+budget accounting — with each stage a DataFrame in, DataFrame out, so the
+whole flow stays one lazy plan until the final action."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.operators import (contamination, dedup,
+                                                  sampling, text)
+
+
+def test_full_corpus_pipeline(spark, tables):
+    docs = tables["documents"]
+    n0 = docs.count()
+
+    # 1. exact dedup: keep one doc per normalized-text fingerprint
+    survivors = dedup.exact_dedup(docs).select("doc_id")
+    deduped = docs.join(survivors, "doc_id")
+    n1 = deduped.count()
+    assert 0 < n1 <= n0
+
+    # 2. benchmark decontamination (every 97th doc is the eval set)
+    bench = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    clean = contamination.decontaminate(deduped, bench, n=5)
+    n2 = clean.count()
+    assert 0 < n2 < n1  # at least the benchmark docs themselves drop out
+
+    # 3. quality gate: keep docs above a score floor
+    scored = text.quality_features(clean).select("doc_id", "quality_score")
+    gated = clean.join(scored.filter(F.col("quality_score") >= 0.3), "doc_id")
+    n3 = gated.count()
+    assert 0 < n3 <= n2
+
+    # 4. deterministic stratified sample by language
+    sampled = sampling.stratified_hash_sample(
+        gated, "doc_id", "lang", {"en": 0.5}, default_rate=0.8)
+    n4 = sampled.count()
+    assert 0 < n4 <= n3
+    # re-running yields the identical row set (hash-threshold, no RNG)
+    again = sampling.stratified_hash_sample(
+        gated, "doc_id", "lang", {"en": 0.5}, default_rate=0.8)
+    assert {r.doc_id for r in sampled.select("doc_id").collect()} == \
+           {r.doc_id for r in again.select("doc_id").collect()}
+
+    # 5. token budget of the final cut, both counters
+    budget = sampled.agg(
+        F.sum(text.token_count(F.col("text"))).alias("words"),
+        F.sum(text.bpe_token_count(F.col("text"))).alias("bpe")).head()
+    assert budget.bpe >= budget.words > 0
+
+    # the composed flow funnels monotonically
+    assert n0 >= n1 > n2 >= n3 >= n4 > 0

@@ -951,9 +951,9 @@ ORACLES: dict[str, str] = {
     # e6: DuckDB's native ASOF LEFT JOIN has exactly asof_join's contract
     # (greatest right ts with r.ts <= l.ts, inclusive, NULL when none);
     # the right side is pre-deduped to unique (user_id, ts) on both sides
-    # so the match is well-defined. ts is epoch-MICROS bigint on both sides:
-    # DuckDB's parquet scan truncates TIMESTAMP(NANOS) to micro precision,
-    # so the Spark side divides its nanos down to match (_e6_asof_join).
+    # so the match is well-defined. ts is epoch-MICROS bigint on both
+    # sides: events.ts is parquet timestamp[us], converted via
+    # ev.ts_micros on the Spark side (_e6_asof_join) ↔ epoch_us(ts) here.
     "e6_asof_join": """
         WITH clicks AS (
             SELECT event_id, user_id, epoch_us(ts) AS ts

@@ -186,18 +186,6 @@ def _exploded_bucket_pairs(buckets: DataFrame, max_bucket_size: int,
     return heads.select(a_name, F.explode(tail).alias(b_name))
 
 
-def _bucket_pairs(buckets: DataFrame, key_col: str,
-                  max_bucket_size: int = 500) -> DataFrame:
-    """(band, sig, ids: sorted array) → distinct (doc_a < doc_b) pairs,
-    generated from each bucket row (no self-join, no second scan of the
-    signature pipeline); hot buckets fall back to star pairs
-    (see _exploded_bucket_pairs)."""
-    return (
-        _exploded_bucket_pairs(buckets, max_bucket_size, "doc_a", "doc_b")
-        .distinct()
-    )
-
-
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8,
                       shingle_n: int = 5, threshold: float = 0.6,
@@ -291,15 +279,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     union = F.col("_na") + F.col("_nb") - inter
     # EXACT size-ratio prune before the intersect: J ≤ min(|A|,|B|)/max —
     # with |A| ≤ |B|, I ≤ |A| so J ≤ |A|/(|A|+|B|-|A|) = |A|/|B|; any pair
-    # with min < t·max provably scores J < t, so skipping its intersection
-    # drops no qualifying pair. The filter sits before the projection in the
-    # same codegen stage, so pruned candidates never pay the O(|A|+|B|)
-    # set build (10× stress: 3.9 M candidates → the prune removes the bulk
-    # of band-collision noise pairs before the expensive step).
+    # with min < (t−ε)·max provably scores round(J, 6) < t, so skipping its
+    # intersection drops no qualifying pair (the ε=1e-6 margin covers the
+    # final filter comparing the ROUNDED jaccard — round(J,6) ≥ t needs
+    # J ≥ t−5e-7). The filter sits before the projection in the same
+    # codegen stage, so pruned candidates never pay the O(|A|+|B|) set
+    # build (10× stress: 3.9 M candidates → the prune removes the bulk of
+    # band-collision noise pairs before the expensive step).
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .filter(F.least("_na", "_nb").cast("double")
-                >= F.lit(threshold) * F.greatest("_na", "_nb"))
+                >= F.lit(threshold - 1e-6) * F.greatest("_na", "_nb"))
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -449,14 +439,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", key_col: str = "d
     a, b = grams.alias("a"), grams.alias("b")
     inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
     union = F.size("a.g") + F.size("b.g") - inter  # |A∪B| on distinct arrays
-    # exact size-ratio prune (J ≤ min/max — see minhash_lsh_pairs): pairs
-    # whose gram-set sizes already rule out the threshold skip the
-    # intersection inside the same codegen stage; output set unchanged
+    # exact size-ratio prune (J ≤ min/max, with the ε=1e-6 margin covering
+    # the rounded final comparison — see minhash_lsh_pairs): pairs whose
+    # gram-set sizes already rule out the threshold skip the intersection
+    # inside the same codegen stage; output set unchanged
     na, nb = F.size("a.g"), F.size("b.g")
     return (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                       F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
-        .filter(F.least(na, nb).cast("double") >= F.lit(threshold) * F.greatest(na, nb))
+        .filter(F.least(na, nb).cast("double")
+                >= F.lit(threshold - 1e-6) * F.greatest(na, nb))
         .select(
             F.col(f"a.{key_col}").alias("doc_a"),
             F.col(f"b.{key_col}").alias("doc_b"),
@@ -488,20 +480,24 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
     diameter per step. ``max_iter`` is a safety rail, not the expected
     path; hitting it raises rather than returning half-merged clusters.
 
-    Lineage is truncated with eager ``localCheckpoint`` every iteration —
-    MANDATORY for iterative DataFrame algorithms: with plain persist each
-    ``labels_i`` logical plan still embeds the full upstream pair pipeline
-    plus every previous iteration, so plan size grows linearly in
-    iterations × pipeline size and the driver dies in Catalyst plan
-    processing long before the data is big (reproduced: Java-heap OOM
+    Lineage is truncated with an eager ``localCheckpoint`` every few
+    iterations — MANDATORY for iterative DataFrame algorithms: with plain
+    persist each ``labels_i`` logical plan still embeds the full upstream
+    pair pipeline plus every previous iteration, so plan size grows
+    linearly in iterations × pipeline size and the driver dies in Catalyst
+    plan processing long before the data is big (reproduced: Java-heap OOM
     rendering the plan string on a 10× replicated corpus at iteration
-    ~10). The trade: checkpoint blocks live on executors, so a lost
-    executor fails the job instead of recomputing — the right default for
-    a convergence loop; pass a reliable checkpoint dir pattern if running
-    on preemptible fleets.
+    ~10). Between checkpoints each iteration persists and the previous
+    iteration is unpersisted deterministically, so executor storage holds
+    one live label table plus at most ⌈max_iter/interval⌉ checkpointed
+    snapshots (freed by the ContextCleaner once their references drop).
+    The checkpoint trade: its blocks are not recomputable, so a lost
+    executor fails the convergence loop instead of recomputing — the right
+    default here; swap to a reliable checkpoint dir on preemptible fleets.
 
     Output: (node, cluster_id) for every node in ``pairs``, one row each.
     """
+    checkpoint_interval = 4
     edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
     sym = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -511,7 +507,8 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    prev_persisted = None
+    for i in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
             .select(sym["a"].alias("node"), F.col("label"))
@@ -520,13 +517,19 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
             labels.unionAll(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        if (i + 1) % checkpoint_interval == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .filter(F.col("label") != F.col("old"))
             .limit(1).count()
         )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels if new_labels.is_cached else None
         labels = new_labels
         if changed == 0:
             break

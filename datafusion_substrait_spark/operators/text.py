@@ -40,19 +40,25 @@ def token_count(text: Column) -> Column:
 
 
 # GPT-2-style pre-tokenizer shape (simplified, case-folded): contraction
-# suffixes, space-prefixed letter runs, digit runs, punctuation runs — the
-# segmentation a byte-pair encoder runs on BEFORE merges, so its count is
-# the right "token budget" estimator when no tokenizer library is present.
-# Kept RE2/Java-portable (no \p classes, no lookarounds).
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, and
+# residual whitespace runs — the segmentation a byte-pair encoder runs on
+# BEFORE merges, so its count is the right "token budget" estimator when no
+# tokenizer library is present. Kept RE2/Java-portable (no \p classes, no
+# lookarounds): GPT-2's `\s+(?!\S)`/`\s+` pair collapses to one `\s+`
+# alternative, which segments an n-space run as (run)+(word) where GPT-2
+# yields (run-minus-1)+(space-word) — different cuts, SAME count; GPT-2's
+# unicode \pL/\pN narrow to ascii classes, so non-ascii letters count as
+# punctuation runs (an overcount, never an undercount).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
 
 
 def bpe_token_count(text: Column) -> Column:
     """BPE-pre-tokenizer token count: segments lowercased text with
-    :data:`BPE_PRETOKEN_RE` (one match = one pre-token, whitespace rides as
-    the following token's prefix, exactly like GPT-2's pattern). Counts are
-    an upper bound on real BPE token counts (merges only fuse pre-tokens'
-    interiors, never split across them) and a far better budget estimate
+    :data:`BPE_PRETOKEN_RE` (one match = one pre-token; every character
+    lands in exactly one match, so nothing is silently skipped). Counts are
+    count-equivalent to GPT-2's pre-tokenizer on ascii text and an upper
+    bound elsewhere — an upper bound on real BPE token counts too (merges
+    only fuse pre-tokens' interiors), and a far better budget estimate
     than word counts for punctuation/number-heavy text. Whole-stage
     codegen'd ``regexp_extract_all`` — no UDF, no tokenizer library."""
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0))

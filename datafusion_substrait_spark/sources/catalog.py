@@ -117,17 +117,21 @@ def register_testdata(spark: SparkSession, sf_dir: str,
     # `events.ts` is parquet timestamp[us], which Spark reads as
     # TIMESTAMP_NTZ. Event-time integer arithmetic goes through
     # streaming.events.ts_micros (type-dispatching NTZ/LTZ/legacy-bigint →
-    # epoch-micros); the NTZ→timestamp cast there is exact — and DuckDB-
-    # replayable via epoch_us(ts) — only under UTC, so the session timezone
-    # is pinned here, next to where the views are created.
+    # epoch-micros, itself session-timezone-independent); UTC is pinned
+    # here for the DISPLAY side — rendered timestamp columns like e1's
+    # window_start must match DuckDB's naive wall clock.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Validate the events.ts contract BEFORE any view is replaced: a failed
+    # registration must not leave the session half-rebound (views swapped,
+    # old sf_dir still recorded) — that is silent wrong-table reads.
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if "events" in tables and os.path.exists(events_path):
+        _assert_events_ts_type(spark.read.parquet(events_path))
     out = {}
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             out[t] = register_parquet(spark, t, p)
-    if "events" in out:
-        _assert_events_ts_type(out["events"])
     _SESSION_SF_DIR[id(spark)] = norm_dir
     return out
 

@@ -103,3 +103,77 @@ def test_plan_wire_roundtrip_still_exact(spark):
     plan = to_substrait_plan(df)  # already a proto3-JSON-shaped dict
     blob = wire.encode_plan(plan)
     assert wire.canonical(wire.decode_plan(blob)) == wire.canonical(plan)
+
+
+# ---------------------------------------------------------------------------
+# schema-driven composed-message fuzz: random VALID messages for every
+# schema in the wire table; decode∘encode must be idempotent and encode
+# deterministic. (Oneof groups aren't marked in the table, so a generated
+# dict can carry two members of one oneof — wire-legal, decoder keeps the
+# last — which is why the property is idempotence rather than strict
+# equality with the input; the golden tests in test_wire.py pin semantics.)
+# ---------------------------------------------------------------------------
+
+from hypothesis import strategies as hst
+
+
+def _scalar_strategy(kind):
+    if kind == "u32":
+        return hst.integers(0, (1 << 32) - 1)
+    if kind == "u64":
+        return hst.integers(0, (1 << 64) - 1)
+    if kind == "i32":
+        return hst.integers(-(1 << 31), (1 << 31) - 1)
+    if kind == "i64":
+        return hst.integers(-(1 << 63), (1 << 63) - 1)
+    if kind == "bool":
+        return hst.booleans()
+    if kind == "f32":
+        return hst.floats(allow_nan=False, width=32)
+    if kind == "f64":
+        return hst.floats(allow_nan=False)
+    if kind == "str":
+        return hst.text(max_size=30)
+    if kind == "bytes":
+        return hst.binary(max_size=30).map(
+            lambda b: base64.b64encode(b).decode("ascii"))
+    return None  # any / rawbytes: internal kinds, not generated
+
+
+@st.composite
+def _message(draw, schema_name, depth=3):
+    schema = wire.MESSAGES[schema_name]
+    msg = {}
+    for name, spec in schema.items():
+        if not draw(hst.booleans()):
+            continue  # exercise field-presence combinations
+        kind, repeated = spec[1], len(spec) > 2
+        if kind.startswith("m:"):
+            if depth <= 0:
+                continue
+            strat = _message(kind[2:], depth=depth - 1)
+        elif kind.startswith("e:"):
+            strat = hst.sampled_from(sorted(wire.ENUMS[kind[2:]]))
+        else:
+            strat = _scalar_strategy(kind)
+            if strat is None:
+                continue
+        if repeated:
+            vals = draw(hst.lists(strat, min_size=1, max_size=3))
+            msg[name] = vals
+        else:
+            msg[name] = draw(strat)
+    return msg
+
+
+@given(hst.sampled_from(sorted(wire.MESSAGES)).flatmap(
+    lambda s: hst.tuples(hst.just(s), _message(s))))
+@settings(max_examples=300, deadline=None)
+def test_every_schema_roundtrips_idempotently(named):
+    schema_name, msg = named
+    e1 = wire.encode_message(schema_name, msg)
+    d1 = wire.decode_message(schema_name, e1)
+    e2 = wire.encode_message(schema_name, d1)
+    d2 = wire.decode_message(schema_name, e2)
+    assert d2 == d1, (schema_name, msg)
+    assert e2 == wire.encode_message(schema_name, d2)

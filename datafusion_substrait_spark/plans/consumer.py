@@ -106,11 +106,12 @@ class _Consumer:
         source = base or df.columns
         items = body.get("projection", {}).get("select", {}).get("structItems", [])
         mask = [int(it.get("field", 0)) for it in items]
-        bad = [i for i in mask if i >= len(source)]
+        bad = [i for i in mask if i >= len(source) or i < 0]
         if bad:
             raise SubstraitError(
-                f"table {'.'.join(names)}: projection ordinals {bad} exceed "
-                f"baseSchema width {len(source)}"
+                f"table {'.'.join(names)}: projection ordinals {bad} outside "
+                f"baseSchema width {len(source)} (negatives would silently "
+                "python-index from the end)"
             )
         df = df.select(*[df[source[i]] for i in mask]) if mask \
             else df.select(*[df[c] for c in source])
@@ -299,7 +300,15 @@ class _Consumer:
         filt = m.get("filter")
         if filt is not None:
             # per-measure FILTER (consumer.rs:242-251): fn(x) FILTER (WHERE p)
-            # ≡ fn(CASE WHEN p THEN x END) for null-skipping aggregates
+            # ≡ fn(CASE WHEN p THEN x END) for null-skipping aggregates ONLY —
+            # first/last consume with ignorenulls=False, so the rewrite would
+            # silently return the first row's NULL instead of the first row
+            # passing p (the producer fences the same combination)
+            if name in ("first_value", "last_value"):
+                raise SubstraitError(
+                    f"measure filter on {name!r} is not consumable: the CASE "
+                    "rewrite is unsound for null-keeping aggregates"
+                )
             p = self.rex(filt, resolver)
             args = [F.when(p, a) for a in args] if args else [F.when(p, F.lit(1))]
         if distinct:
@@ -357,7 +366,9 @@ class _Consumer:
         elif op == "SET_OP_INTERSECTION_PRIMARY":
             out = reduce(DataFrame.intersect, dfs)
         elif op == "SET_OP_MINUS_PRIMARY":
-            out = reduce(DataFrame.exceptAll, dfs)
+            # PRIMARY = distinct semantics (SQL EXCEPT), like the
+            # INTERSECTION_PRIMARY branch above — subtract(), not exceptAll()
+            out = reduce(DataFrame.subtract, dfs)
         else:
             raise SubstraitError(f"unsupported set op {op}")
         return out.toDF(*_fnames(len(out.columns)))

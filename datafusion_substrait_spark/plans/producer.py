@@ -448,6 +448,17 @@ class _Producer:
             )
         args = [self.rex(c, cids) for c in _seq(fn.children())]
         filt = _opt(agg_expr.filter())
+        if pretty in ("first", "last") and filt is not None:
+            # the measure-filter consume path rewrites fn(x) FILTER (WHERE p)
+            # to fn(CASE WHEN p THEN x END), sound only for null-SKIPPING
+            # aggregates; first/last keep nulls, so the rewrite would return
+            # the first row's NULL instead of the first row passing p —
+            # translate-or-error, like the ignoreNulls fence above
+            raise SubstraitError(
+                f"{pretty}(expr) FILTER (WHERE ...) has no sound Substrait "
+                "measure-filter encoding (the CASE rewrite keeps non-passing "
+                "rows visible to a null-keeping aggregate); rewrite the query"
+            )
         return proto.measure(
             self.registry.register(name),
             args,
@@ -508,13 +519,15 @@ class _Producer:
         return proto.aggregate_rel(crel, groupings, []), keys
 
     def _rel_Union(self, node, needed=None):
-        # Substrait SetRel (spec §SetRel; NOT in the reference — extension)
-        rels, out = [], None
-        for child in _seq(node.children()):
-            r, ids = self.rel(child)
-            rels.append(r)
-            if out is None:
-                out = ids
+        # Substrait SetRel (spec §SetRel; NOT in the reference — extension).
+        # ``needed`` is deliberately not propagated: this walks the
+        # OPTIMIZED plan, where Catalyst's ColumnPruning has already pushed
+        # a Project into every union branch (verified: a one-column select
+        # over a union emits single-field scan masks per branch), so each
+        # child subtree prunes itself; positional re-mapping of union
+        # output ids onto per-child exprIds would duplicate that for
+        # nothing.
+        rels = [self.rel(child)[0] for child in _seq(node.children())]
         return proto.set_rel(rels, "SET_OP_UNION_ALL"), _attr_ids(node)
 
     _WINDOW_FN_NAMES = {

@@ -410,9 +410,21 @@ def loads(b: bytes) -> dict:
     return p
 
 
+# spec rel kinds this engine does not consume (wire-decodable so richer
+# plans fail with a targeted message, not a structural one)
+_UNSUPPORTED_REL_KINDS = ("cross", "extensionMulti", "extensionLeaf")
+
+
 def rel_kind(rel: dict) -> str:
     kinds = [k for k in rel if k in REL_KINDS]
     if len(kinds) != 1:
+        known_unsupported = [k for k in rel if k in _UNSUPPORTED_REL_KINDS]
+        if not kinds and known_unsupported:
+            raise SubstraitError(
+                f"unsupported relation kind {known_unsupported[0]!r}: valid "
+                "Substrait, but this engine consumes only "
+                f"{sorted(REL_KINDS)} (cross joins arrive as inner-on-true)"
+            )
         raise SubstraitError(f"rel must have exactly one kind, got {sorted(rel)}")
     return kinds[0]
 

@@ -106,11 +106,13 @@ def substrait_type_to_spark(t: dict) -> str:
 
 
 def _split_top_level(s: str) -> list[str]:
+    # both bracket kinds nest: struct<a:decimal(10,2)> carries a comma
+    # inside (), not just <>
     parts, depth, cur = [], 0, []
     for ch in s:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur))

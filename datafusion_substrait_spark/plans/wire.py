@@ -19,15 +19,22 @@ The in-memory IR stays the proto3-JSON dict tree of ``plans/proto.py``;
 * **Explicit presence**: fields present in the IR dict are encoded even at
   proto3 default values (legal on the wire; canonical encoders merely
   elide them), so ``decode(encode(p)) == p`` exactly — the same contract
-  ``proto.loads(proto.dumps(p))`` has. Oneof members are always encoded
-  by conformant serializers regardless of value, and the consumer reads
-  elidable non-oneof scalars with ``.get(..., default)``, so third-party
-  canonical encodings also decode into consumable plans.
+  ``proto.loads(proto.dumps(p))`` has — with ONE carve-out: ``fp32``
+  literals pass through the 4-byte fixed32 wire slot, so a JSON-authored
+  fp32 value not representable in float32 (e.g. 0.1) decodes as its
+  float32 rounding; our own producer emits fp32 only from Spark FloatType
+  values, which are float32-exact by construction. Oneof members are
+  always encoded by conformant serializers regardless of value, and the
+  consumer reads elidable non-oneof scalars with ``.get(..., default)``,
+  so third-party canonical encodings also decode into consumable plans.
 * **Packed repeated scalars** are written packed (proto3 default) and
   accepted in both packed and unpacked form on decode.
 * **Unknown fields** are skipped on decode (standard proto semantics), so
   plans from richer producers degrade to the supported surface instead of
-  failing to parse.
+  failing to parse. Unknown ENUM NUMBERS, by contrast, fail loudly: the
+  IR carries enum names, so an unmapped number has no representation —
+  a newer producer's enum value surfaces as a targeted SubstraitError
+  here rather than a silently wrong plan downstream.
 * The ``ExtensionSingleRel.detail`` ``google.protobuf.Any`` wraps our own
   ``spark.substrait_spark.GenerateRel`` extension message (we own its
   numbering; the type URL is the registry key).
@@ -644,8 +651,12 @@ def _decode_scalar(kind: str, buf: bytes, pos: int, wt: int) -> tuple[Any, int]:
             return bool(n), pos
         return n, pos
     if kind == "f64":
+        if wt != _WT_FIXED64 or pos + 8 > len(buf):
+            raise SubstraitError("bad or truncated fixed64 field")
         return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
     if kind == "f32":
+        if wt != _WT_FIXED32 or pos + 4 > len(buf):
+            raise SubstraitError("bad or truncated fixed32 field")
         return struct.unpack("<f", buf[pos:pos + 4])[0], pos + 4
     ln, pos = decode_uvarint(buf, pos)
     raw = buf[pos:pos + ln]
@@ -716,17 +727,23 @@ def _encode_any(detail: dict) -> bytes:
 
 
 def _skip_field(buf: bytes, pos: int, wt: int) -> int:
+    # skipped fields still bounds-check: a corrupt length claiming bytes
+    # past the buffer must fail loudly, not silently end the message
     if wt == _WT_VARINT:
         _, pos = decode_uvarint(buf, pos)
         return pos
     if wt == _WT_FIXED64:
-        return pos + 8
-    if wt == _WT_FIXED32:
-        return pos + 4
-    if wt == _WT_LEN:
+        end = pos + 8
+    elif wt == _WT_FIXED32:
+        end = pos + 4
+    elif wt == _WT_LEN:
         ln, pos = decode_uvarint(buf, pos)
-        return pos + ln
-    raise SubstraitError(f"unsupported wire type {wt}")
+        end = pos + ln
+    else:
+        raise SubstraitError(f"unsupported wire type {wt}")
+    if end > len(buf):
+        raise SubstraitError("truncated field while skipping unknown data")
+    return end
 
 
 def decode_message(schema_name: str, buf: bytes) -> dict:
@@ -748,10 +765,14 @@ def decode_message(schema_name: str, buf: bytes) -> dict:
         if repeated and kind in _VARINT_KINDS and wt == _WT_LEN:
             ln, pos = decode_uvarint(buf, pos)
             end = pos + ln
-            vals = msg.setdefault(name, [])
+            if end > len(buf):
+                raise SubstraitError("truncated packed repeated field")
+            vals = []
             while pos < end:
                 v, pos = _decode_scalar(kind, buf, pos, _WT_VARINT)
                 vals.append(v)
+            if vals:  # zero-length packed ≡ absent (canonical() invariant)
+                msg.setdefault(name, []).extend(vals)
             continue
         if kind.startswith("m:") or kind == "any":
             if wt != _WT_LEN:

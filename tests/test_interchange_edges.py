@@ -1,0 +1,90 @@
+"""Regression tests for interchange-layer edge cases found by review:
+unsound FILTER rewrites, type-string parsing, set-op multiplicity, mask
+bounds, and wire-codec robustness on malformed input."""
+
+from __future__ import annotations
+
+import copy
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark import (SubstraitError, from_substrait_plan,
+                                        to_substrait_plan)
+from datafusion_substrait_spark.plans import proto, wire
+from datafusion_substrait_spark.plans.types import (spark_type_to_substrait,
+                                                    substrait_type_to_spark)
+
+
+def test_filter_on_first_last_is_fenced(spark):
+    """fn(CASE WHEN p THEN x END) is unsound for null-keeping first/last:
+    both the producer and the consumer must refuse rather than silently
+    return the first row's NULL."""
+    df = spark.table("orders").groupBy("o_orderstatus").agg(
+        F.expr("first(o_totalprice) FILTER (WHERE o_totalprice > 1000)")
+        .alias("f"))
+    with pytest.raises(SubstraitError, match="FILTER"):
+        to_substrait_plan(df)
+    # plain first/last (no FILTER) still round-trips
+    ok = spark.table("orders").groupBy("o_orderstatus").agg(
+        F.expr("first(o_orderkey)").alias("f"))
+    assert from_substrait_plan(spark, to_substrait_plan(ok)).count() > 0
+
+
+def test_struct_with_decimal_field_type_strings():
+    """_split_top_level must respect () nesting, not just <>."""
+    t = spark_type_to_substrait("struct<a:decimal(10,2),b:bigint>")
+    assert t["struct"]["types"][0]["decimal"]["precision"] == 10
+    back = substrait_type_to_spark(t)
+    assert "decimal(10,2)" in back and "i64" not in back
+
+
+def test_minus_primary_has_distinct_semantics(spark):
+    """SET_OP_MINUS_PRIMARY = SQL EXCEPT (distinct), mirroring the
+    INTERSECTION_PRIMARY branch — not multiset exceptAll."""
+    spark.createDataFrame([(1,), (1,), (2,)], "v bigint") \
+        .createOrReplaceTempView("minus_a")
+    spark.createDataFrame([(2,)], "v bigint").createOrReplaceTempView("minus_b")
+    # name recovery not needed on consume (NamedTable reads by name)
+    i64 = {"i64": {"nullability": "NULLABILITY_REQUIRED"}}
+    rels = [proto.read_rel(["minus_a"], ["v"], [i64], [0]),
+            proto.read_rel(["minus_b"], ["v"], [i64], [0])]
+    p = proto.plan(proto.set_rel(rels, "SET_OP_MINUS_PRIMARY"), ["v"], [])
+    out = from_substrait_plan(spark, p)
+    assert [tuple(r) for r in out.collect()] == [(1,)]  # NOT [(1,), (1,)]
+
+
+def test_negative_mask_ordinal_rejected(spark):
+    plan = to_substrait_plan(spark.table("nation").select("n_name"))
+    bad = copy.deepcopy(plan)
+
+    def poison(rel):
+        if "read" in rel:
+            rel["read"]["projection"]["select"]["structItems"][0]["field"] = -1
+            return True
+        return any(poison(v) for v in rel.values() if isinstance(v, dict))
+
+    assert poison(bad["relations"][0]["root"]["input"])
+    with pytest.raises(SubstraitError, match="ordinals"):
+        from_substrait_plan(spark, bad).collect()
+
+
+def test_wire_truncated_fixed_and_skip_fields_raise():
+    # truncated f64 literal: cut 3 bytes off the end
+    body = wire.encode_message("Literal", {"fp64": 1.5})
+    with pytest.raises(SubstraitError, match="truncated|bad"):
+        wire.decode_message("Literal", body[:-3])
+    # unknown field claiming more bytes than the buffer holds
+    buf = wire._tag(999, wire._WT_LEN) + wire.encode_uvarint(1000) + b"xx"
+    with pytest.raises(SubstraitError, match="truncated"):
+        wire.decode_message("Literal", buf)
+
+
+def test_wire_zero_length_packed_field_is_absent():
+    buf = wire._tag(1, wire._WT_LEN) + wire.encode_uvarint(0)
+    assert wire.decode_message("RelCommonEmit", buf) == {}
+
+
+def test_unsupported_rel_kind_gets_targeted_error():
+    with pytest.raises(SubstraitError, match="unsupported relation kind 'cross'"):
+        proto.rel_kind({"cross": {}})

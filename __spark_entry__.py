@@ -850,8 +850,8 @@ ORACLES: dict[str, str] = {
                    CAST(length(text) AS DOUBLE) AS n_chars,
                    CAST(len({_TOKS}) AS DOUBLE) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
-                   CAST(len(list_distinct(list_intersect({_TOKS},
-                        {_ALL_STOP_SQL}))) AS DOUBLE) AS n_stop
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains({_ALL_STOP_SQL}, t))) AS DOUBLE) AS n_stop
             FROM documents
         ), feats AS (
             SELECT doc_id, n_chars, n_tokens,
@@ -861,10 +861,14 @@ ORACLES: dict[str, str] = {
             FROM base
         )
         SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
-               round(CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
-                     least(n_tokens / 100.0, 1.0) * 0.5
-                     + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
-                     + least(stopword_ratio * 5.0, 1.0) * 0.25 END, 6) AS quality_score
+               -- floor-to-lattice, not round: the score is a multiple of
+               -- 1.25e-6 and round(x,6) flips on exact halves (see
+               -- operators/text.py quality_features)
+               CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+                    floor((least(n_tokens / 100.0, 1.0) * 0.5
+                           + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+                           + least(stopword_ratio * 5.0, 1.0) * 0.25)
+                          * 800000 + 0.5) / 800000 END AS quality_score
         FROM feats
     """,
     "t3_lang_id": f"""
@@ -1155,7 +1159,10 @@ ORACLES: dict[str, str] = {
         WITH th AS (
             SELECT doc_id,
                    CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
-            FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS t FROM documents)
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(CASE WHEN len({_TOKS}) = 0 THEN ['']
+                                     ELSE {_TOKS} END) AS t
+                  FROM documents)
         ),
         sigs AS (
             SELECT doc_id, CAST({_D3_SIG_EXPR} AS BIGINT) AS sig

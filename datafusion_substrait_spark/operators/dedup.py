@@ -211,13 +211,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
          whole bench and is gone;
       4. distinct candidate pairs (persisted: reused by three consumers,
          and at scale recomputing the signature pipeline per consumer is
-         the real cost), then exact Jaccard on *candidate docs only*: the
+         the real cost — the two persists live until Spark's LRU evicts
+         them or the session ends; parameter-sweep callers that loop this
+         operator should checkpoint/write the result and clear the session
+         cache between runs), then exact Jaccard on *candidate docs only*: the
          corpus is semi-joined down to docs that appear in some pair before
          any shingle-set materialization, so verify-side shingle hashing is
          O(candidate docs), not O(corpus).
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
+    if bands <= 0 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: each band "
+            "fingerprints num_hashes/bands minima, and a non-divisor would "
+            "silently discard trailing minhashes (or hash zero columns)"
+        )
     rows_per_band = num_hashes // bands
     bases = _exploded_shingles(df, text_col, key_col, shingle_n)
     minima = bases.groupBy(key_col).agg(
@@ -346,9 +355,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     assert bits == 64, "lane packing is laid out for the full 64-bit word"
     if hash_fn is None:
         hash_fn = F.xxhash64
+    # empty-token floor (mirrors _exploded_shingles' greatest(...,1)): a
+    # doc whose text yields zero tokens ('', '!!!') still gets a signature
+    # — all such docs hash the same '' token, so they pair with each other
+    # instead of silently vanishing from the dedup pass
+    arr = F.array_distinct(tokens(F.col(text_col)))
+    arr = F.when(F.size(arr) == 0, F.array(F.lit(""))).otherwise(arr)
     toks = _parallelize(df, key_col).select(
-        F.col(key_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
+        F.col(key_col), F.explode(arr).alias("_t"),
     )
     hashed = toks.select(F.col(key_col), hash_fn(F.col("_t")).alias("_h"))
     votes = hashed.groupBy(key_col).agg(
@@ -377,11 +391,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
                   max_hamming: int = 6, max_bucket_size: int = 500,
                   hash_fn=None) -> DataFrame:
-    """Near-duplicate pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+    """Band-colliding near-duplicate pairs with Hamming ≤ max_hamming.
 
-    Candidates from 4 × 16-bit band buckets (pigeonhole: any pair within
-    Hamming ≤ 3 shares a band; wider radii still prune massively), verified
-    with ``bit_count(a XOR b)``. Shuffle is keyed on 16-bit band values;
+    Candidates from 4 × 16-bit band buckets, verified with
+    ``bit_count(a XOR b)``. Recall contract (pigeonhole): candidate
+    generation is COMPLETE for Hamming ≤ 3 — any such pair shares an exact
+    band. For wider radii the output is the band-colliding subset: a pair
+    differing in ≥ 1 bit of every band is never generated (e.g. Hamming 4
+    spread one-per-band). This is standard simhash-banding behavior; the
+    DuckDB oracle and the planted ground-truth tests replay the identical
+    banding, so the contract is pinned, not hidden. Callers needing full
+    recall at radius r must split the word into > r bands. Shuffle is keyed on 16-bit band values;
     pairs are expanded inside each bucket (collect_list + slice) so the
     signature pipeline is scanned exactly once, with no self-join; buckets
     over ``max_bucket_size`` fall back to star pairs (see _exploded_bucket_pairs —

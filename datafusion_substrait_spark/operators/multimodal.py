@@ -68,6 +68,9 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
             if data[i] != 0xFF:
                 return None
             marker = data[i + 1]
+            if marker == 0xFF:  # fill byte (spec-valid padding before a marker)
+                i += 1
+                continue
             if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
                 i += 2
                 continue
@@ -92,6 +95,13 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
             return "bmp", int(w), abs(int(h))
         return None
     return None
+
+
+def _payload_bytes(p) -> bytes:
+    """NULL-safe payload access: a real corpus has missing blobs, and
+    bytes(None) would crash the whole Python worker stage — a null payload
+    flows through as empty bytes (deterministic metadata, zero frames)."""
+    return b"" if p is None else bytes(p)
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
@@ -135,15 +145,15 @@ def extract_image_metadata(df: DataFrame, payload_col: str = "payload",
 
         for pdf in batches:
             payloads = pdf[payload_col]
-            meta = [decode(bytes(p)) for p in payloads]
+            meta = [decode(_payload_bytes(p)) for p in payloads]
             yield pd.DataFrame({
                 "key": pdf[key_col].astype("int64"),
-                "n_bytes": payloads.map(len).astype("int64"),
+                "n_bytes": payloads.map(lambda p: len(_payload_bytes(p))).astype("int64"),
                 "format": [m[0] for m in meta],
                 "width": [m[1] for m in meta],
                 "height": [m[2] for m in meta],
                 "payload_sha256": [
-                    hashlib.sha256(bytes(p)).hexdigest() for p in payloads
+                    hashlib.sha256(_payload_bytes(p)).hexdigest() for p in payloads
                 ],
             })
 
@@ -154,7 +164,9 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "k
                   every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Frame-sampling plumbing: split each payload into up to ``max_frames``
     fixed-stride chunks (the stand-in for video frame extraction — a real
-    decoder drops in at the same seam). One input row → ≤ max_frames output
+    decoder drops in at the same seam). Ceil-division stride count, so the
+    payload tail after the last full stride still becomes a (short) frame
+    when the frame budget allows. One input row → ≤ max_frames output
     rows; schema and batching identical to the real thing."""
 
     def sample(batches: Iterator) -> Iterator:
@@ -163,8 +175,9 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "k
         for pdf in batches:
             keys, idxs, frames = [], [], []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
-                data = bytes(payload)
-                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                data = _payload_bytes(payload)
+                for i in range(min(max_frames,
+                                   max(1, -(-len(data) // every_n_bytes)))):
                     keys.append(int(key))
                     idxs.append(i)
                     frames.append(data[i * every_n_bytes:(i + 1) * every_n_bytes])
@@ -226,7 +239,7 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
                 "key": pdf[key_col].astype("int64"),
                 "width": pd.Series([width] * len(pdf), dtype="int32"),
                 "height": pd.Series([height] * len(pdf), dtype="int32"),
-                "pixels": [resize(bytes(p), width, height)
+                "pixels": [resize(_payload_bytes(p), width, height)
                            for p in pdf[payload_col]],
             })
 
@@ -266,7 +279,7 @@ def extract_features(df: DataFrame, dim: int = 64,
         for pdf in batches:
             yield pd.DataFrame({
                 "key": pdf[key_col].astype("int64"),
-                "features": [feats(bytes(p), dim) for p in pdf[payload_col]],
+                "features": [feats(_payload_bytes(p), dim) for p in pdf[payload_col]],
             })
 
     return df.mapInPandas(run, FEATURE_SCHEMA)

@@ -51,7 +51,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     """
     if direction not in ("backward", "forward"):
         raise SubstraitError(f"asof direction must be backward/forward, got {direction!r}")
-    right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    if right_cols is None:  # explicit [] means "matched timestamp only"
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
 
     # tag + union: left payload rides as-is, right payload rides in a struct
     # so one last(ignorenulls) carries ts and all right columns atomically

@@ -112,17 +112,30 @@ def quality_features(df: DataFrame, text_col: str = "text",
         "punct_ratio": F.round(
             F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("double") / n_chars, 6
         ),
+        # true token-occurrence density (stopword TOKENS / all tokens), not
+        # distinct-stopword count: array_intersect dedups, capping the
+        # numerator at the stopword-list size and inverting the score
+        # ordering with document length (a 2000-token fluent doc scored
+        # lower than a 50-token fragment)
         "stopword_ratio": F.round(
-            F.size(F.array_intersect(toks, all_stop)).cast("double") / n_toks, 6
+            F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+            .cast("double") / n_toks, 6
         ),
     }
-    score = F.round(
-        F.when(n_toks <= 0, F.lit(0.0)).otherwise(
-            (F.least(n_toks / 100.0, F.lit(1.0)) * 0.5)
-            + (1.0 - F.least(feats["punct_ratio"] * 10.0, F.lit(1.0))) * 0.25
-            + F.least(feats["stopword_ratio"] * 5.0, F.lit(1.0)) * 0.25
-        ),
-        6,
+    # the raw score lives on a 1.25e-6 lattice (term granularities 5e-3,
+    # 2.5e-6, 1.25e-6), so round(x, 6) hits exact decimal HALVES and the
+    # two engines' ulp-different sums round opposite ways (observed:
+    # 0.6578175 → 0.657817 vs 0.657818). floor(x·800000 + 0.5)/800000
+    # snaps to the lattice instead: the true value is an INTEGER there, so
+    # a few ulp of error can never cross the floor boundary on either
+    # engine.
+    raw = (
+        (F.least(n_toks / 100.0, F.lit(1.0)) * 0.5)
+        + (1.0 - F.least(feats["punct_ratio"] * 10.0, F.lit(1.0))) * 0.25
+        + F.least(feats["stopword_ratio"] * 5.0, F.lit(1.0)) * 0.25
+    )
+    score = F.when(n_toks <= 0, F.lit(0.0)).otherwise(
+        F.floor(raw * 800000 + F.lit(0.5)) / 800000
     )
     return df.select(
         *key_cols, *[c.alias(k) for k, c in feats.items()], score.alias("quality_score")

@@ -163,13 +163,21 @@ def correlate_events(events: DataFrame, type_a: str = "view",
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         output_mode: str = "append") -> DataFrame:
     """Drain a stream with an available-now trigger into a memory sink and
-    return the materialized result (test harness path)."""
+    return the materialized result (test harness path).
+
+    ``output_mode`` must match the stream's shape: "append" for joins /
+    ``applyInPandasWithState`` appends / watermarked aggregations,
+    "complete" for unwatermarked aggregations (e.g. a bare
+    ``windowed_event_counts``), "update" for running-stats streams — Spark
+    rejects a mismatch at ``start()``. (An earlier revision hardcoded
+    "complete", which only the windowed-counts shape accepted.)"""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -423,3 +423,66 @@ def test_embedding_neardup_hot_bucket_star_cap(spark):
     assert got == [(0, i) for i in range(1, n)]  # star: hub 0 x 39 others
     full = dedup.embedding_neardup_pairs(df, threshold=0.99)
     assert full.count() == math.comb(n, 2)  # under the cap: all pairs
+
+
+def test_quality_stopword_ratio_is_token_density(spark):
+    """stopword_ratio must count stopword TOKEN OCCURRENCES over all
+    tokens, not distinct stopwords present (which capped the numerator at
+    the stopword-list size and inverted the score ordering with length)."""
+    long_doc = "the cat and the dog and the bird in the house " * 50
+    rows = [(1, long_doc), (2, "zzz qqq xxx the")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in text.quality_features(df).collect()}
+    # 7 stopword tokens per 11-token repetition ("the" x4, "and" x2, "in")
+    assert abs(out[1].stopword_ratio - 7 / 11) < 1e-4
+    assert abs(out[2].stopword_ratio - 0.25) < 1e-6
+    # the long fluent doc must now out-score the fragment
+    assert out[1].quality_score > out[2].quality_score
+
+
+def test_simhash_keeps_zero_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "!!!"), (2, "..."), (3, "real words here")],
+        "doc_id bigint, text string")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(df).collect()}
+    assert set(sigs) == {1, 2, 3}          # nothing vanishes
+    assert sigs[1] == sigs[2]              # degenerate docs pair up
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_band_validation():
+    import pytest as _pytest
+
+    df = None  # never touched: validation fires before any plan is built
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(df, num_hashes=8, bands=16)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(df, num_hashes=32, bands=5)
+
+
+def test_multimodal_null_payloads_and_frame_tail(spark):
+    from pyspark.sql import types as T
+
+    rows = [(1, b"x" * 100), (2, None)]
+    df = spark.createDataFrame(rows, T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("payload", T.BinaryType())]))
+    meta = {r.key: r for r in multimodal.extract_image_metadata(df).collect()}
+    assert meta[2].n_bytes == 0            # null flows through, no crash
+    frames = multimodal.sample_frames(df, every_n_bytes=64).collect()
+    by_key = {}
+    for r in frames:
+        by_key.setdefault(r.key, []).append(bytes(r.frame_bytes))
+    # ceil division: the 36-byte tail after the first 64-byte stride emits
+    assert len(by_key[1]) == 2 and len(by_key[1][1]) == 36
+    assert by_key[2] == [b""]
+
+
+def test_jpeg_fill_bytes_before_sof(spark):
+    import struct as _struct
+
+    # SOI + fill bytes + SOF0 with dimensions 480x640
+    sof = b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08" + _struct.pack(">HH", 480, 640)
+    data = b"\xff\xd8" + b"\xff\xff\xff" + sof + b"\x00" * 8
+    assert multimodal.parse_image_header(data) == ("jpeg", 640, 480)

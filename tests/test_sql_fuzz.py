@@ -1,0 +1,287 @@
+"""Seeded random-SQL fuzz over the supported interchange surface.
+
+Property (the reference's roundtrip contract, tests/roundtrip.rs:247-262,
+generalized beyond hand-picked cases): for ANY query in the supported
+grammar, running the DataFrame directly and running it through
+produce → plan → consume yields identical columns and rows.
+
+The generator is a small typed grammar over the driver's TPC-H-ish tables:
+scalar arithmetic / CASE (both forms) / string functions, filters with
+AND/OR/NOT/LIKE/IN/BETWEEN/comparison chains, aggregates with DISTINCT and
+per-measure FILTER plus HAVING, the six join types over real FK pairs, set
+operations, window functions, scalar subqueries, DISTINCT, sort + fetch.
+Every seed is deterministic, so a failure line reproduces with its printed
+SQL. Double-typed aggregate measures are rounded in-query — the property
+under test is plan fidelity, not IEEE summation order.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from datafusion_substrait_spark import roundtrip
+from tests.conftest import assert_same_result
+
+# table → (numeric cols, string cols, unique ORDER BY tie-break key list)
+TABLES = {
+    "orders": (["o_orderkey", "o_custkey", "o_totalprice"],
+               ["o_orderstatus", "o_orderpriority"],
+               ["o_orderkey"]),
+    "customer": (["c_custkey", "c_nationkey", "c_acctbal"],
+                 ["c_name", "c_mktsegment"],
+                 ["c_custkey"]),
+    "lineitem": (["l_orderkey", "l_partkey", "l_quantity",
+                  "l_extendedprice", "l_discount"],
+                 ["l_returnflag", "l_linestatus"],
+                 ["l_orderkey", "l_linenumber"]),
+    "nation": (["n_nationkey", "n_regionkey"], ["n_name"], ["n_nationkey"]),
+    "supplier": (["s_suppkey", "s_nationkey", "s_acctbal"], ["s_name"],
+                 ["s_suppkey"]),
+    "part": (["p_partkey", "p_size", "p_retailprice"],
+             ["p_name", "p_brand", "p_type"], ["p_partkey"]),
+}
+
+# string-column value pools (checked against the seed-42 testdata) so
+# equality/IN predicates select non-trivial row subsets
+POOLS = {
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                        "5-LOW"],
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                     "MACHINERY"],
+}
+
+# FK equi-join pairs: (left table, right table, left key, right key)
+JOINS = [
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+]
+
+
+class Gen:
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    def pick(self, xs):
+        return self.r.choice(xs)
+
+    # --- typed expression grammar -------------------------------------------
+
+    def num_expr(self, cols, depth=2) -> str:
+        if depth <= 0 or self.r.random() < 0.35:
+            return self.pick(cols + [str(self.r.randint(0, 1000))])
+        form = self.pick(["add", "sub", "mul", "round", "abs", "case", "mod"])
+        a = self.num_expr(cols, depth - 1)
+        b = self.num_expr(cols, depth - 1)
+        if form == "add":
+            return f"({a} + {b})"
+        if form == "sub":
+            return f"({a} - {b})"
+        if form == "mul":
+            return f"({a} * {self.r.randint(2, 9)})"
+        if form == "round":
+            return f"round({a}, 1)"
+        if form == "abs":
+            return f"abs({a})"
+        if form == "mod":
+            return f"({self.pick(cols)} % {self.r.randint(2, 97)})"
+        return f"(CASE WHEN {self.bool_expr(cols, [], depth - 1)} " \
+               f"THEN {a} ELSE {b} END)"
+
+    def str_expr(self, scols, depth=1) -> str:
+        c = self.pick(scols)
+        if depth <= 0 or self.r.random() < 0.4:
+            return c
+        form = self.pick(["upper", "lower", "substr", "concat", "case_base"])
+        if form == "upper":
+            return f"upper({c})"
+        if form == "lower":
+            return f"lower({c})"
+        if form == "substr":
+            return f"substring({c}, 1, {self.r.randint(1, 4)})"
+        if form == "concat":
+            return f"concat({c}, '_', {self.pick(scols)})"
+        # base-expression CASE form (E5's second shape)
+        v = self.pick(POOLS.get(c, ["A"]))
+        return f"(CASE {c} WHEN '{v}' THEN 'hit' ELSE 'miss' END)"
+
+    def bool_expr(self, ncols, scols, depth=2) -> str:
+        if depth <= 0 or self.r.random() < 0.3:
+            return self.cmp(ncols, scols)
+        form = self.pick(["and", "or", "not", "cmp"])
+        if form == "and":
+            return f"({self.bool_expr(ncols, scols, depth - 1)} AND " \
+                   f"{self.bool_expr(ncols, scols, depth - 1)})"
+        if form == "or":
+            return f"({self.bool_expr(ncols, scols, depth - 1)} OR " \
+                   f"{self.bool_expr(ncols, scols, depth - 1)})"
+        if form == "not":
+            return f"(NOT {self.bool_expr(ncols, scols, depth - 1)})"
+        return self.cmp(ncols, scols)
+
+    def cmp(self, ncols, scols) -> str:
+        choices = ["numcmp", "between", "mod"]
+        if scols:
+            choices += ["streq", "like", "inlist", "notnull"]
+        form = self.pick(choices)
+        if form == "numcmp":
+            op = self.pick(["<", "<=", ">", ">=", "=", "<>"])
+            return f"({self.num_expr(ncols, 1)} {op} {self.num_expr(ncols, 1)})"
+        if form == "between":
+            c = self.pick(ncols)
+            lo = self.r.randint(0, 500)
+            return f"({c} BETWEEN {lo} AND {lo + self.r.randint(1, 100000)})"
+        if form == "mod":
+            return f"({self.pick(ncols)} % {self.r.randint(2, 13)} = 0)"
+        c = self.pick(scols)
+        pool = POOLS.get(c)
+        if form == "streq" and pool:
+            return f"({c} = '{self.pick(pool)}')"
+        if form == "inlist" and pool:
+            vals = self.r.sample(pool, min(len(pool), self.r.randint(1, 3)))
+            return f"({c} IN ({', '.join(repr(v) for v in vals)}))"
+        if form == "notnull":
+            return f"({c} IS NOT NULL)"
+        letter = self.pick("ABCDEFGHILMNOPRSU")
+        pat = self.pick([f"{letter}%", f"%{letter}%", f"%{letter}"])
+        return f"({c} LIKE '{pat}')"
+
+    # --- query shapes -------------------------------------------------------
+
+    def select_query(self) -> str:
+        t = self.pick(list(TABLES))
+        ncols, scols, key = TABLES[t]
+        items = [f"{self.num_expr(ncols)} AS c{i}" for i in range(self.r.randint(1, 3))]
+        items.append(f"{self.str_expr(scols)} AS s0")
+        items += key  # keep the unique key for a deterministic LIMIT sort
+        sql = f"SELECT {', '.join(items)} FROM {t} " \
+              f"WHERE {self.bool_expr(ncols, scols)}"
+        if self.r.random() < 0.5:
+            sql += f" ORDER BY {', '.join(key)} LIMIT {self.r.randint(1, 200)}"
+            if self.r.random() < 0.5:
+                sql += f" OFFSET {self.r.randint(1, 20)}"
+        return sql
+
+    def agg_query(self) -> str:
+        t = self.pick(list(TABLES))
+        ncols, scols, _ = TABLES[t]
+        keys = self.r.sample(scols, self.r.randint(1, min(2, len(scols))))
+        n = self.pick(ncols)
+        measures = [
+            "count(*) AS cnt",
+            f"round(sum({self.num_expr(ncols, 1)}), 2) AS m_sum",
+            f"min({n}) AS m_min",
+            f"max({self.num_expr(ncols, 1)}) AS m_max",
+            f"round(avg({n}), 4) AS m_avg",
+        ]
+        if self.r.random() < 0.5:
+            measures.append(f"count(DISTINCT {self.pick(scols)}) AS m_dc")
+        if self.r.random() < 0.5:
+            measures.append(
+                f"count(*) FILTER (WHERE {self.cmp(ncols, scols)}) AS m_f")
+        sql = f"SELECT {', '.join(keys + measures)} FROM {t}"
+        if self.r.random() < 0.6:
+            sql += f" WHERE {self.bool_expr(ncols, scols)}"
+        sql += f" GROUP BY {', '.join(keys)}"
+        if self.r.random() < 0.4:
+            sql += f" HAVING count(*) > {self.r.randint(0, 5)}"
+        return sql
+
+    def join_query(self) -> str:
+        lt, rt, lk, rk = self.pick(JOINS)
+        lnc, lsc, lkey = TABLES[lt]
+        rnc, rsc, _ = TABLES[rt]
+        how = self.pick(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        items = [self.pick(lnc), self.pick(lsc), self.pick(rnc), self.pick(rsc)]
+        # dedup while preserving order (same column picked twice is legal SQL
+        # but ambiguous to compare)
+        items = list(dict.fromkeys(items))
+        sql = f"SELECT {', '.join(items)} FROM {lt} {how} {rt} ON {lk} = {rk}"
+        if self.r.random() < 0.5:
+            side_nc, side_sc = (lnc, lsc) if how != "RIGHT JOIN" else (rnc, rsc)
+            sql += f" WHERE {self.bool_expr(side_nc, side_sc, 1)}"
+        return sql
+
+    def semi_anti_query(self) -> str:
+        form = self.pick(["EXISTS", "NOT EXISTS"])
+        return (
+            f"SELECT c_custkey, c_name FROM customer WHERE {form} "
+            f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            f"AND o_totalprice > {self.r.randint(0, 400000)})"
+        )
+
+    def setop_query(self) -> str:
+        t = self.pick(list(TABLES))
+        ncols, scols, _ = TABLES[t]
+        op = self.pick(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        n, s = self.pick(ncols), self.pick(scols)
+        return (
+            f"SELECT {n} AS k, {s} AS v FROM {t} "
+            f"WHERE {self.bool_expr(ncols, scols, 1)} {op} "
+            f"SELECT {n} AS k, {s} AS v FROM {t} "
+            f"WHERE {self.bool_expr(ncols, scols, 1)}"
+        )
+
+    def window_query(self) -> str:
+        t = self.pick(["orders", "customer", "lineitem"])
+        ncols, scols, key = TABLES[t]
+        part = self.pick(scols)
+        uk = ", ".join(key)
+        n = self.pick(ncols)
+        return (
+            f"SELECT {uk}, "
+            f"row_number() OVER (PARTITION BY {part} ORDER BY {n} DESC, {uk}) AS rn, "
+            f"round(sum({n}) OVER (PARTITION BY {part}), 2) AS part_sum, "
+            f"lag({n}, 1) OVER (PARTITION BY {part} ORDER BY {uk}) AS prev "
+            f"FROM {t} WHERE {self.bool_expr(ncols, scols, 1)}"
+        )
+
+    def distinct_query(self) -> str:
+        t = self.pick(list(TABLES))
+        ncols, scols, _ = TABLES[t]
+        cols = self.r.sample(scols, min(len(scols), self.r.randint(1, 2)))
+        return (
+            f"SELECT DISTINCT {', '.join(cols)} FROM {t} "
+            f"WHERE {self.bool_expr(ncols, scols, 1)}"
+        )
+
+    def scalar_subquery_query(self) -> str:
+        t = self.pick(["orders", "customer", "lineitem"])
+        ncols, scols, key = TABLES[t]
+        n = self.pick(ncols)
+        agg = self.pick(["avg", "max", "min"])
+        return (
+            f"SELECT {', '.join(key)} FROM {t} "
+            f"WHERE {n} > (SELECT {agg}({n}) FROM {t})"
+        )
+
+    def query(self) -> str:
+        shape = self.r.choices(
+            ["select", "agg", "join", "semi", "setop", "window", "distinct",
+             "scalar_sub"],
+            weights=[25, 25, 18, 6, 10, 8, 5, 3],
+        )[0]
+        return getattr(self, {
+            "select": "select_query", "agg": "agg_query",
+            "join": "join_query", "semi": "semi_anti_query",
+            "setop": "setop_query", "window": "window_query",
+            "distinct": "distinct_query",
+            "scalar_sub": "scalar_subquery_query",
+        }[shape])()
+
+
+@pytest.mark.parametrize("seed", range(48))
+def test_random_query_roundtrips(spark, seed):
+    sql = Gen(seed).query()
+    df = spark.sql(sql)
+    try:
+        assert_same_result(df, roundtrip(df))
+    except AssertionError:
+        raise AssertionError(f"roundtrip mismatch for seed {seed}:\n{sql}")

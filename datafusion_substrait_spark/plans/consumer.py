@@ -88,6 +88,8 @@ class _Consumer:
         return getattr(self, f"_rel_{kind}")(rel[kind])
 
     def _rel_read(self, body: dict) -> DataFrame:
+        if "virtualTable" in body:
+            return self._read_virtual(body)
         names = body["namedTable"]["names"]  # 1-3 part (consumer.rs:320-338)
         df = self.spark.table(".".join(names))
         # resolve mask ordinals via baseSchema NAMES, not live positions: if
@@ -116,6 +118,50 @@ class _Consumer:
         df = df.select(*[df[source[i]] for i in mask]) if mask \
             else df.select(*[df[c] for c in source])
         return df.toDF(*_fnames(len(df.columns)))
+
+    def _read_virtual(self, body: dict) -> DataFrame:
+        """ReadRel{virtualTable} → ``spark.createDataFrame`` over the inline
+        literal rows (Substrait spec read_type; spec-superset — the
+        reference reads only NamedTable, consumer.rs:371-373). The typical
+        payload is tiny (an optimizer-emptied branch, a VALUES list), so an
+        inline local DataFrame is the right physical shape — Spark plans it
+        as a LocalTableScan, no files, no shuffle."""
+        from pyspark.sql import types as T
+
+        struct = body.get("baseSchema", {}).get("struct", {})
+        types = struct.get("types")
+        n_cols = len(body.get("baseSchema", {}).get("names") or types or [])
+        if types is None and n_cols:
+            raise SubstraitError(
+                "virtual table with columns requires baseSchema struct types"
+            )
+        ddl_types = [substrait_type_to_spark(t) for t in (types or [])]
+        schema = T.StructType([
+            T.StructField(f"f{i}", T._parse_datatype_string(dt), True)
+            for i, dt in enumerate(ddl_types)
+        ])
+        rows = []
+        for v in body["virtualTable"].get("values", []):
+            fields = v.get("fields", [])
+            if len(fields) != n_cols:
+                raise SubstraitError(
+                    f"virtual table row has {len(fields)} fields, "
+                    f"baseSchema has {n_cols} columns"
+                )
+            rows.append(tuple(_literal_py(f) for f in fields))
+        df = self.spark.createDataFrame(rows, schema)
+        items = body.get("projection", {}).get("select", {}).get("structItems", [])
+        if items:
+            mask = [int(it.get("field", 0)) for it in items]
+            bad = [i for i in mask if i >= n_cols or i < 0]
+            if bad:
+                raise SubstraitError(
+                    f"virtual table projection ordinals {bad} outside "
+                    f"schema width {n_cols}"
+                )
+            df = df.select(*[df[f"f{i}"] for i in mask])
+            df = df.toDF(*_fnames(len(df.columns)))
+        return df
 
     def _rel_project(self, body: dict) -> DataFrame:
         df = self.rel(body["input"])
@@ -540,6 +586,39 @@ class _Consumer:
         if "else" in body:
             col = col.otherwise(self.rex(body["else"], resolver))
         return col
+
+
+def _literal_py(body: dict):
+    """Bare Literal message (a virtual-table Struct field) → Python value of
+    the shape ``spark.createDataFrame`` expects for the matching type."""
+    kinds = [k for k in body if k not in ("nullable", "typeVariationReference")]
+    if len(kinds) != 1:
+        raise SubstraitError(f"bad virtual-table literal {body}")
+    kind, v = kinds[0], body[kinds[0]]
+    if kind == "null":
+        return None
+    if kind in ("i8", "i16", "i32", "i64"):
+        return int(v)
+    if kind in ("fp32", "fp64"):
+        return float(v)
+    if kind == "boolean":
+        return bool(v)
+    if kind == "string":
+        return str(v)
+    if kind == "binary":
+        return bytearray(base64.b64decode(v))
+    if kind == "date":
+        return _EPOCH_DATE + datetime.timedelta(days=int(v))
+    if kind in ("timestamp", "timestampTz"):
+        # epoch micros; naive datetime is correct under the pinned-UTC
+        # session for timestampTz and by definition for NTZ wall time
+        return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=int(v)))
+    if kind == "decimal":
+        unscaled = int.from_bytes(base64.b64decode(v["value"]), "little",
+                                  signed=True)
+        return decimal.Decimal(unscaled).scaleb(-int(v.get("scale", 0)))
+    raise SubstraitError(f"unsupported virtual-table literal kind {kind!r}")
 
 
 def _scalar_literal(e: dict):

@@ -133,6 +133,60 @@ class _Producer:
             out_ids = [a.exprId().id() for a in mask_attrs]
         return proto.read_rel(table_names, base_names, base_types, mask), out_ids
 
+    # InternalRow accessor per Spark simpleString type (LocalRelation rows)
+    _ROW_GETTERS = {
+        "tinyint": lambda r, i: r.getByte(i),
+        "smallint": lambda r, i: r.getShort(i),
+        "int": lambda r, i: r.getInt(i),
+        "bigint": lambda r, i: r.getLong(i),
+        "boolean": lambda r, i: r.getBoolean(i),
+        "float": lambda r, i: r.getFloat(i),
+        "double": lambda r, i: r.getDouble(i),
+        "string": lambda r, i: r.getUTF8String(i).toString(),
+        "date": lambda r, i: r.getInt(i),          # epoch days
+        "timestamp": lambda r, i: r.getLong(i),    # epoch micros
+        "timestamp_ntz": lambda r, i: r.getLong(i),
+        "binary": lambda r, i: bytes(r.getBinary(i)),
+    }
+
+    def _rel_LocalRelation(self, node, needed=None):
+        """Catalyst LocalRelation → ReadRel{virtualTable}. This is how
+        constant-folded-away subtrees arrive (an always-false predicate
+        optimizes the whole branch to an EMPTY LocalRelation — found by the
+        SQL fuzzer) as well as inline ``VALUES`` lists. The reference has no
+        virtual-table read (consumer.rs:371-373); the Substrait spec does."""
+        out = _seq(node.output())
+        names = [a.name() for a in out]
+        dts = [a.dataType().simpleString() for a in out]
+        types = [spark_type_to_substrait(dt) for dt in dts]
+        rows = []
+        for jrow in _seq(node.data()):
+            row = []
+            for i, dt in enumerate(dts):
+                if jrow.isNullAt(i):
+                    row.append(proto.null_literal(types[i]))
+                    continue
+                getter = self._ROW_GETTERS.get(dt)
+                if getter is None and _DECIMAL_RE.match(dt):
+                    m = _DECIMAL_RE.match(dt)
+                    v = jrow.getDecimal(i, int(m.group(1)), int(m.group(2))) \
+                        .toJavaBigDecimal()
+                    row.append(self._literal_value(v, dt))
+                    continue
+                if getter is None:
+                    raise SubstraitError(
+                        f"LocalRelation value of type {dt!r} is not "
+                        "serializable as a virtual-table literal"
+                    )
+                row.append(self._literal_value(getter(jrow, i), dt))
+            rows.append(row)
+        return (proto.virtual_table_read_rel(names, types, rows),
+                [a.exprId().id() for a in out])
+
+    def _rel_OneRowRelation(self, node, needed=None):
+        # SELECT <literals> with no FROM: one zero-column row
+        return proto.virtual_table_read_rel([], None, [[]]), []
+
     def _rel_SubqueryAlias(self, node, needed=None):
         # aliases have no Substrait counterpart; skip (producer.rs:276-280)
         return self.rel(node.child(), needed)

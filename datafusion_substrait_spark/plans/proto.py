@@ -90,11 +90,13 @@ class SubstraitError(Exception):
 
 def plan(root_rel: dict, names: list[str], extensions: list[dict]) -> dict:
     """Top-level Plan; single relation tree rooted at RelRoot (producer.rs:44-60)."""
-    return {
+    p: dict[str, Any] = {
         "version": {"minorNumber": 53, "producer": PRODUCER_TAG},
-        "extensions": extensions,
         "relations": [{"root": {"input": root_rel, "names": list(names)}}],
     }
+    if extensions:  # canonical: empty repeated fields have no wire presence
+        p["extensions"] = extensions
+    return p
 
 
 def extension_function(anchor: int, name: str) -> dict:
@@ -127,6 +129,40 @@ def read_rel(table_names: list[str], base_schema_names: list[str],
                 "maintainSingularStruct": True,
             },
             "namedTable": {"names": list(table_names)},
+        }
+    }
+
+
+def virtual_table_read_rel(base_schema_names: list[str],
+                           base_schema_types: list[dict] | None,
+                           rows: list[list[dict]]) -> dict:
+    """ReadRel + VirtualTable: inline literal rows (Substrait spec
+    ``read_type.virtual_table``; NOT in the reference, which reads only
+    NamedTable — consumer.rs:371-373). Produced for Catalyst's
+    ``LocalRelation`` (constant-folded-empty subtrees, inline VALUES) and
+    ``OneRowRelation`` (``SELECT 1``), which otherwise have no catalog name
+    to serialize. Each row is a list of Expression.Literal dicts (the
+    ``{"literal": {...}}`` wrapper is stripped into Literal.Struct fields).
+    """
+    struct: dict[str, Any] = {"nullability": "NULLABILITY_REQUIRED"}
+    if base_schema_types is not None:
+        struct["types"] = base_schema_types
+    # canonical form omits empty repeated fields (proto3 wire semantics:
+    # an empty repeated field has no presence, so the binary codec could
+    # not round-trip an explicit empty list)
+    values = []
+    for row in rows:
+        fields = [lit["literal"] for lit in row]
+        values.append({"fields": fields} if fields else {})
+    vt: dict[str, Any] = {"values": values} if values else {}
+    base: dict[str, Any] = {"struct": struct}
+    if base_schema_names:  # empty repeated = no wire presence, keep canonical
+        base["names"] = list(base_schema_names)
+    return {
+        "read": {
+            "common": {"direct": {}},
+            "baseSchema": base,
+            "virtualTable": vt,
         }
     }
 
@@ -468,8 +504,11 @@ def _validate_rel(rel: dict) -> None:
     kind = rel_kind(rel)
     body = rel[kind]
     if kind == "read":
-        if "namedTable" not in body:
-            raise SubstraitError("only NamedTable reads are supported (consumer.rs:371-373)")
+        if "namedTable" not in body and "virtualTable" not in body:
+            raise SubstraitError(
+                "only NamedTable and VirtualTable reads are supported "
+                "(consumer.rs:371-373; virtual tables are our spec-superset)"
+            )
     elif kind in ("project", "filter", "fetch", "sort", "aggregate"):
         _validate_rel(body["input"])
         if kind == "aggregate":

@@ -216,11 +216,16 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "baseSchema": (2, "m:NamedStruct"),
         "filter": (3, "m:Expression"),
         "projection": (4, "m:MaskExpression"),
+        "virtualTable": (5, "m:VirtualTable"),
         "namedTable": (7, "m:NamedTable"),
         "bestEffortFilter": (11, "m:Expression"),
     },
     "NamedTable": {
         "names": (1, "str", "rep"),
+    },
+    # algebra.proto ReadRel.VirtualTable; rows are Expression.Literal.Struct
+    "VirtualTable": {
+        "values": (1, "m:LiteralStruct", "rep"),
     },
     # type.proto NamedStruct
     "NamedStruct": {
@@ -479,6 +484,7 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "time": (17, "i64"),
         "fixedChar": (21, "str"),
         "decimal": (24, "m:LiteralDecimal"),
+        "struct": (25, "m:LiteralStruct"),
         "timestampTz": (27, "i64"),
         "null": (29, "m:Type"),
         "nullable": (50, "bool"),
@@ -488,6 +494,10 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "value": (1, "bytes"),
         "precision": (2, "i32"),
         "scale": (3, "i32"),
+    },
+    # algebra.proto Expression.Literal.Struct
+    "LiteralStruct": {
+        "fields": (1, "m:Literal", "rep"),
     },
     # type.proto Type (oneof kind; numbering parallels Literal for the
     # scalar kinds, then list=27 / map=28 / timestampTz=29 diverge)

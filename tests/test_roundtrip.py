@@ -600,3 +600,58 @@ def test_unsupported_operator_errors(spark):
                     "'{\"a\":1}', 'a') j AS a")
     with pytest.raises(SubstraitError, match="generator"):
         to_substrait_plan(df2)
+
+
+# --- virtual tables (spec-superset: ReadRel.virtualTable) -------------------
+# Catalyst collapses provably-empty subtrees to LocalRelation and plans
+# FROM-less / VALUES queries as LocalRelation / OneRowRelation; none of these
+# have a catalog name, so they serialize as inline literal rows. The reference
+# reads only NamedTable (consumer.rs:371-373). The always-false-predicate case
+# was found by the SQL fuzzer (tests/test_sql_fuzz.py).
+
+def test_constant_folded_empty_relation(spark):
+    check(spark, """
+        SELECT o_orderkey, o_orderpriority, c_custkey
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice < o_totalprice
+    """)
+
+
+def test_constant_folded_empty_setop_branch(spark):
+    check(spark, """
+        SELECT o_totalprice AS k FROM orders WHERE 1 = 0
+        EXCEPT
+        SELECT o_totalprice AS k FROM orders WHERE o_orderkey = 266
+    """)
+
+
+def test_inline_values(spark):
+    check(spark, "SELECT * FROM VALUES (1, 'a'), (2, NULL) AS t(k, v)")
+    check(spark, """
+        SELECT k, count(*) AS n FROM VALUES (1), (1), (2) AS t(k) GROUP BY k
+    """)
+
+
+def test_inline_values_typed_literals(spark):
+    # date (epoch-days), timestamp (micros), decimal (LE-bytes wire format)
+    check(spark, """
+        SELECT * FROM VALUES
+            (DATE '2020-01-02', TIMESTAMP '2020-01-01 00:00:00',
+             CAST(1.25 AS DECIMAL(5,2))),
+            (NULL, NULL, NULL)
+        AS t(d, ts, dec)
+    """)
+
+
+def test_select_without_from(spark):
+    # OneRowRelation: one zero-column virtual row under a Project
+    check(spark, "SELECT 1 AS one, 'x' AS s")
+
+
+def test_values_join_named_table(spark):
+    # virtual table joined against a catalog table
+    check(spark, """
+        SELECT n_name, t.label FROM nation
+        JOIN VALUES (0, 'zero'), (1, 'one') AS t(rk, label)
+          ON n_regionkey = t.rk
+    """)

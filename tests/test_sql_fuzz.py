@@ -8,8 +8,10 @@ produce → plan → consume yields identical columns and rows.
 The generator is a small typed grammar over the driver's TPC-H-ish tables:
 scalar arithmetic / CASE (both forms) / string functions, filters with
 AND/OR/NOT/LIKE/IN/BETWEEN/comparison chains, aggregates with DISTINCT and
-per-measure FILTER plus HAVING, the six join types over real FK pairs, set
-operations, window functions, scalar subqueries, DISTINCT, sort + fetch.
+per-measure FILTER plus HAVING, the six join types over real FK pairs (plus
+CROSS), set operations, window functions, scalar subqueries (WHERE and
+SELECT-list), ROLLUP/CUBE/GROUPING SETS, explode, CTEs and derived tables,
+date-part functions, DISTINCT, sort + fetch.
 Every seed is deterministic, so a failure line reproduces with its printed
 SQL. Double-typed aggregate measures are rounded in-query — the property
 under test is plan fidelity, not IEEE summation order.
@@ -127,6 +129,11 @@ class Gen:
         return self.cmp(ncols, scols)
 
     def cmp(self, ncols, scols) -> str:
+        # rare degenerate predicates: constant-folds the subtree to an empty
+        # LocalRelation → exercises the virtual-table read path
+        if self.r.random() < 0.04:
+            c = self.pick(ncols)
+            return self.pick(["(1 = 0)", f"({c} < {c})", "(1 = 1)"])
         choices = ["numcmp", "between", "mod"]
         if scols:
             choices += ["streq", "like", "inlist", "notnull"]
@@ -257,16 +264,97 @@ class Gen:
         ncols, scols, key = TABLES[t]
         n = self.pick(ncols)
         agg = self.pick(["avg", "max", "min"])
+        if self.r.random() < 0.5:
+            return (
+                f"SELECT {', '.join(key)} FROM {t} "
+                f"WHERE {n} > (SELECT {agg}({n}) FROM {t})"
+            )
+        # scalar subquery in the SELECT list
         return (
-            f"SELECT {', '.join(key)} FROM {t} "
-            f"WHERE {n} > (SELECT {agg}({n}) FROM {t})"
+            f"SELECT {', '.join(key)}, "
+            f"round({n} / (SELECT max({n}) FROM {t}), 6) AS frac FROM {t} "
+            f"WHERE {self.bool_expr(ncols, scols, 1)}"
         )
+
+    def rollup_query(self) -> str:
+        t = self.pick(["orders", "lineitem", "customer"])
+        ncols, scols, _ = TABLES[t]
+        keys = self.r.sample(scols, min(len(scols), 2))
+        form = self.pick(["ROLLUP", "CUBE", "GROUPING SETS"])
+        if form == "GROUPING SETS":
+            sets = f"(({', '.join(keys)}), ({keys[0]}), ())"
+            by = f"GROUPING SETS {sets}"
+        else:
+            by = f"{form}({', '.join(keys)})"
+        n = self.pick(ncols)
+        return (
+            f"SELECT {', '.join(keys)}, count(*) AS cnt, "
+            f"round(sum({n}), 2) AS m_sum, "
+            f"CAST(grouping({keys[0]}) AS INT) AS g0 "
+            f"FROM {t} GROUP BY {by}"
+        )
+
+    def explode_query(self) -> str:
+        t, c, sep = self.pick([("orders", "o_orderpriority", "-"),
+                               ("customer", "c_name", "#"),
+                               ("part", "p_type", " ")])
+        return (
+            f"SELECT part, count(*) AS n FROM "
+            f"(SELECT explode(split({c}, '{sep}')) AS part FROM {t}) "
+            f"GROUP BY part"
+        )
+
+    def cte_query(self) -> str:
+        t = self.pick(list(TABLES))
+        ncols, scols, _ = TABLES[t]
+        n, s = self.pick(ncols), self.pick(scols)
+        inner = (f"SELECT {n} AS k, {s} AS v FROM {t} "
+                 f"WHERE {self.bool_expr(ncols, scols, 1)}")
+        if self.r.random() < 0.5:
+            return (f"WITH x AS ({inner}) SELECT v, count(*) AS cnt, "
+                    f"round(sum(k), 2) AS ks FROM x "
+                    f"WHERE k > {self.r.randint(0, 100)} GROUP BY v")
+        # derived table instead of CTE (same elision path)
+        return (f"SELECT v, max(k) AS mk FROM ({inner}) "
+                f"WHERE k % {self.r.randint(2, 9)} = 0 GROUP BY v")
+
+    def cross_query(self) -> str:
+        return (
+            "SELECT r_name, n_name FROM region CROSS JOIN nation "
+            f"WHERE n_nationkey % {self.r.randint(2, 7)} = 0"
+        )
+
+    def date_query(self) -> str:
+        t, d, key = self.pick([("orders", "o_orderdate", "o_orderkey"),
+                               ("lineitem", "l_shipdate", "l_orderkey")])
+        y = self.r.randint(1993, 1998)
+        return (
+            f"SELECT year({d}) AS y, month({d}) AS m, count(*) AS cnt, "
+            f"min({key}) AS mk FROM {t} "
+            f"WHERE {d} >= TIMESTAMP '{y}-01-01' GROUP BY year({d}), month({d})"
+        )
+
+    def values_query(self) -> str:
+        # inline VALUES → LocalRelation → ReadRel{virtualTable}
+        rows = ", ".join(
+            f"({self.r.randint(0, 9)}, "
+            f"{self.pick(['NULL', repr(self.pick('abcde'))])})"
+            for _ in range(self.r.randint(1, 4))
+        )
+        q = f"SELECT k, v FROM VALUES {rows} AS t(k, v)"
+        if self.r.random() < 0.5:
+            q += f" WHERE k {self.pick(['>', '<=', '<>'])} {self.r.randint(0, 9)}"
+        if self.r.random() < 0.3:
+            q = (f"SELECT v, count(*) AS n, sum(k) AS sk FROM ({q}) "
+                 f"GROUP BY v")
+        return q
 
     def query(self) -> str:
         shape = self.r.choices(
             ["select", "agg", "join", "semi", "setop", "window", "distinct",
-             "scalar_sub"],
-            weights=[25, 25, 18, 6, 10, 8, 5, 3],
+             "scalar_sub", "rollup", "explode", "cte", "cross", "date",
+             "values"],
+            weights=[18, 18, 14, 5, 8, 7, 4, 5, 6, 4, 6, 2, 3, 4],
         )[0]
         return getattr(self, {
             "select": "select_query", "agg": "agg_query",
@@ -274,6 +362,9 @@ class Gen:
             "setop": "setop_query", "window": "window_query",
             "distinct": "distinct_query",
             "scalar_sub": "scalar_subquery_query",
+            "rollup": "rollup_query", "explode": "explode_query",
+            "cte": "cte_query", "cross": "cross_query",
+            "date": "date_query", "values": "values_query",
         }[shape])()
 
 

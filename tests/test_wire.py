@@ -215,3 +215,16 @@ def test_serialize_proto_format_disk_roundtrip(spark, tables):
 def test_serialize_unknown_format_raises(spark):
     with pytest.raises(proto.SubstraitError, match="unknown serialize format"):
         serialize("SELECT 1", spark, "/tmp/x", fmt="yaml")
+
+
+def test_wire_roundtrip_virtual_table(spark, tables):
+    # VALUES → ReadRel{virtualTable}: Literal.Struct rows over the wire,
+    # including a typed null; and the zero-row constant-folded-empty form
+    df = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, NULL) AS t(k, v)")
+    decoded = _wire_roundtrip(df)
+    assert_same_result(df, from_substrait_plan(spark, decoded))
+
+    empty = tables["orders"].filter(F.col("o_totalprice") < F.col("o_totalprice")) \
+        .select("o_orderkey")
+    decoded = _wire_roundtrip(empty)
+    assert_same_result(empty, from_substrait_plan(spark, decoded))

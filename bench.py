@@ -55,6 +55,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4's per-API-call error-context capture (a Python stack
+        # walk + one py4j round trip on EVERY DataFrame/Column call) costs
+        # ~2 ms per call — measured 55% of plan-translation time and 65% of
+        # wide operators' DataFrame-construction time. Off for benchmarks,
+        # as any production pipeline would run.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -39,6 +39,7 @@ TABLES = {
                  ["l_returnflag", "l_linestatus"],
                  ["l_orderkey", "l_linenumber"]),
     "nation": (["n_nationkey", "n_regionkey"], ["n_name"], ["n_nationkey"]),
+    "region": (["r_regionkey"], ["r_name"], ["r_regionkey"]),
     "supplier": (["s_suppkey", "s_nationkey", "s_acctbal"], ["s_name"],
                  ["s_suppkey"]),
     "part": (["p_partkey", "p_size", "p_retailprice"],
@@ -334,6 +335,56 @@ class Gen:
             f"WHERE {d} >= TIMESTAMP '{y}-01-01' GROUP BY year({d}), month({d})"
         )
 
+    def join_agg_query(self) -> str:
+        # aggregate over a (possibly 3-table) join — the TPC-H Q3/Q5 shape
+        chains = [
+            [("customer", "nation", "c_nationkey", "n_nationkey"),
+             ("nation", "region", "n_regionkey", "r_regionkey")],
+            [("orders", "customer", "o_custkey", "c_custkey")],
+            [("lineitem", "orders", "l_orderkey", "o_orderkey"),
+             ("orders", "customer", "o_custkey", "c_custkey")],
+        ]
+        chain = self.pick(chains)
+        joins = " ".join(f"JOIN {rt} ON {lk} = {rk}" for _, rt, lk, rk in chain)
+        lt = chain[0][0]
+        lnc, lsc, _ = TABLES[lt]
+        _, rsc, _ = TABLES[chain[-1][1]]
+        key = self.pick(rsc + lsc)
+        n = self.pick(lnc)
+        having = ""
+        if self.r.random() < 0.5:
+            # HAVING on an aggregate NOT in the select list
+            having = f" HAVING max({n}) > {self.r.randint(0, 1000)}"
+        return (
+            f"SELECT {key}, count(*) AS cnt, round(sum({n}), 2) AS s "
+            f"FROM {lt} {joins} "
+            f"WHERE {self.bool_expr(lnc, lsc, 1)} GROUP BY {key}{having}"
+        )
+
+    def window_over_derived_query(self) -> str:
+        t = self.pick(["orders", "customer"])
+        ncols, scols, key = TABLES[t]
+        n, s = self.pick(ncols), self.pick(scols)
+        uk = ", ".join(key)
+        inner = (f"SELECT {uk}, {s} AS grp, ({n} * 2) AS metric FROM {t} "
+                 f"WHERE {self.bool_expr(ncols, scols, 1)}")
+        return (
+            f"SELECT grp, metric, "
+            f"rank() OVER (PARTITION BY grp ORDER BY metric DESC, {uk}) AS rk "
+            f"FROM ({inner}) WHERE metric > {self.r.randint(0, 100)}"
+        )
+
+    def nested_setop_query(self) -> str:
+        t = self.pick(list(TABLES))
+        ncols, scols, _ = TABLES[t]
+        n, s = self.pick(ncols), self.pick(scols)
+        def leg():
+            return (f"SELECT {s} AS v FROM {t} "
+                    f"WHERE {self.bool_expr(ncols, scols, 1)}")
+        op1, op2 = self.pick(["UNION", "UNION ALL", "INTERSECT"]), \
+            self.pick(["EXCEPT", "UNION", "INTERSECT"])
+        return f"SELECT v FROM ({leg()} {op1} {leg()}) {op2} {leg()}"
+
     def values_query(self) -> str:
         # inline VALUES → LocalRelation → ReadRel{virtualTable}
         rows = ", ".join(
@@ -353,8 +404,8 @@ class Gen:
         shape = self.r.choices(
             ["select", "agg", "join", "semi", "setop", "window", "distinct",
              "scalar_sub", "rollup", "explode", "cte", "cross", "date",
-             "values"],
-            weights=[18, 18, 14, 5, 8, 7, 4, 5, 6, 4, 6, 2, 3, 4],
+             "values", "join_agg", "window_derived", "nested_setop"],
+            weights=[16, 16, 12, 5, 7, 6, 4, 5, 6, 4, 5, 2, 3, 4, 7, 5, 4],
         )[0]
         return getattr(self, {
             "select": "select_query", "agg": "agg_query",
@@ -365,6 +416,9 @@ class Gen:
             "rollup": "rollup_query", "explode": "explode_query",
             "cte": "cte_query", "cross": "cross_query",
             "date": "date_query", "values": "values_query",
+            "join_agg": "join_agg_query",
+            "window_derived": "window_over_derived_query",
+            "nested_setop": "nested_setop_query",
         }[shape])()
 
 

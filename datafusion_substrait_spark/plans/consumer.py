@@ -484,7 +484,26 @@ class _Consumer:
         t = body.get("detail", {}).get("@type", "")
         if t.endswith("GenerateRel"):
             return self._generate(body)
+        if t.endswith("SampleRel"):
+            return self._sample(body)
         raise SubstraitError(f"unknown extension relation type {t!r}")
+
+    def _sample(self, body: dict) -> DataFrame:
+        """SampleRel → ``DataFrame.sample`` (see proto.sample_rel). Columns
+        and ordinals pass through unchanged."""
+        d = body["detail"]
+        df = self.rel(body["input"])
+        lb = float(d.get("lowerBound", 0.0))
+        if lb != 0.0:
+            raise SubstraitError(
+                "SampleRel with lowerBound != 0 has no DataFrame.sample "
+                "equivalent (Spark SQL TABLESAMPLE always produces 0)"
+            )
+        return df.sample(
+            withReplacement=bool(d.get("withReplacement", False)),
+            fraction=float(d.get("upperBound", 0.0)),
+            seed=int(d.get("seed", 0)),
+        )
 
     def _generate(self, body: dict) -> DataFrame:
         """GenerateRel (explode/posexplode) — see proto.generate_rel for the

@@ -474,6 +474,19 @@ class _Producer:
             out_ids,
         )
 
+    def _rel_Sample(self, node, needed=None):
+        """TABLESAMPLE / DataFrame.sample → ExtensionSingleRel SampleRel.
+        The seed is always concrete in the optimized plan (Spark fills a
+        random one at parse time if REPEATABLE is absent), so the sampled
+        row set replays exactly on consume."""
+        crel, cids = self.rel(node.child(), needed)
+        return (
+            proto.sample_rel(crel, float(node.lowerBound()),
+                             float(node.upperBound()),
+                             bool(node.withReplacement()), int(node.seed())),
+            cids,
+        )
+
     def _measure(self, agg_expr, cids) -> dict:
         # measure args/filters live in the aggregate's INPUT ordinal space —
         # the output-space override must not apply inside them

@@ -266,6 +266,29 @@ def generate_rel(input_rel: dict, argument: dict, mode: str, outer: bool,
     }
 
 
+def sample_rel(input_rel: dict, lower: float, upper: float,
+               with_replacement: bool, seed: int) -> dict:
+    """TABLESAMPLE / ``DataFrame.sample`` as an ExtensionSingleRel SampleRel
+    (same escape hatch as GenerateRel: core Substrait and the reference have
+    no sample relation). The seed rides in the plan, and Spark's Sample is
+    deterministic given (seed, partitioning), so produce→consume reproduces
+    the exact row set. For seedless *deterministic* sampling use
+    ``operators.sampling.hash_sample`` instead."""
+    return {
+        "extensionSingle": {
+            "common": {"direct": {}},
+            "input": input_rel,
+            "detail": {
+                "@type": "type.googleapis.com/spark.substrait_spark.SampleRel",
+                "lowerBound": float(lower),
+                "upperBound": float(upper),
+                "withReplacement": bool(with_replacement),
+                "seed": int(seed),
+            },
+        }
+    }
+
+
 def measure(function_anchor: int, arguments: list[dict], distinct: bool = False,
             filter_expr: dict | None = None) -> dict:
     """AggregateRel.Measure: fn + DISTINCT invocation + optional FILTER

@@ -382,6 +382,13 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "requiredChildIndices": (4, "u32", "rep"),
         "generatorOutputs": (5, "u32"),
     },
+    # OUR extension message (spark.substrait_spark.SampleRel)
+    "SampleRel": {
+        "lowerBound": (1, "f64"),
+        "upperBound": (2, "f64"),
+        "withReplacement": (3, "bool"),
+        "seed": (4, "i64"),
+    },
     # algebra.proto Expression (oneof rex_type)
     "Expression": {
         "literal": (1, "m:Literal"),
@@ -567,6 +574,7 @@ MESSAGES: dict[str, dict[str, tuple]] = {
 # google.protobuf.Any type URL -> schema name (extension messages we carry)
 ANY_TYPES: dict[str, str] = {
     "type.googleapis.com/spark.substrait_spark.GenerateRel": "GenerateRel",
+    "type.googleapis.com/spark.substrait_spark.SampleRel": "SampleRel",
 }
 
 _SCALAR_KINDS = {"u32", "u64", "i32", "i64", "bool", "f32", "f64",

@@ -591,15 +591,45 @@ def test_generate_explode(spark):
 def test_unsupported_operator_errors(spark):
     from datafusion_substrait_spark import SubstraitError
 
-    # TABLESAMPLE (Catalyst Sample) has no Substrait rel → named error
-    df = spark.sql("SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT)")
-    with pytest.raises(SubstraitError, match="Sample"):
+    # physical-layout hints (Repartition) have no Substrait rel → named error
+    df = spark.table("orders").repartition(4).select("o_orderkey")
+    with pytest.raises(SubstraitError, match="Repartition"):
         to_substrait_plan(df)
     # unsupported generator type under Generate → named error
     df2 = spark.sql("SELECT j.* FROM orders LATERAL VIEW json_tuple("
                     "'{\"a\":1}', 'a') j AS a")
     with pytest.raises(SubstraitError, match="generator"):
         to_substrait_plan(df2)
+
+
+# --- TABLESAMPLE / DataFrame.sample (ExtensionSingleRel SampleRel) ----------
+# The seed is concrete in the optimized plan (REPEATABLE, or Spark's random
+# fill at parse time), and Sample is deterministic given (seed, partitioning),
+# so produce→consume replays the exact row set.
+
+def test_tablesample_repeatable(spark):
+    check(spark, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+    """)
+
+
+def test_tablesample_under_aggregate(spark):
+    check(spark, """
+        SELECT o_orderstatus, count(*) AS n FROM orders
+        TABLESAMPLE (25 PERCENT) REPEATABLE (7)
+        GROUP BY o_orderstatus
+    """)
+
+
+def test_dataframe_sample_roundtrip(spark):
+    from tests.conftest import assert_same_result
+
+    from datafusion_substrait_spark import roundtrip as rt
+
+    df = (spark.table("orders").sample(fraction=0.2, seed=11)
+          .select("o_orderkey", "o_custkey"))
+    assert_same_result(df, rt(df))
 
 
 # --- virtual tables (spec-superset: ReadRel.virtualTable) -------------------

@@ -169,7 +169,11 @@ class Gen:
         items = [f"{self.num_expr(ncols)} AS c{i}" for i in range(self.r.randint(1, 3))]
         items.append(f"{self.str_expr(scols)} AS s0")
         items += key  # keep the unique key for a deterministic LIMIT sort
-        sql = f"SELECT {', '.join(items)} FROM {t} " \
+        src = t
+        if self.r.random() < 0.08:  # seeded sample → SampleRel extension
+            src = (f"{t} TABLESAMPLE ({self.r.randint(5, 60)} PERCENT) "
+                   f"REPEATABLE ({self.r.randint(1, 99)})")
+        sql = f"SELECT {', '.join(items)} FROM {src} " \
               f"WHERE {self.bool_expr(ncols, scols)}"
         if self.r.random() < 0.5:
             sql += f" ORDER BY {', '.join(key)} LIMIT {self.r.randint(1, 200)}"

@@ -228,3 +228,12 @@ def test_wire_roundtrip_virtual_table(spark, tables):
         .select("o_orderkey")
     decoded = _wire_roundtrip(empty)
     assert_same_result(empty, from_substrait_plan(spark, decoded))
+
+
+def test_wire_roundtrip_sample(spark, tables):
+    # SampleRel rides the same Any envelope as GenerateRel
+    df = spark.sql(
+        "SELECT o_orderkey FROM orders TABLESAMPLE (20 PERCENT) REPEATABLE (5)"
+    )
+    decoded = _wire_roundtrip(df)
+    assert_same_result(df, from_substrait_plan(spark, decoded))

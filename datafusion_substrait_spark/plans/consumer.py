@@ -479,6 +479,28 @@ class _Consumer:
             outs.append(col.over(spec).alias(f"f{n + j}"))
         return df.select("*", *outs)
 
+    def _rel_exchange(self, body: dict) -> DataFrame:
+        """ExchangeRel → ``DataFrame.repartition`` (see proto.exchange_rel).
+        Rows and ordinals pass through unchanged; only the physical
+        distribution boundary is rebuilt, and Catalyst/AQE remain free to
+        plan around it."""
+        df = self.rel(body["input"])
+        n = int(body.get("partitionCount", 0))
+        if "scatterByFields" in body:
+            cols = [df[f"f{int(f['directReference']['structField'].get('field', 0))}"]
+                    for f in body["scatterByFields"].get("fields", [])]
+            return df.repartition(n, *cols) if n > 0 else df.repartition(*cols)
+        if "roundRobin" in body:
+            if n <= 0:
+                raise SubstraitError(
+                    "round-robin exchange requires an explicit partitionCount"
+                )
+            return df.repartition(n)
+        raise SubstraitError(
+            "unsupported exchange kind (scatterByFields/roundRobin only; "
+            "broadcast/single/multi-target have no DataFrame equivalent)"
+        )
+
     def _rel_extensionSingle(self, body: dict) -> DataFrame:
         """ExtensionSingleRel dispatch by the detail's Any @type."""
         t = body.get("detail", {}).get("@type", "")

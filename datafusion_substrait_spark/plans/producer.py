@@ -474,6 +474,36 @@ class _Producer:
             out_ids,
         )
 
+    def _rel_Repartition(self, node, needed=None):
+        """``df.repartition(n)`` → ExchangeRel round_robin. ``coalesce(n)``
+        (shuffle=false) is a purely physical partition merge with no
+        Substrait encoding — translate-or-error."""
+        if not bool(node.shuffle()):
+            raise SubstraitError(
+                "coalesce() (Repartition shuffle=false) has no Substrait "
+                "encoding; use repartition(n) if redistribution is intended"
+            )
+        crel, cids = self.rel(node.child(), needed)
+        return proto.exchange_rel(crel, int(node.numPartitions())), cids
+
+    def _rel_RepartitionByExpression(self, node, needed=None):
+        """DISTRIBUTE BY / ``df.repartition(cols...)`` → ExchangeRel
+        scatter_by_fields. Only attribute-reference partition keys are
+        encodable (ScatterFields carries FieldReferences, per spec)."""
+        exprs = _seq(node.partitionExpressions())
+        if any(_cls(e) != "AttributeReference" for e in exprs):
+            raise SubstraitError(
+                "repartition by a computed expression is not encodable: "
+                "ExchangeRel.ScatterFields carries field references only — "
+                "project the expression to a column first"
+            )
+        wanted = needed | _refs(node) if needed is not None else None
+        crel, cids = self.rel(node.child(), wanted)
+        ordinals = [cids.index(e.exprId().id()) for e in exprs]
+        n = _opt(node.optNumPartitions())
+        return proto.exchange_rel(crel, int(n) if n is not None else 0,
+                                  ordinals), cids
+
     def _rel_Sample(self, node, needed=None):
         """TABLESAMPLE / DataFrame.sample → ExtensionSingleRel SampleRel.
         The seed is always concrete in the optimized plan (Spark fills a

@@ -69,7 +69,7 @@ AGG_ALL = "AGGREGATION_INVOCATION_ALL"
 AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
 
 REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set",
-             "window", "extensionSingle")
+             "window", "extensionSingle", "exchange")
 
 BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
 BOUNDS_RANGE = "BOUNDS_TYPE_RANGE"
@@ -264,6 +264,33 @@ def generate_rel(input_rel: dict, argument: dict, mode: str, outer: bool,
             },
         }
     }
+
+
+def exchange_rel(input_rel: dict, partition_count: int,
+                 scatter_field_ordinals: list[int] | None = None) -> dict:
+    """ExchangeRel (Substrait spec; NOT in the reference — capability
+    extension): an explicit redistribution boundary. ``scatter_by_fields``
+    carries Catalyst's hash RepartitionByExpression (DISTRIBUTE BY /
+    ``df.repartition(cols...)``); ``round_robin`` carries
+    ``df.repartition(n)``. ``partition_count`` 0 = unspecified (consumer
+    uses the session's shuffle-partitions default). At 100 TB this is the
+    interchange form of a user's deliberate pre-shuffle (e.g. co-locating
+    rows before a bucketed write), so it must survive the plan boundary
+    rather than erroring."""
+    body: dict[str, Any] = {
+        "common": {"direct": {}},
+        "input": input_rel,
+        "partitionCount": int(partition_count),
+    }
+    if scatter_field_ordinals is not None:
+        body["scatterByFields"] = {
+            "fields": [field_ref(i)["selection"]
+                       for i in scatter_field_ordinals]
+        }
+    else:
+        # Spark's round-robin repartition distributes exactly
+        body["roundRobin"] = {"exact": True}
+    return {"exchange": body}
 
 
 def sample_rel(input_rel: dict, lower: float, upper: float,
@@ -560,3 +587,11 @@ def _validate_rel(rel: dict) -> None:
         _validate_rel(body["input"])
         if "@type" not in body.get("detail", {}):
             raise SubstraitError("extensionSingle detail must carry an Any @type")
+    elif kind == "exchange":
+        _validate_rel(body["input"])
+        kinds = [k for k in ("scatterByFields", "singleTarget", "multiTarget",
+                             "roundRobin", "broadcast") if k in body]
+        if len(kinds) != 1:
+            raise SubstraitError(
+                f"exchange requires exactly one exchange_kind, got {kinds}"
+            )

@@ -199,7 +199,33 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "extensionMulti": (10, "m:ExtensionMultiRel"),
         "extensionLeaf": (11, "m:ExtensionLeafRel"),
         "cross": (12, "m:CrossRel"),
+        "exchange": (15, "m:ExchangeRel"),
         "window": (17, "m:ConsistentPartitionWindowRel"),
+    },
+    # algebra.proto ExchangeRel (+ nested exchange_kind members)
+    "ExchangeRel": {
+        "common": (1, "m:RelCommon"),
+        "input": (2, "m:Rel"),
+        "partitionCount": (3, "i32"),
+        "targets": (4, "m:ExchangeTarget", "rep"),
+        "scatterByFields": (5, "m:ExchScatterFields"),
+        "singleTarget": (6, "m:ExchSingleBucket"),
+        "multiTarget": (7, "m:ExchMultiBucket"),
+        "roundRobin": (8, "m:ExchRoundRobin"),
+        "broadcast": (9, "m:ExchBroadcast"),
+    },
+    "ExchScatterFields": {"fields": (1, "m:FieldReference", "rep")},
+    "ExchSingleBucket": {"expression": (1, "m:Expression")},
+    "ExchMultiBucket": {
+        "expression": (1, "m:Expression"),
+        "constrainedToCount": (2, "bool"),
+    },
+    "ExchRoundRobin": {"exact": (1, "bool")},
+    "ExchBroadcast": {},
+    "ExchangeTarget": {
+        "partitionId": (1, "i32", "rep"),
+        "uri": (2, "str"),
+        "rel": (3, "m:Rel"),
     },
     # algebra.proto RelCommon (+ nested Direct/Emit)
     "RelCommon": {

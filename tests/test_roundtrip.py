@@ -591,9 +591,10 @@ def test_generate_explode(spark):
 def test_unsupported_operator_errors(spark):
     from datafusion_substrait_spark import SubstraitError
 
-    # physical-layout hints (Repartition) have no Substrait rel → named error
-    df = spark.table("orders").repartition(4).select("o_orderkey")
-    with pytest.raises(SubstraitError, match="Repartition"):
+    # coalesce (shuffle-free partition merge) has no Substrait rel → named
+    # error; repartition IS encodable (ExchangeRel, tests below)
+    df = spark.table("orders").coalesce(2).select("o_orderkey")
+    with pytest.raises(SubstraitError, match="coalesce"):
         to_substrait_plan(df)
     # unsupported generator type under Generate → named error
     df2 = spark.sql("SELECT j.* FROM orders LATERAL VIEW json_tuple("
@@ -685,3 +686,36 @@ def test_values_join_named_table(spark):
         JOIN VALUES (0, 'zero'), (1, 'one') AS t(rk, label)
           ON n_regionkey = t.rk
     """)
+
+
+# --- repartition / DISTRIBUTE BY (ExchangeRel, spec-native) -----------------
+
+def test_repartition_round_robin_roundtrip(spark):
+    from datafusion_substrait_spark import roundtrip as rt
+
+    df = spark.table("orders").repartition(8).select("o_orderkey", "o_custkey")
+    out = rt(df)
+    assert_same_result(df, out)
+    # the redistribution boundary survives the interchange
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_repartition_by_column_roundtrip(spark):
+    from datafusion_substrait_spark import roundtrip as rt
+
+    df = (spark.table("orders").repartition(4, "o_custkey")
+          .select("o_orderkey", "o_custkey"))
+    assert_same_result(df, rt(df))
+    check(spark, """
+        SELECT o_orderkey, o_custkey FROM orders DISTRIBUTE BY o_custkey
+    """)
+
+
+def test_repartition_by_expression_is_fenced(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_substrait_spark import SubstraitError
+
+    df = spark.table("orders").repartition(4, F.col("o_custkey") % 10)
+    with pytest.raises(SubstraitError, match="field references only"):
+        to_substrait_plan(df)

@@ -179,6 +179,8 @@ class Gen:
             sql += f" ORDER BY {', '.join(key)} LIMIT {self.r.randint(1, 200)}"
             if self.r.random() < 0.5:
                 sql += f" OFFSET {self.r.randint(1, 20)}"
+        elif self.r.random() < 0.1:  # ExchangeRel scatter-by-fields path
+            sql += f" DISTRIBUTE BY {self.pick(key)}"
         return sql
 
     def agg_query(self) -> str:

@@ -237,3 +237,15 @@ def test_wire_roundtrip_sample(spark, tables):
     )
     decoded = _wire_roundtrip(df)
     assert_same_result(df, from_substrait_plan(spark, decoded))
+
+
+def test_wire_roundtrip_exchange(spark, tables):
+    # ExchangeRel: scatter-by-fields and round-robin, both over the wire
+    df = (spark.table("orders").repartition(4, "o_custkey")
+          .select("o_orderkey", "o_custkey"))
+    decoded = _wire_roundtrip(df)
+    assert_same_result(df, from_substrait_plan(spark, decoded))
+
+    rr = spark.table("nation").repartition(3).select("n_name")
+    decoded = _wire_roundtrip(rr)
+    assert_same_result(rr, from_substrait_plan(spark, decoded))

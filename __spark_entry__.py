@@ -401,11 +401,11 @@ def _s3_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
-def _t1_token_count(spark, sf_dir):
+def _t9_unigram_lm(spark, sf_dir):
+    # vocab_size=500 is deliberately small so the OOV bucket path carries
+    # real weight at sf0.01 (the corpus vocabulary is larger than 500)
     _prep(spark, sf_dir)
-    return spark.table("documents").select(
-        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
-    )
+    return text.unigram_logprob(spark.table("documents"), vocab_size=500)
 
 
 def _t2_quality(spark, sf_dir):
@@ -552,7 +552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_bruteforce_topk": _s1_bruteforce_topk,
     "s2_lsh_topk": _s2_lsh_topk,
     "s3_ivf_topk": _s3_ivf_topk,
-    "t1_token_count": _t1_token_count,
+    "t9_unigram_lm": _t9_unigram_lm,
     "t2_quality": _t2_quality,
     "t3_lang_id": _t3_lang_id,
     "t4_fingerprint": _t4_fingerprint,
@@ -841,8 +841,33 @@ ORACLES: dict[str, str] = {
         )
         SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """,
-    "t1_token_count": f"""
-        SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+    # t9: corpus unigram LM replay — same vocab tie-break (count desc, token
+    # asc, LIMIT 500), same add-1 smoothing with a shared OOV bucket; the
+    # mean is rounded 6dp against last-ulp ln()/summation drift. n_tokens
+    # here counts token OCCURRENCES (duplicates kept), replacing the t1
+    # token-count surface (token_count itself stays unit-tested and is the
+    # n_tokens column of t2).
+    "t9_unigram_lm": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        ), counts AS (
+            SELECT t, count(*) AS c FROM tok GROUP BY t
+        ), vocab AS (
+            SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT 500
+        ), tot AS (
+            SELECT (SELECT sum(c) FROM counts) AS n,
+                   (SELECT count(*) FROM vocab) AS k
+        ), scored AS (
+            SELECT tok.doc_id,
+                   ln(coalesce(v.c, 0) + 1.0) - ln(n + 1.0 * (k + 1)) AS lp
+            FROM tok LEFT JOIN vocab v ON tok.t = v.t CROSS JOIN tot
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(lp), 6) AS mean_logprob
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.mean_logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
     "t2_quality": f"""
         WITH base AS (

@@ -222,6 +222,58 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    key_col: str = "doc_id", vocab_size: int = 50000,
+                    alpha: float = 1.0) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-alpha-smoothed unigram language model with a top-``vocab_size``
+    vocabulary — the classic cheap fluency/outlier signal (the no-model
+    stand-in for LM perplexity filtering). All out-of-vocabulary tokens
+    share one smoothed count-0 bucket.
+
+    Output: (key, n_tokens, mean_logprob); more negative = more surprising
+    under the corpus distribution. Zero-token documents keep their row with
+    ``n_tokens`` 0 and NULL ``mean_logprob``.
+
+    Scale shape: ONE corpus-sized shuffle (token counts, map-side combined
+    — the shuffle carries the vocabulary, not the corpus); the top-K
+    vocabulary plans as TakeOrderedAndProject and broadcasts back; the
+    N/K totals ride a 1-row broadcast cross join; per-token scoring is a
+    narrow map over the exploded tokens; the per-document mean shuffles
+    compact (key, double) rows. The text itself is never shuffled.
+    ``mean_logprob`` is rounded to 6 dp so the DuckDB oracle replays it
+    despite last-ulp ``ln``/summation-order drift.
+    """
+    key = F.col(key_col)
+    tok = df.select(key, F.explode(tokens(F.col(text_col))).alias("_t"))
+    counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = counts.orderBy(F.desc("_c"), F.asc("_t")).limit(vocab_size)
+    totals = counts.agg(F.sum("_c").alias("_n")).crossJoin(
+        F.broadcast(vocab.agg(F.count(F.lit(1)).alias("_k"))))
+    a = F.lit(float(alpha))
+    scored = (
+        tok.join(F.broadcast(vocab), "_t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            (F.log(F.coalesce(F.col("_c"), F.lit(0)) + a)
+             - F.log(F.col("_n") + a * (F.col("_k") + 1))).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )
+    return (
+        df.select(key).join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            "mean_logprob",
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.

@@ -486,3 +486,43 @@ def test_jpeg_fill_bytes_before_sof(spark):
     sof = b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08" + _struct.pack(">HH", 480, 640)
     data = b"\xff\xd8" + b"\xff\xff\xff" + sof + b"\x00" * 8
     assert multimodal.parse_image_header(data) == ("jpeg", 640, 480)
+
+
+def test_unigram_logprob_planted(spark):
+    """Hand-computed ground truth on a 3-doc corpus with an OOV boundary:
+    vocab_size=2 keeps {'a','b'} (count desc, token asc tie-break), 'c' and
+    'z' fall into the shared smoothed OOV bucket."""
+    import math
+
+    from datafusion_substrait_spark.operators.text import unigram_logprob
+
+    rows = [(1, "a a b"), (2, "a b c"), (3, "z"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in unigram_logprob(
+        df, vocab_size=2, alpha=1.0).collect()}
+
+    # corpus counts: a=3, b=2, c=1, z=1 → N=7; vocab={a:3, b:2}, K=2
+    denom = math.log(7 + 1.0 * (2 + 1))
+    lp = {"a": math.log(4) - denom, "b": math.log(3) - denom,
+          "oov": math.log(1) - denom}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+    exp2 = round((lp["a"] + lp["b"] + lp["oov"]) / 3, 6)
+    exp3 = round(lp["oov"], 6)
+
+    assert (out[1].n_tokens, out[1].mean_logprob) == (3, exp1)
+    assert (out[2].n_tokens, out[2].mean_logprob) == (3, exp2)
+    assert (out[3].n_tokens, out[3].mean_logprob) == (1, exp3)
+    # zero-token doc keeps its row: n_tokens 0, NULL mean
+    assert (out[4].n_tokens, out[4].mean_logprob) == (0, None)
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    """Same result whatever the input partitioning (the vocab top-K
+    tie-break and the rounded mean are deterministic)."""
+    from datafusion_substrait_spark.operators.text import unigram_logprob
+
+    docs = spark.table("documents")
+    a = sorted(map(tuple, unigram_logprob(docs, vocab_size=50).collect()))
+    b = sorted(map(tuple, unigram_logprob(
+        docs.repartition(7), vocab_size=50).collect()))
+    assert a == b

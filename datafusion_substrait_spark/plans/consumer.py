@@ -66,6 +66,22 @@ def _fnames(n: int) -> list[str]:
     return [f"f{i}" for i in range(n)]
 
 
+def _mask_ordinals(body: dict, width: int, what: str) -> list[int] | None:
+    """Projection-mask ordinals of a ReadRel, bounds-checked; None when the
+    plan carries no mask (select everything)."""
+    items = body.get("projection", {}).get("select", {}).get("structItems", [])
+    if not items:
+        return None
+    mask = [int(it.get("field", 0)) for it in items]
+    bad = [i for i in mask if i >= width or i < 0]
+    if bad:
+        raise SubstraitError(
+            f"{what}: projection ordinals {bad} outside baseSchema width "
+            f"{width} (negatives would silently python-index from the end)"
+        )
+    return mask
+
+
 class _Consumer:
     def __init__(self, spark: SparkSession, extensions: dict[int, str]) -> None:
         self.spark = spark
@@ -106,16 +122,8 @@ class _Consumer:
                     f"{missing} no longer exist (live schema: {df.columns})"
                 )
         source = base or df.columns
-        items = body.get("projection", {}).get("select", {}).get("structItems", [])
-        mask = [int(it.get("field", 0)) for it in items]
-        bad = [i for i in mask if i >= len(source) or i < 0]
-        if bad:
-            raise SubstraitError(
-                f"table {'.'.join(names)}: projection ordinals {bad} outside "
-                f"baseSchema width {len(source)} (negatives would silently "
-                "python-index from the end)"
-            )
-        df = df.select(*[df[source[i]] for i in mask]) if mask \
+        mask = _mask_ordinals(body, len(source), f"table {'.'.join(names)}")
+        df = df.select(*[df[source[i]] for i in mask]) if mask is not None \
             else df.select(*[df[c] for c in source])
         return df.toDF(*_fnames(len(df.columns)))
 
@@ -150,15 +158,8 @@ class _Consumer:
                 )
             rows.append(tuple(_literal_py(f) for f in fields))
         df = self.spark.createDataFrame(rows, schema)
-        items = body.get("projection", {}).get("select", {}).get("structItems", [])
-        if items:
-            mask = [int(it.get("field", 0)) for it in items]
-            bad = [i for i in mask if i >= n_cols or i < 0]
-            if bad:
-                raise SubstraitError(
-                    f"virtual table projection ordinals {bad} outside "
-                    f"schema width {n_cols}"
-                )
+        mask = _mask_ordinals(body, n_cols, "virtual table")
+        if mask is not None:
             df = df.select(*[df[f"f{i}"] for i in mask])
             df = df.toDF(*_fnames(len(df.columns)))
         return df
@@ -485,10 +486,22 @@ class _Consumer:
         distribution boundary is rebuilt, and Catalyst/AQE remain free to
         plan around it."""
         df = self.rel(body["input"])
+        if body.get("targets"):
+            raise SubstraitError(
+                "ExchangeRel.targets (per-target routing to sub-relations/"
+                "URIs) has no DataFrame equivalent; refusing to silently "
+                "drop declared routing semantics"
+            )
         n = int(body.get("partitionCount", 0))
         if "scatterByFields" in body:
             cols = [df[f"f{int(f['directReference']['structField'].get('field', 0))}"]
                     for f in body["scatterByFields"].get("fields", [])]
+            if not cols:
+                # legitimately reachable: an empty repeated field has no
+                # wire presence, so {fields: []} decodes as {}
+                raise SubstraitError(
+                    "scatter exchange requires at least one field reference"
+                )
             return df.repartition(n, *cols) if n > 0 else df.repartition(*cols)
         if "roundRobin" in body:
             if n <= 0:
@@ -650,10 +663,20 @@ def _literal_py(body: dict):
         return bytearray(base64.b64decode(v))
     if kind == "date":
         return _EPOCH_DATE + datetime.timedelta(days=int(v))
-    if kind in ("timestamp", "timestampTz"):
-        # epoch micros; naive datetime is correct under the pinned-UTC
-        # session for timestampTz and by definition for NTZ wall time
+    if kind == "timestamp":
+        # NTZ wall-clock micros: a NAIVE datetime is exactly right —
+        # TimestampNTZType.toInternal is calendar arithmetic on the naive
+        # value, no timezone involved
         return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=int(v)))
+    if kind == "timestampTz":
+        # UTC-instant micros: MUST be tz-aware — TimestampType.toInternal
+        # pushes a naive datetime through time.mktime, i.e. the driver's
+        # OS timezone (NOT spark.sql.session.timeZone), which shifted
+        # every value by the UTC offset on a non-UTC machine (verified
+        # +5 h under TZ=America/New_York). A tz-aware datetime goes
+        # through calendar.timegm instead: exact.
+        return (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
                 + datetime.timedelta(microseconds=int(v)))
     if kind == "decimal":
         unscaled = int.from_bytes(base64.b64decode(v["value"]), "little",

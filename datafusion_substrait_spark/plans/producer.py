@@ -509,6 +509,15 @@ class _Producer:
         The seed is always concrete in the optimized plan (Spark fills a
         random one at parse time if REPEATABLE is absent), so the sampled
         row set replays exactly on consume."""
+        if float(node.lowerBound()) != 0.0:
+            # every randomSplit slice after the first; the consumer cannot
+            # rebuild a bounded-range sample via DataFrame.sample, so fence
+            # at produce time (translate-or-error) rather than emitting a
+            # plan that fails only when consumed
+            raise SubstraitError(
+                "Sample with lowerBound != 0 (randomSplit slice) has no "
+                "consumable SampleRel form; sample() slices are encodable"
+            )
         crel, cids = self.rel(node.child(), needed)
         return (
             proto.sample_rel(crel, float(node.lowerBound()),

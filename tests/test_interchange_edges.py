@@ -88,3 +88,80 @@ def test_wire_zero_length_packed_field_is_absent():
 def test_unsupported_rel_kind_gets_targeted_error():
     with pytest.raises(SubstraitError, match="unsupported relation kind 'cross'"):
         proto.rel_kind({"cross": {}})
+
+
+def test_virtual_table_timestamptz_survives_nonutc_driver_tz(spark):
+    """TimestampType.toInternal pushes NAIVE datetimes through time.mktime —
+    the driver's OS timezone, not spark.sql.session.timeZone — which shifted
+    every virtual-table instant by the UTC offset on a non-UTC machine.
+    _literal_py must return tz-aware UTC datetimes. Runs the roundtrip in a
+    subprocess with TZ=America/New_York to pin the fix."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+from datafusion_substrait_spark import roundtrip
+spark = (SparkSession.builder.master("local[1]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.sql(
+    "SELECT * FROM VALUES (TIMESTAMP '2020-01-01 00:00:00') AS t(ts)")
+direct = df.collect()
+rt = roundtrip(df).collect()
+assert rt == direct, f"shifted: {rt} vs {direct}"
+print("TZ-OK")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TZ="America/New_York")
+    out = subprocess.run([sys.executable, "-c", script % repo],
+                         env=env, capture_output=True, text=True, timeout=300)
+    assert "TZ-OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_randomsplit_slice_is_fenced_at_produce(spark):
+    """randomSplit slices carry lowerBound != 0, which DataFrame.sample
+    cannot rebuild — the producer must refuse (translate-or-error), not
+    emit a plan that fails only at consume time."""
+    a, b = spark.table("orders").randomSplit([0.5, 0.5], seed=1)
+    # first slice is [0, 0.5) — encodable
+    assert to_substrait_plan(a.select("o_orderkey")) is not None
+    with pytest.raises(SubstraitError, match="lowerBound"):
+        to_substrait_plan(b.select("o_orderkey"))
+
+
+def test_exchange_rejects_targets_and_empty_scatter(spark):
+    """Spec-valid ExchangeRel forms with no DataFrame equivalent must raise
+    the named error, including the empty-scatter shape that legitimately
+    arrives off the wire (empty repeated fields have no presence)."""
+    plan = to_substrait_plan(
+        spark.table("nation").repartition(2, "n_regionkey").select("n_name"))
+
+    def find_exchange(rel):
+        if "exchange" in rel:
+            return rel["exchange"]
+        for v in rel.values():
+            if isinstance(v, dict):
+                r = find_exchange(v)
+                if r is not None:
+                    return r
+        return None
+
+    ex = find_exchange(plan["relations"][0]["root"]["input"])
+    assert ex is not None
+
+    routed = copy.deepcopy(plan)
+    find_exchange(routed["relations"][0]["root"]["input"])["targets"] = [
+        {"uri": "spark://elsewhere"}]
+    with pytest.raises(SubstraitError, match="targets"):
+        from_substrait_plan(spark, routed)
+
+    empty = copy.deepcopy(plan)
+    find_exchange(empty["relations"][0]["root"]["input"])["scatterByFields"] = {}
+    with pytest.raises(SubstraitError, match="at least one field"):
+        from_substrait_plan(spark, empty)

@@ -123,9 +123,11 @@ class _Consumer:
                 )
         source = base or df.columns
         mask = _mask_ordinals(body, len(source), f"table {'.'.join(names)}")
-        df = df.select(*[df[source[i]] for i in mask]) if mask is not None \
-            else df.select(*[df[c] for c in source])
-        return df.toDF(*_fnames(len(df.columns)))
+        picked = [source[i] for i in mask] if mask is not None else list(source)
+        # alias to the ordinal names in the SAME select: classic Dataset ops
+        # analyze eagerly, so a separate toDF rename would cost one extra
+        # Catalyst analysis pass over the subtree per plan node
+        return df.select(*[df[c].alias(f"f{j}") for j, c in enumerate(picked)])
 
     def _read_virtual(self, body: dict) -> DataFrame:
         """ReadRel{virtualTable} → ``spark.createDataFrame`` over the inline
@@ -160,8 +162,8 @@ class _Consumer:
         df = self.spark.createDataFrame(rows, schema)
         mask = _mask_ordinals(body, n_cols, "virtual table")
         if mask is not None:
-            df = df.select(*[df[f"f{i}"] for i in mask])
-            df = df.toDF(*_fnames(len(df.columns)))
+            df = df.select(*[df[f"f{i}"].alias(f"f{j}")
+                             for j, i in enumerate(mask)])
         return df
 
     def _rel_project(self, body: dict) -> DataFrame:
@@ -172,7 +174,7 @@ class _Consumer:
             out = [self.rex(e, lambda i, d=df: d[f"f{i}"]) for e in exprs]
         finally:
             self._sq_map = prev
-        return df.select(*out).toDF(*_fnames(len(out)))
+        return df.select(*[c.alias(f"f{j}") for j, c in enumerate(out)])
 
     def _rel_filter(self, body: dict) -> DataFrame:
         df = self.rel(body["input"])
@@ -277,14 +279,16 @@ class _Consumer:
             raise SubstraitError("exactly one grouping set (consumer.rs:230-235)")
         resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
         g_exprs = groupings[0].get("groupingExpressions", [])
-        g_cols = [self.rex(g, resolver).alias(f"g{j}") for j, g in enumerate(g_exprs)]
+        # aliased straight to the output ordinal names — no trailing toDF
+        # rename (each classic Dataset op analyzes eagerly; see _rel_read)
+        g_cols = [self.rex(g, resolver).alias(f"f{j}")
+                  for j, g in enumerate(g_exprs)]
 
         measures = body.get("measures", [])
         if not measures:
             # distinct-as-aggregate (producer.rs:203-222; pinned equivalence
             # tests/roundtrip.rs:88-103)
-            out = df.select(*g_cols).distinct()
-            return out.toDF(*_fnames(len(out.columns)))
+            return df.select(*g_cols).distinct()
 
         extra: list[Column] = []  # precomputed args for the F.expr fallback
         m_cols: list[Column] = []
@@ -292,8 +296,9 @@ class _Consumer:
             m_cols.append(self._measure(m, k, resolver, extra))
         if extra:
             df = df.select("*", *extra)
-        gdf = df.groupBy(*g_cols).agg(*[c.alias(f"m{k}") for k, c in enumerate(m_cols)])
-        return gdf.toDF(*_fnames(len(g_cols) + len(m_cols)))
+        n_g = len(g_cols)
+        return df.groupBy(*g_cols).agg(
+            *[c.alias(f"f{n_g + k}") for k, c in enumerate(m_cols)])
 
     def _rel_aggregate_grouping_sets(self, df: DataFrame, body: dict) -> DataFrame:
         """Multi-grouping AggregateRel (GROUPING SETS / ROLLUP / CUBE) via
@@ -332,12 +337,12 @@ class _Consumer:
             cond = F.col("__gid") == mask
             set_idx = F.when(cond, F.lit(r)) if set_idx is None \
                 else set_idx.when(cond, F.lit(r))
-        out = agged.select(
-            *gcols,
-            *[F.col(f"m{k}") for k in range(len(m_cols))],
-            set_idx.cast("int").alias("__gset"),
+        return agged.select(
+            *[c.alias(f"f{j}") for j, c in enumerate(gcols)],
+            *[F.col(f"m{k}").alias(f"f{n_g + k}")
+              for k in range(len(m_cols))],
+            set_idx.cast("int").alias(f"f{n_g + len(m_cols)}"),
         )
-        return out.toDF(*_fnames(n_g + len(m_cols) + 1))
 
     def _measure(self, m: dict, k: int, resolver, extra: list[Column]) -> Column:
         body = m["measure"]
@@ -418,7 +423,9 @@ class _Consumer:
             out = reduce(DataFrame.subtract, dfs)
         else:
             raise SubstraitError(f"unsupported set op {op}")
-        return out.toDF(*_fnames(len(out.columns)))
+        # children are f-named by the consumer invariant and set ops keep
+        # the left input's names — no rename (= no extra analysis pass)
+        return out
 
     _RANKING_FNS = {
         "row_number": F.row_number,
@@ -557,9 +564,11 @@ class _Consumer:
             raise SubstraitError(
                 f"unsupported generator mode {detail.get('mode')!r}"
             )
-        req = [df[f"f{i}"] for i in detail.get("requiredChildIndices", [])]
-        out = df.select(*req, fn(arg))
-        return out.toDF(*_fnames(len(out.columns)))
+        req_idx = detail.get("requiredChildIndices", [])
+        req = [df[f"f{i}"].alias(f"f{j}") for j, i in enumerate(req_idx)]
+        n_out = int(detail.get("generatorOutputs", 1))
+        gen = fn(arg).alias(*[f"f{len(req) + j}" for j in range(n_out)])
+        return df.select(*req, gen)
 
     # -- expressions --------------------------------------------------------
 

@@ -815,7 +815,8 @@ ORACLES: dict[str, str] = {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                      / len(list_distinct(a.g || b.g)), 6) AS jaccard
-        FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        FROM grams a JOIN grams b
+          ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                     / len(list_distinct(a.g || b.g)), 6) >= 0.12
     """,
@@ -952,8 +953,12 @@ ORACLES: dict[str, str] = {
     """,
     "e4_stream_dedup": """
         WITH keyed AS (
-            SELECT md5(concat_ws(chr(31), CAST(user_id AS VARCHAR), event_type))
-                       AS fingerprint,
+            -- null-safe field encoding ('v'||value / 'n'), mirroring
+            -- streaming/stateful.py: concat_ws skips NULLs, which would
+            -- collide (1, NULL) with (NULL, 1)
+            SELECT md5(concat_ws(chr(31),
+                       coalesce('v' || CAST(user_id AS VARCHAR), 'n'),
+                       coalesce('v' || event_type, 'n'))) AS fingerprint,
                    event_id, user_id, value
             FROM events
         ), first AS (
@@ -1022,8 +1027,11 @@ ORACLES: dict[str, str] = {
                          / sum(c), 6) AS dup_2gram_frac
             FROM gc GROUP BY doc_id
         )
-        SELECT tf.doc_id, tf.n_tokens, tf.top_token_frac, gf.dup_2gram_frac
-        FROM tf JOIN gf ON tf.doc_id = gf.doc_id
+        SELECT d.doc_id, coalesce(tf.n_tokens, 0) AS n_tokens,
+               tf.top_token_frac, gf.dup_2gram_frac
+        FROM documents d
+        LEFT JOIN tf ON d.doc_id = tf.doc_id
+        LEFT JOIN gf ON d.doc_id = gf.doc_id
     """,
     # t8: corpus token frequencies; the (freq DESC, token ASC) tie-break
     # makes the top-100 a well-defined set on both engines

@@ -118,6 +118,18 @@ def _exploded_shingles(df: DataFrame, text_col: str, key_col: str,
     )
 
 
+def _minhash_minima(bases: DataFrame, key_col: str, num_hashes: int) -> DataFrame:
+    """(key, _mh0.._mhK-1): K seeded ``xxhash64`` minima as aggregate
+    measures over exploded shingle rows. The SINGLE definition of the
+    seeding scheme — minhash_signatures and minhash_lsh_pairs both build on
+    it, so signature compatibility (incl. with the DuckDB oracle) cannot
+    silently fork."""
+    return bases.groupBy(key_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
+          for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", num_hashes: int = 32,
                        shingle_n: int = 5) -> DataFrame:
@@ -138,11 +150,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     slower than this shape at equal output.
     """
     bases = _exploded_shingles(df, text_col, key_col, shingle_n)
-    agg = bases.groupBy(key_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
-          for i in range(num_hashes)]
-    )
-    return agg.select(
+    return _minhash_minima(bases, key_col, num_hashes).select(
         F.col(key_col),
         F.array(*[f"_mh{i}" for i in range(num_hashes)]).alias("minhash"),
     )
@@ -229,10 +237,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
         )
     rows_per_band = num_hashes // bands
     bases = _exploded_shingles(df, text_col, key_col, shingle_n)
-    minima = bases.groupBy(key_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
-          for i in range(num_hashes)]
-    )
+    minima = _minhash_minima(bases, key_col, num_hashes)
     banded = minima.select(
         F.col(key_col),
         F.explode(F.array(*[
@@ -271,8 +276,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     # (14.1 s vs 6.7 s for this array_intersect verify) — the candidate set
     # is small enough that per-pair set intersection beats re-shuffling
     # exploded shingle rows. Persisted because both join sides read it.
+    # the semi-join is NOT broadcast-hinted: on boilerplate-heavy corpora
+    # the candidate set can approach corpus size, and a forced broadcast
+    # would collect it to the driver — let AQE pick broadcast only when the
+    # runtime size is actually small
     shingled = (
-        _exploded_shingles(df.join(F.broadcast(cand_ids), key_col),
+        _exploded_shingles(df.join(cand_ids, key_col, "left_semi"),
                            text_col, key_col, shingle_n)
         .groupBy(key_col)
         .agg(F.collect_set(F.xxhash64("_sh")).alias("sh"))
@@ -465,7 +474,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", key_col: str = "d
     # inside the same codegen stage; output set unchanged
     na, nb = F.size("a.g"), F.size("b.g")
     return (
-        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+        # eqNullSafe: a plain == never matches NULL buckets, silently
+        # excluding every un-bucketed (e.g. lang=NULL) document from dedup
+        a.join(b, on=[F.col("a.bucket").eqNullSafe(F.col("b.bucket")),
                       F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
         .filter(F.least(na, nb).cast("double")
                 >= F.lit(threshold - 1e-6) * F.greatest(na, nb))

@@ -87,9 +87,20 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
         if w > 0 and h > 0:
             return "gif", int(w), int(h)
         return None
-    if len(data) >= 26 and data[:2] == b"BM" and data[14] in (12, 40, 108, 124):
+    if len(data) >= 22 and data[:2] == b"BM" and data[14] in (12, 40, 108, 124):
         # data[14] = DIB header size: guards against non-image payloads that
         # merely start with the ASCII letters "BM"
+        if data[14] == 12:
+            # BITMAPCOREHEADER stores 16-bit UNSIGNED width/height at
+            # 18/20 — parsing them as the 32-bit fields of the later
+            # headers read planes/bpp into the dimensions (garbage that
+            # still passed the sanity bounds)
+            w, h = struct.unpack("<HH", data[18:22])
+            if w > 0 and h > 0:
+                return "bmp", int(w), int(h)
+            return None
+        if len(data) < 26:
+            return None
         w, h = struct.unpack("<ii", data[18:26])
         if 0 < w < 1 << 24 and 0 < abs(h) < 1 << 24:
             return "bmp", int(w), abs(int(h))
@@ -166,8 +177,10 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "k
     fixed-stride chunks (the stand-in for video frame extraction — a real
     decoder drops in at the same seam). Ceil-division stride count, so the
     payload tail after the last full stride still becomes a (short) frame
-    when the frame budget allows. One input row → ≤ max_frames output
-    rows; schema and batching identical to the real thing."""
+    when the frame budget allows; a NULL/empty payload yields ZERO frames
+    (matching _payload_bytes' contract — no phantom empty frame). One input
+    row → ≤ max_frames output rows; schema and batching identical to the
+    real thing."""
 
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -176,8 +189,7 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "k
             keys, idxs, frames = [], [], []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 data = _payload_bytes(payload)
-                for i in range(min(max_frames,
-                                   max(1, -(-len(data) // every_n_bytes)))):
+                for i in range(min(max_frames, -(-len(data) // every_n_bytes))):
                     keys.append(int(key))
                     idxs.append(i)
                     frames.append(data[i * every_n_bytes:(i + 1) * every_n_bytes])

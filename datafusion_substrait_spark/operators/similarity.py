@@ -67,7 +67,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (ANSI mode
+    is ON by default in Spark 4, so a bare division would ABORT the whole
+    job on the first zero vector — try_divide yields NULL instead, and
+    every downstream ``cosine >= t`` filter / rank correctly excludes it;
+    a direction-less vector matches nothing)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _plane_weight_py(plane: int, d: int) -> float:
@@ -151,8 +156,10 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         query_key_col,
         key_col,
         F.round(
-            dot(F.col("__qvec"), F.col(vec_col))
-            / (F.col("__qnorm") * F.col("__enorm")),
+            # try_divide: NULL (excluded downstream), not an ANSI abort,
+            # when a zero-norm vector appears — see cosine()
+            F.try_divide(dot(F.col("__qvec"), F.col(vec_col)),
+                         F.col("__qnorm") * F.col("__enorm")),
             6,
         ).alias("cosine"),
     )
@@ -186,8 +193,10 @@ def _with_cell_scores(df: DataFrame, vec_col: str,
     return df.select(
         "*",
         *[
-            (dot_const(F.col(vec_col), c)
-             / (n * F.lit(sum(x * x for x in c) ** 0.5))).alias(f"__s{i}")
+            F.try_divide(
+                dot_const(F.col(vec_col), c),
+                n * F.lit(sum(x * x for x in c) ** 0.5),
+            ).alias(f"__s{i}")
             for i, c in enumerate(centroids)
         ],
     )
@@ -285,8 +294,10 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         query_key_col,
         key_col,
         F.round(
-            dot(F.col("__qvec"), F.col(vec_col))
-            / (F.col("__qnorm") * F.col("__enorm")),
+            # try_divide: NULL (excluded downstream), not an ANSI abort,
+            # when a zero-norm vector appears — see cosine()
+            F.try_divide(dot(F.col("__qvec"), F.col(vec_col)),
+                         F.col("__qnorm") * F.col("__enorm")),
             6,
         ).alias("cosine"),
     )
@@ -313,8 +324,10 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         query_key_col,
         key_col,
         F.round(
-            dot(F.col("__qvec"), F.col(vec_col))
-            / (F.col("__qnorm") * F.col("__enorm")),
+            # try_divide: NULL (excluded downstream), not an ANSI abort,
+            # when a zero-norm vector appears — see cosine()
+            F.try_divide(dot(F.col("__qvec"), F.col(vec_col)),
+                         F.col("__qnorm") * F.col("__enorm")),
             6,
         ).alias("cosine"),
     )

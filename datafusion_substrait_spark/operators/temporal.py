@@ -63,7 +63,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
         F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
         F.lit(None).cast(right.select(rpay).schema["_rpay"].dataType).alias("_rpay"),
     )
-    r_tag = right.select(
+    # a NULL-timestamp right row can never be a temporal match, but under
+    # the ascending nulls-first sort it would be carried by last(ignorenulls)
+    # as a phantom "earliest" match — drop such rows up front
+    r_tag = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
         F.lit(None).cast(left.select(
             F.struct(*[F.col(c) for c in left.columns]).alias("_lpay")

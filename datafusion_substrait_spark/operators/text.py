@@ -105,12 +105,19 @@ def quality_features(df: DataFrame, text_col: str = "text",
     n_chars = F.length(text).cast("double")
     n_toks = F.size(toks).cast("double")
     all_stop = F.array(*[F.lit(w) for ws in LANG_STOPWORDS.values() for w in ws])
+    # try_divide everywhere: Spark 4 defaults ANSI mode ON, so a bare x/0
+    # on a zero-token ('???') or empty ('') document ABORTS the whole job
+    # with DIVIDE_BY_ZERO; try_divide yields NULL for the undefined ratio
+    # (and the quality_score guard below already scores such docs 0.0)
     feats = {
         "n_chars": n_chars,
         "n_tokens": n_toks,
-        "mean_token_len": F.round(n_chars / n_toks, 6),
+        "mean_token_len": F.round(F.try_divide(n_chars, n_toks), 6),
         "punct_ratio": F.round(
-            F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("double") / n_chars, 6
+            F.try_divide(
+                F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("double"),
+                n_chars,
+            ), 6
         ),
         # true token-occurrence density (stopword TOKENS / all tokens), not
         # distinct-stopword count: array_intersect dedups, capping the
@@ -118,8 +125,11 @@ def quality_features(df: DataFrame, text_col: str = "text",
         # ordering with document length (a 2000-token fluent doc scored
         # lower than a 50-token fragment)
         "stopword_ratio": F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
-            .cast("double") / n_toks, 6
+            F.try_divide(
+                F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+                .cast("double"),
+                n_toks,
+            ), 6
         ),
     }
     # the raw score lives on a 1.25e-6 lattice (term granularities 5e-3,
@@ -202,7 +212,19 @@ def repetition_features(df: DataFrame, text_col: str = "text",
             6,
         ).alias("dup_2gram_frac")
     )
-    return tok_feats.join(gram_feats, key_col)
+    # left joins from the corpus keys: a zero-token document produces no
+    # exploded token rows, and an inner join would silently drop it from
+    # the output — here it keeps its row (n_tokens 0, NULL fractions),
+    # consistent with unigram_logprob and the simhash empty-doc floor
+    return (
+        df.select(key).join(tok_feats, key_col, "left")
+        .join(gram_feats, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            "top_token_frac", "dup_2gram_frac",
+        )
+    )
 
 
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:

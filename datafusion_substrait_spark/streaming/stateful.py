@@ -106,8 +106,13 @@ def streaming_exact_dedup(events: DataFrame,
     DuckDB oracle can replay it; a stream drained in event order picks the
     same rows).
     """
-    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                     for c in fingerprint_cols]))
+    # null-safe field encoding: concat_ws SKIPS nulls, so (1, NULL) and
+    # (NULL, 1) would collide on one fingerprint and dedup away distinct
+    # events. 'v'+value / bare 'n' never collide, and the separator keeps
+    # positions distinct.
+    fp = F.md5(F.concat_ws("\x1f", *[
+        F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
+        for c in fingerprint_cols]))
     if not events.isStreaming:
         w_src = events.select(fp.alias("fingerprint"), "event_id", "user_id", "value")
         first = w_src.groupBy("fingerprint").agg(F.min("event_id").alias("event_id"))

@@ -476,7 +476,8 @@ def test_multimodal_null_payloads_and_frame_tail(spark):
         by_key.setdefault(r.key, []).append(bytes(r.frame_bytes))
     # ceil division: the 36-byte tail after the first 64-byte stride emits
     assert len(by_key[1]) == 2 and len(by_key[1][1]) == 36
-    assert by_key[2] == [b""]
+    # a null payload yields ZERO frames, not a phantom empty one
+    assert 2 not in by_key
 
 
 def test_jpeg_fill_bytes_before_sof(spark):
@@ -526,3 +527,87 @@ def test_unigram_logprob_partitioning_invariant(spark):
     b = sorted(map(tuple, unigram_logprob(
         docs.repartition(7), vocab_size=50).collect()))
     assert a == b
+
+
+# --- review-fix regressions: ANSI safety and NULL/degenerate handling -------
+
+
+def test_quality_features_survives_degenerate_docs(spark):
+    """Spark 4 defaults ANSI mode ON: unguarded x/0 on zero-token ('???')
+    or empty ('') docs aborted the whole job with DIVIDE_BY_ZERO."""
+    rows = [(1, "a normal doc with words"), (2, ""), (3, "???!!!")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in text.quality_features(df).collect()}
+    assert out[1].quality_score > 0
+    assert out[2].quality_score == 0.0 and out[2].mean_token_len is None
+    assert out[3].quality_score == 0.0 and out[3].stopword_ratio is None
+    assert out[3].punct_ratio is not None  # has chars, just no tokens
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    from datafusion_substrait_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.9, planes=4)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    assert (1, 3) in got           # real duplicates still found
+    assert all(2 not in p for p in got)  # zero vector matches nothing
+    qs = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    topk = similarity.brute_force_topk(df, qs, k=3).collect()
+    assert all(r.vec_id != 2 for r in topk if r.cosine is not None)
+
+
+def test_streaming_dedup_fingerprint_is_null_safe(spark):
+    """concat_ws skips NULLs: (1, NULL) and (NULL, '1') used to collide on
+    one fingerprint and the second event was dropped as a duplicate."""
+    from datafusion_substrait_spark.streaming import stateful
+
+    rows = [(10, 1, None, 1.0), (11, None, "1", 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, value double")
+    out = stateful.streaming_exact_dedup(df).collect()
+    assert len(out) == 2  # distinct keys, both survive
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    from datafusion_substrait_spark.operators import temporal
+
+    left = spark.createDataFrame([(1, 100, "l0")], "k bigint, ts bigint, lv string")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 500, 1.0)],
+        "k bigint, ts bigint, rv double")
+    out = temporal.asof_join(left, right, on="k", ts_col="ts",
+                             right_cols=["rv"]).collect()
+    # no right row at/before ts=100 → NULL match, not the NULL-ts payload
+    assert len(out) == 1 and out[0].ts_r is None and out[0].rv_r is None
+
+
+def test_repetition_features_keeps_zero_token_docs(spark):
+    rows = [(1, "a a b"), (2, "???")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in text.repetition_features(df).collect()}
+    assert out[1].n_tokens == 3
+    assert out[2].n_tokens == 0 and out[2].top_token_frac is None
+
+
+def test_ngram_jaccard_null_bucket_pairs(spark):
+    rows = [(1, "the quick brown fox jumps", None),
+            (2, "the quick brown fox jumps", None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+def test_bmp_core_header_dimensions(spark):
+    import struct as _struct
+
+    # BITMAPCOREHEADER: 16-bit unsigned w/h at offsets 18/20
+    core = (b"BM" + b"\x00" * 12 + _struct.pack("<I", 12)
+            + _struct.pack("<HH", 100, 50) + _struct.pack("<HH", 1, 24))
+    assert multimodal.parse_image_header(core) == ("bmp", 100, 50)
+    # the 40-byte header path still parses 32-bit fields
+    info = (b"BM" + b"\x00" * 12 + _struct.pack("<I", 40)
+            + _struct.pack("<ii", 640, -480) + b"\x00" * 8)
+    assert multimodal.parse_image_header(info) == ("bmp", 640, 480)

@@ -1042,13 +1042,18 @@ ORACLES: dict[str, str] = {
     """,
     # c1/c2: benchmark decontamination — distinct shared word-5-grams
     # against the deterministic every-97th-doc benchmark subset
+    # the g <> '' filters mirror contamination._grams' empty-gram
+    # exclusion (zero-token texts' fallback gram must not cross-match)
     "c1_ngram_overlap": f"""
         WITH dg AS (
-            SELECT doc_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
-            FROM documents
+            SELECT * FROM (
+                SELECT doc_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
+                FROM documents) WHERE g <> ''
         ), bg AS (
-            SELECT doc_id AS bench_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
-            FROM documents WHERE doc_id % 97 = 0
+            SELECT * FROM (
+                SELECT doc_id AS bench_id,
+                       unnest(list_distinct({_wgrams_sql(5)})) AS g
+                FROM documents WHERE doc_id % 97 = 0) WHERE g <> ''
         )
         SELECT dg.doc_id, bg.bench_id, CAST(count(*) AS BIGINT) AS overlap
         FROM dg JOIN bg USING (g)
@@ -1056,23 +1061,28 @@ ORACLES: dict[str, str] = {
     """,
     "c2_decontaminate": f"""
         WITH dg AS (
-            SELECT doc_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
-            FROM documents
+            SELECT * FROM (
+                SELECT doc_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
+                FROM documents) WHERE g <> ''
         ), bg AS (
-            SELECT doc_id AS bench_id, unnest(list_distinct({_wgrams_sql(5)})) AS g
-            FROM documents WHERE doc_id % 97 = 0
+            SELECT * FROM (
+                SELECT doc_id AS bench_id,
+                       unnest(list_distinct({_wgrams_sql(5)})) AS g
+                FROM documents WHERE doc_id % 97 = 0) WHERE g <> ''
         )
         SELECT doc_id, lang FROM documents
         WHERE doc_id NOT IN (SELECT DISTINCT dg.doc_id
                              FROM dg JOIN bg USING (g))
     """,
+    # 'v' || key mirrors sampling._key_bytes' null-safe encoding (NULL
+    # keys hash the bare-'n' sentinel; testdata keys are never NULL)
     "t5_hash_sample": f"""
         SELECT doc_id, lang FROM documents
-        WHERE md5(CAST(doc_id AS VARCHAR)) < '{sampling._threshold_hex(0.25)}'
+        WHERE md5('v' || CAST(doc_id AS VARCHAR)) < '{sampling._threshold_hex(0.25)}'
     """,
     "t6_stratified_sample": f"""
         SELECT doc_id, lang FROM documents
-        WHERE md5(CAST(doc_id AS VARCHAR)) <
+        WHERE md5('v' || CAST(doc_id AS VARCHAR)) <
             CASE WHEN lang = 'zh' THEN '{sampling._threshold_hex(0.5)}'
                  WHEN lang = 'en' THEN '{sampling._threshold_hex(0.2)}'
                  ELSE '{sampling._threshold_hex(0.9)}' END

@@ -42,7 +42,9 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "Divide": "divide",
     "IntegralDivide": "div",  # integer division, trunc-toward-zero semantics
     "Remainder": "mod",
-    "Pmod": "mod",  # close enough only for non-negative operands; kept distinct below
+    # NO Pmod entry: pmod(a, b) != a % b for negative operands, so mapping
+    # it to "mod" would silently change results — it falls to the
+    # catch-all unsupported-expression error instead
     "And": "and",
     "Or": "or",
     "Like": "like",
@@ -61,7 +63,6 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "DateSub": "date_sub",
     "DateDiff": "date_diff",  # (end, start) argument order on both sides
 }
-del CATALYST_BINARY_TO_NAME["Pmod"]  # Pmod ≠ mod for negatives; translate via catch-all error
 
 # Not(inner-class) → negated substrait name (producer's NotEq/NotLike/… forms)
 CATALYST_NOT_TO_NAME: dict[str, str] = {
@@ -116,11 +117,16 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
 
 
 def _integral_divide(a: Column, b: Column) -> Column:
-    """``a div b`` with trunc-toward-zero semantics, kept exact for full-range
-    int64 by dividing as decimal(38,0) (double division would lose low bits
-    past 2^53)."""
-    d = a.cast("decimal(38,0)") / b.cast("decimal(38,0)")
-    return F.when(d < 0, F.ceil(d)).otherwise(F.floor(d)).cast("bigint")
+    """``a div b`` with trunc-toward-zero semantics, exact over full-range
+    int64: subtracting the truncated remainder first (`%` keeps the
+    dividend's sign, exact on decimals) makes the decimal quotient
+    mathematically integral, so the division's scale-6 HALF_UP rounding can
+    never move it. (The previous floor/ceil of the ROUNDED raw quotient was
+    off by one whenever a/b landed within 5e-7 of an integer, e.g.
+    1999999 div 2000000 → 1 instead of 0.) Double division is no
+    alternative — it loses low bits past 2^53."""
+    al, bl = a.cast("decimal(38,0)"), b.cast("decimal(38,0)")
+    return ((al - al % bl) / bl).cast("bigint")
 
 
 SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
@@ -196,7 +202,9 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "round": lambda a: F.round(a),
 }
 
-_VARARG = {"str_concat", "coalesce", "greatest", "least", "concat_ws"}
+# concat_ws is NOT here: the consumer special-cases it (separator must be
+# a python str for F.concat_ws) before apply_scalar is ever reached
+_VARARG = {"str_concat", "coalesce", "greatest", "least"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

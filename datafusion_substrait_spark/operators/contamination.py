@@ -28,10 +28,16 @@ from .text import word_ngrams
 
 def _grams(df: DataFrame, text_col: str, key_col: str, n: int,
            out_key: str) -> DataFrame:
+    # the empty gram is excluded: word_ngrams' short-document fallback
+    # joins ALL tokens, so every zero-token text (empty, punctuation-only,
+    # non-ASCII under the [a-z0-9] tokenizer) yields "" — without the
+    # filter, one token-less benchmark row marks every token-less corpus
+    # document contaminated. (Short NON-empty texts still match exactly,
+    # which is genuine contamination.)
     return df.select(
         F.col(key_col).alias(out_key),
         F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
+            F.array_remove(F.array_distinct(word_ngrams(F.col(text_col), n)), "")
         ).alias("_g"),
     )
 
@@ -46,6 +52,11 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, n: int = 5,
     deduped first), so a gram repeated inside one document still counts
     once — the standard contamination measure.
     """
+    if key_col == bench_key_col:
+        raise ValueError(
+            f"key_col and bench_key_col are both {key_col!r}: the joined "
+            "output needs distinct names (pass bench_key_col=...)"
+        )
     d = _grams(docs, text_col, key_col, n, key_col)
     b = _grams(bench, bench_text_col, bench_key_col, n, bench_key_col)
     return (

@@ -33,9 +33,21 @@ def _threshold_hex(rate: float) -> str:
     return format(cut, "032x")
 
 
+def _key_bytes(key: Column, salt: str) -> Column:
+    """Null-safe hash input: 'v'+value / bare 'n' (++ salt). A bare cast
+    would make md5(NULL) NULL and the comparison silently DROP every
+    NULL-keyed row at any rate — even rate=1.0. With the sentinel, all
+    NULL keys share one decision: identical keys, identical outcome, which
+    is exactly the hash-sample contract."""
+    return F.concat(
+        F.coalesce(F.concat(F.lit("v"), key.cast("string")), F.lit("n")),
+        F.lit(salt),
+    )
+
+
 def sample_predicate(key: Column, rate: float, salt: str = "") -> Column:
     """Boolean keep-decision column (composable into any filter)."""
-    return F.md5(F.concat(key.cast("string"), F.lit(salt))) < _threshold_hex(rate)
+    return F.md5(_key_bytes(key, salt)) < _threshold_hex(rate)
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float,
@@ -59,5 +71,5 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == value,
                      F.lit(_threshold_hex(rate))).otherwise(thr)
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    h = F.md5(_key_bytes(F.col(key_col), salt))
     return df.filter(h < thr)

@@ -13,6 +13,7 @@ DataFusion keeping ``table_name`` on its TableScan node, producer.rs:104-107).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,7 +26,11 @@ _PATH_TO_NAME: dict[str, str] = {}
 # factors in one session would otherwise read the wrong tables without any
 # error; this record lets register_testdata refuse (or knowingly rebind) and
 # lets entry()-style callers reuse whatever the session is already bound to.
-_SESSION_SF_DIR: dict[int, str] = {}
+# WeakKeyDictionary: keyed by the live session OBJECT, not id(spark) — a
+# stopped session's id can be reused by CPython for a brand-new session,
+# which would then inherit a stale binding (or be spuriously refused), and
+# an id-keyed dict also grows unboundedly across session restarts.
+_SESSION_SF_DIR: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _norm(path: str) -> str:
@@ -91,7 +96,7 @@ def testdata_dir(spark: SparkSession) -> str | None:
     registered). Callers that only need *some* consistent scale factor —
     e.g. ``entry()`` smoke paths — should reuse this instead of forcing a
     re-registration that would clobber views other code is reading."""
-    return _SESSION_SF_DIR.get(id(spark))
+    return _SESSION_SF_DIR.get(spark)
 
 
 def register_testdata(spark: SparkSession, sf_dir: str,
@@ -106,7 +111,7 @@ def register_testdata(spark: SparkSession, sf_dir: str,
     under concurrent readers (the round-1 cross-SF clobbering bug). Pass
     ``allow_rebind=True`` to rebind deliberately.
     """
-    bound = _SESSION_SF_DIR.get(id(spark))
+    bound = _SESSION_SF_DIR.get(spark)
     norm_dir = _norm(sf_dir)
     if bound is not None and bound != norm_dir and not allow_rebind:
         raise SubstraitError(
@@ -114,6 +119,12 @@ def register_testdata(spark: SparkSession, sf_dir: str,
             f"silently rebind them to {sf_dir!r} (pass allow_rebind=True "
             "to swap scale factors deliberately)"
         )
+    # Validate the events.ts contract BEFORE any session state changes
+    # (views replaced OR the timezone conf below): a failed registration
+    # must not leave the session half-rebound or half-configured.
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if "events" in tables and os.path.exists(events_path):
+        _assert_events_ts_type(spark.read.parquet(events_path))
     # `events.ts` is parquet timestamp[us], which Spark reads as
     # TIMESTAMP_NTZ. Event-time integer arithmetic goes through
     # streaming.events.ts_micros (type-dispatching NTZ/LTZ/legacy-bigint →
@@ -121,18 +132,12 @@ def register_testdata(spark: SparkSession, sf_dir: str,
     # here for the DISPLAY side — rendered timestamp columns like e1's
     # window_start must match DuckDB's naive wall clock.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Validate the events.ts contract BEFORE any view is replaced: a failed
-    # registration must not leave the session half-rebound (views swapped,
-    # old sf_dir still recorded) — that is silent wrong-table reads.
-    events_path = os.path.join(sf_dir, "events.parquet")
-    if "events" in tables and os.path.exists(events_path):
-        _assert_events_ts_type(spark.read.parquet(events_path))
     out = {}
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             out[t] = register_parquet(spark, t, p)
-    _SESSION_SF_DIR[id(spark)] = norm_dir
+    _SESSION_SF_DIR[spark] = norm_dir
     return out
 
 
@@ -145,6 +150,12 @@ def _assert_events_ts_type(events: DataFrame) -> None:
     layout change caused in round 4."""
     from pyspark.sql import types as T
 
+    if "ts" not in events.columns:
+        raise SubstraitError(
+            f"events table has no 'ts' column (columns: {events.columns}) — "
+            "the testdata layout changed; update streaming.events and this "
+            "assertion together"
+        )
     t = events.schema["ts"].dataType
     if not isinstance(t, (T.TimestampNTZType, T.TimestampType, T.LongType)):
         raise SubstraitError(

@@ -26,10 +26,14 @@ from pyspark.sql import DataFrame
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: tuple[str, ...] = (),
                   target_files: int | None = None) -> None:
-    """Parquet sink. ``target_files`` caps output file count via a
-    shuffle-free ``coalesce`` (use it to consolidate a small result);
-    ``partition_by`` writes a directory-partitioned layout."""
-    out = df.coalesce(target_files) if target_files else df
+    """Parquet sink. ``target_files`` sets the output file count via
+    ``repartition`` — a real shuffle barrier, deliberately NOT ``coalesce``:
+    coalesce propagates upstream and runs the ENTIRE preceding computation
+    at the reduced parallelism (the classic ``coalesce(1)`` pitfall), and
+    it can only shrink the count. The one extra shuffle moves exactly the
+    rows being written; ``partition_by`` writes a directory-partitioned
+    layout."""
+    out = df.repartition(target_files) if target_files else df
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -611,3 +611,45 @@ def test_bmp_core_header_dimensions(spark):
     info = (b"BM" + b"\x00" * 12 + _struct.pack("<I", 40)
             + _struct.pack("<ii", 640, -480) + b"\x00" * 8)
     assert multimodal.parse_image_header(info) == ("bmp", 640, 480)
+
+
+def test_hash_sample_keeps_null_keys_at_full_rate(spark):
+    """md5(NULL) is NULL: a bare cast silently dropped every NULL-keyed row
+    at ANY rate, even 1.0 — the null-safe sentinel keys them as one group."""
+    from datafusion_substrait_spark.operators import sampling
+
+    df = spark.createDataFrame([("k1",), (None,)], "k string")
+    assert sampling.hash_sample(df, "k", 1.0).count() == 2
+    assert sampling.hash_sample(df, "k", 0.0).count() == 0
+    # NULL keys get one shared decision — partitioning-independent
+    n = sampling.hash_sample(df, "k", 0.5).filter(F.col("k").isNull()).count()
+    assert n in (0, 1)
+
+
+def test_decontaminate_ignores_tokenless_texts(spark):
+    """The short-doc fallback gram of a zero-token text is '' — one
+    punctuation-only benchmark row must not delete every token-less corpus
+    document (all-CJK docs under the ascii tokenizer, etc.)."""
+    from datafusion_substrait_spark.operators import contamination
+
+    docs = spark.createDataFrame(
+        [(1, "???"), (2, "hello world how are you today friend")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(10, "!!!")], "bench_id bigint, text string")
+    kept = contamination.decontaminate(docs, bench, n=5)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+    # genuine short exact-text contamination still matches
+    bench2 = spark.createDataFrame(
+        [(11, "hello world how are you today friend")],
+        "bench_id bigint, text string")
+    kept2 = contamination.decontaminate(docs, bench2, n=5)
+    assert sorted(r.doc_id for r in kept2.collect()) == [1]
+
+
+def test_ngram_overlap_rejects_same_key_names(spark, tables):
+    from datafusion_substrait_spark.operators import contamination
+
+    with pytest.raises(ValueError, match="distinct names"):
+        contamination.ngram_overlap(
+            tables["documents"], tables["documents"],
+            key_col="doc_id", bench_key_col="doc_id")

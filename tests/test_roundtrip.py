@@ -719,3 +719,18 @@ def test_repartition_by_expression_is_fenced(spark):
     df = spark.table("orders").repartition(4, F.col("o_custkey") % 10)
     with pytest.raises(SubstraitError, match="field references only"):
         to_substrait_plan(df)
+
+
+def test_integral_divide_boundaries(spark):
+    """div consume path: the decimal quotient is made integral BEFORE the
+    divide, so scale-6 rounding can't flip values within 5e-7 of an
+    integer; exactness holds past 2^53 where double division loses bits."""
+    check(spark, """
+        SELECT 1999999 div 2000000 AS a,
+               -1999999 div 2000000 AS b,
+               6999999999 div 7000000000 AS c,
+               -7 div 2 AS d,
+               (9007199254740993 * 3) div 3 AS e,
+               o_orderkey div 7 AS f
+        FROM orders
+    """)

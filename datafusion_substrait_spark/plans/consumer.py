@@ -204,12 +204,14 @@ class _Consumer:
         import json as _json
 
         found: list[tuple[str, dict]] = []
+        seen: set[str] = set()
 
         def scan(e):
             if isinstance(e, dict):
                 if "subquery" in e:
                     key = _json.dumps(e, sort_keys=True)
-                    if key not in [k for k, _ in found]:
+                    if key not in seen:
+                        seen.add(key)
                         found.append((key, e))
                     return  # don't descend into the subquery's own plan
                 for v in e.values():
@@ -576,7 +578,23 @@ class _Consumer:
         kind = proto.expr_kind(e)
         body = e[kind]
         if kind == "selection":
-            return resolver(int(body["directReference"]["structField"].get("field", 0)))
+            seg = body.get("directReference", {})
+            if "structField" not in seg:
+                # mapKey / listElement reference segments (spec-valid)
+                raise SubstraitError(
+                    f"unsupported reference segment {sorted(seg)} — only "
+                    "top-level structField references are consumable"
+                )
+            sf = seg["structField"]
+            if sf.get("child"):
+                # nested struct-member access: silently returning the whole
+                # top-level column would be wrong DATA; the reference
+                # rejects nested references too (consumer.rs:451-454)
+                raise SubstraitError(
+                    "nested field reference (structField.child) is not "
+                    "consumable (≡ consumer.rs:451-454)"
+                )
+            return resolver(int(sf.get("field", 0)))
         if kind == "scalarFunction":
             name = self._fn_name(body["functionReference"])
             raw = [a["value"] for a in body.get("arguments", [])]
@@ -610,7 +628,13 @@ class _Consumer:
             return col.cast(spark_type)
         if kind == "singularOrList":
             v = self.rex(body["value"], resolver)
-            opts = [self.rex(o, resolver) for o in body["options"]]
+            opts = [self.rex(o, resolver) for o in body.get("options", [])]
+            if not opts:
+                # reachable off the wire: an empty repeated field has no
+                # presence, so zero options decode as a missing key
+                raise SubstraitError(
+                    "singularOrList requires at least one option"
+                )
             return reduce(lambda a, b: a | b, [v == o for o in opts])
         if kind == "subquery":
             import json as _json

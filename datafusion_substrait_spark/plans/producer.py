@@ -31,6 +31,15 @@ from datafusion_substrait_spark.sources import catalog
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(-?\d+)\)$")
 
+# one table for BOTH _rel_Sort and _rel_Window order specs (a per-site copy
+# once risked the two drifting)
+_SORT_DIRECTIONS = {
+    ("Ascending", "NullsFirst"): proto.SORT_ASC_NULLS_FIRST,
+    ("Ascending", "NullsLast"): proto.SORT_ASC_NULLS_LAST,
+    ("Descending", "NullsFirst"): proto.SORT_DESC_NULLS_FIRST,
+    ("Descending", "NullsLast"): proto.SORT_DESC_NULLS_LAST,
+}
+
 # ---------------------------------------------------------------------------
 # py4j helpers
 # ---------------------------------------------------------------------------
@@ -224,12 +233,8 @@ class _Producer:
         )
         sorts = []
         for so in _seq(node.order()):
-            direction = {
-                ("Ascending", "NullsFirst"): proto.SORT_ASC_NULLS_FIRST,
-                ("Ascending", "NullsLast"): proto.SORT_ASC_NULLS_LAST,
-                ("Descending", "NullsFirst"): proto.SORT_DESC_NULLS_FIRST,
-                ("Descending", "NullsLast"): proto.SORT_DESC_NULLS_LAST,
-            }[(so.direction().toString(), so.nullOrdering().toString())]
+            direction = _SORT_DIRECTIONS[
+                (so.direction().toString(), so.nullOrdering().toString())]
             sorts.append(proto.sort_field(self.rex(so.child(), cids), direction))
         return proto.sort_rel(crel, sorts), cids
 
@@ -660,12 +665,8 @@ class _Producer:
         part = [self.rex(p, cids) for p in _seq(node.partitionSpec())]
         sorts = []
         for so in _seq(node.orderSpec()):
-            direction = {
-                ("Ascending", "NullsFirst"): proto.SORT_ASC_NULLS_FIRST,
-                ("Ascending", "NullsLast"): proto.SORT_ASC_NULLS_LAST,
-                ("Descending", "NullsFirst"): proto.SORT_DESC_NULLS_FIRST,
-                ("Descending", "NullsLast"): proto.SORT_DESC_NULLS_LAST,
-            }[(so.direction().toString(), so.nullOrdering().toString())]
+            direction = _SORT_DIRECTIONS[
+                (so.direction().toString(), so.nullOrdering().toString())]
             sorts.append(proto.sort_field(self.rex(so.child(), cids), direction))
 
         wfs = []
@@ -687,9 +688,26 @@ class _Producer:
                     raise SubstraitError(
                         f"unsupported window aggregate {inner.prettyName()!r}"
                     )
+                if inner.prettyName() in ("first", "last") \
+                        and bool(inner.ignoreNulls()):
+                    # same fence as the aggregate-measure path: the flag has
+                    # no Substrait encoding, and dropping it would silently
+                    # return leading NULLs
+                    raise SubstraitError(
+                        f"window {inner.prettyName()}(expr, ignoreNulls=true) "
+                        "has no Substrait encoding; rewrite without ignoreNulls"
+                    )
                 args = [self.rex(c, cids) for c in _seq(inner.children())]
             elif kind in self._WINDOW_FN_NAMES:
                 name = self._WINDOW_FN_NAMES[kind]
+                if kind in ("Lag", "Lead", "NthValue") \
+                        and bool(fn.ignoreNulls()):
+                    # translate-or-error: the consumer would rebuild with
+                    # ignorenulls=False and silently return NULL rows
+                    raise SubstraitError(
+                        f"{kind} IGNORE NULLS has no Substrait encoding; "
+                        "rewrite without IGNORE NULLS"
+                    )
                 if kind in ("Lag", "Lead"):
                     # children[1] is the user-facing positive offset (Lag's
                     # toString/frame show the negated internal form — do NOT
@@ -759,9 +777,19 @@ class _Producer:
             return self._literal(e)
         if kind in ("Cast", "TryCast", "AnsiCast"):
             safe = kind == "TryCast"
+            dt = e.dataType().simpleString()
+            if dt.startswith("struct<"):
+                # Substrait Type.Struct carries NO field names, so a cast to
+                # a named struct would consume back with renamed (f0..fn)
+                # members — silently different schema. Translate-or-error.
+                raise SubstraitError(
+                    f"cast to struct type {dt!r} is not encodable: Substrait "
+                    "struct types carry no field names, so the names cannot "
+                    "survive the plan boundary"
+                )
             return proto.cast(
                 self.rex(e.child(), input_ids),
-                spark_type_to_substrait(e.dataType().simpleString()),
+                spark_type_to_substrait(dt),
                 safe=safe,
             )
         if kind == "CheckOverflow":  # decimal-arithmetic guard → explicit cast

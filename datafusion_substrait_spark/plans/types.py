@@ -72,7 +72,11 @@ def spark_type_to_substrait(simple_string: str) -> dict:
         return {"list": {"type": spark_type_to_substrait(m.group(1)),
                          "nullability": _NULLABLE}}
     if s.startswith("struct<"):
-        # struct<name:type,...> — split on top-level commas
+        # struct<name:type,...> — split on top-level commas. Field NAMES are
+        # dropped: Substrait Type.Struct carries none. Safe for base-schema
+        # columns (the consumer re-reads names from the live catalog table);
+        # the producer FENCES the one path where dropped names would leak
+        # into results (cast-to-struct, producer.rex).
         inner = s[len("struct<"):-1]
         types = []
         for part in _split_top_level(inner):

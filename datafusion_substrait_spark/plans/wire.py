@@ -421,7 +421,10 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "selection": (2, "m:FieldReference"),
         "scalarFunction": (3, "m:ScalarFunction"),
         "ifThen": (6, "m:IfThen"),
-        "cast": (7, "m:Cast"),
+        # cast is 11 in the spec (7 is switch_expression, 10 the deprecated
+        # enum) — an earlier transcription had 7, which a conformant decoder
+        # would read as SwitchExpression
+        "cast": (11, "m:Cast"),
         "singularOrList": (8, "m:SingularOrList"),
         "subquery": (12, "m:Subquery"),
         "nested": (13, "m:Nested"),
@@ -702,6 +705,10 @@ def _decode_scalar(kind: str, buf: bytes, pos: int, wt: int) -> tuple[Any, int]:
         if wt != _WT_FIXED32 or pos + 4 > len(buf):
             raise SubstraitError("bad or truncated fixed32 field")
         return struct.unpack("<f", buf[pos:pos + 4])[0], pos + 4
+    if wt != _WT_LEN:
+        # without this check a varint-typed corruption would be misread as
+        # a LENGTH prefix and silently decode garbage (e.g. empty string)
+        raise SubstraitError(f"wire type {wt} for length-delimited field")
     ln, pos = decode_uvarint(buf, pos)
     raw = buf[pos:pos + ln]
     if len(raw) != ln:

@@ -165,3 +165,76 @@ def test_exchange_rejects_targets_and_empty_scatter(spark):
     find_exchange(empty["relations"][0]["root"]["input"])["scatterByFields"] = {}
     with pytest.raises(SubstraitError, match="at least one field"):
         from_substrait_plan(spark, empty)
+
+
+def test_window_ignore_nulls_is_fenced(spark):
+    """The measure path fences first/last ignoreNulls; the window path
+    must too — a dropped flag silently returns leading NULLs."""
+    for sql in (
+        "SELECT first(o_totalprice, true) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey) AS v FROM orders",
+        "SELECT lag(o_totalprice) IGNORE NULLS OVER (PARTITION BY "
+        "o_orderstatus ORDER BY o_orderkey) AS v FROM orders",
+    ):
+        with pytest.raises(SubstraitError, match="(?i)ignore"):
+            to_substrait_plan(spark.sql(sql))
+    # the plain forms still produce
+    ok = spark.sql(
+        "SELECT first(o_totalprice) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey) AS v FROM orders")
+    assert to_substrait_plan(ok) is not None
+
+
+def test_nested_and_exotic_reference_segments_rejected(spark):
+    # upper() keeps a ProjectRel (a bare column select folds into the scan)
+    plan = to_substrait_plan(
+        spark.sql("SELECT upper(n_name) AS u FROM nation"))
+
+    def poison(rel, seg):
+        if "project" in rel:
+            rel["project"]["expressions"][0] = {"selection": {
+                "directReference": seg, "rootReference": {}}}
+            return True
+        return any(poison(v, seg) for v in rel.values() if isinstance(v, dict))
+
+    import copy as _copy
+
+    nested = _copy.deepcopy(plan)
+    assert poison(nested["relations"][0]["root"]["input"],
+                  {"structField": {"field": 0,
+                                   "child": {"structField": {"field": 0}}}})
+    with pytest.raises(SubstraitError, match="nested field reference"):
+        from_substrait_plan(spark, nested)
+
+    mapkey = _copy.deepcopy(plan)
+    assert poison(mapkey["relations"][0]["root"]["input"],
+                  {"mapKey": {"mapKey": {"string": "k"}}})
+    with pytest.raises(SubstraitError, match="reference segment"):
+        from_substrait_plan(spark, mapkey)
+
+
+def test_empty_in_list_options_rejected(spark):
+    plan = to_substrait_plan(
+        spark.sql("SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F', 'O')"))
+
+    def strip_options(rel):
+        if isinstance(rel, dict):
+            if "singularOrList" in rel:
+                rel["singularOrList"].pop("options", None)
+                return True
+            return any(strip_options(v) for v in rel.values())
+        if isinstance(rel, list):
+            return any(strip_options(v) for v in rel)
+        return False
+
+    assert strip_options(plan)
+    with pytest.raises(SubstraitError, match="at least one option"):
+        from_substrait_plan(spark, plan)
+
+
+def test_cast_to_named_struct_is_fenced(spark):
+    df = spark.table("orders").select(
+        F.struct(F.col("o_orderkey").alias("a")).cast("struct<b:bigint>")
+        .alias("s"))
+    with pytest.raises(SubstraitError, match="struct type"):
+        to_substrait_plan(df)

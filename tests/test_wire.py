@@ -249,3 +249,23 @@ def test_wire_roundtrip_exchange(spark, tables):
     rr = spark.table("nation").repartition(3).select("n_name")
     decoded = _wire_roundtrip(rr)
     assert_same_result(rr, from_substrait_plan(spark, decoded))
+
+
+def test_cast_wire_field_number_matches_spec():
+    # Expression.cast is field 11 in the public spec (7 is
+    # switch_expression); tag byte = (11 << 3) | 2 = 0x5a. An earlier
+    # transcription used 7, which conformant tooling would read as a
+    # SwitchExpression.
+    body = wire.encode_message("Expression", {
+        "cast": {"type": {"i64": {"nullability": "NULLABILITY_NULLABLE"}},
+                 "input": {"literal": {"i32": 1}},
+                 "failureBehavior": "FAILURE_BEHAVIOR_THROW_EXCEPTION"}})
+    assert body[0] == 0x5A
+
+
+def test_length_delimited_wire_type_enforced():
+    # a str field encoded with a varint wire type must raise, not silently
+    # decode its value byte as a length prefix
+    buf = wire._tag(5, wire._WT_VARINT) + wire.encode_uvarint(0)
+    with pytest.raises(wire.SubstraitError, match="wire type"):
+        wire.decode_message("Version", buf)

@@ -176,7 +176,10 @@ class Gen:
         sql = f"SELECT {', '.join(items)} FROM {src} " \
               f"WHERE {self.bool_expr(ncols, scols)}"
         if self.r.random() < 0.5:
-            sql += f" ORDER BY {', '.join(key)} LIMIT {self.r.randint(1, 200)}"
+            order = ", ".join(key)
+            if self.r.random() < 0.3:  # sort by a computed expression too
+                order = f"({self.pick(ncols)} % 7) {self.pick(['ASC', 'DESC'])}, " + order
+            sql += f" ORDER BY {order} LIMIT {self.r.randint(1, 200)}"
             if self.r.random() < 0.5:
                 sql += f" OFFSET {self.r.randint(1, 20)}"
         elif self.r.random() < 0.1:  # ExchangeRel scatter-by-fields path
@@ -217,7 +220,15 @@ class Gen:
         # dedup while preserving order (same column picked twice is legal SQL
         # but ambiguous to compare)
         items = list(dict.fromkeys(items))
-        sql = f"SELECT {', '.join(items)} FROM {lt} {how} {rt} ON {lk} = {rk}"
+        cond = f"{lk} = {rk}"
+        # declared superset: arbitrary join conditions (the reference is
+        # equi-only) — extra non-equi / null-safe conjuncts
+        extra = self.r.random()
+        if extra < 0.15:
+            cond += f" AND {self.pick(lnc)} < {self.pick(rnc)}"
+        elif extra < 0.25:
+            cond += f" AND {lk} <=> {rk}"
+        sql = f"SELECT {', '.join(items)} FROM {lt} {how} {rt} ON {cond}"
         if self.r.random() < 0.5:
             side_nc, side_sc = (lnc, lsc) if how != "RIGHT JOIN" else (rnc, rsc)
             sql += f" WHERE {self.bool_expr(side_nc, side_sc, 1)}"

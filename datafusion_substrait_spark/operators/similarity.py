@@ -304,6 +304,73 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     return _topk_per_query(scored, k, query_key_col, key_col)
 
 
+def write_ivf_partitioned(embeddings: DataFrame, path: str,
+                          centroids: list[list[float]],
+                          vec_col: str = "embedding",
+                          key_col: str = "vec_id",
+                          mode: str = "overwrite") -> None:
+    """Materialize the corpus partitioned by IVF cell: one directory per
+    ``cell_id``. This is the 100 TB layout the IVF docstring promises —
+    after it, a probe reads ONLY the probed cells' files (partition
+    pruning), so query cost scales with nprobe/n_cells of the corpus, not
+    the corpus. Cell assignment is the same narrow map as ivf_topk's."""
+    n_cells = len(centroids)
+    e = _with_cell_scores(embeddings, vec_col, centroids).select(
+        key_col, vec_col, _nearest_cell(n_cells).alias("cell_id"))
+    e.write.mode(mode).partitionBy("cell_id").parquet(path)
+
+
+def ivf_topk_partitioned(spark, path: str, queries: DataFrame,
+                         centroids: list[list[float]], k: int = 10,
+                         nprobe: int = 2, vec_col: str = "embedding",
+                         key_col: str = "vec_id",
+                         query_key_col: str = "query_id") -> DataFrame:
+    """IVF top-k over a :func:`write_ivf_partitioned` layout. The probed
+    cell set is computed from the query side — small by contract (queries
+    broadcast in every path here), so collecting its ≤ |queries| × nprobe
+    distinct cell ids to build the partition filter is bounded driver work,
+    the same trade as train_kmeans_centroids' sample collect. The resulting
+    ``cell_id IN (...)`` filter is a PARTITION filter: only the probed
+    directories' files are ever opened.
+
+    Results are identical to :func:`ivf_topk` with the same centroids."""
+    n_cells = len(centroids)
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(*[
+                    F.struct((-F.col(f"__s{i}")).alias("negs"),
+                             F.lit(i).alias("cell"))
+                    for i in range(n_cells)
+                ])
+            ),
+            lambda st: st["cell"],
+        ),
+        1, nprobe,
+    )
+    q = _with_cell_scores(queries, vec_col, centroids).select(
+        F.col(query_key_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+        F.explode(ranked_cells).alias("__cell"),
+    )
+    probe_cells = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
+    e = (spark.read.parquet(path)
+         .filter(F.col("cell_id").isin(probe_cells))
+         .select(key_col, vec_col, F.col("cell_id").alias("__cell"),
+                 norm(F.col(vec_col)).alias("__enorm")))
+    scored = e.join(F.broadcast(q), on="__cell", how="inner").select(
+        query_key_col,
+        key_col,
+        F.round(
+            F.try_divide(dot(F.col("__qvec"), F.col(vec_col)),
+                         F.col("__qnorm") * F.col("__enorm")),
+            6,
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, query_key_col, key_col)
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", key_col: str = "vec_id",
              query_key_col: str = "query_id", planes: int = 8) -> DataFrame:

@@ -653,3 +653,28 @@ def test_ngram_overlap_rejects_same_key_names(spark, tables):
         contamination.ngram_overlap(
             tables["documents"], tables["documents"],
             key_col="doc_id", bench_key_col="doc_id")
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, tables, tmp_path):
+    """write_ivf_partitioned + ivf_topk_partitioned: identical results to
+    the in-memory ivf_topk, and the scan proves partition pruning — only
+    the probed cells' directories are read."""
+    import os
+
+    cents = similarity.deterministic_centroids(8, 64)
+    path = os.path.join(tmp_path, "ivf")
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    similarity.write_ivf_partitioned(emb, path, cents)
+    assert any(d.startswith("cell_id=") for d in os.listdir(path))
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk_partitioned(
+        spark, path, queries, cents, k=5, nprobe=3)
+    expect = similarity.ivf_topk(emb, queries, k=5, centroids=cents, nprobe=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+    # the partition filter reaches the scan: PartitionFilters on cell_id
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in phys and "cell_id" in phys.split(
+        "PartitionFilters", 1)[1][:200], phys[:800]

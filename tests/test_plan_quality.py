@@ -143,9 +143,16 @@ def test_no_rdd_or_collect_in_package_hot_paths(spark):
             code = line.split("#", 1)[0]  # comments may *mention* the pattern
             if ".rdd" in code:
                 offenders.append(f"{p.name}:{i}: .rdd")
-            # the single allowed collect is the bounded deterministic
-            # k-means sample (similarity.train_kmeans_centroids)
-            if ".collect()" in code and "limit(n_sample)" not in code:
+            # the only allowed collects are both bounded by the
+            # broadcast-small side, never the corpus:
+            #   - the deterministic k-means sample
+            #     (similarity.train_kmeans_centroids, <= n_sample rows)
+            #   - the IVF probe-cell set
+            #     (similarity.ivf_topk_partitioned, <= |queries| x nprobe
+            #     ids, needed driver-side to build the partition filter)
+            allowed = ("limit(n_sample)" in code
+                       or 'select("__cell").distinct().collect()' in code)
+            if ".collect()" in code and not allowed:
                 offenders.append(f"{p.name}:{i}: .collect()")
     assert not offenders, offenders
 

@@ -268,9 +268,21 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         _nearest_cell(n_cells).alias("__cell"),
         norm(F.col(vec_col)).alias("__enorm"),
     )
-    # query → its nprobe nearest cells, exploded to (query, probe_cell)
-    # rows. The tiny sort-of-n_cells array (over the named score columns)
-    # runs on the broadcast-small query side only.
+    q = _probe_rows(queries, vec_col, query_key_col, centroids, nprobe)
+    scored = _score_probed(e, q, vec_col, key_col, query_key_col)
+    return _topk_per_query(scored, k, query_key_col, key_col)
+
+
+def _probe_rows(queries: DataFrame, vec_col: str, query_key_col: str,
+                centroids: list[list[float]], nprobe: int) -> DataFrame:
+    """Query → its ``nprobe`` nearest cells, exploded to one
+    (query_key, __qvec, __qnorm, __cell) row per probe. The tiny
+    sort-of-n_cells array (over the named score columns) runs on the
+    broadcast-small query side only. Shared by ivf_topk and
+    ivf_topk_partitioned so the probe-cell tie-break (score DESC, cell ASC
+    via the negated-score struct sort) cannot drift between them — the
+    partitioned path's "identical results" contract depends on it."""
+    n_cells = len(centroids)
     ranked_cells = F.slice(
         F.transform(
             F.array_sort(
@@ -284,13 +296,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         ),
         1, nprobe,
     )
-    q = _with_cell_scores(queries, vec_col, centroids).select(
+    return _with_cell_scores(queries, vec_col, centroids).select(
         F.col(query_key_col),
         F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qnorm"),
         F.explode(ranked_cells).alias("__cell"),
     )
-    scored = e.join(F.broadcast(q), on="__cell", how="inner").select(
+
+
+def _score_probed(e: DataFrame, q: DataFrame, vec_col: str, key_col: str,
+                  query_key_col: str) -> DataFrame:
+    """Join corpus cells to the broadcast probe rows and compute the 6dp
+    cosine (same arithmetic as brute_force_topk). Shared scoring block for
+    both IVF paths."""
+    return e.join(F.broadcast(q), on="__cell", how="inner").select(
         query_key_col,
         key_col,
         F.round(
@@ -301,7 +320,6 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             6,
         ).alias("cosine"),
     )
-    return _topk_per_query(scored, k, query_key_col, key_col)
 
 
 def write_ivf_partitioned(embeddings: DataFrame, path: str,
@@ -320,7 +338,7 @@ def write_ivf_partitioned(embeddings: DataFrame, path: str,
     e.write.mode(mode).partitionBy("cell_id").parquet(path)
 
 
-def ivf_topk_partitioned(spark, path: str, queries: DataFrame,
+def ivf_topk_partitioned(path: str, queries: DataFrame,
                          centroids: list[list[float]], k: int = 10,
                          nprobe: int = 2, vec_col: str = "embedding",
                          key_col: str = "vec_id",
@@ -333,41 +351,16 @@ def ivf_topk_partitioned(spark, path: str, queries: DataFrame,
     ``cell_id IN (...)`` filter is a PARTITION filter: only the probed
     directories' files are ever opened.
 
-    Results are identical to :func:`ivf_topk` with the same centroids."""
-    n_cells = len(centroids)
-    ranked_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.array(*[
-                    F.struct((-F.col(f"__s{i}")).alias("negs"),
-                             F.lit(i).alias("cell"))
-                    for i in range(n_cells)
-                ])
-            ),
-            lambda st: st["cell"],
-        ),
-        1, nprobe,
-    )
-    q = _with_cell_scores(queries, vec_col, centroids).select(
-        F.col(query_key_col),
-        F.col(vec_col).alias("__qvec"),
-        norm(F.col(vec_col)).alias("__qnorm"),
-        F.explode(ranked_cells).alias("__cell"),
-    )
+    Results are identical to :func:`ivf_topk` with the same centroids
+    (the probe and scoring blocks are literally shared — _probe_rows /
+    _score_probed)."""
+    q = _probe_rows(queries, vec_col, query_key_col, centroids, nprobe)
     probe_cells = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
-    e = (spark.read.parquet(path)
+    e = (queries.sparkSession.read.parquet(path)
          .filter(F.col("cell_id").isin(probe_cells))
          .select(key_col, vec_col, F.col("cell_id").alias("__cell"),
                  norm(F.col(vec_col)).alias("__enorm")))
-    scored = e.join(F.broadcast(q), on="__cell", how="inner").select(
-        query_key_col,
-        key_col,
-        F.round(
-            F.try_divide(dot(F.col("__qvec"), F.col(vec_col)),
-                         F.col("__qnorm") * F.col("__enorm")),
-            6,
-        ).alias("cosine"),
-    )
+    scored = _score_probed(e, q, vec_col, key_col, query_key_col)
     return _topk_per_query(scored, k, query_key_col, key_col)
 
 

@@ -578,6 +578,16 @@ class _Consumer:
         kind = proto.expr_kind(e)
         body = e[kind]
         if kind == "selection":
+            if "outerReference" in body or "expression" in body:
+                # root_type other than RootReference: an outer-reference
+                # selection resolved against the CURRENT relation's schema
+                # would return wrong data, not an error (same class as the
+                # segment fences below). Absent root_type is tolerated —
+                # it means RootReference for every producer seen in the wild.
+                raise SubstraitError(
+                    "selection root_type must be rootReference — outer/"
+                    "expression-rooted references are not consumable"
+                )
             seg = body.get("directReference", {})
             if "structField" not in seg:
                 # mapKey / listElement reference segments (spec-valid)

@@ -778,14 +778,15 @@ class _Producer:
         if kind in ("Cast", "TryCast", "AnsiCast"):
             safe = kind == "TryCast"
             dt = e.dataType().simpleString()
-            if dt.startswith("struct<"):
+            if "struct<" in dt:
                 # Substrait Type.Struct carries NO field names, so a cast to
-                # a named struct would consume back with renamed (f0..fn)
-                # members — silently different schema. Translate-or-error.
+                # a struct — top-level or nested inside an array — would
+                # consume back with renamed (f0..fn) members: silently
+                # different schema. Translate-or-error.
                 raise SubstraitError(
-                    f"cast to struct type {dt!r} is not encodable: Substrait "
-                    "struct types carry no field names, so the names cannot "
-                    "survive the plan boundary"
+                    f"cast to struct-bearing type {dt!r} is not encodable: "
+                    "Substrait struct types carry no field names, so the "
+                    "names cannot survive the plan boundary"
                 )
             return proto.cast(
                 self.rex(e.child(), input_ids),

@@ -197,16 +197,14 @@ def test_nested_and_exotic_reference_segments_rejected(spark):
             return True
         return any(poison(v, seg) for v in rel.values() if isinstance(v, dict))
 
-    import copy as _copy
-
-    nested = _copy.deepcopy(plan)
+    nested = copy.deepcopy(plan)
     assert poison(nested["relations"][0]["root"]["input"],
                   {"structField": {"field": 0,
                                    "child": {"structField": {"field": 0}}}})
     with pytest.raises(SubstraitError, match="nested field reference"):
         from_substrait_plan(spark, nested)
 
-    mapkey = _copy.deepcopy(plan)
+    mapkey = copy.deepcopy(plan)
     assert poison(mapkey["relations"][0]["root"]["input"],
                   {"mapKey": {"mapKey": {"string": "k"}}})
     with pytest.raises(SubstraitError, match="reference segment"):
@@ -236,5 +234,32 @@ def test_cast_to_named_struct_is_fenced(spark):
     df = spark.table("orders").select(
         F.struct(F.col("o_orderkey").alias("a")).cast("struct<b:bigint>")
         .alias("s"))
-    with pytest.raises(SubstraitError, match="struct type"):
+    with pytest.raises(SubstraitError, match="struct-bearing"):
         to_substrait_plan(df)
+    # ...including structs NESTED inside an array target, which would
+    # otherwise recurse through spark_type_to_substrait, drop the field
+    # names, and consume back as array<struct<f0:...>> — silently renamed
+    nested = spark.table("orders").select(
+        F.array(F.struct(F.col("o_orderkey").alias("a")))
+        .cast("array<struct<b:bigint>>").alias("s"))
+    with pytest.raises(SubstraitError, match="struct-bearing"):
+        to_substrait_plan(nested)
+
+
+def test_outer_reference_rooted_selection_rejected(spark):
+    """A selection with an outerReference root resolved against the CURRENT
+    relation's schema would return wrong data; the consumer must raise."""
+    plan = to_substrait_plan(
+        spark.sql("SELECT upper(n_name) AS u FROM nation"))
+
+    def poison(rel):
+        if "project" in rel:
+            rel["project"]["expressions"][0] = {"selection": {
+                "directReference": {"structField": {"field": 0}},
+                "outerReference": {"stepsOut": 1}}}
+            return True
+        return any(poison(v) for v in rel.values() if isinstance(v, dict))
+
+    assert poison(plan["relations"][0]["root"]["input"])
+    with pytest.raises(SubstraitError, match="rootReference"):
+        from_substrait_plan(spark, plan)

@@ -670,7 +670,7 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, tables, tmp_path):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.ivf_topk_partitioned(
-        spark, path, queries, cents, k=5, nprobe=3)
+        path, queries, cents, k=5, nprobe=3)
     expect = similarity.ivf_topk(emb, queries, k=5, centroids=cents, nprobe=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
 

@@ -1018,8 +1018,11 @@ ORACLES: dict[str, str] = {
                    round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
             FROM tc GROUP BY doc_id
         ), gc AS (
+            -- g <> '' mirrors repetition_features' zero-token fallback-gram
+            -- exclusion (empty docs keep NULL fractions on both sides)
             SELECT doc_id, g, count(*) AS c
             FROM (SELECT doc_id, unnest({_wgrams_sql(2)}) AS g FROM documents)
+            WHERE g <> ''
             GROUP BY doc_id, g
         ), gf AS (
             SELECT doc_id,

@@ -51,6 +51,13 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, n: int = 5,
     ``overlap`` counts distinct n-grams the pair shares (each side is
     deduped first), so a gram repeated inside one document still counts
     once — the standard contamination measure.
+
+    Recall caveat (inherent to n-gram matching): a benchmark row with
+    FEWER than ``n`` tokens reduces to its single whole-text gram, which
+    can only match corpus documents of the same sub-``n`` length — a long
+    document containing that short question verbatim is NOT flagged. If
+    the benchmark has many sub-``n``-token rows, lower ``n`` (or run a
+    second pass at a smaller ``n``) rather than assume they are covered.
     """
     if key_col == bench_key_col:
         raise ValueError(

@@ -33,16 +33,22 @@ def _threshold_hex(rate: float) -> str:
     return format(cut, "032x")
 
 
+def null_safe_tag(col: Column) -> Column:
+    """'v'+value / bare 'n': NULL-safe string encoding of one column. A
+    bare cast maps NULL to NULL (poisoning any hash built on it), and
+    prefix-free tagging keeps NULL distinct from the literal string 'n'.
+    Shared by the sampling keys here and the streaming dedup fingerprint
+    (streaming/stateful.py) so the encoding cannot drift between them."""
+    return F.coalesce(F.concat(F.lit("v"), col.cast("string")), F.lit("n"))
+
+
 def _key_bytes(key: Column, salt: str) -> Column:
     """Null-safe hash input: 'v'+value / bare 'n' (++ salt). A bare cast
     would make md5(NULL) NULL and the comparison silently DROP every
     NULL-keyed row at any rate — even rate=1.0. With the sentinel, all
     NULL keys share one decision: identical keys, identical outcome, which
     is exactly the hash-sample contract."""
-    return F.concat(
-        F.coalesce(F.concat(F.lit("v"), key.cast("string")), F.lit("n")),
-        F.lit(salt),
-    )
+    return F.concat(null_safe_tag(key), F.lit(salt))
 
 
 def sample_predicate(key: Column, rate: float, salt: str = "") -> Column:

@@ -65,8 +65,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     )
     # a NULL-timestamp right row can never be a temporal match, but under
     # the ascending nulls-first sort it would be carried by last(ignorenulls)
-    # as a phantom "earliest" match — drop such rows up front
-    r_tag = right.filter(F.col(ts_col).isNotNull()).select(
+    # as a phantom "earliest" match — drop such rows up front. A NULL-KEY
+    # right row can never match either (equi-join semantics: NULL = NULL is
+    # not a match, same as DuckDB ASOF), yet Window.partitionBy groups all
+    # NULL keys into one partition where it WOULD be carried to NULL-key
+    # left rows — drop those too (the NULL-key left rows then sit in a
+    # right-free partition and keep NULL right columns, as they should).
+    r_tag = right.filter(
+        F.col(ts_col).isNotNull() & F.col(on).isNotNull()).select(
         F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
         F.lit(None).cast(left.select(
             F.struct(*[F.col(c) for c in left.columns]).alias("_lpay")
@@ -77,11 +83,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
 
     # backward: ascending timeline, right rows sort before left at equal ts
     # (side 0 < 1) so the inclusive match is visible to last(); forward is
-    # the mirrored ordering.
+    # the mirrored ordering. NULL-ts LEFT rows must sort FIRST in both
+    # directions so their window sees no right rows (asc is nulls-first
+    # already; desc defaults to nulls-LAST, which would hand a NULL-ts left
+    # row the whole timeline and a phantom smallest-ts match).
     if direction == "backward":
-        order = [F.col("_ts").asc(), F.col("_side").asc()]
+        order = [F.col("_ts").asc_nulls_first(), F.col("_side").asc()]
     else:
-        order = [F.col("_ts").desc(), F.col("_side").asc()]
+        order = [F.col("_ts").desc_nulls_first(), F.col("_side").asc()]
     w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (

@@ -201,8 +201,12 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         F.sum("_c").alias("n_tokens"),
         F.round(F.max("_c") / F.sum("_c"), 6).alias("top_token_frac"),
     )
+    # the zero-token fallback gram '' is excluded (same rule as
+    # contamination._grams): counting it would give empty docs a spurious
+    # dup_2gram_frac of 0.0 where the left-join contract below says NULL
     gram_counts = (
         df.select(key, F.explode(word_ngrams(F.col(text_col), 2)).alias("_g"))
+        .filter(F.col("_g") != "")
         .groupBy(key_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
     )
     gram_feats = gram_counts.groupBy(key_col).agg(
@@ -337,12 +341,26 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
         ).alias("_ord", "_i"),
         F.col("_n"),
     ).select(
-        key_col, "_i",
+        key_col, "_ord", "_i",
         F.xxhash64(F.col("_n").substr(F.col("_i"), F.lit(k))).alias("_h"),
     )
+    # winnowing selects minima over FULL windows only: trailing truncated
+    # windows would always select the document's final k-gram (window size
+    # shrinks to 1 at the end), making any two documents sharing a mere
+    # k-char suffix candidate pairs. Documents with fewer than `window`
+    # grams keep their single whole-document window (_ord == 0) so every
+    # document emits at least one fingerprint.
     win = (W.partitionBy(key_col).orderBy("_i")
            .rowsBetween(W.currentRow, window - 1))
+    n_grams = F.count(F.lit(1)).over(W.partitionBy(key_col))
     return (
-        grams.select(key_col, F.min("_h").over(win).alias("fingerprint"))
+        grams.select(
+            key_col,
+            F.min("_h").over(win).alias("fingerprint"),
+            F.col("_ord"),
+            n_grams.alias("_tot"),
+        )
+        .filter((F.col("_ord") <= F.col("_tot") - window) | (F.col("_ord") == 0))
+        .select(key_col, "fingerprint")
         .distinct()
     )

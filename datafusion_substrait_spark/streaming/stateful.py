@@ -37,7 +37,7 @@ USER_STATS_SCHEMA = T.StructType([
     T.StructField("max_value", T.DoubleType()),
 ])
 
-_STATE_SCHEMA = "n LONG, s DOUBLE, m DOUBLE"
+_STATE_SCHEMA = "n LONG, s DOUBLE, m DOUBLE, k LONG"
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
@@ -60,17 +60,25 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
     def update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-        (n, s, m) = state.get if state.exists else (0, 0.0, float("-inf"))
+        # k tracks NON-NULL values so an all-NULL user emits NULL sum/max
+        # exactly like the batch aggregate (pandas sum/max silently skip
+        # NaN, which would otherwise emit 0.0 / -inf where batch says NULL)
+        (n, s, m, k) = state.get if state.exists else (0, 0.0, float("-inf"), 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-            m = max(m, float(pdf["value"].max()))
-        state.update((n, s, m))
+            k_batch = int(pdf["value"].count())
+            if k_batch:
+                k += k_batch
+                s += float(pdf["value"].sum())
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m, k))
         yield pd.DataFrame({
-            "user_id": pd.Series([key[0]], dtype="int64"),
+            # nullable Int64: a NULL user_id group's key arrives as None,
+            # which the non-nullable int64 dtype would crash on
+            "user_id": pd.array([key[0]], dtype="Int64"),
             "n_events": pd.Series([n], dtype="int64"),
-            "sum_value": [round(s, 6)],
-            "max_value": [round(m, 6)],
+            "sum_value": [round(s, 6) if k else None],
+            "max_value": [round(m, 6) if k else None],
         })
 
     return (
@@ -109,10 +117,11 @@ def streaming_exact_dedup(events: DataFrame,
     # null-safe field encoding: concat_ws SKIPS nulls, so (1, NULL) and
     # (NULL, 1) would collide on one fingerprint and dedup away distinct
     # events. 'v'+value / bare 'n' never collide, and the separator keeps
-    # positions distinct.
-    fp = F.md5(F.concat_ws("\x1f", *[
-        F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
-        for c in fingerprint_cols]))
+    # positions distinct. (Shared encoding: operators/sampling.null_safe_tag.)
+    from datafusion_substrait_spark.operators.sampling import null_safe_tag
+
+    fp = F.md5(F.concat_ws(
+        "\x1f", *[null_safe_tag(F.col(c)) for c in fingerprint_cols]))
     if not events.isStreaming:
         w_src = events.select(fp.alias("fingerprint"), "event_id", "user_id", "value")
         first = w_src.groupBy("fingerprint").agg(F.min("event_id").alias("event_id"))
@@ -126,16 +135,28 @@ def streaming_exact_dedup(events: DataFrame,
             return  # fingerprint already emitted in an earlier batch
         best = None
         for pdf in pdfs:
+            # NULL event_ids arrive as NaN; min-of-key ignores them (the
+            # batch path's min(event_id) does too, and its equi-join then
+            # drops all-NULL fingerprints entirely — mirror that here by
+            # never electing a NaN row)
+            pdf = pdf.dropna(subset=["event_id"])
+            if pdf.empty:
+                continue
             row = pdf.loc[pdf["event_id"].idxmin()]
             if best is None or row["event_id"] < best["event_id"]:
                 best = row
         if best is not None:
             state.update((True,))
+            # nullable dtypes: user_id/value may be NULL on the elected row
+            # (only event_id is guaranteed non-null); int(NaN) would crash
+            # the whole streaming query
+            uid, val = best["user_id"], best["value"]
             yield pd.DataFrame({
                 "fingerprint": [key[0]],
-                "event_id": pd.Series([int(best["event_id"])], dtype="int64"),
-                "user_id": pd.Series([int(best["user_id"])], dtype="int64"),
-                "value": [float(best["value"])],
+                "event_id": pd.array([int(best["event_id"])], dtype="Int64"),
+                "user_id": pd.array(
+                    [None if pd.isna(uid) else int(uid)], dtype="Int64"),
+                "value": [None if pd.isna(val) else float(val)],
             })
 
     keyed = events.select(fp.alias("fingerprint"), "event_id", "user_id", "value")

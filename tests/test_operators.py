@@ -407,6 +407,34 @@ def test_rolling_fingerprints_shared_passage_guarantee(spark):
     assert text.rolling_fingerprints(tiny).count() == 1
 
 
+def test_rolling_fingerprints_select_full_windows_only(spark):
+    """The emitted set must equal distinct minima over FULL windows of the
+    k-gram hash sequence (truncated trailing windows once made the final
+    k-gram an unconditional fingerprint, pairing any two documents that
+    share a mere k-char suffix)."""
+    k, window = 5, 4
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, body)], "doc_id bigint, text string")
+    got = {r.fingerprint for r in
+           text.rolling_fingerprints(df, k=k, window=window).collect()}
+    # replay: same normalization + same xxhash64 via Spark expressions,
+    # full-window minima computed in plain Python
+    norm = body.lower()
+    grams = [norm[i:i + k] for i in range(len(norm) - k + 1)]
+    hdf = spark.createDataFrame([(g,) for g in grams], "g string")
+    hmap = {r.g: r.h for r in hdf.select("g", F.xxhash64("g").alias("h")).collect()}
+    hs = [hmap[g] for g in grams]
+    expect = {min(hs[i:i + window]) for i in range(len(hs) - window + 1)}
+    assert got == expect
+    # a doc with fewer grams than the window emits its single global min
+    short = spark.createDataFrame([(2, norm[:k + 1])], "doc_id bigint, text string")
+    sgrams = [norm[:k + 1][i:i + k] for i in range(2)]
+    sh = {r.g: r.h for r in spark.createDataFrame([(g,) for g in sgrams], "g string")
+          .select("g", F.xxhash64("g").alias("h")).collect()}
+    srows = text.rolling_fingerprints(short, k=k, window=window).collect()
+    assert {r.fingerprint for r in srows} == {min(sh[g] for g in sgrams)}
+
+
 def test_embedding_neardup_hot_bucket_star_cap(spark):
     """A degenerate class of identical vectors must produce O(n) star pairs
     (hub = min key x each other member), not C(n,2) — the same bounded-

@@ -162,3 +162,53 @@ def test_register_testdata_pins_events_ts_contract(spark, tmp_path):
     # restore the session binding for the rest of the suite
     catalog.register_testdata(spark, bound, allow_rebind=True)
     shutil.rmtree(bad_dir, ignore_errors=True)
+
+
+def test_stateful_ops_survive_null_columns(spark, tmp_path):
+    """NULL user_id / value / event_type rows must not crash the streaming
+    UDFs (int(NaN) / non-nullable int64 Series once killed the query) and
+    must emit the same rows as the batch path."""
+    from datafusion_substrait_spark.streaming import stateful
+
+    rows = [
+        (1, "2024-01-01 10:00:00", None, "click", None, None),
+        (2, "2024-01-01 10:01:00", None, "click", None, None),   # dup of 1's fp
+        (3, "2024-01-01 10:02:00", 7, None, 1.5, None),
+        (4, "2024-01-01 10:03:00", 7, None, None, None),         # dup of 3's fp
+        (5, "2024-01-01 10:04:00", 8, "view", None, None),       # all-NULL values
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "null_events")
+    df.coalesce(1).write.parquet(path)
+
+    stream = ev.read_events_stream(spark, path)
+
+    out = stateful.running_user_stats(stream)
+    q = (out.writeStream.format("memory").queryName("null_stats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("null_stats")
+           .withColumn("_r", F.monotonically_increasing_id())
+           .groupBy("user_id")
+           .agg(F.max_by(F.struct("n_events", "sum_value", "max_value"),
+                         "_r").alias("s"))
+           .select("user_id", "s.n_events", "s.sum_value", "s.max_value"))
+    expect = stateful.running_user_stats(df)
+    assert rows_set(got) == rows_set(expect)
+    # the all-NULL-value user emits NULL sum/max, like the batch aggregate
+    nulluser = {r.user_id: (r.sum_value, r.max_value) for r in got.collect()}
+    assert nulluser[8] == (None, None)
+    assert nulluser[None][0] is None
+
+    out2 = stateful.streaming_exact_dedup(stream)
+    q2 = (out2.writeStream.format("memory").queryName("null_dedup")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = spark.table("null_dedup")
+    expect2 = stateful.streaming_exact_dedup(df)
+    assert rows_set(got2) == rows_set(expect2)
+    assert got2.count() == 3  # (NULL,click), (7,NULL), (8,view)

@@ -154,3 +154,34 @@ def test_sample_is_narrow_map(tables):
     out = sampling.hash_sample(tables["documents"], "doc_id", 0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_asof_null_left_ts_matches_nothing(spark):
+    """A NULL-ts left row has no temporal position: it must keep NULL right
+    columns in BOTH directions (forward once handed it a phantom smallest-ts
+    match because desc ordering puts NULLs last)."""
+    left = spark.createDataFrame(
+        [(1, None, "l-null"), (1, 10, "l-real")], "k bigint, ts bigint, lval string")
+    right = spark.createDataFrame([(1, 8, 0.8)], "k bigint, ts bigint, rval double")
+    for direction in ("backward", "forward"):
+        out = {r.lval: (r.ts_r, r.rval_r)
+               for r in temporal.asof_join(left, right, on="k", ts_col="ts",
+                                           right_cols=["rval"],
+                                           direction=direction).collect()}
+        assert out["l-null"] == (None, None), (direction, out)
+    # and the real row still matches where it should
+    back = {r.lval: r.ts_r for r in temporal.asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["rval"]).collect()}
+    assert back["l-real"] == 8
+
+
+def test_asof_null_keys_do_not_match_each_other(spark):
+    """NULL join keys must not pair up (equi-join semantics; DuckDB ASOF
+    agrees) even though Window.partitionBy groups NULLs together."""
+    left = spark.createDataFrame(
+        [(None, 10, "l-nullkey")], "k bigint, ts bigint, lval string")
+    right = spark.createDataFrame(
+        [(None, 5, 0.5)], "k bigint, ts bigint, rval double")
+    out = temporal.asof_join(left, right, on="k", ts_col="ts",
+                             right_cols=["rval"]).collect()
+    assert len(out) == 1 and out[0].ts_r is None and out[0].rval_r is None

@@ -175,3 +175,13 @@ def test_text_feature_ops_are_narrow_maps(spark, tables):
         plan = _phys(out)
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_fingerprints_single_shuffle(spark, tables):
+    """Winnowing's two window functions (per-position min, per-doc gram
+    count) and the final distinct must share ONE hash partitioning on the
+    document key — the full-window filter must not buy a second Exchange."""
+    from datafusion_substrait_spark.operators import text
+
+    plan = _phys(text.rolling_fingerprints(tables["documents"]))
+    assert plan.count("Exchange") == 1, plan

@@ -16,9 +16,17 @@ feature lookup, last-touch attribution).
 At 100 TB this is the difference between one shuffle of (key, ts, payload)
 rows and an exploding ``l.ts BETWEEN r.ts - δ AND r.ts`` range join
 (Spark's optimizer turns that into a broadcast-nested-loop or a cartesian
-per key — quadratic in events per key). Skewed keys behave like any
-windowed aggregation: AQE splits oversized partitions, and the payload
-carried through the shuffle is only the projected right columns.
+per key — quadratic in events per key).
+
+Skew caveat: a window function's partition must be computed within ONE
+task, and AQE's skew mitigation applies to sort-merge joins, not window
+partitions — so a pathological hot key (one user with 10⁸ events) is a
+straggler task that AQE will NOT split. Mitigations, in order: (a)
+pre-aggregate the right side to unique (key, ts) so only the left side's
+volume rides the hot partition; (b) for known-hot LEFT sides, use
+``asof_join_salted`` below — it salts left rows across N sub-partitions
+and replicates the (small) right timeline into each, giving identical
+results with the hot key's work split N ways.
 """
 
 from __future__ import annotations
@@ -107,3 +115,56 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
         F.col(f"_m.{ts_col}").alias(ts_col + suffix),
         *[F.col(f"_m.{c}").alias(c + suffix) for c in right_cols],
     )
+
+
+def asof_join_salted(left: DataFrame, right: DataFrame, on: str,
+                     ts_col: str, right_cols: list[str] | None = None,
+                     direction: str = "backward",
+                     tolerance: int | None = None,
+                     suffix: str = "_r", salt: int = 8) -> DataFrame:
+    """Hot-key variant of :func:`asof_join` with identical results.
+
+    Left rows are salted into ``salt`` sub-partitions by a deterministic
+    row hash; the right timeline is REPLICATED into every sub-partition,
+    so each left row still sees the full right timeline for its key and
+    the per-row result is independent of which salt bucket it landed in —
+    no cross-salt boundary fix-up is needed. The window shuffle then keys
+    on (key, salt), splitting a hot key's work ``salt`` ways.
+
+    Cost model: right rides the shuffle ``salt`` times. Right for the
+    scenario this exists for — a hot LEFT side (10⁸ events for one user)
+    against a modest right timeline (feature snapshots). If the RIGHT
+    side per key is also huge, pre-aggregate it to unique (key, ts) first;
+    replicating an already-skewed right side would trade one straggler
+    for ``salt`` of them.
+
+    NULL semantics match the plain path exactly: NULL-key/NULL-ts right
+    rows are dropped here (before the composite struct key would mask the
+    field-level NULL), and NULL-key left rows land in right-free
+    partitions and keep NULL right columns.
+    """
+    if salt < 1:
+        raise SubstraitError(f"salt must be >= 1, got {salt}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    ckey = "_asof_key"
+    # deterministic per-row salt (stable under task retry/speculation);
+    # hashing every column spreads rows even when the hot key has few
+    # distinct timestamps
+    l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                    F.lit(salt))
+    l2 = left.withColumn(ckey, F.struct(F.col(on).alias("k"),
+                                        l_salt.alias("s")))
+    # struct(NULL, s) is itself non-NULL, so asof_join's internal NULL-key
+    # fence would not fire on the composite key — enforce it on the real
+    # key here, pre-replication
+    r2 = (right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
+          .withColumn("_s", F.explode(F.array(
+              *[F.lit(i) for i in range(salt)])))
+          .withColumn(ckey, F.struct(F.col(on).alias("k"),
+                                     F.col("_s").alias("s")))
+          .drop("_s"))
+    out = asof_join(l2, r2, on=ckey, ts_col=ts_col,
+                    right_cols=right_cols, direction=direction,
+                    tolerance=tolerance, suffix=suffix)
+    return out.drop(ckey)

@@ -140,10 +140,19 @@ class _Consumer:
 
         struct = body.get("baseSchema", {}).get("struct", {})
         types = struct.get("types")
-        n_cols = len(body.get("baseSchema", {}).get("names") or types or [])
+        names = body.get("baseSchema", {}).get("names")
+        n_cols = len(names or types or [])
         if types is None and n_cols:
             raise SubstraitError(
                 "virtual table with columns requires baseSchema struct types"
+            )
+        if names and types is not None and len(names) != len(types):
+            # without this fence a names/types length mismatch builds the
+            # schema from types but validates rows against len(names),
+            # surfacing later as an opaque createDataFrame error
+            raise SubstraitError(
+                f"virtual table baseSchema has {len(names)} names but "
+                f"{len(types)} struct types"
             )
         ddl_types = [substrait_type_to_spark(t) for t in (types or [])]
         schema = T.StructType([
@@ -503,7 +512,22 @@ class _Consumer:
             )
         n = int(body.get("partitionCount", 0))
         if "scatterByFields" in body:
-            cols = [df[f"f{int(f['directReference']['structField'].get('field', 0))}"]
+            # route through rex() so scatter refs get the same fences as
+            # every other selection (reject nested child / outer-rooted /
+            # non-structField segments) plus an ordinal bounds check —
+            # a foreign plan scattering by a nested reference must error,
+            # not silently repartition by the wrong top-level column
+            n_cols = len(df.columns)
+
+            def resolver(i: int, d=df, width=n_cols):
+                if not (0 <= i < width):
+                    raise SubstraitError(
+                        f"scatter field ordinal {i} out of range for "
+                        f"{width}-column input"
+                    )
+                return d[f"f{i}"]
+
+            cols = [self.rex({"selection": f}, resolver)
                     for f in body["scatterByFields"].get("fields", [])]
             if not cols:
                 # legitimately reachable: an empty repeated field has no

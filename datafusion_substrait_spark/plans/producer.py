@@ -504,7 +504,16 @@ class _Producer:
             )
         wanted = needed | _refs(node) if needed is not None else None
         crel, cids = self.rel(node.child(), wanted)
-        ordinals = [cids.index(e.exprId().id()) for e in exprs]
+        try:
+            ordinals = [cids.index(e.exprId().id()) for e in exprs]
+        except ValueError:
+            # translate-or-error contract: a partition key absent from the
+            # child ordinal space must surface as SubstraitError, not a
+            # bare ValueError (mirrors rex()'s AttributeReference handling)
+            missing = [str(e) for e in exprs if e.exprId().id() not in cids]
+            raise SubstraitError(
+                f"repartition key(s) {missing} not found in child output"
+            ) from None
         n = _opt(node.optNumPartitions())
         return proto.exchange_rel(crel, int(n) if n is not None else 0,
                                   ordinals), cids

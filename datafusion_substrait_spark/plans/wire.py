@@ -797,6 +797,22 @@ def _skip_field(buf: bytes, pos: int, wt: int) -> int:
     return end
 
 
+# Fields that must NOT be silently skipped as unknown. Expression field 7
+# is switch_expression in the spec (unsupported here), but it is ALSO where
+# a pre-fix build of this encoder wrote Cast (renumbered to the spec's 11).
+# Skipping it would decode an old payload as an empty Expression that errors
+# later with no hint why; the producer tag is unchanged across that fix, so
+# old payloads are otherwise indistinguishable.
+_POISON_FIELDS: dict[tuple[str, int], str] = {
+    ("Expression", 7): (
+        "Expression field 7 encountered: either switch_expression "
+        "(spec-valid, not consumable here) or a Cast serialized by a "
+        "pre-fix build of this producer (cast was renumbered 7→11 to "
+        "match the spec) — re-serialize the plan with the current producer"
+    ),
+}
+
+
 def decode_message(schema_name: str, buf: bytes) -> dict:
     try:
         schema = MESSAGES[schema_name]
@@ -810,6 +826,9 @@ def decode_message(schema_name: str, buf: bytes) -> dict:
         key, pos = decode_uvarint(buf, pos)
         num, wt = key >> 3, key & 7
         if num not in by_num:
+            poison = _POISON_FIELDS.get((schema_name, num))
+            if poison is not None:
+                raise SubstraitError(poison)
             pos = _skip_field(buf, pos, wt)  # unknown field: proto skip
             continue
         name, kind, repeated = by_num[num]

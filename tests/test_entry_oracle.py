@@ -81,11 +81,12 @@ def test_query_matches_oracle(spark, ddb, name):
     )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0  # runs, stable schema
-    assert len(df.columns) > 0
+def test_every_entry_has_an_oracle():
+    """Invariant, not a skip: every queries() entry carries a DuckDB oracle
+    so the driver's strong (rows+schema+hash) check covers all of them.
+    If this fires, either add the oracle_sql() entry or consciously accept
+    a weaker rows-only driver check (and re-add a run-only test here)."""
+    assert not ROWS_ONLY_KEYS, f"entries without an oracle: {ROWS_ONLY_KEYS}"
 
 
 def test_entry_smoke(spark):

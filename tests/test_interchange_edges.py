@@ -263,3 +263,75 @@ def test_outer_reference_rooted_selection_rejected(spark):
     assert poison(plan["relations"][0]["root"]["input"])
     with pytest.raises(SubstraitError, match="rootReference"):
         from_substrait_plan(spark, plan)
+
+
+def _find_rel(rel, kind):
+    if kind in rel:
+        return rel[kind]
+    for v in rel.values():
+        if isinstance(v, dict):
+            r = _find_rel(v, kind)
+            if r is not None:
+                return r
+    return None
+
+
+def test_exchange_scatter_refs_get_selection_fences(spark):
+    """Scatter field refs must ride the same guards as every other
+    selection: nested child / outer-rooted / out-of-range ordinals raise
+    SubstraitError instead of silently repartitioning by the wrong
+    top-level column (or dying in py4j)."""
+    plan = to_substrait_plan(
+        spark.table("nation").repartition(2, "n_regionkey").select("n_name"))
+    base = plan["relations"][0]["root"]["input"]
+
+    nested = copy.deepcopy(plan)
+    ex = _find_rel(nested["relations"][0]["root"]["input"], "exchange")
+    ex["scatterByFields"]["fields"][0]["directReference"]["structField"][
+        "child"] = {"structField": {"field": 0}}
+    with pytest.raises(SubstraitError, match="nested"):
+        from_substrait_plan(spark, nested)
+
+    oob = copy.deepcopy(plan)
+    ex = _find_rel(oob["relations"][0]["root"]["input"], "exchange")
+    ex["scatterByFields"]["fields"][0]["directReference"]["structField"][
+        "field"] = 99
+    with pytest.raises(SubstraitError, match="out of range"):
+        from_substrait_plan(spark, oob)
+
+    outer = copy.deepcopy(plan)
+    ex = _find_rel(outer["relations"][0]["root"]["input"], "exchange")
+    ex["scatterByFields"]["fields"][0]["outerReference"] = {"stepsOut": 1}
+    with pytest.raises(SubstraitError, match="rootReference"):
+        from_substrait_plan(spark, outer)
+    assert base is not None  # original plan untouched and well-formed
+
+
+def test_virtual_table_names_types_length_mismatch_rejected(spark):
+    """baseSchema names/types disagreement must be a SubstraitError, not an
+    opaque createDataFrame failure downstream."""
+    plan = {
+        "relations": [{"root": {
+            "names": ["a", "b"],
+            "input": {"read": {
+                "baseSchema": {
+                    "names": ["a", "b"],
+                    "struct": {"types": [{"i64": {}}]},  # 2 names, 1 type
+                },
+                "virtualTable": {"values": [
+                    {"fields": [{"i64": "1"}, {"i64": "2"}]}]},
+            }},
+        }}],
+    }
+    with pytest.raises(SubstraitError, match="2 names but 1 struct types"):
+        from_substrait_plan(spark, plan)
+
+
+def test_wire_rejects_pre_fix_cast_field_number():
+    """Expression field 7 (where a pre-fix build wrote Cast; the spec's
+    switch_expression) must raise a named error on decode, not be skipped
+    into an empty Expression that errors later with no hint why."""
+    # key: field 7, wire type 2 (LEN); payload: empty Cast message
+    buf = bytes([(7 << 3) | 2, 0])
+    with pytest.raises(SubstraitError, match="field 7"):
+        wire.decode_message("Expression", buf)

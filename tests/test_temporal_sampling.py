@@ -185,3 +185,57 @@ def test_asof_null_keys_do_not_match_each_other(spark):
     out = temporal.asof_join(left, right, on="k", ts_col="ts",
                              right_cols=["rval"]).collect()
     assert len(out) == 1 and out[0].ts_r is None and out[0].rval_r is None
+
+
+def test_asof_salted_hot_key_matches_plain(spark):
+    """Planted hot key (one key = 50% of left rows): the salted path must
+    return EXACTLY the plain path's rows — identical matches, tolerance,
+    and no-match NULLs — while splitting the hot key across salt buckets."""
+    hot = [(1, ts, f"hot-{ts}") for ts in range(0, 200, 2)]    # 100 rows
+    cold = [(k, ts, f"c{k}-{ts}") for k in range(2, 27)
+            for ts in (7, 99, 150, 171)]                        # 100 rows
+    left = spark.createDataFrame(hot + cold, "k bigint, ts bigint, lval string")
+    right = spark.createDataFrame(
+        [(k, ts, float(k) + ts / 1000.0) for k in range(1, 20)
+         for ts in (5, 50, 120)], "k bigint, ts bigint, rval double")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 10):
+            plain = temporal.asof_join(
+                left, right, on="k", ts_col="ts", right_cols=["rval"],
+                direction=direction, tolerance=tol)
+            salted = temporal.asof_join_salted(
+                left, right, on="k", ts_col="ts", right_cols=["rval"],
+                direction=direction, tolerance=tol, salt=4)
+            assert salted.columns == plain.columns
+            a = sorted(map(tuple, plain.collect()), key=repr)
+            b = sorted(map(tuple, salted.collect()), key=repr)
+            assert a == b, (direction, tol)
+
+
+def test_asof_salted_null_semantics_match_plain(spark):
+    """NULL keys / NULL timestamps behave identically in both paths: the
+    composite struct key must not let field-level NULLs pair up."""
+    left = spark.createDataFrame(
+        [(None, 10, "l-nullkey"), (1, None, "l-nullts"), (1, 10, "l-real")],
+        "k bigint, ts bigint, lval string")
+    right = spark.createDataFrame(
+        [(None, 5, 0.5), (1, None, 9.9), (1, 8, 0.8)],
+        "k bigint, ts bigint, rval double")
+    plain = sorted(map(tuple, temporal.asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["rval"]).collect()),
+        key=repr)
+    salted = sorted(map(tuple, temporal.asof_join_salted(
+        left, right, on="k", ts_col="ts", right_cols=["rval"],
+        salt=3).collect()), key=repr)
+    assert plain == salted
+    got = {r[2]: (r[3], r[4]) for r in salted}
+    assert got["l-nullkey"] == (None, None)
+    assert got["l-nullts"] == (None, None)
+    assert got["l-real"] == (8, 0.8)
+
+
+def test_asof_salted_rejects_bad_salt(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k bigint, ts bigint, lval string")
+    with pytest.raises(SubstraitError, match="salt"):
+        temporal.asof_join_salted(left, left, on="k", ts_col="ts", salt=0)

@@ -229,26 +229,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
-    if bands <= 0 or bands > num_hashes or num_hashes % bands:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes}: each band "
-            "fingerprints num_hashes/bands minima, and a non-divisor would "
-            "silently discard trailing minhashes (or hash zero columns)"
-        )
-    rows_per_band = num_hashes // bands
-    bases = _exploded_shingles(df, text_col, key_col, shingle_n)
-    minima = _minhash_minima(bases, key_col, num_hashes)
-    banded = minima.select(
-        F.col(key_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"_mh{b * rows_per_band + i}")
-                             for i in range(rows_per_band)]).alias("sig"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select(key_col, "bb.band", "bb.sig")
+    banded = _banded_rows(df, text_col, key_col, num_hashes, bands,
+                          shingle_n)
     buckets = (
         banded.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list(key_col)).alias("ids"))
@@ -281,12 +263,59 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc
     # would collect it to the driver — let AQE pick broadcast only when the
     # runtime size is actually small
     shingled = (
-        _exploded_shingles(df.join(cand_ids, key_col, "left_semi"),
-                           text_col, key_col, shingle_n)
-        .groupBy(key_col)
-        .agg(F.collect_set(F.xxhash64("_sh")).alias("sh"))
+        _shingle_sets(df.join(cand_ids, key_col, "left_semi"),
+                      text_col, key_col, shingle_n)
         .persist()
     )
+    return _jaccard_verify(cand, shingled, key_col, threshold)
+
+
+def _banded_rows(df: DataFrame, text_col: str, key_col: str,
+                 num_hashes: int, bands: int, shingle_n: int) -> DataFrame:
+    """(key, band, sig) LSH band-fingerprint rows — THE banding scheme.
+
+    Single definition shared by the batch pass (minhash_lsh_pairs) and the
+    incremental pass (operators/incremental.py): a persisted signature
+    store written by one and probed by the other cannot silently fork."""
+    if bands <= 0 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: each band "
+            "fingerprints num_hashes/bands minima, and a non-divisor would "
+            "silently discard trailing minhashes (or hash zero columns)"
+        )
+    rows_per_band = num_hashes // bands
+    bases = _exploded_shingles(df, text_col, key_col, shingle_n)
+    minima = _minhash_minima(bases, key_col, num_hashes)
+    return minima.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"_mh{b * rows_per_band + i}")
+                             for i in range(rows_per_band)]).alias("sig"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(key_col, "bb.band", "bb.sig")
+
+
+def _shingle_sets(df: DataFrame, text_col: str, key_col: str,
+                  shingle_n: int) -> DataFrame:
+    """(key, sh: array<bigint>) 64-bit-hashed distinct shingle sets — the
+    exact-Jaccard verify representation, shared with the incremental store
+    so stored sets and freshly-computed sets are bit-compatible."""
+    return (
+        _exploded_shingles(df, text_col, key_col, shingle_n)
+        .groupBy(key_col)
+        .agg(F.collect_set(F.xxhash64("_sh")).alias("sh"))
+    )
+
+
+def _jaccard_verify(cand: DataFrame, shingled: DataFrame, key_col: str,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs given (key, sh) shingle sets;
+    returns (doc_a, doc_b, jaccard ≥ threshold). See the prune-math
+    comments inline."""
     sa = shingled.select(F.col(key_col).alias("doc_a"), F.col("sh").alias("sh_a"),
                          F.size("sh").alias("_na"))
     sb = shingled.select(F.col(key_col).alias("doc_b"), F.col("sh").alias("sh_b"),

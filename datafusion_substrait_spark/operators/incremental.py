@@ -1,0 +1,229 @@
+"""Incremental deduplication against a persisted signature store.
+
+A production corpus pipeline does not re-dedup 100 TB every day: it dedups
+the day's NEW documents against a persisted store of signatures from
+everything already ingested. These operators provide that shape on top of
+the batch operators in dedup.py, with one invariant: **an incremental pass
+over new docs produces exactly the pairs a full-corpus batch rerun on
+(old ∪ new) would produce that touch at least one new doc** (the old-old
+pairs are already in the store owner's previous results).
+
+The store is three catalog tables (written by :func:`write_minhash_store`):
+
+* ``{store}_bands``    — (key, band, sig) LSH band fingerprints, BUCKETED
+  by ``(band, sig)`` — exactly the probe-join/bucket-aggregation key, so
+  the store side of the probe needs **no Exchange**: at 100 TB the store
+  never reshuffles, only the (small) new batch does.
+* ``{store}_shingles`` — (key, sh: array<bigint>) exact shingle hash sets
+  for the Jaccard verify step, BUCKETED by ``key``: the verify semi-join
+  by candidate old docs is likewise shuffle-free on the store side.
+* ``{store}_meta``     — one row of the signature parameters (num_hashes,
+  bands, shingle_n, text/key column names). The increment reads these
+  instead of trusting the caller: probing a store with mismatched
+  parameters produces silently-empty buckets, not an error, so the
+  parameters travel WITH the signatures.
+
+Equality argument (why increment ≡ batch-on-(old ∪ new), new-touching
+subset): the batch pass buckets ALL docs by (band, sig) and expands pairs
+per bucket with a deterministic hot-bucket star cap over the
+ascending-sorted member array. The increment rebuilds, for every bucket
+containing ≥1 new doc, that bucket's FULL sorted member array (stored
+members ∪ new members) and runs the SAME pair expansion with the SAME cap,
+then keeps pairs touching a new doc. Buckets with no new member generate
+only old-old pairs in the batch run — excluded by definition. Verify math
+is shared code (:func:`dedup._jaccard_verify`) over shingle sets that are
+bit-identical whether loaded from the store or computed fresh (shared
+:func:`dedup._shingle_sets`).
+
+Reference parity note: the reference has no incremental surface at all
+(it is a plan-interchange library); this is part of the beyond-reference
+pipeline layer, same family as dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.operators.dedup import (
+    _banded_rows, _exploded_bucket_pairs, _jaccard_verify, _shingle_sets)
+from datafusion_substrait_spark.sources import sinks
+
+_META_COLS = ("num_hashes", "bands", "shingle_n", "text_col", "key_col")
+
+
+def write_minhash_store(df: DataFrame, store: str, text_col: str = "text",
+                        key_col: str = "doc_id", num_hashes: int = 32,
+                        bands: int = 8, shingle_n: int = 5,
+                        n_buckets: int = 16,
+                        mode: str = "overwrite") -> None:
+    """Build the signature store for ``df`` (the initial corpus).
+
+    Writes ``{store}_bands`` / ``{store}_shingles`` as bucketed tables and
+    ``{store}_meta`` with the parameters. ``n_buckets`` sizes the bucketed
+    layout — pick it so one bucket of the store fits an executor core
+    (the store grows with the corpus; the new-batch side is shuffled into
+    the same bucket count at probe time, so more buckets = more probe
+    parallelism)."""
+    spark = df.sparkSession
+    banded = _banded_rows(df, text_col, key_col, num_hashes, bands,
+                          shingle_n)
+    sinks.write_bucketed(banded, f"{store}_bands", ("band", "sig"),
+                         n_buckets=n_buckets, mode=mode)
+    sinks.write_bucketed(_shingle_sets(df, text_col, key_col, shingle_n),
+                         f"{store}_shingles", key_col,
+                         n_buckets=n_buckets, mode=mode)
+    meta = spark.createDataFrame(
+        [(num_hashes, bands, shingle_n, text_col, key_col)],
+        "num_hashes int, bands int, shingle_n int, "
+        "text_col string, key_col string")
+    meta.write.mode(mode).format("parquet").saveAsTable(f"{store}_meta")
+
+
+def append_to_minhash_store(new_docs: DataFrame, store: str) -> None:
+    """Fold a verified new batch into the store (bands + shingle sets
+    appended into the same bucketed layout). Run AFTER
+    :func:`minhash_lsh_pairs_increment` on the same batch — appending
+    first would make the batch match itself through the store. Note the
+    increment's result DataFrame is lazy over the store tables: collect
+    or write it before appending, or its re-evaluation will see the
+    appended batch (self-pairs at jaccard 1.0)."""
+    p = read_store_meta(new_docs.sparkSession, store)
+    banded = _banded_rows(new_docs, p["text_col"], p["key_col"],
+                          p["num_hashes"], p["bands"], p["shingle_n"])
+    # bucketBy inserts must repeat the spec; Spark validates it matches
+    # the catalog's existing bucketing
+    n_buckets = _store_bucket_count(new_docs.sparkSession, f"{store}_bands")
+    sinks.write_bucketed(banded, f"{store}_bands", ("band", "sig"),
+                         n_buckets=n_buckets, mode="append")
+    sinks.write_bucketed(
+        _shingle_sets(new_docs, p["text_col"], p["key_col"],
+                      p["shingle_n"]),
+        f"{store}_shingles", p["key_col"], n_buckets=n_buckets,
+        mode="append")
+
+
+def read_store_meta(spark: SparkSession, store: str) -> dict:
+    row = spark.table(f"{store}_meta").collect()
+    if len(row) != 1:
+        raise ValueError(
+            f"{store}_meta must hold exactly one parameter row, "
+            f"found {len(row)}")
+    return {c: row[0][c] for c in _META_COLS}
+
+
+def _store_bucket_count(spark: SparkSession, table: str) -> int:
+    detail = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    for r in detail:
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table} is not a bucketed table")
+
+
+def minhash_lsh_pairs_increment(new_docs: DataFrame, store: str,
+                                threshold: float = 0.6,
+                                max_bucket_size: int = 500) -> DataFrame:
+    """Near-duplicate pairs of ``new_docs`` vs (store ∪ new_docs).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
+    threshold, and at least one side a new doc — exactly the
+    new-touching subset of ``minhash_lsh_pairs(old ∪ new)`` (same
+    parameters, same hot-bucket cap). New keys must not already exist in
+    the store (the pipeline contract: dedup THEN append).
+
+    Plan shape at scale:
+      1. band the new batch (one shuffle of the small batch);
+      2. aggregate the new batch's buckets, join them to the store's
+         bucket aggregation on (band, sig) — the store is bucketed by
+         exactly (band, sig), so the store-side aggregate AND join input
+         need no Exchange (gated in tests/test_incremental.py); buckets
+         with no new member never leave the join;
+      3. rebuild each touched bucket's full sorted member array and run
+         the batch pair expansion + star cap on it, keep new-touching
+         pairs;
+      4. verify: shingle sets for new candidate docs computed fresh,
+         old candidate docs' sets loaded from the bucketed shingle store
+         (semi-join, store side again shuffle-free), same exact-Jaccard
+         code as the batch path.
+    """
+    spark = new_docs.sparkSession
+    p = read_store_meta(spark, store)
+    key_col, text_col = p["key_col"], p["text_col"]
+
+    new_banded = _banded_rows(new_docs, text_col, key_col,
+                              p["num_hashes"], p["bands"], p["shingle_n"])
+    new_buckets = (new_banded.groupBy("band", "sig")
+                   .agg(F.collect_list(key_col).alias("_new_ids")))
+    store_buckets = (spark.table(f"{store}_bands")
+                     .groupBy("band", "sig")
+                     .agg(F.collect_list(key_col).alias("_old_ids")))
+    # left join: every bucket with a new member survives, whether or not
+    # the store has seen its (band, sig) before
+    combined = (
+        new_buckets.join(store_buckets, ["band", "sig"], "left")
+        .select(F.sort_array(F.concat(
+            F.coalesce("_old_ids", F.array()),
+            F.col("_new_ids"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = _exploded_bucket_pairs(combined, max_bucket_size,
+                                   "doc_a", "doc_b").distinct()
+    new_keys = new_docs.select(F.col(key_col)).distinct()
+    cand = (
+        pairs.join(new_keys.withColumnRenamed(key_col, "doc_a")
+                   .withColumn("_an", F.lit(True)), "doc_a", "left")
+        .join(new_keys.withColumnRenamed(key_col, "doc_b")
+              .withColumn("_bn", F.lit(True)), "doc_b", "left")
+        .filter(F.col("_an").isNotNull() | F.col("_bn").isNotNull())
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    cand_ids = (cand.select(F.col("doc_a").alias(key_col))
+                .unionAll(cand.select(F.col("doc_b").alias(key_col)))
+                .distinct())
+    new_sets = _shingle_sets(
+        new_docs.join(cand_ids, key_col, "left_semi"),
+        text_col, key_col, p["shingle_n"])
+    old_sets = (spark.table(f"{store}_shingles")
+                .join(cand_ids, key_col, "left_semi"))
+    # a store key can never also be a new key (documented contract), so
+    # this union has no duplicate (key, sh) rows
+    shingled = new_sets.unionByName(old_sets).persist()
+    return _jaccard_verify(cand, shingled, key_col, threshold)
+
+
+def write_exact_store(df: DataFrame, store: str, text_col: str = "text",
+                      key_col: str = "doc_id", n_buckets: int = 16,
+                      mode: str = "overwrite") -> None:
+    """Exact-dedup fingerprint store: the SURVIVOR rows of
+    ``dedup.exact_dedup(df)`` — (key, fingerprint) — bucketed by
+    fingerprint, so incremental probes join shuffle-free on the store
+    side."""
+    from datafusion_substrait_spark.operators.dedup import exact_dedup
+    sinks.write_bucketed(exact_dedup(df, text_col, key_col),
+                         f"{store}_fps", "fingerprint",
+                         n_buckets=n_buckets, mode=mode)
+
+
+def exact_dedup_increment(new_docs: DataFrame, store: str,
+                          text_col: str = "text",
+                          key_col: str = "doc_id") -> DataFrame:
+    """New-batch survivors: (key, fingerprint) of new docs whose
+    normalized-text fingerprint is neither in the store nor claimed by a
+    smaller-keyed new doc.
+
+    Semantics are FIRST-SEEN-WINS: a new doc duplicating a stored doc is
+    dropped even if its key is smaller than the stored survivor's —
+    the store's survivor set is immutable history. This differs from a
+    full batch rerun only in WHICH key survives for fingerprints present
+    in both generations (batch keeps the global min key); the survivor
+    fingerprint SET is identical either way. Append the result to
+    ``{store}_fps`` to fold the batch in.
+    """
+    from datafusion_substrait_spark.operators.dedup import exact_dedup
+    spark = new_docs.sparkSession
+    batch = exact_dedup(new_docs, text_col, key_col)
+    # anti-join on the store's bucket key: store side shuffle-free
+    return batch.join(spark.table(f"{store}_fps").select("fingerprint"),
+                      "fingerprint", "left_anti").select(
+        key_col, "fingerprint")

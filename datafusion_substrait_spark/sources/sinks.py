@@ -51,15 +51,18 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_col: str | tuple[str, ...] | list[str],
                    n_buckets: int = 64, mode: str = "overwrite") -> None:
-    """Bucketed catalog table: pre-shuffles on ``bucket_col`` into
-    ``n_buckets`` buckets so later equi-joins/groupBys on that key need no
-    shuffle (Spark reads the bucketing spec from the catalog and plans a
-    shuffle-free sort-merge join). Size ``n_buckets`` so one bucket of the
-    LARGEST future join input fits an executor core's memory."""
+    """Bucketed catalog table: pre-shuffles on ``bucket_col`` (one column
+    or a composite key) into ``n_buckets`` buckets so later equi-joins/
+    groupBys on exactly that key need no shuffle (Spark reads the
+    bucketing spec from the catalog and plans a shuffle-free sort-merge
+    join). Size ``n_buckets`` so one bucket of the LARGEST future join
+    input fits an executor core's memory."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     (df.write.mode(mode)
-     .bucketBy(n_buckets, bucket_col)
-     .sortBy(bucket_col)
+     .bucketBy(n_buckets, cols[0], *cols[1:])
+     .sortBy(cols[0], *cols[1:])
      .format("parquet")
      .saveAsTable(table))

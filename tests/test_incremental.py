@@ -1,0 +1,179 @@
+"""Incremental dedup against a persisted signature store
+(operators/incremental.py): batch-equality of the increment, shuffle-free
+store-side plan gates, first-seen exact dedup, and store append."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_substrait_spark.operators import dedup, incremental
+
+PARAMS = dict(num_hashes=16, bands=4, shingle_n=4)
+STORE = "inc_store"
+
+
+def _drop_store(spark, store=STORE):
+    import shutil
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_bands", "_shingles", "_meta", "_fps"):
+        spark.sql(f"DROP TABLE IF EXISTS {store}{suffix}")
+        # a crashed earlier run can leave the managed-table dir behind with
+        # no catalog entry; saveAsTable then fails LOCATION_ALREADY_EXISTS
+        shutil.rmtree(f"{warehouse}/{store}{suffix}", ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    """documents split deterministically into an 'old' corpus and a 'new'
+    batch; the split puts ~1/3 of docs (including members of known dup
+    clusters — documents.parquet plants near-dups) into the new batch."""
+    docs = spark.table("documents").select("doc_id", "text")
+    old = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) != 0)
+    new = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0)
+    return docs, old, new
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+
+def test_increment_equals_batch_rerun(spark, split_docs):
+    docs, old, new = split_docs
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=4, **PARAMS)
+
+    full = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.5, **PARAMS))
+    old_only = _pairs(dedup.minhash_lsh_pairs(old, threshold=0.5, **PARAMS))
+    inc = _pairs(incremental.minhash_lsh_pairs_increment(
+        new, STORE, threshold=0.5))
+
+    new_keys = {r.doc_id for r in new.select("doc_id").collect()}
+    assert inc, "planted near-dup clusters must straddle the split"
+    assert all(a in new_keys or b in new_keys for a, b, _ in inc)
+    # the old-only run is exactly the batch pairs touching no new doc,
+    # so increment ∪ old-only must reconstruct the full batch rerun
+    assert old_only == {(a, b, j) for a, b, j in full
+                        if a not in new_keys and b not in new_keys}
+    assert (inc | old_only) == full
+    _drop_store(spark)
+
+
+def _assert_scan_not_under_exchange(df, table_marker):
+    """Structural gate: the store table's scan must not sit below any
+    shuffle Exchange — the bucketed layout IS the distribution."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # rebuild under non-adaptive planning
+        plan = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    offenders = []
+
+    def walk(node, under_exchange):
+        name = node.nodeName()
+        if name == "Exchange":
+            under_exchange = True
+        simple = node.simpleString(200)
+        if table_marker in simple and under_exchange:
+            offenders.append(simple)
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i), under_exchange)
+
+    walk(plan, False)
+    assert not offenders, offenders
+
+
+def test_store_side_probe_is_shuffle_free(spark, split_docs):
+    _, old, new = split_docs
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=4, **PARAMS)
+
+    # the store-side bucket aggregation alone: zero Exchange anywhere
+    agg = (spark.table(f"{STORE}_bands").groupBy("band", "sig")
+           .agg(F.collect_list("doc_id").alias("ids")))
+    _assert_scan_not_under_exchange(agg, f"{STORE}_bands")
+
+    # the probe join: only the new side may shuffle
+    new_buckets = (dedup._banded_rows(new, "text", "doc_id", **PARAMS)
+                   .groupBy("band", "sig")
+                   .agg(F.collect_list("doc_id").alias("new_ids")))
+    probe = new_buckets.join(
+        spark.table(f"{STORE}_bands").groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("old_ids")),
+        ["band", "sig"], "left")
+    _assert_scan_not_under_exchange(probe, f"{STORE}_bands")
+
+    # the verify-side shingle lookup: store side shuffle-free too
+    ids = new.select("doc_id")
+    lookup = spark.table(f"{STORE}_shingles").join(ids, "doc_id",
+                                                   "left_semi")
+    _assert_scan_not_under_exchange(lookup, f"{STORE}_shingles")
+    _drop_store(spark)
+
+
+def test_increment_refuses_mismatched_meta(spark, split_docs):
+    """Parameters travel with the store: a multi-row meta table (a botched
+    manual write) must raise, not probe with arbitrary parameters."""
+    _, old, new = split_docs
+    _drop_store(spark)
+    incremental.write_minhash_store(old.limit(30), STORE, n_buckets=2,
+                                    **PARAMS)
+    spark.createDataFrame(
+        [(8, 2, 3, "text", "doc_id")],
+        "num_hashes int, bands int, shingle_n int, text_col string, "
+        "key_col string").write.mode("append").format("parquet") \
+        .saveAsTable(f"{STORE}_meta")
+    with pytest.raises(ValueError, match="exactly one parameter row"):
+        incremental.minhash_lsh_pairs_increment(new.limit(5), STORE)
+    _drop_store(spark)
+
+
+def test_exact_increment_first_seen_wins(spark):
+    _drop_store(spark)
+    old = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "gamma delta"), (12, "alpha  BETA")],
+        "doc_id bigint, text string")  # 12 duplicates 10 (normalization)
+    new = spark.createDataFrame(
+        [(1, "ALPHA beta"),      # dup of stored fp, smaller key: dropped
+         (2, "epsilon zeta"),    # fresh
+         (3, "epsilon  ZETA"),   # in-batch dup of 2: dropped (2 < 3)
+         (4, "eta theta")],      # fresh
+        "doc_id bigint, text string")
+    incremental.write_exact_store(old, STORE, n_buckets=2)
+    inc = incremental.exact_dedup_increment(new, STORE)
+    got = {r.doc_id for r in inc.collect()}
+    assert got == {2, 4}
+    # survivor fingerprint SET equals the batch rerun's
+    full_fps = {r.fingerprint for r in
+                dedup.exact_dedup(old.unionByName(new)).collect()}
+    stored_fps = {r.fingerprint for r in
+                  spark.table(f"{STORE}_fps").collect()}
+    inc_fps = {r.fingerprint for r in inc.collect()}
+    assert stored_fps | inc_fps == full_fps
+    _drop_store(spark)
+
+
+def test_append_then_second_increment(spark, split_docs):
+    """Three generations: store(old) → increment(new) → append(new) →
+    increment(new2) must equal the new2-touching subset of a full batch
+    run over all three generations."""
+    docs, old, new_all = split_docs
+    new = new_all.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    new2 = new_all.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=4, **PARAMS)
+    incremental.minhash_lsh_pairs_increment(new, STORE, threshold=0.5)
+    incremental.append_to_minhash_store(new, STORE)
+
+    inc2 = _pairs(incremental.minhash_lsh_pairs_increment(
+        new2, STORE, threshold=0.5))
+    full = _pairs(dedup.minhash_lsh_pairs(docs, threshold=0.5, **PARAMS))
+    new2_keys = {r.doc_id for r in new2.select("doc_id").collect()}
+    expect = {(a, b, j) for a, b, j in full
+              if a in new2_keys or b in new2_keys}
+    assert inc2 == expect and inc2
+    _drop_store(spark)

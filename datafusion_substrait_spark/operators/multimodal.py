@@ -5,11 +5,14 @@ The Spark-side architecture is real and tested — schemas, Arrow-batched
 (format/width/height) is REAL for PNG/JPEG/GIF/BMP: dimensions live in
 fixed-format container headers (PNG IHDR, JPEG SOFn, GIF screen
 descriptor, BMP info header), so ``parse_image_header`` reads them with no
-codec library at all. Full pixel decoding is the one stubbed seam (this
-container has no codec libraries): payloads that aren't a recognized image
-container fall back to a clearly-marked deterministic fake so the pipeline
-shape can be exercised end-to-end on the synthetic text-derived blobs;
-pass ``decode_fn`` (e.g. PIL/librosa based) to replace the whole decode.
+codec library at all. Pixel decoding is REAL for PNG (``decode_png``:
+stdlib zlib + numpy unfiltering, CRC-checked — the most common container
+needs no codec library either); JPEG/GIF/BMP pixel decode remains the
+stubbed seam (their entropy coders genuinely need a codec library):
+payloads that aren't a decodable image fall back to a clearly-marked
+deterministic fake so the pipeline shape can be exercised end-to-end on
+synthetic text-derived blobs; pass ``decode_fn``/``resize_fn`` (e.g.
+PIL/librosa based) to replace the seam wholesale.
 
 Scale notes baked into the design:
 * payloads stay in executor-side Arrow batches — never collected;
@@ -215,6 +218,138 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def decode_png(data: bytes):
+    """REAL PNG pixel decode — stdlib ``zlib`` + numpy only, no codec lib.
+
+    Returns a ``(height, width, channels)`` uint8 array. Supports the
+    ubiquitous subset: 8-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette → RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced, all five
+    scanline filters (None/Sub/Up/Average/Paeth), CRC-validated chunks.
+    16-bit depth and Adam7 interlacing raise ``ValueError`` (pass a
+    library-backed ``decode_fn``/``resize_fn`` for those). This removes
+    the deterministic-fake fallback for the most common format; other
+    containers still fall through to the marked fakes.
+    """
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 12 <= len(data):
+        ln, tag = _struct.unpack(">I4s", data[pos:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        crc = data[pos + 8 + ln:pos + 12 + ln]
+        if len(body) != ln or len(crc) != 4:
+            raise ValueError("truncated PNG chunk")
+        if zlib.crc32(tag + body) != _struct.unpack(">I", crc)[0]:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNGs supported, got depth {depth}")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNGs not supported")
+    try:
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    except KeyError:
+        raise ValueError(f"unknown PNG color type {ctype}") from None
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    prev = np.zeros(stride, np.int32)
+    rows = []
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up: fully vectorizable (no intra-row dependency)
+            cur = (line + prev) & 255
+        elif f in (1, 3, 4):
+            # Sub/Average/Paeth have a serial dependency along x; per-byte
+            # loop per scanline (fixtures and sampled frames are small —
+            # swap in a library decode_fn for bulk pixel work)
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 255
+        else:
+            raise ValueError(f"bad PNG scanline filter {f}")
+        rows.append(cur)
+        prev = cur
+    img = np.array(rows, dtype=np.uint8).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img
+
+
+def decode_image(payload: bytes):
+    """Pixel decode for recognized containers: a real ``(h, w, c)`` uint8
+    array for PNGs, ``None`` for everything else (callers fall back to
+    their marked deterministic fakes or a supplied ``decode_fn``)."""
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    return None
+
+
+def _to_gray(img):
+    """(h, w, c) uint8 → (h, w) uint8 luma (BT.601 weights for color;
+    alpha ignored — it is coverage, not intensity)."""
+    import numpy as np
+
+    c = img.shape[2]
+    if c == 1 or c == 2:  # gray / gray+alpha
+        return img[:, :, 0]
+    rgb = img[:, :, :3].astype(np.float32)
+    return (rgb @ np.array([0.299, 0.587, 0.114], np.float32)).astype(
+        np.uint8)
+
+
+def _default_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Resize seam default: REAL decode + grayscale + nearest-neighbor
+    resample for PNG payloads; the marked fake for other containers."""
+    img = decode_image(payload)
+    if img is None:
+        return _fake_resize(payload, width, height)
+    import numpy as np
+
+    gray = _to_gray(img)
+    src_h, src_w = gray.shape
+    ys = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
+    xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+    return gray[ys][:, xs].tobytes()
+
+
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """DETERMINISTIC FAKE pixel buffer (no codec libs in this container):
     a real ``resize_fn`` (PIL/opencv) drops in at the same seam. Emits a
@@ -236,12 +371,14 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
 
     The Spark side is the real thing — Arrow-batched ``mapInPandas``, a
     typed (key, width, height, pixels) output schema, narrow map with no
-    shuffle; only the pixel transform itself is the stubbed seam
-    (``_fake_resize``), exactly like ``extract_image_metadata``'s decoder.
-    Output pixel buffers are width×height bytes (grayscale stand-in), so
+    shuffle. The default transform is REAL for PNG payloads (pure
+    zlib+numpy decode, grayscale, nearest-neighbor resample — see
+    ``decode_png``); non-PNG containers fall back to the marked
+    deterministic fake until a library ``resize_fn`` is supplied.
+    Output pixel buffers are width×height bytes (grayscale), so
     downstream batch sizing behaves like a real resized-image column.
     """
-    resize = resize_fn or _fake_resize
+    resize = resize_fn or _default_resize
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

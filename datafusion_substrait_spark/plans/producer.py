@@ -71,7 +71,27 @@ def _refs(jnode) -> set[int]:
 
 def to_substrait_plan(df: DataFrame) -> dict:
     """DataFrame → plan dict (≡ producer.rs:37-62). Root carries the
-    DataFrame's user-visible column names (RelRoot.names, producer.rs:45-50)."""
+    DataFrame's user-visible column names (RelRoot.names, producer.rs:45-50).
+
+    Spark Connect constraint: this walk needs the driver-side Catalyst
+    optimized plan via py4j (``df._jdf``), which a Connect session's
+    DataFrame does not expose — the client holds only an unresolved proto
+    plan; analysis and optimization happen server-side. Rather than an
+    opaque ``AttributeError`` deep in the walk, detect Connect up front
+    and raise a named error. (Feasibility of a Connect path: the client
+    proto is UNRESOLVED — no schemas, no exprIds, no pushdown — so a
+    faithful producer would have to re-implement analysis or run
+    server-side; the realistic options are a server plugin or round-
+    tripping SQL text through a classic session. Documented in README.)
+    """
+    if not hasattr(df, "_jdf"):
+        # pyspark.sql.connect.DataFrame has no _jdf (no py4j bridge at all)
+        raise SubstraitError(
+            "to_substrait_plan requires a classic (JVM-bridged) "
+            "SparkSession: Spark Connect DataFrames expose no driver-side "
+            "optimized plan to walk. Run the producer in a classic "
+            "session, or serialize SQL text and produce there."
+        )
     producer = _Producer()
     jplan = df._jdf.queryExecution().optimizedPlan()
     rel, _ = producer.rel(jplan)
@@ -756,7 +776,36 @@ class _Producer:
             if k == "CurrentRow$":
                 return proto.bound_current_row()
             if k == "Literal":
-                v = int(b.value())
+                # WindowBound carries only an i64 offset. Integer-typed and
+                # integral-VALUED fractional bounds (RANGE 5 PRECEDING over
+                # a double order column arrives as Literal(5.0)) encode
+                # losslessly; interval bounds (date/timestamp RANGE) and
+                # fractional values (RANGE 2.5 PRECEDING) have no encoding
+                # and must fence, not round to a wrong frame
+                if "Interval" in _cls(b.dataType()):
+                    # date/timestamp RANGE bounds arrive as ANSI interval
+                    # literals (DayTimeIntervalType holds micros as a
+                    # LONG, so a value check alone would encode it and the
+                    # consumer's rangeBetween(long) then fails analysis
+                    # over a temporal order column — translate-or-error)
+                    raise SubstraitError(
+                        "interval RANGE bounds (date/timestamp window "
+                        "frames) have no i64 WindowBound encoding; use a "
+                        "ROWS frame or pre-bucket the time column"
+                    )
+                raw = b.value()
+                try:
+                    v = int(raw)
+                    lossless = (v == raw or v == float(raw))
+                except (TypeError, ValueError):
+                    lossless = False
+                if not lossless:
+                    raise SubstraitError(
+                        "window frame bound must be an integral literal; "
+                        f"got {b.toString()} of {_cls(b.dataType())} "
+                        "(interval/fractional RANGE bounds have no i64 "
+                        "WindowBound encoding)"
+                    )
                 return proto.bound_preceding(-v) if v < 0 else proto.bound_following(v)
             raise SubstraitError(f"unsupported frame bound {k}")
 

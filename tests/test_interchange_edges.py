@@ -335,3 +335,16 @@ def test_wire_rejects_pre_fix_cast_field_number():
     buf = bytes([(7 << 3) | 2, 0])
     with pytest.raises(SubstraitError, match="field 7"):
         wire.decode_message("Expression", buf)
+
+
+def test_connect_dataframe_rejected_up_front():
+    """A Spark Connect DataFrame has no _jdf (no py4j bridge); the producer
+    must raise the named error immediately instead of an AttributeError
+    deep in the plan walk. Simulated: a Connect DataFrame is any object
+    without the _jdf seam."""
+
+    class FakeConnectDataFrame:
+        columns = ["a"]
+
+    with pytest.raises(SubstraitError, match="Spark Connect"):
+        to_substrait_plan(FakeConnectDataFrame())

@@ -706,3 +706,140 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, tables, tmp_path):
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in phys and "cell_id" in phys.split(
         "PartitionFilters", 1)[1][:200], phys[:800]
+
+
+# --- real PNG pixel decode ---------------------------------------------------
+
+def _filter_row(ftype: int, cur: list[int], prev: list[int],
+                bpp: int) -> bytes:
+    """FORWARD scanline filtering per the PNG spec (RFC 2083 §6) — an
+    independent implementation in the test, so decode_png is checked
+    against the spec, not against itself."""
+    out = [ftype]
+    for x in range(len(cur)):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            v = cur[x]
+        elif ftype == 1:
+            v = cur[x] - a
+        elif ftype == 2:
+            v = cur[x] - b
+        elif ftype == 3:
+            v = cur[x] - ((a + b) >> 1)
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = cur[x] - pred
+        out.append(v & 255)
+    return bytes(out)
+
+
+def _encode_png(pixels, ctype: int, filters, palette: bytes = b"") -> bytes:
+    """Minimal spec-following PNG encoder for fixtures: ``pixels`` is a
+    list of rows of per-byte samples, one chosen filter type per row."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    h, w = len(pixels), len(pixels[0]) // channels
+    raw = b""
+    prev = [0] * (w * channels)
+    for row, ft in zip(pixels, filters):
+        raw += _filter_row(ft, row, prev, channels)
+        prev = row
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)))
+    if palette:
+        png += chunk(b"PLTE", palette)
+    return png + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_and_color_types():
+    """decode_png must invert every scanline filter for gray/RGB/RGBA —
+    pixel data is pseudo-random (deterministic), filters vary per row."""
+    import numpy as np
+
+    for ctype, channels in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 7, 5
+        vals = [(i * 89 + r * 31 + ctype * 7) % 256
+                for r in range(h) for i in range(w * channels)]
+        rows = [vals[r * w * channels:(r + 1) * w * channels]
+                for r in range(h)]
+        filters = [0, 1, 2, 3, 4]
+        img = multimodal.decode_png(_encode_png(rows, ctype, filters))
+        assert img.shape == (h, w, channels)
+        assert img.tolist() == np.array(rows, np.uint8).reshape(
+            h, w, channels).tolist(), f"ctype {ctype}"
+
+
+def test_decode_png_palette_and_fixture():
+    # palette: 3 indexed colors expanded to RGB
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows = [[0, 1, 2], [2, 1, 0]]
+    img = multimodal.decode_png(_encode_png(rows, 3, [0, 4], palette=pal))
+    assert img.shape == (2, 3, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    # the in-repo fixture: solid opaque black RGBA
+    img = multimodal.decode_png(_png_bytes(4, 3))
+    assert img.shape == (3, 4, 4)
+    assert img.reshape(-1, 4).tolist() == [[0, 0, 0, 255]] * 12
+    # decode_image dispatch: PNG → array, others → None
+    assert multimodal.decode_image(_png_bytes(2, 2)) is not None
+    assert multimodal.decode_image(_jpeg_bytes(4, 4)) is None
+
+
+def test_decode_png_rejects_malformed():
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png(b"not a png at all")
+    good = _png_bytes(2, 2)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a byte of IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad_crc))
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+                  + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlac"):
+        multimodal.decode_png(interlaced)
+
+
+def test_resize_images_real_png_path(spark):
+    """PNG payloads ride the REAL decode→gray→resample path: a solid-color
+    PNG must resize to a constant gray buffer (the fake would be
+    hash-noise), deterministically across partitionings."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # 6x4 solid mid-gray RGB PNG
+    row = [120, 120, 120] * 6
+    png = _encode_png([row] * 4, 2, [0, 2, 1, 4])
+    rows = [(1, png), (2, _jpeg_bytes(10, 10))]
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    out = {r.key: bytes(r.pixels)
+           for r in multimodal.resize_images(df, width=3, height=2).collect()}
+    assert out[1] == bytes([120] * 6)          # real pixels, not hash noise
+    assert len(out[2]) == 6                    # non-PNG: fake fallback
+    again = {r.key: bytes(r.pixels)
+             for r in multimodal.resize_images(
+                 df.repartition(5), width=3, height=2).collect()}
+    assert out == again

@@ -143,15 +143,21 @@ def test_no_rdd_or_collect_in_package_hot_paths(spark):
             code = line.split("#", 1)[0]  # comments may *mention* the pattern
             if ".rdd" in code:
                 offenders.append(f"{p.name}:{i}: .rdd")
-            # the only allowed collects are both bounded by the
-            # broadcast-small side, never the corpus:
+            # the only allowed collects are all bounded by something
+            # small by construction, never the corpus:
             #   - the deterministic k-means sample
             #     (similarity.train_kmeans_centroids, <= n_sample rows)
             #   - the IVF probe-cell set
             #     (similarity.ivf_topk_partitioned, <= |queries| x nprobe
             #     ids, needed driver-side to build the partition filter)
+            #   - the signature store's 1-row parameter table and its
+            #     DESCRIBE EXTENDED catalog metadata
+            #     (incremental.read_store_meta/_store_bucket_count)
             allowed = ("limit(n_sample)" in code
-                       or 'select("__cell").distinct().collect()' in code)
+                       or 'select("__cell").distinct().collect()' in code
+                       or 'table(f"{store}_meta").collect()' in code
+                       or 'sql(f"DESCRIBE EXTENDED {table}").collect()'
+                       in code)
             if ".collect()" in code and not allowed:
                 offenders.append(f"{p.name}:{i}: .collect()")
     assert not offenders, offenders

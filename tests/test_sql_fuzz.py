@@ -268,6 +268,46 @@ class Gen:
             f"FROM {t} WHERE {self.bool_expr(ncols, scols, 1)}"
         )
 
+
+    def window_frames_query(self) -> str:
+        """Explicit ROWS/RANGE frames + ntile/nth_value: the widest
+        spec-superset surface with the fewest distinct oracle shapes."""
+        t = self.pick(["orders", "lineitem"])
+        ncols, scols, key = TABLES[t]
+        part = self.pick(scols)
+        uk = ", ".join(key)
+        n = self.pick(ncols)
+        d = "o_orderdate" if t == "orders" else "l_shipdate"
+        k1, k2 = self.r.randint(1, 4), self.r.randint(1, 4)
+        rows_frame = self.pick([
+            f"ROWS BETWEEN {k1} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN CURRENT ROW AND {k2} FOLLOWING",
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND {k2} FOLLOWING",
+            f"ROWS BETWEEN {k1} PRECEDING AND {k2} FOLLOWING",
+        ])
+        # value-RANGE needs a single numeric order key; frames include all
+        # peer rows, so ties stay deterministic
+        range_frame = self.pick([
+            f"RANGE BETWEEN {10 * k1} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {10 * k2} FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ])
+        return (
+            f"SELECT {uk}, "
+            f"round(sum({n}) OVER (PARTITION BY {part} ORDER BY {uk} "
+            f"{rows_frame}), 2) AS fsum, "
+            f"round(min({n}) OVER (PARTITION BY {part} ORDER BY {n} "
+            f"{range_frame}), 2) AS rmin, "
+            # offset-free cumulative RANGE over a DATE order column
+            f"count(*) OVER (PARTITION BY {part} ORDER BY {d} "
+            f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum, "
+            f"ntile({self.r.randint(2, 5)}) OVER (PARTITION BY {part} "
+            f"ORDER BY {uk}) AS nt, "
+            f"nth_value({n}, 2) OVER (PARTITION BY {part} ORDER BY {uk} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv "
+            f"FROM {t} WHERE {self.bool_expr(ncols, scols, 1)}"
+        )
+
     def distinct_query(self) -> str:
         t = self.pick(list(TABLES))
         ncols, scols, _ = TABLES[t]
@@ -421,8 +461,10 @@ class Gen:
         shape = self.r.choices(
             ["select", "agg", "join", "semi", "setop", "window", "distinct",
              "scalar_sub", "rollup", "explode", "cte", "cross", "date",
-             "values", "join_agg", "window_derived", "nested_setop"],
-            weights=[16, 16, 12, 5, 7, 6, 4, 5, 6, 4, 5, 2, 3, 4, 7, 5, 4],
+             "values", "join_agg", "window_derived", "nested_setop",
+             "window_frames"],
+            weights=[16, 16, 12, 5, 7, 6, 4, 5, 6, 4, 5, 2, 3, 4, 7, 5, 4,
+                     7],
         )[0]
         return getattr(self, {
             "select": "select_query", "agg": "agg_query",
@@ -436,10 +478,11 @@ class Gen:
             "join_agg": "join_agg_query",
             "window_derived": "window_over_derived_query",
             "nested_setop": "nested_setop_query",
+            "window_frames": "window_frames_query",
         }[shape])()
 
 
-@pytest.mark.parametrize("seed", range(48))
+@pytest.mark.parametrize("seed", range(60))
 def test_random_query_roundtrips(spark, seed):
     sql = Gen(seed).query()
     df = spark.sql(sql)
@@ -447,3 +490,51 @@ def test_random_query_roundtrips(spark, seed):
         assert_same_result(df, roundtrip(df))
     except AssertionError:
         raise AssertionError(f"roundtrip mismatch for seed {seed}:\n{sql}")
+
+
+# explicit (non-random) frame shapes: one fixed case per family so a frame
+# regression pins to a readable SQL string, not a seed
+FRAME_CASES = [
+    # bounded ROWS both sides + nth_value over the full window
+    "SELECT o_orderkey, "
+    "round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING), 2) AS s, "
+    "nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv "
+    "FROM orders WHERE o_custkey < 500",
+    # value-RANGE with a numeric offset (peers included => deterministic)
+    "SELECT l_orderkey, l_linenumber, "
+    "count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity "
+    "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS c, "
+    "round(max(l_extendedprice) OVER (PARTITION BY l_returnflag "
+    "ORDER BY l_quantity RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING), 2) AS m "
+    "FROM lineitem WHERE l_partkey < 300",
+    # offset-free cumulative RANGE over a DATE order column + ntile
+    "SELECT o_orderkey, "
+    "count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running, "
+    "ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS q "
+    "FROM orders WHERE o_totalprice > 100000",
+]
+
+
+@pytest.mark.parametrize("i", range(len(FRAME_CASES)))
+def test_explicit_frame_roundtrips(spark, i):
+    df = spark.sql(FRAME_CASES[i])
+    assert_same_result(df, roundtrip(df))
+
+
+def test_interval_range_bound_is_fenced(spark):
+    """RANGE with an INTERVAL offset over a date order column has no i64
+    WindowBound encoding: the producer must name the problem, not emit a
+    wrong row count."""
+    from datafusion_substrait_spark import to_substrait_plan
+    from datafusion_substrait_spark.plans.proto import SubstraitError
+
+    df = spark.sql(
+        "SELECT o_orderkey, count(*) OVER (ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS c "
+        "FROM orders")
+    with pytest.raises(SubstraitError, match="interval RANGE"):
+        to_substrait_plan(df)

@@ -810,6 +810,24 @@ _POISON_FIELDS: dict[tuple[str, int], str] = {
         "pre-fix build of this producer (cast was renumbered 7→11 to "
         "match the spec) — re-serialize the plan with the current producer"
     ),
+    # spec-valid features with no consumable mapping: skipping them decodes
+    # a hollowed-out expression that errors later with no hint what was
+    # dropped, so they fail loudly at the byte layer instead. Window
+    # functions ARE supported — at the rel level (Rel.window=17); only the
+    # inline-expression form has no mapping.
+    ("Expression", 5): (
+        "Expression field 5 (inline window_function) is not consumable — "
+        "this implementation carries window functions in "
+        "ConsistentPartitionWindowRel (Rel.window), not inline expressions"
+    ),
+    ("Expression", 9): (
+        "Expression field 9 (multi_or_list) is not consumable — rewrite "
+        "as singular_or_list per value or an OR chain"
+    ),
+    ("FieldReference", 2): (
+        "FieldReference field 2 (masked_reference) is not consumable — "
+        "only direct struct-field references are supported"
+    ),
 }
 
 

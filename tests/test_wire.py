@@ -269,3 +269,15 @@ def test_length_delimited_wire_type_enforced():
     buf = wire._tag(5, wire._WT_VARINT) + wire.encode_uvarint(0)
     with pytest.raises(wire.SubstraitError, match="wire type"):
         wire.decode_message("Version", buf)
+
+
+def test_spec_valid_unsupported_fields_fail_loudly():
+    """Silently skipping a spec-valid feature we can't consume hollows the
+    expression out and errors far away; the decoder must name the feature
+    at the byte layer instead."""
+    for num, pat in ((5, "window_function"), (9, "multi_or_list")):
+        buf = bytes([(num << 3) | 2, 0])
+        with pytest.raises(proto.SubstraitError, match=pat):
+            wire.decode_message("Expression", buf)
+    with pytest.raises(proto.SubstraitError, match="masked_reference"):
+        wire.decode_message("FieldReference", bytes([(2 << 3) | 2, 0]))

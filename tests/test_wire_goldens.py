@@ -10,10 +10,10 @@ number written out literally from the spec message definitions — a second,
 separate transcription. For a wrong byte to pass, the same slip would have
 to be made twice, in two differently-structured encodings.
 
-Five representative plans (the shapes the producer emits in practice):
+Six representative plans (the shapes the producer emits in practice):
   G1 read + filter + aggregate      G4 virtual table with literal rows
   G2 inner join of two reads        G5 sample over scatter exchange
-  G3 window (running sum)
+  G3 window (running sum)           G6 set op + sort + fetch
 
 Each golden asserts three ways: encode_plan(ir) == bytes (encoder),
 decode_plan(bytes) == ir (decoder), and from_substrait_plan(ir) executes
@@ -24,7 +24,7 @@ extensions/extensions.proto (SimpleExtensionDeclaration),
 algebra.proto (Rel/ReadRel/FilterRel/AggregateRel/JoinRel/ProjectRel/
 ExchangeRel/ExtensionSingleRel/ConsistentPartitionWindowRel/Expression/
 Literal/FieldReference/SortField/AggregateFunction/FunctionArgument/
-MaskExpression), type.proto (Type/NamedStruct).
+MaskExpression/SetRel/SortRel/FetchRel), type.proto (Type/NamedStruct).
 """
 
 from __future__ import annotations
@@ -493,3 +493,50 @@ def test_golden_sample_over_exchange(spark, tables):
     n = df.count()
     assert 0 <= n <= 25           # a 50% sample of 25 nations
     assert df.count() == n        # seeded: stable across evaluations
+
+
+# ---------------------------------------------------------------------------
+# G6: set op over two reads, sorted and fetched (algebra.proto
+# SetRel/SortRel/FetchRel — completes consumable Rel-kind coverage of the
+# golden suite; CrossRel is wire-decodable but deliberately not consumable,
+# the producer emits cross joins as inner-on-true)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_setop_sort_fetch(spark, tables):
+    n_names, n_types_b, n_types_ir = NATION
+    r_names, r_types_b, r_types_ir = REGION
+    a_b = read_rel(n_names, n_types_b, [2], "nation")
+    a_d = read_ir(n_names, n_types_ir, [2], "nation")
+    b_b = read_rel(r_names, r_types_b, [0], "region")
+    b_d = read_ir(r_names, r_types_ir, [0], "region")
+
+    # Rel{set=8: SetRel{common=1, inputs=2 repeated, op=3 enum
+    # SET_OP_UNION_DISTINCT=5}}
+    set_b = LD(8, COMMON, LD(2, a_b), LD(2, b_b), VI(3, 5))
+    set_d = {"set": {"common": COMMON_IR, "inputs": [a_d, b_d],
+                     "op": "SET_OP_UNION_DISTINCT"}}
+
+    # Rel{sort=5: SortRel{common=1, input=2, sorts=3: SortField{expr=1,
+    # direction=2 enum DESC_NULLS_LAST=4}}}
+    sort_b = LD(5, COMMON, LD(2, set_b), LD(3, LD(1, sel(0)), VI(2, 4)))
+    sort_d = {"sort": {"common": COMMON_IR, "input": set_d,
+                       "sorts": [
+                           {"expr": sel_ir(0),
+                            "direction": "SORT_DIRECTION_DESC_NULLS_LAST"},
+                       ]}}
+
+    # Rel{fetch=3: FetchRel{common=1, input=2, offset=3, count=4}}
+    fetch_b = LD(3, COMMON, LD(2, sort_b), VI(3, 1), VI(4, 3))
+    fetch_d = {"fetch": {"common": COMMON_IR, "input": sort_d,
+                         "offset": 1, "count": 3}}
+
+    golden = root(fetch_b, ["k"]) + VERSION
+    ir = {"version": VERSION_IR,
+          "relations": [{"root": {"input": fetch_d, "names": ["k"]}}]}
+    df = check(golden, ir, spark)
+    assert df.columns == ["k"]
+    rows = [r.k for r in df.collect()]
+    # 5 distinct region keys (0..4) union-distinct 5 region keys -> 0..4;
+    # desc-sorted, skip 1, take 3 -> [3, 2, 1]
+    assert rows == [3, 2, 1]

@@ -6,13 +6,14 @@ The Spark-side architecture is real and tested — schemas, Arrow-batched
 fixed-format container headers (PNG IHDR, JPEG SOFn, GIF screen
 descriptor, BMP info header), so ``parse_image_header`` reads them with no
 codec library at all. Pixel decoding is REAL for PNG (``decode_png``:
-stdlib zlib + numpy unfiltering, CRC-checked — the most common container
-needs no codec library either); JPEG/GIF/BMP pixel decode remains the
-stubbed seam (their entropy coders genuinely need a codec library):
-payloads that aren't a decodable image fall back to a clearly-marked
-deterministic fake so the pipeline shape can be exercised end-to-end on
-synthetic text-derived blobs; pass ``decode_fn``/``resize_fn`` (e.g.
-PIL/librosa based) to replace the seam wholesale.
+stdlib zlib + numpy unfiltering, CRC-checked), GIF (``decode_gif``:
+pure-Python LZW + palette, interlace-aware) and uncompressed BMP
+(``decode_bmp``: 8/24/32-bit, padded rows, both row orders). JPEG pixel
+decode remains the stubbed seam (its entropy coder genuinely needs a
+codec library): payloads that aren't a decodable image fall back to a
+clearly-marked deterministic fake so the pipeline shape can be exercised
+end-to-end on synthetic text-derived blobs; pass ``decode_fn``/
+``resize_fn`` (e.g. PIL/librosa based) to replace the seam wholesale.
 
 Scale notes baked into the design:
 * payloads stay in executor-side Arrow batches — never collected;
@@ -313,12 +314,208 @@ def decode_png(data: bytes):
     return img
 
 
+def decode_bmp(data: bytes):
+    """REAL BMP pixel decode — ``struct`` + numpy only.
+
+    Returns ``(height, width, channels)`` uint8, RGB (8/24-bit sources) or
+    RGBA (32-bit). Supports the uncompressed (BI_RGB) forms that cover the
+    overwhelming majority of real BMPs: BITMAPINFOHEADER-or-later with
+    8-bit palette, 24-bit BGR, or 32-bit BGRA pixels; bottom-up (positive
+    height) and top-down (negative height) row orders; 4-byte row padding.
+    RLE/bitfield compression and the ancient BITMAPCOREHEADER raise
+    ``ValueError``.
+    """
+    import struct as _struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature or truncated header)")
+    pix_off = _struct.unpack("<I", data[10:14])[0]
+    hdr_size = _struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {hdr_size}")
+    w, h_signed = _struct.unpack("<ii", data[18:26])
+    planes, bpp = _struct.unpack("<HH", data[26:30])
+    compression = _struct.unpack("<I", data[30:34])[0]
+    if w <= 0 or h_signed == 0 or planes != 1:
+        raise ValueError("bad BMP dimensions/planes")
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h, bottom_up = abs(h_signed), h_signed > 0
+    row_bytes = (w * (bpp // 8) + 3) & ~3
+    if pix_off + row_bytes * h > len(data):
+        raise ValueError("BMP pixel data length mismatch")
+    rows = np.frombuffer(
+        data[pix_off:pix_off + row_bytes * h], np.uint8
+    ).reshape(h, row_bytes)[:, : w * (bpp // 8)]
+    if bottom_up:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRA quads between the DIB header and the pixel array
+        n_colors = _struct.unpack("<I", data[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off:pal_off + 4 * n_colors], np.uint8
+        ).reshape(-1, 4)
+        if len(pal) < n_colors:
+            raise ValueError("BMP palette truncated")
+        return pal[rows][:, :, [2, 1, 0]].copy()  # BGRx quads -> RGB
+    px = rows.reshape(h, w, bpp // 8)
+    order = [2, 1, 0] if bpp == 24 else [2, 1, 0, 3]  # BGR(A) -> RGB(A)
+    return px[:, :, order].copy()
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF-flavor LZW (GIF89a spec, appendix F): variable-width codes
+    packed LSB-first, clear/EOI codes, dictionary capped at 12 bits."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width, next_code = mcs + 1, eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width, next_code, prev = mcs + 1, eoi + 1, None
+                continue
+            if code == eoi:
+                if len(out) < n_pixels:
+                    raise ValueError("GIF LZW stream ended early")
+                return out[:n_pixels]
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwK special case
+            else:
+                raise ValueError(f"bad GIF LZW code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    raise ValueError("GIF LZW stream ended without enough pixels")
+
+
+def decode_gif(data: bytes):
+    """REAL GIF pixel decode — pure Python LZW + numpy, no codec library.
+
+    Returns the FIRST frame as ``(height, width, 3)`` uint8 RGB (animated
+    GIFs: later frames and disposal/composition are out of scope; GIF89a
+    transparency is ignored — the transparent index renders as its palette
+    color). Supports global and local color tables and interlaced row
+    order. Malformed streams raise ``ValueError``.
+    """
+    import struct as _struct
+
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+        if len(gct) < n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("GIF truncated in sub-blocks")
+            size = data[p]
+            p += 1 + size
+            if size == 0:
+                return p
+
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label byte then sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("GIF image descriptor truncated")
+            _x, _y, w, h = _struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
+                if len(table) < n:
+                    raise ValueError("GIF local color table truncated")
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            if w == 0 or h == 0:
+                raise ValueError("GIF zero-sized image")
+            if pos >= len(data):
+                raise ValueError("GIF truncated before image data")
+            mcs = data[pos]
+            if not 2 <= mcs <= 8:
+                raise ValueError(f"bad GIF LZW min code size {mcs}")
+            pos += 1
+            lzw = bytearray()
+            while True:
+                if pos >= len(data):
+                    raise ValueError("GIF truncated in image data")
+                size = data[pos]
+                pos += 1
+                if size == 0:
+                    break
+                if pos + size > len(data):
+                    raise ValueError("GIF truncated in image data")
+                lzw += data[pos:pos + size]
+                pos += size
+            idx = _gif_lzw_decode(mcs, bytes(lzw), w * h)
+            arr = np.array(idx, np.uint16).reshape(h, w)
+            if int(arr.max()) >= len(table):
+                raise ValueError("GIF pixel index outside color table")
+            img = table[arr]
+            if iflags & 0x40:  # interlaced: pass order 0,4.. 2,6.. 1,3.. ..
+                deint = np.empty_like(img)
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                deint[order] = img
+                img = deint
+            return img
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF truncated before trailer")
+
+
 def decode_image(payload: bytes):
     """Pixel decode for recognized containers: a real ``(h, w, c)`` uint8
-    array for PNGs, ``None`` for everything else (callers fall back to
-    their marked deterministic fakes or a supplied ``decode_fn``)."""
+    array for PNG / uncompressed BMP / GIF first frames, ``None`` for
+    everything else (callers fall back to their marked deterministic fakes
+    or a supplied ``decode_fn``). JPEG stays undecoded — its entropy coder
+    is the one piece that genuinely wants a codec library."""
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if len(payload) >= 54 and payload[:2] == b"BM" \
+            and payload[14] in (40, 108, 124):
+        return decode_bmp(payload)
     return None
 
 
@@ -337,8 +534,14 @@ def _to_gray(img):
 
 def _default_resize(payload: bytes, width: int, height: int) -> bytes:
     """Resize seam default: REAL decode + grayscale + nearest-neighbor
-    resample for PNG payloads; the marked fake for other containers."""
-    img = decode_image(payload)
+    resample for PNG/GIF/BMP payloads; the marked fake for other
+    containers AND for corrupt-but-recognized ones — on a 100 TB dirty
+    corpus one truncated blob must not kill the stage (use ``decode_png``
+    etc. directly when you want the error)."""
+    try:
+        img = decode_image(payload)
+    except ValueError:
+        img = None
     if img is None:
         return _fake_resize(payload, width, height)
     import numpy as np

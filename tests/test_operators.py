@@ -843,3 +843,219 @@ def test_resize_images_real_png_path(spark):
              for r in multimodal.resize_images(
                  df.repartition(5), width=3, height=2).collect()}
     assert out == again
+
+
+# --- real GIF / BMP pixel decode ---------------------------------------------
+
+def _gif_lzw_encode(mcs: int, indices) -> bytes:
+    """Independent spec-following GIF LZW COMPRESSOR (mirrors the giflib
+    egif emitter: variable-width codes LSB-first, width bumped AFTER
+    emitting when the pre-insert free code reaches 2^width, dictionary
+    capped at 4096) — so decode_gif is checked against the spec, not
+    against itself."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width, next_code = mcs + 1, eoi + 1
+    table = {(i,): i for i in range(clear)}
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        buf = (int(px),)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _encode_gif(indices_2d, palette: list[tuple], mcs: int = None,
+                interlace: bool = False, local_table: bool = False) -> bytes:
+    """Minimal GIF89a writer for fixtures: one image, optional interlace
+    and local-vs-global color table placement."""
+    import struct
+
+    h, w = len(indices_2d), len(indices_2d[0])
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1  # table holds 2<<field
+    mcs = mcs or max(2, size_field + 1)
+    table_bytes = b"".join(bytes(c) for c in palette)
+    table_bytes += b"\x00" * (3 * (2 << size_field) - len(table_bytes))
+
+    flat = [px for row in indices_2d for px in row]
+    if interlace:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        flat = [px for y in order for px in indices_2d[y]]
+    lzw = _gif_lzw_encode(mcs, flat)
+    sub = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i:i + 255]
+        for i in range(0, len(lzw), 255)
+    ) + b"\x00"
+
+    gct_flag = 0x00 if local_table else (0x80 | size_field)
+    out = (b"GIF89a" + struct.pack("<HH", w, h)
+           + bytes([gct_flag, 0, 0]))
+    if not local_table:
+        out += table_bytes
+    # a GCE extension block, to prove extension skipping works
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    iflags = (0x40 if interlace else 0) | (0x80 | size_field if local_table else 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+    if local_table:
+        out += table_bytes
+    return out + bytes([mcs]) + sub + b"\x3b"
+
+
+def test_decode_gif_roundtrip_exact():
+    """LZW is lossless: a spec-following encoder's output must decode to
+    the exact palette-expanded pixels — including across code-width growth
+    (257 distinct 8-bit indices force 9->10-bit codes)."""
+    import numpy as np
+
+    pal = [((3 * i) % 256, (7 * i) % 256, (11 * i) % 256) for i in range(256)]
+    w, h = 37, 29  # enough pixels to grow the dictionary past 512 entries
+    idx = [[(x * 89 + y * 31) % 256 for x in range(w)] for y in range(h)]
+    img = multimodal.decode_gif(_encode_gif(idx, pal))
+    assert img.shape == (h, w, 3)
+    expect = np.array(pal, np.uint8)[np.array(idx, np.int32)]
+    assert img.tolist() == expect.tolist()
+
+
+def test_decode_gif_interlace_local_table_small_palette():
+    import numpy as np
+
+    pal4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [[(x + y) % 4 for x in range(9)] for y in range(11)]
+    expect = np.array(pal4, np.uint8)[np.array(idx, np.int32)].tolist()
+    for interlace in (False, True):
+        for local in (False, True):
+            img = multimodal.decode_gif(
+                _encode_gif(idx, pal4, interlace=interlace, local_table=local))
+            assert img.tolist() == expect, f"interlace={interlace} local={local}"
+
+
+def test_decode_gif_rejects_malformed():
+    pal4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    good = _encode_gif([[0, 1], [2, 3]], pal4)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_gif(b"JIF89a" + good[6:])
+    with pytest.raises(ValueError, match="no image"):
+        multimodal.decode_gif(good[:13 + 12] + b"\x3b")  # GCT then trailer
+    truncated = good[:len(good) - 6]
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(truncated)
+
+
+def _encode_bmp(pixels_rgb, bpp: int = 24, top_down: bool = False,
+                palette: list[tuple] | None = None) -> bytes:
+    """Minimal BMP writer for fixtures: BITMAPINFOHEADER, BI_RGB,
+    8/24/32-bit, 4-byte-padded rows, bottom-up unless top_down."""
+    import struct
+
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    pal_bytes = b""
+    if bpp == 8:
+        pal_bytes = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    rows = pixels_rgb if top_down else pixels_rgb[::-1]
+    body = bytearray()
+    for row in rows:
+        line = bytearray()
+        for px in row:
+            if bpp == 8:
+                line.append(px)            # already a palette index
+            elif bpp == 24:
+                r, g, b = px
+                line += bytes([b, g, r])
+            else:
+                r, g, b, a = px
+                line += bytes([b, g, r, a])
+        while len(line) % 4:
+            line.append(0)
+        body += line
+    pix_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h), 1,
+                       bpp, 0, len(body), 2835, 2835,
+                       len(palette) if palette else 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    return hdr + info + pal_bytes + bytes(body)
+
+
+def test_decode_bmp_roundtrip_all_depths():
+    rgb = [[((x * 53) % 256, (y * 97) % 256, (x * y) % 256)
+            for x in range(5)] for y in range(3)]   # odd width -> row padding
+    for top_down in (False, True):
+        img = multimodal.decode_bmp(_encode_bmp(rgb, 24, top_down))
+        assert img.shape == (3, 5, 3)
+        assert [[tuple(px) for px in row] for row in img.tolist()] == rgb
+
+    rgba = [[(10 * x, 20 * y, x + y, 255 - x) for x in range(4)]
+            for y in range(2)]
+    img = multimodal.decode_bmp(_encode_bmp(rgba, 32))
+    assert img.shape == (2, 4, 4)
+    assert [[tuple(px) for px in row] for row in img.tolist()] == rgba
+
+    pal = [(i, 255 - i, (2 * i) % 256) for i in range(256)]
+    idx = [[(x * 41 + y * 7) % 256 for x in range(6)] for y in range(4)]
+    img = multimodal.decode_bmp(_encode_bmp(idx, 8, palette=pal))
+    assert img.shape == (4, 6, 3)
+    assert [[tuple(px) for px in row] for row in img.tolist()] == [
+        [pal[i] for i in row] for row in idx]
+
+
+def test_decode_bmp_rejects_unsupported():
+    rgb = [[(1, 2, 3)]]
+    good = _encode_bmp(rgb, 24)
+    with pytest.raises(ValueError, match="signature|truncated"):
+        multimodal.decode_bmp(b"XX" + good[2:])
+    import struct
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="compressed"):
+        multimodal.decode_bmp(bytes(rle))
+    deep = bytearray(good)
+    deep[28:30] = struct.pack("<H", 16)
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_bmp(bytes(deep))
+
+
+def test_decode_image_dispatch_and_resize_gif_bmp(spark):
+    """decode_image routes GIF/BMP to the real decoders, and the resize
+    seam uses real pixels for them: a solid-color GIF/BMP resizes to a
+    constant gray buffer. A corrupt-but-recognized container falls back to
+    the fake instead of killing the stage."""
+    pal = [(200, 200, 200), (0, 0, 0)]
+    gif = _encode_gif([[0] * 8 for _ in range(6)], pal)
+    bmp = _encode_bmp([[(64, 64, 64)] * 7 for _ in range(5)], 24)
+    assert multimodal.decode_image(gif).shape == (6, 8, 3)
+    assert multimodal.decode_image(bmp).shape == (5, 7, 3)
+
+    corrupt = bmp[:40]  # recognized signature, truncated body
+    df = spark.createDataFrame(
+        [(1, gif), (2, bmp), (3, corrupt)], "key bigint, payload binary")
+    out = {r.key: bytes(r.pixels)
+           for r in multimodal.resize_images(df, width=2, height=2).collect()}
+    assert out[1] == bytes([200] * 4)   # real GIF pixels (gray of 200,200,200)
+    assert out[2] == bytes([64] * 4)    # real BMP pixels
+    assert len(out[3]) == 4             # fake fallback, stage survived

@@ -1,0 +1,189 @@
+"""Audio operator tests: WAV decode roundtrips against struct-built
+fixtures (independent of the decoder), FLAC/MP3 header parses against
+hand-packed spec fields, feature values against a numpy reference."""
+
+import hashlib
+import math
+import struct
+
+import pytest
+
+from datafusion_substrait_spark.operators import audio
+
+
+def _wav(body: bytes, fmt_tag: int, channels: int, rate: int, bits: int,
+         extra_chunk: bytes = b"", data_size: int | None = None) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    chunks = extra_chunk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack(
+        "<I", len(body) if data_size is None else data_size) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _pcm16(vals):
+    return struct.pack(f"<{len(vals)}h", *vals)
+
+
+def test_wav_header_and_pcm16_roundtrip():
+    vals = [0, 1000, -1000, 32767, -32768, 12345]
+    wav = _wav(_pcm16(vals), 1, 2, 44100, 16)
+    assert audio.parse_audio_header(wav) == ("wav", 2, 44100, 16, 3)
+    samples, rate = audio.decode_wav(wav)
+    assert rate == 44100 and samples.shape == (3, 2)
+    flat = [v for fr in samples.tolist() for v in fr]
+    assert flat == pytest.approx([v / 32768.0 for v in vals], abs=1e-7)
+
+
+def test_wav_all_supported_encodings():
+    # 8-bit unsigned
+    wav8 = _wav(bytes([0, 128, 255, 64]), 1, 1, 8000, 8)
+    s, _ = audio.decode_wav(wav8)
+    assert s[:, 0].tolist() == pytest.approx(
+        [-1.0, 0.0, 127 / 128, -0.5], abs=1e-7)
+    # 24-bit signed little-endian
+    def i24(v):
+        return (v & 0xFFFFFF).to_bytes(3, "little")
+    vals24 = [0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)]
+    wav24 = _wav(b"".join(i24(v) for v in vals24), 1, 1, 16000, 24)
+    s, _ = audio.decode_wav(wav24)
+    assert s[:, 0].tolist() == pytest.approx(
+        [v / (1 << 23) for v in vals24], abs=1e-7)
+    # 32-bit signed + float32 + float64
+    vals32 = [0, 1 << 30, -(1 << 30)]
+    wav32 = _wav(struct.pack("<3i", *vals32), 1, 1, 16000, 32)
+    s, _ = audio.decode_wav(wav32)
+    assert s[:, 0].tolist() == pytest.approx([0.0, 0.5, -0.5], abs=1e-7)
+    for bits, pack in ((32, "<3f"), (64, "<3d")):
+        wavf = _wav(struct.pack(pack, 0.25, -0.75, 1.0), 3, 1, 48000, bits)
+        s, _ = audio.decode_wav(wavf)
+        assert s[:, 0].tolist() == pytest.approx([0.25, -0.75, 1.0], abs=1e-6)
+
+
+def test_wav_chunk_walking_and_clamped_data_size():
+    # an odd-sized LIST chunk (word-aligned) before fmt/data must be skipped
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = _pcm16([100, -100, 200, -200])
+    wav = _wav(body, 1, 1, 22050, 16, extra_chunk=extra)
+    assert audio.parse_audio_header(wav) == ("wav", 1, 22050, 16, 4)
+    s, rate = audio.decode_wav(wav)
+    assert rate == 22050 and s.shape == (4, 1)
+    # streaming writers leave data size 0xFFFFFFFF: clamp to actual bytes
+    wav_stream = _wav(body, 1, 1, 22050, 16, data_size=0xFFFFFFFF)
+    assert audio.parse_audio_header(wav_stream) == ("wav", 1, 22050, 16, 4)
+    s2, _ = audio.decode_wav(wav_stream)
+    assert s2.tolist() == s.tolist()
+
+
+def test_wav_rejects_unsupported():
+    adpcm = _wav(b"\x00" * 8, 2, 1, 8000, 4)  # format tag 2 = MS ADPCM
+    # sub-byte bit depth: frame count is codec-specific, reported as 0
+    assert audio.parse_audio_header(adpcm) == ("wav", 1, 8000, 4, 0)
+    with pytest.raises(ValueError, match="codec"):
+        audio.decode_wav(adpcm)
+    with pytest.raises(ValueError, match="signature"):
+        audio.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError, match="fmt or data"):
+        audio.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_flac_streaminfo_parse():
+    # STREAMINFO: rate=44100, channels=2, bits=16, total=123456 packed as
+    # 20|3|5|36 bits at byte offset 18 of the file
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 123456
+    flac = (b"fLaC" + bytes([0x00, 0, 0, 34])
+            + b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16)
+    assert audio.parse_audio_header(flac) == ("flac", 2, 44100, 16, 123456)
+    # a first block that is not STREAMINFO is rejected
+    bad = b"fLaC" + bytes([0x04, 0, 0, 34]) + flac[8:]
+    assert audio.parse_audio_header(bad) is None
+
+
+def test_mp3_frame_header_parse_and_id3_skip():
+    # 0xFF 0xFB: MPEG1 Layer III; 0x90: bitrate idx 9 (128k), 44100 Hz;
+    # 0xC0: mono
+    frame = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * 64
+    assert audio.parse_audio_header(frame) == ("mp3", 1, 44100, -1, -1)
+    # joint stereo, MPEG2 (version bits 10 -> 0xF3), 24000 Hz idx 1, 64k idx 8
+    frame2 = bytes([0xFF, 0xF3, 0x84, 0x40]) + b"\x00" * 64
+    assert audio.parse_audio_header(frame2) == ("mp3", 2, 24000, -1, -1)
+    # ID3v2 tag (syncsafe size 0x7F = 127 bytes) then the frame
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x7f" + b"\x00" * 127 + frame
+    assert audio.parse_audio_header(id3) == ("mp3", 1, 44100, -1, -1)
+    # plain text never parses as audio
+    assert audio.parse_audio_header(b"hello world, not audio at all") is None
+
+
+def _sine_fixture():
+    import numpy as np
+
+    t = np.arange(2048)
+    sine = (np.sin(2 * math.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    wav = _wav(sine.tobytes(), 1, 1, 16000, 16)
+    samples, _ = audio.decode_wav(wav)
+    mono = samples[:, 0]
+    frame, hop = 512, 256
+    # reference framing computed independently of audio_features
+    expect = []
+    for i in range((len(mono) - frame) // hop + 1):
+        win = mono[i * hop:i * hop + frame]
+        expect.append((
+            float(np.sqrt(np.mean(win ** 2))),
+            float(np.mean(np.signbit(win[1:]) != np.signbit(win[:-1]))),
+        ))
+    return wav, frame, hop, expect
+
+
+def test_audio_features_match_physics():
+    # a 440 Hz sine at 16 kHz: rms ~ 20000/32768/sqrt(2), zcr ~ 2*440/16000
+    _wav_b, _f, _h, expect = _sine_fixture()
+    assert expect[0][0] == pytest.approx(20000 / 32768 / math.sqrt(2), rel=0.01)
+    assert expect[0][1] == pytest.approx(2 * 440 / 16000, rel=0.05)
+
+
+def test_audio_features_spark_path(spark):
+    wav, frame, hop, expect = _sine_fixture()
+    corrupt = wav[:40]  # recognized RIFF/WAVE, truncated chunks
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"just some text payload"), (3, corrupt)],
+        "key bigint, payload binary")
+    out = audio.audio_features(df, frame=frame, hop=hop)
+    rows = {(r.key, r.frame_idx): (r.rms, r.zcr) for r in out.collect()}
+    for i, (rms, zcr) in enumerate(expect):
+        assert rows[(1, i)][0] == pytest.approx(rms, abs=1e-9)
+        assert rows[(1, i)][1] == pytest.approx(zcr, abs=1e-9)
+    # fake-PCM payloads produce the deterministic fallback frames
+    n_fake = (4096 - frame) // hop + 1
+    assert sum(1 for (k, _i) in rows if k == 2) == n_fake
+    assert sum(1 for (k, _i) in rows if k == 3) == n_fake
+    # partitioning-independent
+    again = {(r.key, r.frame_idx): (r.rms, r.zcr)
+             for r in audio.audio_features(
+                 df.repartition(5), frame=frame, hop=hop).collect()}
+    assert rows == again
+
+
+def test_extract_audio_metadata_spark_path(spark):
+    packed = (22050 << 44) | ((1 - 1) << 41) | ((24 - 1) << 36) | 44100
+    flac = (b"fLaC" + bytes([0x80, 0, 0, 34])  # last-block flag set is fine
+            + b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16)
+    sine = _pcm16([0, 100, -100, 200] * 100)
+    wav = _wav(sine, 1, 2, 8000, 16)
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * 1600  # 128 kbps CBR
+    df = spark.createDataFrame(
+        [(1, wav), (2, flac), (3, mp3), (4, b"not audio")],
+        "key bigint, payload binary")
+    meta = {r.key: r.asDict() for r in audio.extract_audio_metadata(df).collect()}
+    assert (meta[1]["format"], meta[1]["channels"], meta[1]["sample_rate"],
+            meta[1]["bits_per_sample"], meta[1]["n_samples"]) \
+        == ("wav", 2, 8000, 16, 200)
+    assert meta[1]["est_duration_s"] == pytest.approx(200 / 8000)
+    assert (meta[2]["format"], meta[2]["sample_rate"], meta[2]["n_samples"]) \
+        == ("flac", 22050, 44100)
+    assert meta[3]["format"] == "mp3" and meta[3]["n_samples"] == -1
+    # CBR duration estimate: bytes*8/bitrate
+    assert meta[3]["est_duration_s"] == pytest.approx(
+        len(mp3) * 8 / 128000, rel=1e-6)
+    # unrecognized payloads carry the marked deterministic fake + real hash
+    assert meta[4]["payload_sha256"] == hashlib.sha256(b"not audio").hexdigest()
+    assert meta[4]["format"] in ("mp3", "wav", "flac")

@@ -505,10 +505,12 @@ def decode_gif(data: bytes):
 
 def decode_image(payload: bytes):
     """Pixel decode for recognized containers: a real ``(h, w, c)`` uint8
-    array for PNG / uncompressed BMP / GIF first frames, ``None`` for
-    everything else (callers fall back to their marked deterministic fakes
-    or a supplied ``decode_fn``). JPEG stays undecoded — its entropy coder
-    is the one piece that genuinely wants a codec library."""
+    array for PNG / uncompressed BMP / GIF first frames / baseline JPEG,
+    ``None`` for everything else (callers fall back to their marked
+    deterministic fakes or a supplied ``decode_fn``). The pure-Python
+    JPEG path is correctness-grade, not throughput-grade — supply a
+    library ``decode_fn`` for bulk 100 TB pixel work (see
+    ``jpeg.decode_jpeg``'s performance note)."""
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -516,6 +518,9 @@ def decode_image(payload: bytes):
     if len(payload) >= 54 and payload[:2] == b"BM" \
             and payload[14] in (40, 108, 124):
         return decode_bmp(payload)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        from datafusion_substrait_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     return None
 
 

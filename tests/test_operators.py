@@ -791,9 +791,12 @@ def test_decode_png_palette_and_fixture():
     img = multimodal.decode_png(_png_bytes(4, 3))
     assert img.shape == (3, 4, 4)
     assert img.reshape(-1, 4).tolist() == [[0, 0, 0, 255]] * 12
-    # decode_image dispatch: PNG → array, others → None
+    # decode_image dispatch: PNG → array; a recognized-but-scanless JPEG
+    # header fixture raises (real decoder), arbitrary bytes → None
     assert multimodal.decode_image(_png_bytes(2, 2)) is not None
-    assert multimodal.decode_image(_jpeg_bytes(4, 4)) is None
+    with pytest.raises(ValueError):
+        multimodal.decode_image(_jpeg_bytes(4, 4))
+    assert multimodal.decode_image(b"not an image at all") is None
 
 
 def test_decode_png_rejects_malformed():

@@ -112,6 +112,130 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("payload_sha256", T.StringType()),
+])
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in a range;
+    size==1 means a 64-bit largesize follows the type."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield tag, body, pos + size
+        pos += size
+
+
+def parse_video_header(data: bytes):
+    """(format, width, height, duration_s, n_frames) from container
+    headers — real parsing, no codec library. MP4/MOV (ISO BMFF: mvhd
+    timescale+duration, tkhd dimensions as 16.16 fixed-point) and AVI
+    (RIFF avih: frame period, frame count, dimensions). ``n_frames`` is
+    -1 when the container header does not carry it (MP4 stores it in
+    per-track sample tables). Returns None for anything else."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        w = h = 0
+        dur = 0.0
+        for tag, b0, b1 in _mp4_boxes(data, 0, len(data)):
+            if tag != b"moov":
+                continue
+            for t2, c0, c1 in _mp4_boxes(data, b0, b1):
+                if t2 == b"mvhd" and c1 - c0 >= 20:
+                    ver = data[c0]
+                    if ver == 1 and c1 - c0 >= 28:
+                        scale = struct.unpack(">I", data[c0 + 20:c0 + 24])[0]
+                        d = struct.unpack(">Q", data[c0 + 24:c0 + 32])[0]
+                    else:
+                        scale = struct.unpack(">I", data[c0 + 12:c0 + 16])[0]
+                        d = struct.unpack(">I", data[c0 + 16:c0 + 20])[0]
+                    if scale:
+                        dur = d / scale
+                elif t2 == b"trak":
+                    for t3, d0, d1 in _mp4_boxes(data, c0, c1):
+                        if t3 != b"tkhd":
+                            continue
+                        ver = data[d0]
+                        off = d0 + (96 if ver == 1 else 84)
+                        if off + 8 <= d1:
+                            tw, th = struct.unpack(
+                                ">II", data[off:off + 8])
+                            # 16.16 fixed point; audio tracks carry 0x0
+                            w = max(w, tw >> 16)
+                            h = max(h, th >> 16)
+            return ("mp4", w, h, dur, -1)
+        return None
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            if tag == b"LIST" and data[pos + 8:pos + 12] == b"hdrl":
+                inner = pos + 12
+                if data[inner:inner + 4] == b"avih" \
+                        and inner + 48 <= len(data):
+                    a = inner + 8
+                    usec_pf = struct.unpack("<I", data[a:a + 4])[0]
+                    frames = struct.unpack("<I", data[a + 16:a + 20])[0]
+                    w, h = struct.unpack("<II", data[a + 32:a + 40])
+                    dur = frames * usec_pf / 1e6 if usec_pf else 0.0
+                    return ("avi", w, h, dur, frames)
+                return None
+            pos += 8 + size + (size & 1)
+        return None
+    return None
+
+
+def _fake_video_meta(payload: bytes):
+    """DETERMINISTIC FAKE video metadata for unrecognized payloads (same
+    contract as the image/audio fakes)."""
+    h = hashlib.sha256(payload).digest()
+    fmt = ("mp4", "avi", "webm")[h[0] % 3]
+    return fmt, 320 + h[1] * 8, 240 + h[2] * 8, 1.0 + h[3] / 16.0, -1
+
+
+def extract_video_metadata(df: DataFrame, payload_col: str = "payload",
+                           key_col: str = "key") -> DataFrame:
+    """Arrow-batched video metadata: REAL for MP4/MOV and AVI container
+    headers, marked fake otherwise. Frame extraction stays behind the
+    ``sample_frames`` seam (real decode needs a codec library). Narrow
+    map, no shuffle."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = _payload_bytes(payload)
+                parsed = parse_video_header(data) or _fake_video_meta(data)
+                fmt, w, h, dur, n = parsed
+                rows.append((int(key), len(data), fmt, int(w), int(h),
+                             float(dur), int(n),
+                             hashlib.sha256(data).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_META_SCHEMA])
+
+    return df.mapInPandas(extract, VIDEO_META_SCHEMA)
+
+
 def _payload_bytes(p) -> bytes:
     """NULL-safe payload access: a real corpus has missing blobs, and
     bytes(None) would crash the whole Python worker stage — a null payload

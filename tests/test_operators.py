@@ -1062,3 +1062,79 @@ def test_decode_image_dispatch_and_resize_gif_bmp(spark):
     assert out[1] == bytes([200] * 4)   # real GIF pixels (gray of 200,200,200)
     assert out[2] == bytes([64] * 4)    # real BMP pixels
     assert len(out[3]) == 4             # fake fallback, stage survived
+
+
+# --- real MP4 / AVI video metadata -------------------------------------------
+
+def _mp4_fixture(w=640, h=360, timescale=1000, duration=2500,
+                 version=0) -> bytes:
+    import struct as s
+
+    def box(tag, body):
+        return s.pack(">I", 8 + len(body)) + tag + body
+
+    if version:
+        mvhd = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                + s.pack(">IQ", timescale, duration) + b"\x00" * 80)
+        tkhd = (bytes([1, 0, 0, 0]) + b"\x00" * 92
+                + s.pack(">II", w << 16, h << 16))
+    else:
+        mvhd = (bytes([0, 0, 0, 0]) + b"\x00" * 8
+                + s.pack(">II", timescale, duration) + b"\x00" * 80)
+        tkhd = (bytes([0, 0, 0, 0]) + b"\x00" * 80
+                + s.pack(">II", w << 16, h << 16))
+    # an audio-ish trak with 0x0 dims must not win the max()
+    tkhd_audio = bytes([0, 0, 0, 0]) + b"\x00" * 80 + s.pack(">II", 0, 0)
+    moov = box(b"moov", box(b"mvhd", mvhd)
+               + box(b"trak", box(b"tkhd", tkhd_audio))
+               + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def _avi_fixture(w=320, h=240, usec_pf=33333, frames=90) -> bytes:
+    import struct as s
+
+    avih = (s.pack("<I", usec_pf) + b"\x00" * 12 + s.pack("<I", frames)
+            + b"\x00" * 12 + s.pack("<II", w, h) + b"\x00" * 16)
+    hdrl = b"hdrl" + b"avih" + s.pack("<I", len(avih)) + avih
+    riff_body = b"AVI " + b"LIST" + s.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + s.pack("<I", len(riff_body)) + riff_body
+
+
+def test_parse_video_header_mp4_and_avi():
+    for ver in (0, 1):
+        got = multimodal.parse_video_header(
+            _mp4_fixture(640, 360, 1000, 2500, version=ver))
+        assert got == ("mp4", 640, 360, 2.5, -1), (ver, got)
+    got = multimodal.parse_video_header(_avi_fixture(320, 240, 33333, 90))
+    assert got == ("avi", 320, 240, 90 * 33333 / 1e6, 90)
+    assert multimodal.parse_video_header(b"random text bytes here") is None
+    # a 64-bit largesize box header walks correctly
+    import struct as s
+    big = (s.pack(">I", 1) + b"ftyp" + s.pack(">Q", 24) + b"isomabcd"
+           + _mp4_fixture()[24:])
+    got = multimodal.parse_video_header(big)
+    assert got is not None and got[0] == "mp4"
+
+
+def test_extract_video_metadata_spark_path(spark):
+    import hashlib
+
+    mp4 = _mp4_fixture()
+    avi = _avi_fixture()
+    df = spark.createDataFrame(
+        [(1, mp4), (2, avi), (3, b"not a video")],
+        "key bigint, payload binary")
+    meta = {r.key: r.asDict()
+            for r in multimodal.extract_video_metadata(df).collect()}
+    assert (meta[1]["format"], meta[1]["width"], meta[1]["height"],
+            meta[1]["duration_s"], meta[1]["n_frames"]) \
+        == ("mp4", 640, 360, 2.5, -1)
+    assert (meta[2]["format"], meta[2]["n_frames"]) == ("avi", 90)
+    assert meta[3]["payload_sha256"] == hashlib.sha256(b"not a video").hexdigest()
+    assert meta[3]["format"] in ("mp4", "avi", "webm")  # marked fake
+    # determinism across partitionings
+    again = {r.key: r.asDict()
+             for r in multimodal.extract_video_metadata(
+                 df.repartition(5)).collect()}
+    assert meta == again

@@ -74,18 +74,28 @@ def parse_audio_header(data: bytes):
     container headers — real parsing, no codec library. ``n_samples`` is
     per-channel frames; -1 when the container does not store it (MP3).
     Returns None for anything that is not a recognized audio container."""
+    full = _parse_audio_full(data)
+    return None if full is None else full[:5]
+
+
+def _parse_audio_full(data: bytes):
+    """parse_audio_header plus a trailing kbps field (MP3 only, else
+    None) so callers that need the bitrate don't rescan the payload."""
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         meta = _parse_wav_chunks(data)
         if meta is None:
             return None
         fmt_tag, channels, rate, bits, data_len = meta
         block = channels * (bits // 8)
-        return ("wav", channels, rate, bits, data_len // block if block else 0)
-    if len(data) >= 22 and data[:4] == b"fLaC":
+        return ("wav", channels, rate, bits,
+                data_len // block if block else 0, None)
+    if len(data) >= 26 and data[:4] == b"fLaC":
         # STREAMINFO is the mandatory first metadata block: header byte
         # (type 0), 3-byte length, then min/max blocksize (4B), min/max
         # framesize (6B), and a 64-bit packed field at offset 18:
         # 20b sample rate | 3b channels-1 | 5b bits-1 | 36b total samples
+        # (>= 26 so the full packed field exists — a shorter slice would
+        # silently parse shifted garbage)
         if data[4] & 0x7F != 0:
             return None
         packed = int.from_bytes(data[18:26], "big")
@@ -95,11 +105,11 @@ def parse_audio_header(data: bytes):
         n_samples = packed & ((1 << 36) - 1)
         if rate == 0:
             return None
-        return ("flac", channels, rate, bits, n_samples)
+        return ("flac", channels, rate, bits, n_samples, None)
     sync = _find_mp3_frame(data)
     if sync is not None:
-        _bitrate, rate, channels = sync
-        return ("mp3", channels, rate, -1, -1)
+        kbps, rate, channels = sync
+        return ("mp3", channels, rate, -1, -1, kbps)
     return None
 
 
@@ -272,16 +282,18 @@ def extract_audio_metadata(df: DataFrame, payload_col: str = "payload",
             rows = []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 data = b"" if payload is None else bytes(payload)
-                parsed = parse_audio_header(data)
+                parsed = _parse_audio_full(data)
                 if parsed is None:
                     fmt, ch, rate, bits, n = _fake_audio_meta(data)
+                    kbps = None
                 else:
-                    fmt, ch, rate, bits, n = parsed
+                    fmt, ch, rate, bits, n, kbps = parsed
                 if n >= 0:
                     dur = n / rate
-                elif fmt == "mp3":
-                    sync = _find_mp3_frame(data)
-                    dur = len(data) * 8.0 / (sync[0] * 1000.0) if sync else 0.0
+                elif kbps:
+                    # CBR estimate; approximate for VBR (field is named
+                    # est_duration_s for exactly this reason)
+                    dur = len(data) * 8.0 / (kbps * 1000.0)
                 else:
                     dur = 0.0
                 rows.append((int(key), len(data), fmt, ch, rate, bits, n,

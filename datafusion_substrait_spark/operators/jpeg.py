@@ -130,7 +130,17 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(data: bytes):
     """Decode a baseline JPEG to a ``(height, width, channels)`` uint8
     array (channels 1 for grayscale, 3 for RGB via JFIF full-range
-    BT.601). Raises ``ValueError`` on non-baseline or malformed input."""
+    BT.601). Raises ``ValueError`` on non-baseline or malformed input —
+    including truncated segments and dangling table references, which
+    would otherwise surface as struct.error/KeyError/IndexError and
+    escape the ValueError-only stage-survival catch at the resize seam."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes):
     import numpy as np
 
     if len(data) < 4 or data[0:2] != b"\xff\xd8":

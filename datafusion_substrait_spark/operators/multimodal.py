@@ -174,7 +174,10 @@ def parse_video_header(data: bytes):
                         if t3 != b"tkhd":
                             continue
                         ver = data[d0]
-                        off = d0 + (96 if ver == 1 else 84)
+                        # v0 body: 4 ver/flags + 4+4 times + 4 id + 4 rsvd
+                        # + 4 duration + 8 rsvd + 2+2+2+2 + 36 matrix = 76
+                        # to width; v1 widens the three times to 64-bit
+                        off = d0 + (88 if ver == 1 else 76)
                         if off + 8 <= d1:
                             tw, th = struct.unpack(
                                 ">II", data[off:off + 8])
@@ -372,6 +375,8 @@ def decode_png(data: bytes):
         if zlib.crc32(tag + body) != _struct.unpack(">I", crc)[0]:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"PNG IHDR length {len(body)} != 13")
             ihdr = _struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = body
@@ -391,7 +396,12 @@ def decode_png(data: bytes):
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     except KeyError:
         raise ValueError(f"unknown PNG color type {ctype}") from None
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # not ValueError by default — must be, so a corrupt deflate
+        # stream degrades at the resize seam instead of killing the stage
+        raise ValueError(f"PNG IDAT deflate stream corrupt: {exc}") from exc
     stride = w * channels
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
@@ -433,8 +443,12 @@ def decode_png(data: bytes):
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        img = pal[img[:, :, 0]]
+        pal = np.frombuffer(plte[: len(plte) - len(plte) % 3],
+                            np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if len(pal) == 0 or int(idx.max()) >= len(pal):
+            raise ValueError("PNG pixel index outside PLTE palette")
+        img = pal[idx]
     return img
 
 
@@ -486,6 +500,8 @@ def decode_bmp(data: bytes):
         ).reshape(-1, 4)
         if len(pal) < n_colors:
             raise ValueError("BMP palette truncated")
+        if int(rows.max()) >= len(pal):
+            raise ValueError("BMP pixel index outside palette")
         return pal[rows][:, :, [2, 1, 0]].copy()  # BGRx quads -> RGB
     px = rows.reshape(h, w, bpp // 8)
     order = [2, 1, 0] if bpp == 24 else [2, 1, 0, 3]  # BGR(A) -> RGB(A)

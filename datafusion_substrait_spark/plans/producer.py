@@ -530,7 +530,10 @@ class _Producer:
             # translate-or-error contract: a partition key absent from the
             # child ordinal space must surface as SubstraitError, not a
             # bare ValueError (mirrors rex()'s AttributeReference handling)
-            missing = [str(e) for e in exprs if e.exprId().id() not in cids]
+            # .toString() — str(e) on a py4j JavaObject is 'JavaObject
+            # id=oNNN', which names no column
+            missing = [e.toString() for e in exprs
+                       if e.exprId().id() not in cids]
             raise SubstraitError(
                 f"repartition key(s) {missing} not found in child output"
             ) from None

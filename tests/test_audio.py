@@ -187,3 +187,14 @@ def test_extract_audio_metadata_spark_path(spark):
     # unrecognized payloads carry the marked deterministic fake + real hash
     assert meta[4]["payload_sha256"] == hashlib.sha256(b"not audio").hexdigest()
     assert meta[4]["format"] in ("mp3", "wav", "flac")
+
+
+def test_truncated_flac_routes_to_fake_not_garbage():
+    """A FLAC cut inside the 64-bit STREAMINFO packed field (bytes 18-26)
+    must parse as 'not audio' (fake fallback), not as shifted garbage."""
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 123456
+    flac = (b"fLaC" + bytes([0x00, 0, 0, 34])
+            + b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16)
+    assert audio.parse_audio_header(flac) == ("flac", 2, 44100, 16, 123456)
+    for cut in (22, 23, 24, 25):
+        assert audio.parse_audio_header(flac[:cut]) is None, cut

@@ -354,3 +354,21 @@ def test_decode_image_dispatch_jpeg():
     out = multimodal.decode_image(_encode_jpeg(img, q_val=16))
     assert out is not None and out.shape == (8, 8, 3)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_malformed_jpeg_always_raises_valueerror():
+    """Internal struct/KeyError/IndexError must surface as ValueError so
+    the resize seam's stage-survival catch sees them."""
+    cases = [
+        b"\xff\xd8\xff\xdb\x00\x04\x10\x00",  # truncated 16-bit DQT
+        # SOF+SOS referencing tables that were never defined
+        b"\xff\xd8" + b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" + b"\x00" * 8,
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError):
+            J.decode_jpeg(payload)
+    # and the resize seam survives them (fake fallback, no crash)
+    from datafusion_substrait_spark.operators.multimodal import _default_resize
+    for payload in cases:
+        assert len(_default_resize(payload, 2, 2)) == 4

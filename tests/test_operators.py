@@ -1073,18 +1073,23 @@ def _mp4_fixture(w=640, h=360, timescale=1000, duration=2500,
     def box(tag, body):
         return s.pack(">I", 8 + len(body)) + tag + body
 
+    # ISO 14496-12 layouts: v0 tkhd body is exactly 84 bytes with
+    # width/height in the final 8 (offset 76); v1 widens the three
+    # timestamps (+12). mvhd: timescale@12/duration@16 (v0), @20/@24 (v1).
     if version:
         mvhd = (bytes([1, 0, 0, 0]) + b"\x00" * 16
                 + s.pack(">IQ", timescale, duration) + b"\x00" * 80)
-        tkhd = (bytes([1, 0, 0, 0]) + b"\x00" * 92
+        tkhd = (bytes([1, 0, 0, 0]) + b"\x00" * 84
                 + s.pack(">II", w << 16, h << 16))
+        assert len(tkhd) == 96
     else:
         mvhd = (bytes([0, 0, 0, 0]) + b"\x00" * 8
                 + s.pack(">II", timescale, duration) + b"\x00" * 80)
-        tkhd = (bytes([0, 0, 0, 0]) + b"\x00" * 80
+        tkhd = (bytes([0, 0, 0, 0]) + b"\x00" * 72
                 + s.pack(">II", w << 16, h << 16))
+        assert len(tkhd) == 84
     # an audio-ish trak with 0x0 dims must not win the max()
-    tkhd_audio = bytes([0, 0, 0, 0]) + b"\x00" * 80 + s.pack(">II", 0, 0)
+    tkhd_audio = bytes([0, 0, 0, 0]) + b"\x00" * 72 + s.pack(">II", 0, 0)
     moov = box(b"moov", box(b"mvhd", mvhd)
                + box(b"trak", box(b"tkhd", tkhd_audio))
                + box(b"trak", box(b"tkhd", tkhd)))
@@ -1138,3 +1143,44 @@ def test_extract_video_metadata_spark_path(spark):
              for r in multimodal.extract_video_metadata(
                  df.repartition(5)).collect()}
     assert meta == again
+
+
+def test_corrupt_containers_degrade_not_crash():
+    """Review findings: zlib.error / IndexError escapes from the decoders
+    must be ValueError so the resize seam's fallback catches them."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # PNG with valid CRCs but a corrupt deflate stream
+    bad_idat = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", b"\x99not-deflate")
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="deflate"):
+        multimodal.decode_png(bad_idat)
+    # palette PNG whose pixel index exceeds the PLTE entries
+    pal1 = bytes([255, 0, 0])
+    rows = [[0, 5], [0, 0]]
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(_encode_png(rows, 3, [0, 0], palette=pal1))
+    # IHDR of the wrong length but a valid CRC
+    bad_ihdr = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", b"\x00" * 10)
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.decode_png(bad_ihdr)
+    # 8-bit BMP whose pixel index exceeds biClrUsed
+    bmp = bytearray(_encode_bmp([[0, 0], [0, 0]], 8,
+                                palette=[(1, 2, 3), (4, 5, 6)]))
+    bmp[30 + 16:30 + 20] = struct.pack("<I", 2)  # biClrUsed = 2
+    pix_off = struct.unpack("<I", bytes(bmp[10:14]))[0]
+    bmp[pix_off] = 200  # out-of-palette index
+    with pytest.raises(ValueError, match="palette"):
+        multimodal.decode_bmp(bytes(bmp))
+    # every one of these survives the resize seam as the fake
+    for payload in (bad_idat, bad_ihdr, bytes(bmp)):
+        assert len(multimodal._default_resize(payload, 2, 2)) == 4

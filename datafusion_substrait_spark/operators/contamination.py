@@ -74,6 +74,94 @@ def ngram_overlap(docs: DataFrame, bench: DataFrame, n: int = 5,
     )
 
 
+def build_ngram_bloom(bench: DataFrame, n: int = 5, n_bits: int = 1 << 23,
+                      n_hashes: int = 5, text_col: str = "text",
+                      bench_key_col: str = "bench_id"):
+    """Distributed Bloom-filter build over the benchmark's distinct word
+    n-grams. Returns a numpy ``uint64`` array of ``n_bits/64`` words.
+
+    The build never collects grams: positions aggregate to at most
+    ``n_bits/64`` (word_index, OR-of-bits) rows via a map-side-combined
+    ``bit_or`` — the driver transfer is bounded by the FILTER size (1 MiB
+    at the default 8M bits), not by benchmark size. Membership hashes are
+    ``xxhash64(gram, seed_i)``, k independent positions per gram."""
+    import numpy as np
+
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    grams = _grams(bench, text_col, bench_key_col, n, bench_key_col)
+    pos = grams.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col("_g"), F.lit(i)), F.lit(n_bits)).alias(f"p{i}")
+        for i in range(n_hashes)
+    ])).alias("pos")).distinct()
+    words = pos.groupBy(
+        F.shiftright(F.col("pos"), 6).alias("w")
+    ).agg(F.expr("bit_or(shiftleft(1L, CAST(pmod(pos, 64) AS INT)))")
+          .alias("bits"))
+    arr = np.zeros(n_bits // 64, dtype=np.uint64)
+    for r in words.collect():
+        arr[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return arr
+
+
+def bloom_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
+                        n_bits: int = 1 << 23, n_hashes: int = 5,
+                        verify: bool = True,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        bench_key_col: str = "bench_id") -> DataFrame:
+    """``decontaminate`` for benchmark sets too large to broadcast as
+    gram strings: the benchmark compresses to a fixed-size Bloom filter
+    (default 8M bits = 1 MiB regardless of benchmark size), and the
+    corpus probe becomes a NARROW Arrow-batched filter — k JVM-side
+    ``xxhash64`` columns per gram, one vectorized bit-test UDF against
+    the broadcast numpy bitset. No corpus text ever shuffles; nothing
+    scales with benchmark size except the (driver-bounded) filter build.
+
+    ``verify=True`` (default): bloom false positives are removed by an
+    exact gram join over ONLY the surviving sliver (AQE picks the
+    strategy; the sliver is FP-rate-bounded, ~(1-e^{-kg/m})^k of corpus
+    grams, ≈2% at the defaults with 1M benchmark grams) — output is
+    EXACTLY ``decontaminate``'s. ``verify=False`` skips the join: any
+    bloom hit flags the document. False positives then delete extra
+    documents — the conservative direction for decontamination — and
+    false negatives remain impossible (every true benchmark gram is in
+    the filter by construction)."""
+    import numpy as np
+
+    filt = build_ngram_bloom(bench, n, n_bits, n_hashes,
+                             bench_text_col, bench_key_col)
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(filt)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _in_bloom(*hs):
+        import pandas as pd
+
+        bits = bc.value
+        res = np.ones(len(hs[0]), dtype=bool)
+        for h in hs:
+            idx = h.to_numpy().astype(np.int64)
+            word = bits[idx >> 6]
+            res &= ((word >> (idx & 63).astype(np.uint64))
+                    & np.uint64(1)).astype(bool)
+        return pd.Series(res)
+
+    d = _grams(docs, text_col, key_col, n, key_col)
+    hcols = [F.pmod(F.xxhash64(F.col("_g"), F.lit(i)), F.lit(n_bits))
+             for i in range(n_hashes)]
+    candidates = d.filter(_in_bloom(*hcols))
+    if verify:
+        b = _grams(bench, bench_text_col, bench_key_col, n, bench_key_col)
+        hits = (candidates.join(b, "_g")  # un-hinted: AQE sizes the sliver
+                .select(key_col).distinct())
+    else:
+        hits = candidates.select(key_col).distinct()
+    return docs.join(F.broadcast(hits), key_col, "left_anti")
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
                   text_col: str = "text", key_col: str = "doc_id",
                   bench_text_col: str = "text", bench_key_col: str = "bench_id",

@@ -1184,3 +1184,72 @@ def test_corrupt_containers_degrade_not_crash():
     # every one of these survives the resize seam as the fake
     for payload in (bad_idat, bad_ihdr, bytes(bmp)):
         assert len(multimodal._default_resize(payload, 2, 2)) == 4
+
+
+# --- bloom-filter decontamination --------------------------------------------
+
+def test_bloom_decontaminate_verify_equals_exact(spark, tables):
+    """The bloom path with exact verify must produce EXACTLY the same
+    surviving document set as the broadcast-join decontaminate."""
+    from datafusion_substrait_spark.operators import contamination
+
+    docs = tables["documents"].select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    exact = {r.doc_id for r in
+             contamination.decontaminate(docs, bench, n=5).collect()}
+    bloom = {r.doc_id for r in contamination.bloom_decontaminate(
+        docs, bench, n=5).collect()}
+    assert bloom == exact
+    assert len(exact) < docs.count()  # the bench actually removed docs
+
+
+def test_bloom_decontaminate_unverified_is_conservative(spark, tables):
+    """verify=False may only remove MORE documents (bloom FPs), never
+    keep a contaminated one; with a roomy filter it equals exact."""
+    from datafusion_substrait_spark.operators import contamination
+
+    docs = tables["documents"].select("doc_id", "text").limit(200)
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    exact = {r.doc_id for r in
+             contamination.decontaminate(docs, bench, n=5).collect()}
+    loose = {r.doc_id for r in contamination.bloom_decontaminate(
+        docs, bench, n=5, verify=False).collect()}
+    assert loose <= exact  # conservative: no contaminated doc survives
+    # roomy filter => FP rate negligible at this scale => equality
+    roomy = {r.doc_id for r in contamination.bloom_decontaminate(
+        docs, bench, n=5, n_bits=1 << 24, verify=False).collect()}
+    assert roomy == exact
+
+
+def test_bloom_filter_no_false_negatives_and_plan_shape(spark, tables):
+    """Every benchmark gram is bloom-positive by construction, and the
+    corpus probe is a narrow Arrow-batched filter (no Exchange, no
+    broadcast of benchmark gram strings)."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import contamination
+    from datafusion_substrait_spark.operators.contamination import (
+        _grams, build_ngram_bloom)
+
+    bench = tables["documents"].select(
+        F.col("doc_id").alias("bench_id"), "text").limit(50)
+    n_bits = 1 << 20
+    filt = build_ngram_bloom(bench, n=5, n_bits=n_bits)
+    assert filt.dtype == np.uint64 and len(filt) == n_bits // 64
+    # probe every benchmark gram through the same hash chain in Spark
+    g = _grams(bench, "text", "bench_id", 5, "bench_id")
+    probed = g.select(*[
+        F.pmod(F.xxhash64(F.col("_g"), F.lit(i)), F.lit(n_bits)).alias(f"h{i}")
+        for i in range(5)]).collect()
+    for r in probed:
+        for i in range(5):
+            idx = r[f"h{i}"]
+            assert (int(filt[idx >> 6]) >> (idx & 63)) & 1, "false negative!"
+    # plan shape: the candidate filter stage is narrow
+    docs = tables["documents"].select("doc_id", "text")
+    out = contamination.bloom_decontaminate(docs, bench, n=5, n_bits=n_bits,
+                                            verify=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan, plan[:500]

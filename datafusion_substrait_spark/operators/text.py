@@ -364,3 +364,68 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
         .select(key_col, "fingerprint")
         .distinct()
     )
+
+
+def tfidf_topk_terms(df: DataFrame, k: int = 10, text_col: str = "text",
+                     key_col: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic corpus-analysis
+    / keyword-extraction primitive.
+
+    Output: (key, token, tf, df, score, rank) with rank 1..k per document
+    ordered by (score desc, token asc) — the deterministic tie-break makes
+    the result a well-defined SET, so it is oracle-checkable. ``score`` is
+    smoothed ``tf * (ln((N+1)/(df+1)) + 1)`` rounded to 6 dp (DuckDB
+    replays ``ln`` despite last-ulp drift). ``min_df`` drops tokens seen
+    in fewer than that many documents (hapax noise) before scoring.
+    Zero-token documents emit no rows.
+
+    Scale shape: two map-side-combined aggregations — (doc, token) term
+    frequencies (the shuffle carries compact count rows, never text) and
+    the vocabulary-sized document frequencies — then a tf×df join on the
+    token (deliberately un-hinted: AQE broadcasts the vocabulary side
+    when it fits, falls back to a shuffle join when the vocabulary is
+    genuinely huge), a 1-row broadcast of the document total (no driver
+    action), and ONE shuffle on the document key where the per-doc top-k
+    is a ``slice(array_sort(...))`` over the doc's own distinct tokens —
+    bounded by document length, never a global sort or window."""
+    key = F.col(key_col)
+    tok = df.select(key, F.explode(tokens(F.col(text_col))).alias("_t"))
+    tf = tok.groupBy(key_col, "_t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("_t").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") >= int(min_df)))
+    ndocs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            key_col,
+            F.col("_t"), "tf", "df",
+            F.round(
+                F.col("tf") * (F.log((F.col("_n") + 1) / (F.col("df") + 1))
+                               + F.lit(1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    ranked = (
+        scored.groupBy(key_col)
+        .agg(F.slice(
+            F.array_sort(F.collect_list(F.struct(
+                (-F.col("score")).alias("_neg"),
+                F.col("_t").alias("token"),
+                F.col("tf").alias("tf"),
+                F.col("df").alias("df"),
+                F.col("score").alias("score"),
+            ))),
+            1, int(k),
+        ).alias("_top"))
+        .select(key_col, F.posexplode("_top").alias("_pos", "_row"))
+    )
+    return ranked.select(
+        key_col,
+        F.col("_row.token").alias("token"),
+        F.col("_row.tf").alias("tf"),
+        F.col("_row.df").alias("df"),
+        F.col("_row.score").alias("score"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )

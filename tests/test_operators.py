@@ -1253,3 +1253,61 @@ def test_bloom_filter_no_false_negatives_and_plan_shape(spark, tables):
                                             verify=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan, plan[:500]
+
+
+def test_tfidf_topk_matches_duckdb_replay(spark, tables):
+    """Full DuckDB oracle replay of the TF-IDF pipeline (same tokenizer,
+    same smoothing, same 6dp rounding, same tie-break)."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    out = text.tfidf_topk_terms(tables["documents"], k=5).collect()
+    got = {(r.doc_id, r.rank): (r.token, r.tf, r.df, round(r.score, 6))
+           for r in out}
+    docs_pq = os.path.join(SF_DIR, "documents.parquet")
+    rows = duckdb.sql(f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t != '')) AS t
+            FROM '{docs_pq}'
+        ),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+        dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        n AS (SELECT count(*) AS n FROM '{docs_pq}'),
+        scored AS (
+            SELECT doc_id, t, tf, df,
+                   round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+            FROM tf JOIN dfq USING (t) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, t, tf, df, score FROM ranked WHERE rank <= 5
+    """).fetchall()
+    expect = {(r[0], r[1]): (r[2], r[3], r[4], round(r[5], 6)) for r in rows}
+    assert got == expect
+    # every document with tokens got exactly min(k, |distinct tokens|) rows
+    assert len(got) == len(expect) > 0
+
+
+def test_tfidf_min_df_filters_hapax(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared words here plus unique_one"),
+         (2, "shared words here plus unique_two"),
+         (3, "shared words here plus unique_three")],
+        "doc_id bigint, text string")
+    out = text.tfidf_topk_terms(docs, k=10, min_df=2).collect()
+    toks = {r.token for r in out}
+    assert "unique_one" not in toks and "shared" in toks
+    # rank is contiguous from 1 per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.rank)
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -4,7 +4,9 @@ All computations are built from JVM-side ``pyspark.sql.functions`` (no Python
 UDFs), so they stay inside whole-stage codegen and scale linearly with
 partitions — at 100 TB each of these is a single narrow map stage: no
 shuffle, no Python serialization, and column pruning limits the scan to
-``text`` (+ key).
+``text`` (+ key). One documented exception: ``compression_ratio`` uses an
+Arrow-batched pandas UDF because deflate has no Spark built-in — the
+compression itself runs in zlib's C code, and the plan stays a narrow map.
 
 Each operator is deliberately expressible in portable SQL so the DuckDB
 oracle can replay it bit-for-bit (division orders fixed; doubles rounded at
@@ -428,4 +430,41 @@ def tfidf_topk_terms(df: DataFrame, k: int = 10, text_col: str = "text",
         F.col("_row.df").alias("df"),
         F.col("_row.score").alias("score"),
         (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      key_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """zlib deflate ratio per document: ``compressed_bytes / utf8_bytes``.
+
+    The classic cheap boilerplate/repetition signal (used alongside
+    :func:`repetition_features`): heavily templated or repeated text
+    compresses far below normal prose (ratios ~0.05-0.2 vs ~0.4-0.6),
+    while already-compressed or random content sits near/above 1.0.
+
+    The module-wide no-Python-UDF rule has this one documented exception:
+    deflate has no Spark built-in, so this is an Arrow-batched pandas UDF
+    whose per-row work happens inside zlib's C implementation. Plan shape
+    is still a narrow map — no shuffle, text never leaves the executor.
+    NULL text yields a NULL ratio; empty text yields NULL too (a 0-byte
+    payload has no meaningful ratio)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s):
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+        return s.map(one)
+
+    return df.select(
+        F.col(key_col),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
     )

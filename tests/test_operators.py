@@ -1311,3 +1311,32 @@ def test_tfidf_min_df_filters_hapax(spark):
         by_doc.setdefault(r.doc_id, []).append(r.rank)
     for ranks in by_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_compression_ratio_signal_and_nulls(spark, tables):
+    import zlib
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam " * 200),          # highly repetitive
+         (2, None),
+         (3, ""),
+         (4, "The quick brown fox jumps over the lazy dog near the bank "
+             "of the river while seventeen violinists argue about jazz.")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_bytes, r.compression_ratio)
+           for r in text.compression_ratio(docs).collect()}
+    assert out[1][1] < 0.05                      # boilerplate compresses away
+    assert out[2] == (None, None)
+    assert out[3][1] is None                     # empty: no meaningful ratio
+    assert out[4][1] > 0.4                       # normal prose
+    # exact value replay against python zlib at the same level
+    t = "spam spam spam " * 200
+    expect = round(len(zlib.compress(t.encode(), 6)) / len(t.encode()), 6)
+    assert out[1] == (len(t.encode()), expect)
+    # real table: one row per doc, values in (0, 2), narrow plan
+    full = text.compression_ratio(tables["documents"])
+    rows = full.collect()
+    assert len(rows) == tables["documents"].count()
+    assert all(0 < r.compression_ratio < 2 for r in rows)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -93,7 +93,10 @@ def build_ngram_bloom(bench: DataFrame, n: int = 5, n_bits: int = 1 << 23,
     pos = grams.select(F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col("_g"), F.lit(i)), F.lit(n_bits)).alias(f"p{i}")
         for i in range(n_hashes)
-    ])).alias("pos")).distinct()
+    ])).alias("pos"))
+    # no distinct() first: bit_or is idempotent, and deduping would add a
+    # second benchmark-gram-sized shuffle before the (map-side-combined,
+    # n_bits/64-bounded) aggregation for zero semantic gain
     words = pos.groupBy(
         F.shiftright(F.col("pos"), 6).alias("w")
     ).agg(F.expr("bit_or(shiftleft(1L, CAST(pmod(pos, 64) AS INT)))")
@@ -129,6 +132,13 @@ def bloom_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
     the filter by construction)."""
     import numpy as np
 
+    if key_col == bench_key_col:
+        # same guard as ngram_overlap: the verify join would otherwise
+        # die with an opaque AMBIGUOUS_REFERENCE from the engine
+        raise ValueError(
+            f"key_col and bench_key_col are both {key_col!r}: the verify "
+            "join needs distinct names (pass bench_key_col=...)"
+        )
     filt = build_ngram_bloom(bench, n, n_bits, n_hashes,
                              bench_text_col, bench_key_col)
     sc = docs.sparkSession.sparkContext

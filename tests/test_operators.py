@@ -1209,7 +1209,10 @@ def test_bloom_decontaminate_unverified_is_conservative(spark, tables):
     keep a contaminated one; with a roomy filter it equals exact."""
     from datafusion_substrait_spark.operators import contamination
 
-    docs = tables["documents"].select("doc_id", "text").limit(200)
+    # deterministic subset (LIMIT without ORDER BY may pick different
+    # rows across the three separate jobs below)
+    docs = tables["documents"].select("doc_id", "text").filter(
+        F.col("doc_id") % 3 != 0)
     bench = docs.filter(F.col("doc_id") % 11 == 0).select(
         F.col("doc_id").alias("bench_id"), "text")
     exact = {r.doc_id for r in
@@ -1233,8 +1236,11 @@ def test_bloom_filter_no_false_negatives_and_plan_shape(spark, tables):
     from datafusion_substrait_spark.operators.contamination import (
         _grams, build_ngram_bloom)
 
+    # deterministic subset: the filter is built in one job and the probe
+    # re-evaluates the same DataFrame in another — LIMIT could diverge
     bench = tables["documents"].select(
-        F.col("doc_id").alias("bench_id"), "text").limit(50)
+        F.col("doc_id").alias("bench_id"), "text").filter(
+        F.col("bench_id") % 9 == 2)
     n_bits = 1 << 20
     filt = build_ngram_bloom(bench, n=5, n_bits=n_bits)
     assert filt.dtype == np.uint64 and len(filt) == n_bits // 64
@@ -1340,3 +1346,12 @@ def test_compression_ratio_signal_and_nulls(spark, tables):
     assert all(0 < r.compression_ratio < 2 for r in rows)
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bloom_decontaminate_rejects_same_key_names(spark, tables):
+    from datafusion_substrait_spark.operators import contamination
+
+    docs = tables["documents"].select("doc_id", "text")
+    with pytest.raises(ValueError, match="distinct names"):
+        contamination.bloom_decontaminate(
+            docs, docs, key_col="doc_id", bench_key_col="doc_id")

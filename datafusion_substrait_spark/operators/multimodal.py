@@ -145,13 +145,108 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         pos += size
 
 
+def _ebml_id(data: bytes, pos: int):
+    """EBML element ID (length-marker bits kept, 1-4 bytes)."""
+    if pos >= len(data):
+        return None
+    b = data[pos]
+    for ln in range(1, 5):
+        if (b >> (8 - ln)) & 1:
+            if pos + ln > len(data):
+                return None
+            return int.from_bytes(data[pos:pos + ln], "big"), pos + ln
+    return None
+
+
+def _ebml_size(data: bytes, pos: int):
+    """EBML data size (marker bits stripped, 1-8 bytes); all-ones payload
+    means 'unknown length' (streamed Segments) → extends to end."""
+    if pos >= len(data):
+        return None
+    b = data[pos]
+    for ln in range(1, 9):
+        if (b >> (8 - ln)) & 1:
+            if pos + ln > len(data):
+                return None
+            raw = int.from_bytes(data[pos:pos + ln], "big") \
+                & ((1 << (7 * ln)) - 1)
+            unknown = raw == (1 << (7 * ln)) - 1
+            return raw, pos + ln, unknown
+    return None
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML elements."""
+    pos = start
+    while pos < end:
+        rid = _ebml_id(data, pos)
+        if rid is None:
+            return
+        eid, pos = rid
+        rsz = _ebml_size(data, pos)
+        if rsz is None:
+            return
+        size, pos, unknown = rsz
+        body_end = end if unknown else min(end, pos + size)
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _parse_webm(data: bytes):
+    fmt = "mkv"
+    w = h = 0
+    scale = 1_000_000  # EBML default TimestampScale: 1 ms in ns
+    dur_units = 0.0
+    for eid, b0, b1 in _ebml_children(data, 0, len(data)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, c0, c1 in _ebml_children(data, b0, b1):
+                if cid == 0x4282:  # DocType
+                    doctype = data[c0:c1].rstrip(b"\x00").decode(
+                        "ascii", "replace")
+                    fmt = "webm" if doctype == "webm" else "mkv"
+        elif eid == 0x18538067:  # Segment
+            for cid, c0, c1 in _ebml_children(data, b0, b1):
+                if cid == 0x1549A966:  # Info
+                    for iid, i0, i1 in _ebml_children(data, c0, c1):
+                        if iid == 0x2AD7B1 and i1 > i0:  # TimestampScale
+                            scale = int.from_bytes(data[i0:i1], "big")
+                        elif iid == 0x4489:  # Duration (float32/64)
+                            if i1 - i0 == 4:
+                                dur_units = struct.unpack(
+                                    ">f", data[i0:i1])[0]
+                            elif i1 - i0 == 8:
+                                dur_units = struct.unpack(
+                                    ">d", data[i0:i1])[0]
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, t0, t1 in _ebml_children(data, c0, c1):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        for vid, v0, v1 in _ebml_children(data, t0, t1):
+                            if vid != 0xE0:  # Video
+                                continue
+                            for pid, p0, p1 in _ebml_children(
+                                    data, v0, v1):
+                                if pid == 0xB0 and p1 > p0:
+                                    w = max(w, int.from_bytes(
+                                        data[p0:p1], "big"))
+                                elif pid == 0xBA and p1 > p0:
+                                    h = max(h, int.from_bytes(
+                                        data[p0:p1], "big"))
+    return (fmt, w, h, dur_units * scale / 1e9, -1)
+
+
 def parse_video_header(data: bytes):
     """(format, width, height, duration_s, n_frames) from container
     headers — real parsing, no codec library. MP4/MOV (ISO BMFF: mvhd
-    timescale+duration, tkhd dimensions as 16.16 fixed-point) and AVI
-    (RIFF avih: frame period, frame count, dimensions). ``n_frames`` is
-    -1 when the container header does not carry it (MP4 stores it in
-    per-track sample tables). Returns None for anything else."""
+    timescale+duration, tkhd dimensions as 16.16 fixed-point), AVI
+    (RIFF avih: frame period, frame count, dimensions) and WebM/Matroska
+    (EBML varint walk: Info TimestampScale+Duration, Tracks Video
+    PixelWidth/PixelHeight; unknown-length streamed Segments extend to
+    end-of-payload). ``n_frames`` is -1 when the container header does
+    not carry it (MP4/WebM store it in sample tables/clusters). Returns
+    None for anything else."""
+    if len(data) >= 4 and data[:4] == b"\x1a\x45\xdf\xa3":
+        return _parse_webm(data)
     if len(data) >= 12 and data[4:8] == b"ftyp":
         w = h = 0
         dur = 0.0

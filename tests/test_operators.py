@@ -1355,3 +1355,49 @@ def test_bloom_decontaminate_rejects_same_key_names(spark, tables):
     with pytest.raises(ValueError, match="distinct names"):
         contamination.bloom_decontaminate(
             docs, docs, key_col="doc_id", bench_key_col="doc_id")
+
+
+def _ebml_el(eid_bytes: bytes, body: bytes, unknown_size: bool = False) -> bytes:
+    """EBML element with a 2-byte size varint (or the 1-byte all-ones
+    'unknown length' marker)."""
+    if unknown_size:
+        return eid_bytes + b"\xff" + body
+    assert len(body) < (1 << 14) - 1
+    return eid_bytes + (0x4000 | len(body)).to_bytes(2, "big") + body
+
+
+def _webm_fixture(w=1280, h=720, dur_ms=4500.0, doctype=b"webm",
+                  unknown_segment=False) -> bytes:
+    import struct as s
+
+    header = _ebml_el(b"\x1a\x45\xdf\xa3", _ebml_el(b"\x42\x82", doctype))
+    info = _ebml_el(b"\x15\x49\xa9\x66",
+                    _ebml_el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+                    + _ebml_el(b"\x44\x89", s.pack(">d", dur_ms)))
+    video = _ebml_el(b"\xe0",
+                     _ebml_el(b"\xb0", w.to_bytes(2, "big"))
+                     + _ebml_el(b"\xba", h.to_bytes(2, "big")))
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", _ebml_el(b"\xae", video))
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks,
+                       unknown_size=unknown_segment)
+    return header + segment
+
+
+def test_parse_video_header_webm():
+    got = multimodal.parse_video_header(_webm_fixture())
+    assert got == ("webm", 1280, 720, 4.5, -1), got
+    # matroska doctype reports mkv
+    got = multimodal.parse_video_header(_webm_fixture(doctype=b"matroska"))
+    assert got[0] == "mkv"
+    # streamed files use the unknown-length Segment marker
+    got = multimodal.parse_video_header(_webm_fixture(unknown_segment=True))
+    assert got == ("webm", 1280, 720, 4.5, -1), got
+    # truncated EBML degrades to zeros, never raises
+    got = multimodal.parse_video_header(_webm_fixture()[:20])
+    assert got is not None and got[0] == "webm"
+    # float32 Duration variant
+    import struct as s
+    fx = _webm_fixture()
+    f32 = fx.replace(_ebml_el(b"\x44\x89", s.pack(">d", 4500.0)),
+                     _ebml_el(b"\x44\x89", s.pack(">f", 4500.0)))
+    assert multimodal.parse_video_header(f32)[3] == 4.5

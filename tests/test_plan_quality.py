@@ -153,11 +153,15 @@ def test_no_rdd_or_collect_in_package_hot_paths(spark):
             #   - the signature store's 1-row parameter table and its
             #     DESCRIBE EXTENDED catalog metadata
             #     (incremental.read_store_meta/_store_bucket_count)
+            #   - the Bloom-filter word array
+            #     (contamination.build_ngram_bloom, <= n_bits/64 rows by
+            #     construction — bounded by the FILTER size, not the data)
             allowed = ("limit(n_sample)" in code
                        or 'select("__cell").distinct().collect()' in code
                        or 'table(f"{store}_meta").collect()' in code
                        or 'sql(f"DESCRIBE EXTENDED {table}").collect()'
-                       in code)
+                       in code
+                       or "for r in words.collect():" in code)
             if ".collect()" in code and not allowed:
                 offenders.append(f"{p.name}:{i}: .collect()")
     assert not offenders, offenders

@@ -106,10 +106,48 @@ def _parse_audio_full(data: bytes):
         if rate == 0:
             return None
         return ("flac", channels, rate, bits, n_samples, None)
+    if len(data) >= 28 and data[:4] == b"OggS":
+        return _parse_ogg(data)
     sync = _find_mp3_frame(data)
     if sync is not None:
         kbps, rate, channels = sync
         return ("mp3", channels, rate, -1, -1, kbps)
+    return None
+
+
+def _parse_ogg(data: bytes):
+    """Ogg container: the first page's payload identifies the codec
+    (OpusHead / Vorbis identification header — both fixed layouts), and
+    the LAST page's granule position gives the total sample count, so
+    duration is real, not estimated. Returns the _parse_audio_full
+    6-tuple or None."""
+    n_seg = data[26]
+    payload_at = 27 + n_seg
+    if payload_at + 16 > len(data):
+        return None
+    payload = data[payload_at:payload_at + 64]
+
+    def last_granule():
+        at = data.rfind(b"OggS")
+        if at < 0 or at + 14 > len(data):
+            return -1
+        g = struct.unpack("<q", data[at + 6:at + 14])[0]
+        return g if g >= 0 else -1
+
+    if payload[:8] == b"OpusHead" and len(payload) >= 19:
+        channels = payload[9]
+        pre_skip = struct.unpack("<H", payload[10:12])[0]
+        # granules are ALWAYS 48 kHz for Opus regardless of the input
+        # sample rate stored in the head (RFC 7845 §4)
+        g = last_granule()
+        n = max(0, g - pre_skip) if g >= 0 else -1
+        return ("opus", channels, 48000, -1, n, None)
+    if payload[:7] == b"\x01vorbis" and len(payload) >= 16:
+        channels = payload[11]
+        rate = struct.unpack("<I", payload[12:16])[0]
+        if rate == 0 or channels == 0:
+            return None
+        return ("vorbis", channels, rate, -1, last_granule(), None)
     return None
 
 

@@ -198,3 +198,43 @@ def test_truncated_flac_routes_to_fake_not_garbage():
     assert audio.parse_audio_header(flac) == ("flac", 2, 44100, 16, 123456)
     for cut in (22, 23, 24, 25):
         assert audio.parse_audio_header(flac[:cut]) is None, cut
+
+
+def _ogg_page(payload: bytes, granule: int, seq: int, htype: int = 0) -> bytes:
+    assert len(payload) < 255
+    return (b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+            + struct.pack("<III", 1234, seq, 0)  # serial, seq, crc (unchecked)
+            + bytes([1, len(payload)]) + payload)
+
+
+def test_ogg_opus_and_vorbis_metadata():
+    # OpusHead: version 1, 2 channels, pre-skip 312, input rate 44100
+    opus_head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+                 + struct.pack("<I", 44100) + struct.pack("<h", 0) + bytes([0]))
+    ogg = (_ogg_page(opus_head, 0, 0, htype=2)
+           + _ogg_page(b"\x00" * 10, 96312, 1, htype=4))
+    # granules run at 48 kHz for Opus regardless of input rate; pre-skip
+    # subtracts: (96312 - 312) / 48000 = 2.0 s
+    assert audio.parse_audio_header(ogg) == ("opus", 2, 48000, -1, 96000)
+    # vorbis identification header: version 0, 1 channel, 22050 Hz
+    vorb = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+            + struct.pack("<I", 22050) + b"\x00" * 16)
+    ogg2 = (_ogg_page(vorb, 0, 0, htype=2)
+            + _ogg_page(b"\x00" * 10, 44100, 1, htype=4))
+    assert audio.parse_audio_header(ogg2) == ("vorbis", 1, 22050, -1, 44100)
+    # truncated / non-audio ogg payloads degrade to None
+    assert audio.parse_audio_header(ogg[:20]) is None
+    assert audio.parse_audio_header(
+        _ogg_page(b"not a codec head", 0, 0)) is None
+
+
+def test_ogg_duration_through_spark(spark):
+    opus_head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+                 + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0]))
+    ogg = (_ogg_page(opus_head, 0, 0, htype=2)
+           + _ogg_page(b"\x00" * 10, 144000, 1, htype=4))  # 3.0 s
+    df = spark.createDataFrame([(1, ogg)], "key bigint, payload binary")
+    m = audio.extract_audio_metadata(df).collect()[0]
+    assert (m.format, m.channels, m.sample_rate, m.n_samples) \
+        == ("opus", 1, 48000, 144000)
+    assert m.est_duration_s == pytest.approx(3.0)

@@ -853,6 +853,55 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return [x / norm for x in vec]
 
 
+def image_features(payload: bytes, dim: int = 64) -> list[float] | None:
+    """REAL content-based image features for decodable payloads (classical
+    CV, no model runtime): an 8×8 mean-pooled intensity grid (64), a
+    32-bin intensity histogram, and 16 gradient-energy cells over the
+    grayscale image — concatenated, truncated/zero-padded to ``dim``, and
+    unit-normalized. Near-identical images land near cosine 1 and feed
+    the similarity/near-dup operators meaningfully (unlike a hash fake,
+    where any two images are orthogonal). Returns None for undecodable
+    payloads (callers fall back to the marked fake or a model-backed
+    ``feature_fn``)."""
+    import numpy as np
+
+    try:
+        img = decode_image(payload)
+    except ValueError:
+        img = None
+    if img is None:
+        return None
+    gray = _to_gray(img).astype(np.float32) / 255.0
+    h, w = gray.shape
+
+    def pooled(n):
+        ys = np.minimum((np.arange(n * 8) * h) // (n * 8), h - 1)
+        xs = np.minimum((np.arange(n * 8) * w) // (n * 8), w - 1)
+        big = gray[ys][:, xs]
+        return big.reshape(n, 8, n, 8).mean(axis=(1, 3))
+
+    grid = pooled(8).reshape(-1)                       # 64 dims
+    hist = np.histogram(gray, bins=32, range=(0, 1))[0] / gray.size  # 32
+    gy, gx = np.gradient(gray)
+    mag = np.sqrt(gx * gx + gy * gy)
+    ys = np.minimum((np.arange(32) * h) // 32, h - 1)
+    xs = np.minimum((np.arange(32) * w) // 32, w - 1)
+    grad = mag[ys][:, xs].reshape(4, 8, 4, 8).mean(axis=(1, 3)).reshape(-1)  # 16
+    vec = np.concatenate([grid, hist, grad])
+    if dim <= len(vec):
+        vec = vec[:dim]
+    else:
+        vec = np.concatenate([vec, np.zeros(dim - len(vec), np.float32)])
+    norm = float(np.linalg.norm(vec)) or 1.0
+    return [float(x) / norm for x in vec]
+
+
+def _default_features(payload: bytes, dim: int) -> list[float]:
+    """Feature seam default: REAL classical-CV features for decodable
+    images, the marked hash fake otherwise."""
+    return image_features(payload, dim) or _fake_features(payload, dim)
+
+
 def extract_features(df: DataFrame, dim: int = 64,
                      payload_col: str = "payload", key_col: str = "key",
                      feature_fn: Callable[[bytes, int], list[float]] | None = None,
@@ -860,10 +909,13 @@ def extract_features(df: DataFrame, dim: int = 64,
     """Feature-extraction plumbing: one ``array<float>`` embedding per
     payload, Arrow-batched, schema-compatible with the ``embeddings`` table
     operators (``similarity.brute_force_topk`` etc. consume the output
-    as-is). The encoder is the stubbed seam; batching, schema, and the
-    narrow-map plan shape are the real 100 TB design.
+    as-is). The default is REAL for decodable images (classical pooled-
+    intensity/histogram/gradient features — see ``image_features``); a
+    learned-model encoder drops in via ``feature_fn``; undecodable
+    payloads get the marked hash fake so the pipeline shape still runs.
+    Batching, schema, and the narrow-map plan shape are the 100 TB design.
     """
-    feats = feature_fn or _fake_features
+    feats = feature_fn or _default_features
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

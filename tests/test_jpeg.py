@@ -372,3 +372,40 @@ def test_malformed_jpeg_always_raises_valueerror():
     from datafusion_substrait_spark.operators.multimodal import _default_resize
     for payload in cases:
         assert len(_default_resize(payload, 2, 2)) == 4
+
+
+def test_image_features_content_similarity(spark):
+    """Real classical-CV features: a brightness-shifted copy of an image
+    stays near cosine 1 with the original, while a structurally different
+    image lands visibly lower — behavior a hash fake cannot produce."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(40, 180, (32, 32), np.uint8)
+    brighter = np.clip(base.astype(int) + 12, 0, 255).astype(np.uint8)
+    different = rng.integers(0, 256, (32, 32), np.uint8)
+
+    f = multimodal.image_features
+    a = np.array(f(_encode_jpeg(base, q_val=4)))
+    b = np.array(f(_encode_jpeg(brighter, q_val=4)))
+    c = np.array(f(_encode_jpeg(different, q_val=4)))
+    assert a is not None and float(np.linalg.norm(a)) == pytest.approx(1.0, abs=1e-6)
+    cos_ab = float(a @ b)
+    cos_ac = float(a @ c)
+    assert cos_ab > 0.98, cos_ab
+    assert cos_ac < cos_ab - 0.005, (cos_ab, cos_ac)
+    # undecodable payload -> None -> seam falls back to the fake
+    assert f(b"not an image") is None
+
+    # Spark path: decodable images get real features, text gets the fake;
+    # deterministic across partitionings
+    df = spark.createDataFrame(
+        [(1, _encode_jpeg(base, q_val=4)), (2, b"opaque text")],
+        "key bigint, payload binary")
+    out = {r.key: list(r.features)
+           for r in multimodal.extract_features(df, dim=64).collect()}
+    assert np.allclose(out[1], f(_encode_jpeg(base, q_val=4), dim=64),
+                       atol=1e-6)
+    assert len(out[2]) == 64  # fake fallback, correct dimensionality
+    again = {r.key: list(r.features)
+             for r in multimodal.extract_features(
+                 df.repartition(3), dim=64).collect()}
+    assert out == again

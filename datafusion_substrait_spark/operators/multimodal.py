@@ -814,12 +814,14 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
 
     The Spark side is the real thing — Arrow-batched ``mapInPandas``, a
     typed (key, width, height, pixels) output schema, narrow map with no
-    shuffle. The default transform is REAL for PNG payloads (pure
-    zlib+numpy decode, grayscale, nearest-neighbor resample — see
-    ``decode_png``); non-PNG containers fall back to the marked
-    deterministic fake until a library ``resize_fn`` is supplied.
-    Output pixel buffers are width×height bytes (grayscale), so
-    downstream batch sizing behaves like a real resized-image column.
+    shuffle. The default transform is REAL for PNG/GIF/BMP/baseline-JPEG
+    payloads (pure-Python decode, grayscale, nearest-neighbor resample —
+    see ``decode_image``); unrecognized containers and corrupt blobs
+    fall back to the marked deterministic fake (per-payload error
+    capture — one bad blob never kills the stage) until a library
+    ``resize_fn`` is supplied. Output pixel buffers are width×height
+    bytes (grayscale), so downstream batch sizing behaves like a real
+    resized-image column.
     """
     resize = resize_fn or _default_resize
 

@@ -14,7 +14,11 @@ whose containers need no codec library:
   (version/layer/bitrate/samplerate tables are fixed by the spec);
   duration is estimated from byte length at the first frame's bitrate
   (exact for CBR, approximate for VBR — documented in the schema field
-  name ``est_duration_s``).
+  name ``est_duration_s``);
+* Ogg Opus/Vorbis — codec identity and channels/rate from the first
+  page's fixed-layout header, total samples (→ measured duration) from
+  the last page's granule position via a length-checked forward page
+  walk; sample decode needs the codec → seam.
 
 Payloads that are none of these fall back to a clearly-marked
 deterministic fake (synthesized PCM from the payload hash) so the
@@ -128,14 +132,29 @@ def _parse_ogg(data: bytes):
     payload = data[payload_at:payload_at + 64]
 
     def last_granule():
-        at = data.rfind(b"OggS")
-        if at < 0 or at + 14 > len(data):
-            return -1
-        g = struct.unpack("<q", data[at + 6:at + 14])[0]
-        return g if g >= 0 else -1
+        # FORWARD page walk using the spec'd page lengths (27 + n_seg +
+        # sum(segment table)) — a bare rfind(b"OggS") would misread the
+        # capture pattern occurring INSIDE compressed packet data (which
+        # the Ogg spec explicitly permits) as a page header and return a
+        # garbage granule. Truncation mid-walk keeps the last good page.
+        pos, g = 0, -1
+        while pos + 27 <= len(data):
+            if data[pos:pos + 4] != b"OggS" or data[pos + 4] != 0:
+                break
+            nseg = data[pos + 26]
+            if pos + 27 + nseg > len(data):
+                break
+            body = sum(data[pos + 27:pos + 27 + nseg])
+            page_g = struct.unpack("<q", data[pos + 6:pos + 14])[0]
+            if page_g >= 0:
+                g = page_g
+            pos += 27 + nseg + body
+        return g
 
     if payload[:8] == b"OpusHead" and len(payload) >= 19:
         channels = payload[9]
+        if channels == 0:  # RFC 7845 requires >= 1; corrupt head -> fake
+            return None
         pre_skip = struct.unpack("<H", payload[10:12])[0]
         # granules are ALWAYS 48 kHz for Opus regardless of the input
         # sample rate stored in the head (RFC 7845 §4)
@@ -309,9 +328,9 @@ def _fake_audio_meta(payload: bytes):
 
 def extract_audio_metadata(df: DataFrame, payload_col: str = "payload",
                            key_col: str = "key") -> DataFrame:
-    """Arrow-batched audio metadata extraction: REAL for WAV/FLAC/MP3
-    headers, marked fake otherwise. Narrow map, no shuffle; the payload
-    bytes never leave the executor."""
+    """Arrow-batched audio metadata extraction: REAL for WAV/FLAC/MP3 and
+    Ogg Opus/Vorbis headers, marked fake otherwise. Narrow map, no
+    shuffle; the payload bytes never leave the executor."""
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd

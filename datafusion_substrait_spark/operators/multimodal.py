@@ -232,7 +232,10 @@ def _parse_webm(data: bytes):
                                 elif pid == 0xBA and p1 > p0:
                                     h = max(h, int.from_bytes(
                                         data[p0:p1], "big"))
-    return (fmt, w, h, dur_units * scale / 1e9, -1)
+    dur = dur_units * scale / 1e9
+    if not (dur == dur and 0.0 <= dur < 1e10):  # NaN/Inf/negative floats
+        dur = 0.0
+    return (fmt, w, h, dur, -1)
 
 
 def parse_video_header(data: bytes):
@@ -312,10 +315,10 @@ def _fake_video_meta(payload: bytes):
 
 def extract_video_metadata(df: DataFrame, payload_col: str = "payload",
                            key_col: str = "key") -> DataFrame:
-    """Arrow-batched video metadata: REAL for MP4/MOV and AVI container
-    headers, marked fake otherwise. Frame extraction stays behind the
-    ``sample_frames`` seam (real decode needs a codec library). Narrow
-    map, no shuffle."""
+    """Arrow-batched video metadata: REAL for MP4/MOV, AVI and
+    WebM/Matroska container headers, marked fake otherwise. Frame
+    extraction stays behind the ``sample_frames`` seam (real decode
+    needs a codec library). Narrow map, no shuffle."""
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -784,13 +787,10 @@ def _default_resize(payload: bytes, width: int, height: int) -> bytes:
         img = None
     if img is None:
         return _fake_resize(payload, width, height)
-    import numpy as np
-
     gray = _to_gray(img)
     src_h, src_w = gray.shape
-    ys = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
-    xs = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
-    return gray[ys][:, xs].tobytes()
+    return gray[_nn_indices(height, src_h)][:, _nn_indices(width, src_w)] \
+        .tobytes()
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -855,16 +855,26 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return [x / norm for x in vec]
 
 
+def _nn_indices(n: int, size: int):
+    """Nearest-neighbor resample indices: n samples over [0, size) (the
+    shared idiom for _default_resize and image_features — fix the
+    rounding/clamping here, not in per-site copies)."""
+    import numpy as np
+
+    return np.minimum((np.arange(n) * size) // n, size - 1)
+
+
 def image_features(payload: bytes, dim: int = 64) -> list[float] | None:
     """REAL content-based image features for decodable payloads (classical
-    CV, no model runtime): an 8×8 mean-pooled intensity grid (64), a
-    32-bin intensity histogram, and 16 gradient-energy cells over the
-    grayscale image — concatenated, truncated/zero-padded to ``dim``, and
-    unit-normalized. Near-identical images land near cosine 1 and feed
-    the similarity/near-dup operators meaningfully (unlike a hash fake,
-    where any two images are orthogonal). Returns None for undecodable
-    payloads (callers fall back to the marked fake or a model-backed
-    ``feature_fn``)."""
+    CV, no model runtime): an 8×8 mean-pooled intensity grid (64 dims);
+    for ``dim`` > 64 a 32-bin intensity histogram is appended, and for
+    ``dim`` > 96 sixteen gradient-energy cells (components past ``dim``
+    are never computed — no wasted gradient work at the default). The
+    vector is truncated/zero-padded to ``dim`` and unit-normalized; a
+    degenerate all-zero vector (uniform black image at small dims) maps
+    to the canonical first basis vector so identical inputs always land
+    at cosine 1. Returns None for undecodable payloads (callers fall
+    back to the marked fake or a model-backed ``feature_fn``)."""
     import numpy as np
 
     try:
@@ -876,25 +886,32 @@ def image_features(payload: bytes, dim: int = 64) -> list[float] | None:
     gray = _to_gray(img).astype(np.float32) / 255.0
     h, w = gray.shape
 
-    def pooled(n):
-        ys = np.minimum((np.arange(n * 8) * h) // (n * 8), h - 1)
-        xs = np.minimum((np.arange(n * 8) * w) // (n * 8), w - 1)
-        big = gray[ys][:, xs]
-        return big.reshape(n, 8, n, 8).mean(axis=(1, 3))
-
-    grid = pooled(8).reshape(-1)                       # 64 dims
-    hist = np.histogram(gray, bins=32, range=(0, 1))[0] / gray.size  # 32
-    gy, gx = np.gradient(gray)
-    mag = np.sqrt(gx * gx + gy * gy)
-    ys = np.minimum((np.arange(32) * h) // 32, h - 1)
-    xs = np.minimum((np.arange(32) * w) // 32, w - 1)
-    grad = mag[ys][:, xs].reshape(4, 8, 4, 8).mean(axis=(1, 3)).reshape(-1)  # 16
-    vec = np.concatenate([grid, hist, grad])
+    big = gray[_nn_indices(64, h)][:, _nn_indices(64, w)]
+    parts = [big.reshape(8, 8, 8, 8).mean(axis=(1, 3)).reshape(-1)]  # 64
+    if dim > 64:
+        parts.append(
+            np.histogram(gray, bins=32, range=(0, 1))[0] / gray.size)  # 32
+    if dim > 96:
+        if h >= 2 and w >= 2:
+            gy, gx = np.gradient(gray)
+            mag = np.sqrt(gx * gx + gy * gy)
+            msub = mag[_nn_indices(32, h)][:, _nn_indices(32, w)]
+            parts.append(
+                msub.reshape(4, 8, 4, 8).mean(axis=(1, 3)).reshape(-1))  # 16
+        else:
+            # np.gradient needs >= 2 samples per axis; a 1xN strip has no
+            # vertical gradient — emit zeros instead of crashing the stage
+            parts.append(np.zeros(16, np.float32))
+    vec = np.concatenate(parts)
     if dim <= len(vec):
         vec = vec[:dim]
     else:
         vec = np.concatenate([vec, np.zeros(dim - len(vec), np.float32)])
-    norm = float(np.linalg.norm(vec)) or 1.0
+    norm = float(np.linalg.norm(vec))
+    if norm < 1e-12:
+        vec = np.zeros(dim, np.float32)
+        vec[0] = 1.0
+        norm = 1.0
     return [float(x) / norm for x in vec]
 
 

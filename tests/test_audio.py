@@ -238,3 +238,19 @@ def test_ogg_duration_through_spark(spark):
     assert (m.format, m.channels, m.sample_rate, m.n_samples) \
         == ("opus", 1, 48000, 144000)
     assert m.est_duration_s == pytest.approx(3.0)
+
+
+def test_ogg_granule_ignores_capture_pattern_in_packet_data():
+    """Review finding: 'OggS' appearing INSIDE compressed packet data is
+    spec-legal and must not be misread as a page header (a bare rfind
+    yielded ~180-million-year durations)."""
+    opus_head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+                 + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0]))
+    poisoned_payload = b"\x01\x02OggS" + b"\xff" * 20  # capture pattern inside
+    ogg = (_ogg_page(opus_head, 0, 0, htype=2)
+           + _ogg_page(poisoned_payload, 96000, 1, htype=4))
+    assert audio.parse_audio_header(ogg) == ("opus", 1, 48000, -1, 96000)
+    # a zero-channel OpusHead is spec-invalid -> routed to the fake
+    bad_head = (b"OpusHead" + bytes([1, 0]) + struct.pack("<H", 0)
+                + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0]))
+    assert audio.parse_audio_header(_ogg_page(bad_head, 0, 0, htype=2)) is None

@@ -409,3 +409,19 @@ def test_image_features_content_similarity(spark):
              for r in multimodal.extract_features(
                  df.repartition(3), dim=64).collect()}
     assert out == again
+
+
+def test_image_features_degenerate_inputs():
+    """Review findings: 1xN strips must not crash np.gradient at dim>96,
+    and uniform-black images must still land identical copies at
+    cosine 1 (canonical basis vector, not a zero vector)."""
+    strip = _encode_jpeg(np.full((1, 5), 7, np.uint8), q_val=1)
+    for dim in (64, 112):
+        v = multimodal.image_features(strip, dim=dim)
+        assert v is not None and len(v) == dim
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-6)
+    black = _encode_jpeg(np.zeros((16, 16), np.uint8), q_val=1)
+    a = np.array(multimodal.image_features(black, dim=64))
+    b = np.array(multimodal.image_features(black, dim=64))
+    assert float(a @ b) == pytest.approx(1.0, abs=1e-9)
+    assert np.linalg.norm(a) == pytest.approx(1.0, abs=1e-9)

@@ -1401,3 +1401,17 @@ def test_parse_video_header_webm():
     f32 = fx.replace(_ebml_el(b"\x44\x89", s.pack(">d", 4500.0)),
                      _ebml_el(b"\x44\x89", s.pack(">f", 4500.0)))
     assert multimodal.parse_video_header(f32)[3] == 4.5
+
+
+def test_webm_corrupt_duration_degrades_to_zero():
+    """Review finding: NaN/negative Duration floats must clamp to 0, not
+    flow into the metadata column."""
+    import struct as s
+
+    for bad in (s.pack(">d", float("nan")), s.pack(">d", -5.0),
+                s.pack(">d", float("inf"))):
+        fx = _webm_fixture()
+        fx = fx.replace(_ebml_el(b"\x44\x89", s.pack(">d", 4500.0)),
+                        _ebml_el(b"\x44\x89", bad))
+        got = multimodal.parse_video_header(fx)
+        assert got is not None and got[3] == 0.0, (bad, got)

@@ -259,7 +259,12 @@ def parse_video_header(data: bytes):
             for t2, c0, c1 in _mp4_boxes(data, b0, b1):
                 if t2 == b"mvhd" and c1 - c0 >= 20:
                     ver = data[c0]
-                    if ver == 1 and c1 - c0 >= 28:
+                    if ver == 1:
+                        # v1 body needs 32 bytes to reach the 64-bit
+                        # duration; a shorter v1 box is malformed —
+                        # skip it rather than misparse with v0 offsets
+                        if c1 - c0 < 32:
+                            continue
                         scale = struct.unpack(">I", data[c0 + 20:c0 + 24])[0]
                         d = struct.unpack(">Q", data[c0 + 24:c0 + 32])[0]
                     else:
@@ -269,7 +274,8 @@ def parse_video_header(data: bytes):
                         dur = d / scale
                 elif t2 == b"trak":
                     for t3, d0, d1 in _mp4_boxes(data, c0, c1):
-                        if t3 != b"tkhd":
+                        # zero-body (size-8) tkhd: nothing to read
+                        if t3 != b"tkhd" or d0 >= d1:
                             continue
                         ver = data[d0]
                         # v0 body: 4 ver/flags + 4+4 times + 4 id + 4 rsvd

@@ -346,6 +346,22 @@ def test_rejects_non_baseline_and_malformed():
         J.decode_jpeg(good[:40])  # truncated before scan
 
 
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 allows any marker to be preceded by 0xFF fill
+    bytes; a spec-valid JPEG with fill bytes must decode identically,
+    not misparse the next segment length (ADVICE r6)."""
+    img = np.full((8, 8), 77, np.uint8)
+    good = _encode_jpeg(img, q_val=1)
+    # insert fill bytes before the DQT, DHT, SOF0 and SOS markers
+    filled = good
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        filled = filled.replace(marker, b"\xff\xff\xff" + marker, 1)
+    ref = J.decode_jpeg(good)
+    dec = J.decode_jpeg(filled)
+    assert dec.shape == ref.shape
+    assert np.array_equal(dec, ref)
+
+
 def test_decode_image_dispatch_jpeg():
     """multimodal.decode_image now routes JPEGs to the real decoder; a
     header-only fixture (no scan) raises inside, which the resize seam

@@ -1383,6 +1383,34 @@ def _webm_fixture(w=1280, h=720, dur_ms=4500.0, doctype=b"webm",
     return header + segment
 
 
+def test_parse_video_header_malformed_mp4_boxes_never_raise():
+    """Crafted self-consistent box layouts the random fuzzer can't build
+    (ADVICE r6): a v1 mvhd whose 28–31-byte body ends exactly at the
+    payload's last byte must not struct.error, must not be misparsed
+    with v0 offsets, and a zero-body (size-8) tkhd at end of payload
+    must not IndexError."""
+    import struct as s
+
+    def box(tag, body):
+        return s.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # v1 mvhd, body exactly 28 bytes (guard used to pass, the 8-byte
+    # duration read then ran off the end of the box/payload)
+    for n in range(20, 32):
+        mvhd_short = bytes([1, 0, 0, 0]) + b"\x00" * (n - 4)
+        blob = ftyp + box(b"moov", box(b"mvhd", mvhd_short))
+        got = multimodal.parse_video_header(blob)
+        # must not raise; the malformed v1 box is skipped, not v0-parsed
+        assert got == ("mp4", 0, 0, 0.0, -1), (n, got)
+    # zero-body tkhd as the very last box in the payload
+    blob = ftyp + box(b"moov", box(b"trak", box(b"tkhd", b"")))
+    assert multimodal.parse_video_header(blob) == ("mp4", 0, 0, 0.0, -1)
+    # and the well-formed v1 fixture still parses correctly
+    got = multimodal.parse_video_header(_mp4_fixture(version=1))
+    assert got == ("mp4", 640, 360, 2.5, -1), got
+
+
 def test_parse_video_header_webm():
     got = multimodal.parse_video_header(_webm_fixture())
     assert got == ("webm", 1280, 720, 4.5, -1), got

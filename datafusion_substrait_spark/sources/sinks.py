@@ -51,6 +51,36 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def clear_orphaned_table_location(spark, table: str) -> None:
+    """Remove a managed table's warehouse directory when the catalog has
+    no entry for it — the state a FRESH session inherits when an earlier
+    process wrote the table and exited (in-memory catalog gone, files
+    still on disk). ``mode("overwrite").saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS instead of overwriting; a REGISTERED table is
+    left alone (overwrite handles it correctly)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not warehouse:
+        return
+    # default-database managed layout: <warehouse>/<lowercased table name>
+    loc = os.path.join(warehouse, table.split(".")[-1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+
+
+def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """Plain (unbucketed) managed parquet table, with the same
+    orphaned-location self-heal as :func:`write_bucketed`."""
+    if mode == "overwrite":
+        clear_orphaned_table_location(df.sparkSession, table)
+    df.write.mode(mode).format("parquet").saveAsTable(table)
+
+
 def write_bucketed(df: DataFrame, table: str,
                    bucket_col: str | tuple[str, ...] | list[str],
                    n_buckets: int = 64, mode: str = "overwrite") -> None:
@@ -61,6 +91,8 @@ def write_bucketed(df: DataFrame, table: str,
     join). Size ``n_buckets`` so one bucket of the LARGEST future join
     input fits an executor core's memory."""
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    if mode == "overwrite":
+        clear_orphaned_table_location(df.sparkSession, table)
     (df.write.mode(mode)
      .bucketBy(n_buckets, cols[0], *cols[1:])
      .sortBy(cols[0], *cols[1:])

@@ -68,7 +68,7 @@ ROWS_ONLY_KEYS = sorted(set(entrymod.queries()) - set(ORACLE_KEYS))
 #     check there. The Spark side's scale behavior is pinned separately by
 #     tests/test_scale_stress.py.
 SMALL_SF_ORACLE_KEYS = {"d2_minhash_pairs", "d4_ngram_jaccard",
-                        "d6_dedup_clusters"}
+                        "d6_dedup_clusters", "d7_incremental_dedup"}
 
 # Columns that are approximate BY CONTRACT (sketch outputs). Exact at the
 # driver's sf0.01 — group sizes sit below the GK summary's exactness bound,

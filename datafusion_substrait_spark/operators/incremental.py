@@ -8,12 +8,22 @@ over new docs produces exactly the pairs a full-corpus batch rerun on
 (old ∪ new) would produce that touch at least one new doc** (the old-old
 pairs are already in the store owner's previous results).
 
-The store is three catalog tables (written by :func:`write_minhash_store`):
+The store is four catalog tables (written by :func:`write_minhash_store`):
 
 * ``{store}_bands``    — (key, band, sig) LSH band fingerprints, BUCKETED
-  by ``(band, sig)`` — exactly the probe-join/bucket-aggregation key, so
-  the store side of the probe needs **no Exchange**: at 100 TB the store
-  never reshuffles, only the (small) new batch does.
+  by ``(band, sig)`` — the normalized form (supports rebuild/compaction),
+  bucketed on exactly the probe key so any store-side aggregation needs
+  **no Exchange**: at 100 TB the store never reshuffles, only the (small)
+  new batch does.
+* ``{store}_buckets``  — (band, sig, ids: sorted array<key>) PRE-AGGREGATED
+  bucket member arrays, same bucketed layout, one row per (bucket,
+  generation) — appends add rows instead of rewriting arrays. The probe
+  joins this table directly, so per-increment aggregation work is
+  O(touched buckets), not O(store): the old per-increment
+  ``groupBy(band, sig).collect_list`` over the full bands table (shuffle-
+  free but O(store) agg work every batch) is now a write-once cost.
+  Signatures are ~100 bytes/doc vs the corpus text's ~10⁵, so carrying
+  both the normalized and the probe-optimized form is noise at 100 TB.
 * ``{store}_shingles`` — (key, sh: array<bigint>) exact shingle hash sets
   for the Jaccard verify step, BUCKETED by ``key``: the verify semi-join
   by candidate old docs is likewise shuffle-free on the store side.
@@ -22,6 +32,9 @@ The store is three catalog tables (written by :func:`write_minhash_store`):
   instead of trusting the caller: probing a store with mismatched
   parameters produces silently-empty buckets, not an error, so the
   parameters travel WITH the signatures.
+
+Stores written before ``{store}_buckets`` existed still probe through the
+bands-table aggregation (detected via the catalog, no action needed).
 
 Equality argument (why increment ≡ batch-on-(old ∪ new), new-touching
 subset): the batch pass buckets ALL docs by (band, sig) and expands pairs
@@ -52,6 +65,13 @@ from datafusion_substrait_spark.sources import sinks
 _META_COLS = ("num_hashes", "bands", "shingle_n", "text_col", "key_col")
 
 
+def _bucket_arrays(banded: DataFrame, key_col: str) -> DataFrame:
+    """(band, sig, ids) pre-aggregated sorted member arrays for one
+    generation of banded rows."""
+    return (banded.groupBy("band", "sig")
+            .agg(F.sort_array(F.collect_list(key_col)).alias("ids")))
+
+
 def write_minhash_store(df: DataFrame, store: str, text_col: str = "text",
                         key_col: str = "doc_id", num_hashes: int = 32,
                         bands: int = 8, shingle_n: int = 5,
@@ -70,6 +90,9 @@ def write_minhash_store(df: DataFrame, store: str, text_col: str = "text",
                           shingle_n)
     sinks.write_bucketed(banded, f"{store}_bands", ("band", "sig"),
                          n_buckets=n_buckets, mode=mode)
+    sinks.write_bucketed(_bucket_arrays(banded, key_col),
+                         f"{store}_buckets", ("band", "sig"),
+                         n_buckets=n_buckets, mode=mode)
     sinks.write_bucketed(_shingle_sets(df, text_col, key_col, shingle_n),
                          f"{store}_shingles", key_col,
                          n_buckets=n_buckets, mode=mode)
@@ -77,7 +100,7 @@ def write_minhash_store(df: DataFrame, store: str, text_col: str = "text",
         [(num_hashes, bands, shingle_n, text_col, key_col)],
         "num_hashes int, bands int, shingle_n int, "
         "text_col string, key_col string")
-    meta.write.mode(mode).format("parquet").saveAsTable(f"{store}_meta")
+    sinks.write_table(meta, f"{store}_meta", mode=mode)
 
 
 def append_to_minhash_store(new_docs: DataFrame, store: str) -> None:
@@ -96,6 +119,13 @@ def append_to_minhash_store(new_docs: DataFrame, store: str) -> None:
     n_buckets = _store_bucket_count(new_docs.sparkSession, f"{store}_bands")
     sinks.write_bucketed(banded, f"{store}_bands", ("band", "sig"),
                          n_buckets=n_buckets, mode="append")
+    if new_docs.sparkSession.catalog.tableExists(f"{store}_buckets"):
+        # one new generation row per touched bucket; the probe merges
+        # generations after its bucketed join (pre-buckets-table stores
+        # skip this and keep probing through the bands aggregation)
+        sinks.write_bucketed(
+            _bucket_arrays(banded, p["key_col"]), f"{store}_buckets",
+            ("band", "sig"), n_buckets=n_buckets, mode="append")
     sinks.write_bucketed(
         _shingle_sets(new_docs, p["text_col"], p["key_col"],
                       p["shingle_n"]),
@@ -134,10 +164,15 @@ def minhash_lsh_pairs_increment(new_docs: DataFrame, store: str,
     Plan shape at scale:
       1. band the new batch (one shuffle of the small batch);
       2. aggregate the new batch's buckets, join them to the store's
-         bucket aggregation on (band, sig) — the store is bucketed by
-         exactly (band, sig), so the store-side aggregate AND join input
-         need no Exchange (gated in tests/test_incremental.py); buckets
-         with no new member never leave the join;
+         PRE-AGGREGATED ``{store}_buckets`` arrays on (band, sig) — the
+         store is bucketed by exactly (band, sig), so the store-side join
+         input needs no Exchange AND no aggregation (gated in
+         tests/test_incremental.py); a touched bucket's per-generation
+         rows merge AFTER the join, so aggregation work is O(touched
+         buckets). Buckets with no new member never leave the join.
+         (Stores written before the buckets table existed fall back to
+         aggregating ``{store}_bands`` — still shuffle-free, but O(store)
+         aggregation per increment.)
       3. rebuild each touched bucket's full sorted member array and run
          the batch pair expansion + star cap on it, keep new-touching
          pairs;
@@ -145,6 +180,12 @@ def minhash_lsh_pairs_increment(new_docs: DataFrame, store: str,
          old candidate docs' sets loaded from the bucketed shingle store
          (semi-join, store side again shuffle-free), same exact-Jaccard
          code as the batch path.
+
+    The result is returned eagerly via ``localCheckpoint`` (bounded by
+    the batch's pair count); the intermediates persisted during the
+    verify are unpersisted before returning, so repeated increments leak
+    no session-lifetime cache (the checkpointed result itself is
+    reclaimed by Spark's ContextCleaner when the DataFrame is dropped).
     """
     spark = new_docs.sparkSession
     p = read_store_meta(spark, store)
@@ -154,13 +195,27 @@ def minhash_lsh_pairs_increment(new_docs: DataFrame, store: str,
                               p["num_hashes"], p["bands"], p["shingle_n"])
     new_buckets = (new_banded.groupBy("band", "sig")
                    .agg(F.collect_list(key_col).alias("_new_ids")))
-    store_buckets = (spark.table(f"{store}_bands")
-                     .groupBy("band", "sig")
-                     .agg(F.collect_list(key_col).alias("_old_ids")))
     # left join: every bucket with a new member survives, whether or not
     # the store has seen its (band, sig) before
+    if spark.catalog.tableExists(f"{store}_buckets"):
+        merged = (
+            new_buckets.join(spark.table(f"{store}_buckets"),
+                             ["band", "sig"], "left")
+            # one row per store generation: merge only touched buckets
+            # (collect_list skips the left-join NULL, so an unseen
+            # bucket's _old_ids is [] — no coalesce needed)
+            .groupBy("band", "sig")
+            .agg(F.first("_new_ids").alias("_new_ids"),
+                 F.flatten(F.collect_list("ids")).alias("_old_ids"))
+        )
+    else:
+        merged = new_buckets.join(
+            spark.table(f"{store}_bands")
+            .groupBy("band", "sig")
+            .agg(F.collect_list(key_col).alias("_old_ids")),
+            ["band", "sig"], "left")
     combined = (
-        new_buckets.join(store_buckets, ["band", "sig"], "left")
+        merged
         .select(F.sort_array(F.concat(
             F.coalesce("_old_ids", F.array()),
             F.col("_new_ids"))).alias("ids"))
@@ -189,7 +244,12 @@ def minhash_lsh_pairs_increment(new_docs: DataFrame, store: str,
     # a store key can never also be a new key (documented contract), so
     # this union has no duplicate (key, sh) rows
     shingled = new_sets.unionByName(old_sets).persist()
-    return _jaccard_verify(cand, shingled, key_col, threshold)
+    try:
+        return _jaccard_verify(cand, shingled, key_col,
+                               threshold).localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
+        shingled.unpersist()
 
 
 def write_exact_store(df: DataFrame, store: str, text_col: str = "text",

@@ -16,7 +16,7 @@ STORE = "inc_store"
 def _drop_store(spark, store=STORE):
     import shutil
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for suffix in ("_bands", "_shingles", "_meta", "_fps"):
+    for suffix in ("_bands", "_buckets", "_shingles", "_meta", "_fps"):
         spark.sql(f"DROP TABLE IF EXISTS {store}{suffix}")
         # a crashed earlier run can leave the managed-table dir behind with
         # no catalog entry; saveAsTable then fails LOCATION_ALREADY_EXISTS
@@ -112,6 +112,89 @@ def test_store_side_probe_is_shuffle_free(spark, split_docs):
     lookup = spark.table(f"{STORE}_shingles").join(ids, "doc_id",
                                                    "left_semi")
     _assert_scan_not_under_exchange(lookup, f"{STORE}_shingles")
+    _drop_store(spark)
+
+
+def _walk_plan(node, fn, ancestors=()):
+    fn(node, ancestors)
+    kids = node.children()
+    for i in range(kids.size()):
+        _walk_plan(kids.apply(i), fn, ancestors + (node,))
+
+
+def test_probe_uses_preaggregated_buckets_no_store_agg(spark, split_docs):
+    """r7 upgrade: the increment probes {store}_buckets (pre-aggregated
+    arrays) — no aggregate may sit between the buckets-table scan and the
+    probe join, and the scan must not sit under an Exchange. The old
+    shape re-aggregated the FULL bands table every increment: O(store)
+    agg work for an O(batch)-sized question."""
+    _, old, new = split_docs
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=4, **PARAMS)
+    assert spark.catalog.tableExists(f"{STORE}_buckets")
+
+    inc = incremental.minhash_lsh_pairs_increment(new, STORE, threshold=0.5)
+    # result is checkpointed (eager); gate the probe subplan instead
+    new_buckets = (dedup._banded_rows(new, "text", "doc_id", **PARAMS)
+                   .groupBy("band", "sig")
+                   .agg(F.collect_list("doc_id").alias("_new_ids")))
+    probe = new_buckets.join(spark.table(f"{STORE}_buckets"),
+                             ["band", "sig"], "left")
+    _assert_scan_not_under_exchange(probe, f"{STORE}_buckets")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = probe._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    offenders = []
+
+    def check(node, ancestors):
+        if f"{STORE}_buckets" not in node.simpleString(200):
+            return
+        if any("Aggregate" in a.nodeName() for a in ancestors):
+            offenders.append([a.nodeName() for a in ancestors])
+
+    _walk_plan(plan, check)
+    assert not offenders, (
+        f"aggregation above the {STORE}_buckets scan: {offenders}")
+    assert inc.count() > 0
+    _drop_store(spark)
+
+
+def test_increment_fallback_for_pre_buckets_store(spark, split_docs):
+    """A store written without {store}_buckets (pre-r7 layout) must still
+    probe correctly through the bands-table aggregation, and produce the
+    same pairs as the upgraded layout."""
+    docs, old, new = split_docs
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=4, **PARAMS)
+    with_buckets = _pairs(incremental.minhash_lsh_pairs_increment(
+        new, STORE, threshold=0.5))
+    spark.sql(f"DROP TABLE {STORE}_buckets")
+    without = _pairs(incremental.minhash_lsh_pairs_increment(
+        new, STORE, threshold=0.5))
+    assert with_buckets == without and with_buckets
+    _drop_store(spark)
+
+
+def test_increment_leaves_no_persisted_rdds(spark, split_docs):
+    """The r6 layout leaked two persisted DataFrames per increment for the
+    session's lifetime; the increment now unpersists its intermediates
+    (the eager localCheckpoint of the small result is ContextCleaner-
+    managed, not a session-lifetime cache)."""
+    _, old, new = split_docs
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=4, **PARAMS)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    inc = incremental.minhash_lsh_pairs_increment(new, STORE, threshold=0.5)
+    inc.count()
+    after = jsc.getPersistentRDDs().size()
+    # the checkpointed result RDD itself may register (reclaimed when the
+    # DataFrame is dropped); the two per-call .persist() caches must not
+    assert after - before <= 1, (
+        f"{after - before} persisted RDDs leaked by one increment")
     _drop_store(spark)
 
 

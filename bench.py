@@ -47,15 +47,37 @@ BENCH_QUERIES = [
     "m1_multimodal_meta",     # Arrow-batched mapInPandas seam
 ]
 
-# Per-query wall-time ceilings (sec at sf0.1 on an IDLE local[32]): 1.5x
-# the best observed on the round-7 definitions. A genuine plan regression
-# trips these; sandbox contention (documented 3-10x swings) is defended
-# twice — best-of-3 baseline, plus 2 EXTRA runs for any query over budget
-# before it is reported. Violations are printed to stderr and carried in
-# the JSON as "budget_violations" (rc stays 0 so one noisy neighbor
-# cannot void the whole bench record; set SPARK_GRAFT_BENCH_STRICT=1 to
-# exit 2 on violations instead).
-BUDGETS: dict[str, float] = {}
+# Per-query wall-time ceilings (sec at sf0.1 on an IDLE local[32]):
+# max(1.5x, +0.25s) over the best of three round-7 runs — the absolute
+# floor keeps sub-second queries from tripping on scheduler jitter. A
+# genuine plan regression trips these; sandbox contention (documented
+# 3-10x swings) is defended twice — best-of-3 baseline, plus 2 EXTRA runs
+# for any query over budget before it is reported. Violations are printed
+# to stderr and carried in the JSON as "budget_violations" (rc stays 0 so
+# one noisy neighbor cannot void the whole bench record; set
+# SPARK_GRAFT_BENCH_STRICT=1 to exit 2 on violations instead).
+BUDGETS: dict[str, float] = {
+    "q01_pricing_summary": 0.88,
+    "q03_filter_arith": 0.45,
+    "q05_group_agg": 0.58,
+    "q06_agg_distinct_filter": 0.63,
+    "q08_join3": 0.64,
+    "q09_outer_joins": 0.72,
+    "q20_top_revenue": 1.33,
+    "q24_window": 0.55,
+    "d1_exact_dedup": 0.41,
+    "d2_minhash_pairs": 1.16,
+    "d3_simhash_pairs": 2.24,
+    "s1_bruteforce_topk": 0.69,
+    "s3_ivf_topk": 2.41,
+    "t2_quality": 0.78,
+    "t3_lang_id": 0.45,
+    "e1_windowed_counts": 0.43,
+    "e2_sessionize": 0.51,
+    "e6_asof_join": 0.58,
+    "e7_asof_salted": 0.72,
+    "m1_multimodal_meta": 0.46,
+}
 
 
 def main() -> None:

@@ -58,8 +58,18 @@ def dot(a: Column, b: Column) -> Column:
 
 def dot_const(a: Column, values: list[float]) -> Column:
     """Σ aᵢ·cᵢ against a plan-time constant vector (a literal array — no
-    join, no broadcast variable; the constant ships inside the plan)."""
-    return dot(a, F.array(*[F.lit(float(v)) for v in values]))
+    join, no broadcast variable; the constant ships inside the plan).
+
+    Two deliberate choices, both A/B-measured this round at sf0.1:
+    * the HOF fold, NOT an unrolled ``get(a,0)*c0 + …`` chain — the
+      unrolled form blew codegen size (janino OOM building the local-
+      variable map at 8 cells x 64 dims; with only single dot products
+      unrolled it fell out of whole-stage codegen and ran ~5x SLOWER
+      than the fold, 4.4s vs 0.9s for the IVF scan);
+    * ONE list literal, not dim x ``F.lit`` calls — plan CONSTRUCTION is
+      driver-side py4j chatter, and a 512-literal centroid battery cost
+      more wall time than the query's execution."""
+    return dot(a, F.lit([float(v) for v in values]))
 
 
 def norm(a: Column) -> Column:

@@ -31,6 +31,9 @@ from __future__ import annotations
 
 import base64
 import datetime
+import hashlib
+import json
+import os
 import struct
 from decimal import Decimal
 
@@ -217,7 +220,7 @@ def check(golden: bytes, ir: dict, spark) -> "DataFrame":
 # ---------------------------------------------------------------------------
 
 
-def test_golden_read_filter_aggregate(spark, tables):
+def build_g1_read_filter_aggregate():
     names, types_b, types_ir = NATION
     read_b = read_rel(names, types_b, [0, 2], "nation")
     read_d = read_ir(names, types_ir, [0, 2], "nation")
@@ -254,6 +257,11 @@ def test_golden_read_filter_aggregate(spark, tables):
     ir = {"version": VERSION_IR,
           "relations": [{"root": {"input": agg_d, "names": ["rk", "s"]}}],
           "extensions": [ext_fn_ir(0, "equal"), ext_fn_ir(1, "sum")]}
+    return golden, ir
+
+
+def test_golden_read_filter_aggregate(spark, tables):
+    golden, ir = build_g1_read_filter_aggregate()
     df = check(golden, ir, spark)
     rows = df.collect()
     assert df.columns == ["rk", "s"]
@@ -266,7 +274,7 @@ def test_golden_read_filter_aggregate(spark, tables):
 # ---------------------------------------------------------------------------
 
 
-def test_golden_join(spark, tables):
+def build_g2_join():
     n_names, n_types_b, n_types_ir = NATION
     r_names, r_types_b, r_types_ir = REGION
     left_b = read_rel(n_names, n_types_b, [0, 2], "nation")
@@ -290,7 +298,13 @@ def test_golden_join(spark, tables):
     ir = {"version": VERSION_IR,
           "relations": [{"root": {"input": join_d, "names": out_names}}],
           "extensions": [ext_fn_ir(0, "equal")]}
+    return golden, ir
+
+
+def test_golden_join(spark, tables):
+    golden, ir = build_g2_join()
     df = check(golden, ir, spark)
+    out_names = ["nk", "nrk", "rk", "rn"]
     assert df.columns == out_names
     rows = df.collect()
     assert len(rows) == 25  # every nation matches exactly one region
@@ -302,7 +316,7 @@ def test_golden_join(spark, tables):
 # ---------------------------------------------------------------------------
 
 
-def test_golden_window(spark, tables):
+def build_g3_window():
     names, types_b, types_ir = NATION
     read_b = read_rel(names, types_b, [1, 0, 2], "nation")
     read_d = read_ir(names, types_ir, [1, 0, 2], "nation")
@@ -351,6 +365,11 @@ def test_golden_window(spark, tables):
           "relations": [{"root": {"input": proj_d,
                                   "names": ["n_name", "rt"]}}],
           "extensions": [ext_fn_ir(0, "sum")]}
+    return golden, ir
+
+
+def test_golden_window(spark, tables):
+    golden, ir = build_g3_window()
     df = check(golden, ir, spark)
     assert df.columns == ["n_name", "rt"]
     assert df.count() == 25
@@ -376,7 +395,7 @@ def test_golden_window(spark, tables):
 # ---------------------------------------------------------------------------
 
 
-def test_golden_virtual_table(spark):
+def build_g4_virtual_table():
     dec_pos = (12345).to_bytes(16, "little", signed=True)    # 123.45
     dec_neg = (-12345).to_bytes(16, "little", signed=True)   # -123.45
     b64_pos = base64.b64encode(dec_pos).decode("ascii")
@@ -437,6 +456,11 @@ def test_golden_virtual_table(spark):
     golden = root(vt_b, names) + VERSION
     ir = {"version": VERSION_IR,
           "relations": [{"root": {"input": vt_d, "names": names}}]}
+    return golden, ir
+
+
+def test_golden_virtual_table(spark):
+    golden, ir = build_g4_virtual_table()
     df = check(golden, ir, spark)
     rows = sorted(map(tuple, df.collect()), key=repr)
     assert rows == sorted([
@@ -452,7 +476,7 @@ def test_golden_virtual_table(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_golden_sample_over_exchange(spark, tables):
+def build_g5_sample_over_exchange():
     names, types_b, types_ir = NATION
     read_b = read_rel(names, types_b, [1, 2], "nation")
     read_d = read_ir(names, types_ir, [1, 2], "nation")
@@ -488,6 +512,11 @@ def test_golden_sample_over_exchange(spark, tables):
     golden = root(ext_b, ["n_name"]) + VERSION
     ir = {"version": VERSION_IR,
           "relations": [{"root": {"input": ext_d, "names": ["n_name"]}}]}
+    return golden, ir
+
+
+def test_golden_sample_over_exchange(spark, tables):
+    golden, ir = build_g5_sample_over_exchange()
     df = check(golden, ir, spark)
     assert df.columns == ["n_name"]
     n = df.count()
@@ -503,7 +532,7 @@ def test_golden_sample_over_exchange(spark, tables):
 # ---------------------------------------------------------------------------
 
 
-def test_golden_setop_sort_fetch(spark, tables):
+def build_g6_setop_sort_fetch():
     n_names, n_types_b, n_types_ir = NATION
     r_names, r_types_b, r_types_ir = REGION
     a_b = read_rel(n_names, n_types_b, [2], "nation")
@@ -534,9 +563,108 @@ def test_golden_setop_sort_fetch(spark, tables):
     golden = root(fetch_b, ["k"]) + VERSION
     ir = {"version": VERSION_IR,
           "relations": [{"root": {"input": fetch_d, "names": ["k"]}}]}
+    return golden, ir
+
+
+def test_golden_setop_sort_fetch(spark, tables):
+    golden, ir = build_g6_setop_sort_fetch()
     df = check(golden, ir, spark)
     assert df.columns == ["k"]
     rows = [r.k for r in df.collect()]
     # 5 distinct region keys (0..4) union-distinct 5 region keys -> 0..4;
     # desc-sorted, skip 1, take 3 -> [3, 2, 1]
     assert rows == [3, 2, 1]
+
+# ---------------------------------------------------------------------------
+# Fixture pack: the six goldens as committed .bin files + manifest, so any
+# EXTERNAL Substrait implementation can be pointed at real plan bytes
+# without reading this test module (tests/wire_fixtures/README.md has the
+# contract). Regenerate with `python -m tests.test_wire_goldens`.
+# ---------------------------------------------------------------------------
+
+GOLDENS = {
+    "g1_read_filter_aggregate": (
+        build_g1_read_filter_aggregate,
+        "ReadRel(named nation, projection mask) -> FilterRel(equal(f1, "
+        "i32 1)) -> AggregateRel(group f1, sum(f0)); two extension "
+        "function anchors"),
+    "g2_join": (
+        build_g2_join,
+        "JoinRel INNER of two masked named reads (nation x region) on "
+        "equal(f1, f2) in the left-then-right ordinal space"),
+    "g3_window": (
+        build_g3_window,
+        "ConsistentPartitionWindowRel: running sum over rows "
+        "unbounded-preceding..current, partitioned + sorted, then a "
+        "ProjectRel keeping (n_name, window column)"),
+    "g4_virtual_table": (
+        build_g4_virtual_table,
+        "ReadRel.VirtualTable with two Literal.Struct rows covering i64, "
+        "string, boolean, date, decimal(5,2) LE-bytes and a typed NULL"),
+    "g5_sample_over_exchange": (
+        build_g5_sample_over_exchange,
+        "ExchangeRel scatter_by_fields -> ProjectRel -> "
+        "ExtensionSingleRel carrying SampleRel via google.protobuf.Any "
+        "(type.googleapis.com/spark.substrait_spark.SampleRel)"),
+    "g6_setop_sort_fetch": (
+        build_g6_setop_sort_fetch,
+        "SetRel UNION_DISTINCT of two reads -> SortRel DESC_NULLS_LAST "
+        "-> FetchRel offset 1 count 3"),
+}
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "wire_fixtures")
+
+
+def test_fixture_pack_matches_goldens():
+    """The committed fixture pack IS the hand-assembled goldens: each
+    .bin must be byte-identical to its builder's output (no drift between
+    what external implementations see and what the tests pin), decode
+    back to the authored IR, and be listed in the manifest."""
+    with open(os.path.join(FIXTURE_DIR, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert set(manifest["plans"]) == set(GOLDENS)
+    assert manifest["message"] == "substrait.Plan"
+    for name, (builder, description) in GOLDENS.items():
+        golden, ir = builder()
+        with open(os.path.join(FIXTURE_DIR, f"{name}.bin"), "rb") as fh:
+            on_disk = fh.read()
+        assert on_disk == golden, f"{name}.bin drifted from the builder"
+        assert wire.decode_plan(on_disk) == ir, name
+        entry = manifest["plans"][name]
+        assert entry["file"] == f"{name}.bin"
+        assert entry["sha256"] == hashlib.sha256(golden).hexdigest(), name
+        assert entry["description"] == description
+
+
+def _write_fixture_pack() -> None:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    plans = {}
+    for name, (builder, description) in GOLDENS.items():
+        golden, _ = builder()
+        with open(os.path.join(FIXTURE_DIR, f"{name}.bin"), "wb") as fh:
+            fh.write(golden)
+        plans[name] = {"file": f"{name}.bin",
+                       "sha256": hashlib.sha256(golden).hexdigest(),
+                       "size_bytes": len(golden),
+                       "description": description}
+    manifest = {
+        "message": "substrait.Plan",
+        "encoding": "protobuf binary (proto3 wire format)",
+        "spec": "substrait v0.53 (version.minor_number = 53)",
+        "producer": VERSION_IR["producer"],
+        "extension_note": (
+            "g5 carries a producer-specific SampleRel inside "
+            "ExtensionSingleRel.detail (google.protobuf.Any, type_url "
+            "type.googleapis.com/spark.substrait_spark.SampleRel); "
+            "implementations without that extension should still "
+            "decode the Any envelope and may skip the node"),
+        "plans": plans,
+    }
+    with open(os.path.join(FIXTURE_DIR, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+if __name__ == "__main__":
+    _write_fixture_pack()
+    print(f"wrote {len(GOLDENS)} fixtures to {FIXTURE_DIR}")

@@ -406,16 +406,71 @@ def extract_image_metadata(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(extract, IMAGE_META_SCHEMA)
 
 
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for RIFF chunks in a range;
+    chunk bodies are word-aligned (odd sizes carry a pad byte). Truncated
+    final chunks are clamped to the payload end, never over-read."""
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = pos + 8
+        yield cid, body, min(body + size, end)
+        pos = body + size + (size & 1)
+
+
+def avi_mjpeg_frames(data: bytes):
+    """REAL video frame extraction for Motion-JPEG AVI: walk the RIFF
+    tree, find the first ``vids`` stream with a JPEG-family handler
+    (MJPG/jpeg/dmb1 per the OpenDML AVI registry), and return its
+    ``##dc``/``##db`` movi chunk payloads — each one a standalone
+    baseline JPEG that :func:`decode_image` / ``jpeg.decode_jpeg``
+    decodes to pixels. Returns None for non-AVI payloads or AVI files
+    whose video codec is not MJPEG (those stay behind the fixed-stride
+    stand-in in :func:`sample_frames`). Never raises on corrupt input
+    (same contract as the header parsers, fuzz-pinned)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    streams = []  # (fccType, fccHandler) in strl declaration order
+    for cid, b0, b1 in _riff_chunks(data, 12, len(data)):
+        if cid == b"LIST" and data[b0:b0 + 4] == b"hdrl":
+            for c2, c0, c1 in _riff_chunks(data, b0 + 4, b1):
+                if c2 == b"LIST" and data[c0:c0 + 4] == b"strl":
+                    entry = (b"", b"")
+                    for c3, d0, d1 in _riff_chunks(data, c0 + 4, c1):
+                        if c3 == b"strh" and d1 - d0 >= 8:
+                            entry = (data[d0:d0 + 4], data[d0 + 4:d0 + 8])
+                            break
+                    streams.append(entry)
+    video = next((i for i, (t, h) in enumerate(streams)
+                  if t == b"vids"
+                  and h.lower() in (b"mjpg", b"jpeg", b"dmb1")), None)
+    if video is None:
+        return None
+    tags = (b"%02ddc" % video, b"%02ddb" % video)
+    frames = []
+    for cid, b0, b1 in _riff_chunks(data, 12, len(data)):
+        if cid == b"LIST" and data[b0:b0 + 4] == b"movi":
+            for c2, c0, c1 in _riff_chunks(data, b0 + 4, b1):
+                if c2 in tags and c1 > c0:
+                    frames.append(data[c0:c1])
+    return frames or None
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "key",
                   every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling plumbing: split each payload into up to ``max_frames``
-    fixed-stride chunks (the stand-in for video frame extraction — a real
-    decoder drops in at the same seam). Ceil-division stride count, so the
-    payload tail after the last full stride still becomes a (short) frame
-    when the frame budget allows; a NULL/empty payload yields ZERO frames
-    (matching _payload_bytes' contract — no phantom empty frame). One input
-    row → ≤ max_frames output rows; schema and batching identical to the
-    real thing."""
+    """Frame sampling: REAL for Motion-JPEG AVI payloads (container walk
+    via :func:`avi_mjpeg_frames`; each emitted ``frame_bytes`` is a
+    decodable JPEG — compose with ``decode_image``/``resize_images``/
+    ``image_features`` for pixels), fixed-stride chunks for everything
+    else (the stand-in where a codec library would drop in at the same
+    seam). MJPEG frames beyond ``max_frames`` are sampled evenly across
+    the stream (``frame_idx`` keeps the SOURCE frame index, so sampling
+    density is visible to the caller); the stand-in path uses
+    ceil-division stride count, so the payload tail after the last full
+    stride still becomes a (short) frame when the frame budget allows.
+    A NULL/empty payload yields ZERO frames (matching _payload_bytes'
+    contract — no phantom empty frame). One input row → ≤ max_frames
+    output rows, deterministic regardless of partitioning."""
 
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -424,6 +479,18 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "k
             keys, idxs, frames = [], [], []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 data = _payload_bytes(payload)
+                mjpeg = avi_mjpeg_frames(data)
+                if mjpeg is not None:
+                    n = len(mjpeg)
+                    take = min(max_frames, n)
+                    for j in range(take):
+                        # endpoint-inclusive even spacing (first and last
+                        # frame always sampled), deterministic
+                        fi = 0 if take == 1 else j * (n - 1) // (take - 1)
+                        keys.append(int(key))
+                        idxs.append(fi)
+                        frames.append(mjpeg[fi])
+                    continue
                 for i in range(min(max_frames, -(-len(data) // every_n_bytes))):
                     keys.append(int(key))
                     idxs.append(i)

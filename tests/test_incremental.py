@@ -260,3 +260,46 @@ def test_append_then_second_increment(spark, split_docs):
               if a in new2_keys or b in new2_keys}
     assert inc2 == expect and inc2
     _drop_store(spark)
+
+
+def test_compact_merges_generations_and_preserves_results(spark, split_docs):
+    """After two appended generations the buckets table holds multiple
+    rows per touched (band, sig); compaction collapses them to exactly
+    one row per bucket, preserves every increment result bit-for-bit,
+    and the renamed table keeps its bucketed (shuffle-free) layout."""
+    docs, old, new_all = split_docs
+    new = new_all.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    new2 = new_all.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=4, **PARAMS)
+    incremental.append_to_minhash_store(new, STORE)
+
+    buckets = spark.table(f"{STORE}_buckets")
+    pre_rows = buckets.count()
+    n_distinct = buckets.select("band", "sig").distinct().count()
+    assert pre_rows > n_distinct, "appends must add generation rows"
+
+    before = _pairs(incremental.minhash_lsh_pairs_increment(
+        new2, STORE, threshold=0.5))
+    incremental.compact_minhash_store(spark, STORE)
+    after_tbl = spark.table(f"{STORE}_buckets")
+    assert after_tbl.count() == n_distinct
+    # every row's ids array is sorted (the pair-expansion contract)
+    bad = after_tbl.filter(
+        F.col("ids") != F.sort_array("ids")).count()
+    assert bad == 0
+    after = _pairs(incremental.minhash_lsh_pairs_increment(
+        new2, STORE, threshold=0.5))
+    assert before == after and after
+
+    # the renamed table still carries the bucketing spec: the probe
+    # aggregation stays shuffle-free
+    agg = (spark.table(f"{STORE}_buckets").groupBy("band", "sig")
+           .agg(F.count(F.lit(1)).alias("n")))
+    _assert_scan_not_under_exchange(agg, f"{STORE}_buckets")
+
+    # pre-r7 layout (no buckets table) gets a named error
+    spark.sql(f"DROP TABLE {STORE}_buckets")
+    with pytest.raises(ValueError, match="no\\s+.*buckets table|buckets table"):
+        incremental.compact_minhash_store(spark, STORE)
+    _drop_store(spark)

@@ -456,10 +456,148 @@ def avi_mjpeg_frames(data: bytes):
     return frames or None
 
 
+_MP4_JPEG_FORMATS = (b"jpeg", b"mjpa", b"mjpb", b"mjpg", b"MJPG")
+
+
+def mp4_jpeg_frames(data: bytes):
+    """REAL frame extraction for Motion-JPEG in MP4/MOV: a full sample-
+    table walk (ISO 14496-12 stbl). Finds the first ``vide``-handler
+    trak whose stsd sample-description fourcc is a JPEG family
+    (jpeg/mjpa/mjpb per the QuickTime registry), then resolves every
+    sample's absolute file range from stsc (sample→chunk runs) ×
+    stco/co64 (chunk offsets) × stsz (sizes; uniform or per-sample
+    table) — samples are contiguous within a chunk. Returns the sample
+    byte ranges (each a standalone baseline JPEG for this codec), or
+    None for non-MP4 payloads / other codecs. Never raises on corrupt
+    input: explicit bounds guards plus a belt-and-braces except for the
+    self-consistent layouts fuzzing can't enumerate (the ADVICE-r6
+    sanctioned pattern for the MP4 walk)."""
+    try:
+        return _mp4_jpeg_frames(data)
+    except (struct.error, IndexError, OverflowError, MemoryError):
+        return None
+
+
+def _mp4_jpeg_frames(data: bytes):
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    for tag, b0, b1 in _mp4_boxes(data, 0, len(data)):
+        if tag != b"moov":
+            continue
+        for t2, c0, c1 in _mp4_boxes(data, b0, b1):
+            if t2 != b"trak":
+                continue
+            frames = _trak_jpeg_frames(data, c0, c1)
+            if frames:
+                return frames
+        return None
+    return None
+
+
+def _trak_jpeg_frames(data: bytes, t0: int, t1: int):
+    hdlr_type = stbl = None
+    for t3, d0, d1 in _mp4_boxes(data, t0, t1):
+        if t3 != b"mdia":
+            continue
+        for t4, e0, e1 in _mp4_boxes(data, d0, d1):
+            if t4 == b"hdlr" and e1 - e0 >= 12:
+                hdlr_type = data[e0 + 8:e0 + 12]
+            elif t4 == b"minf":
+                for t5, f0, f1 in _mp4_boxes(data, e0, e1):
+                    if t5 == b"stbl":
+                        stbl = (f0, f1)
+    if hdlr_type != b"vide" or stbl is None:
+        return None
+    boxes = {}
+    for t6, g0, g1 in _mp4_boxes(data, *stbl):
+        boxes.setdefault(t6, (g0, g1))
+
+    def u32(pos):
+        return struct.unpack(">I", data[pos:pos + 4])[0]
+
+    # stsd: the first sample entry's fourcc decides the codec
+    if b"stsd" not in boxes:
+        return None
+    s0, s1 = boxes[b"stsd"]
+    if s1 - s0 < 16 or data[s0 + 12:s0 + 16] not in _MP4_JPEG_FORMATS:
+        return None
+
+    # stsz: uniform sample_size, or a per-sample u32 table
+    if b"stsz" not in boxes:
+        return None
+    z0, z1 = boxes[b"stsz"]
+    if z1 - z0 < 12:
+        return None
+    uniform, n_samples = u32(z0 + 4), u32(z0 + 8)
+    if n_samples == 0 or n_samples > 1_000_000:  # corrupt-count fence
+        return None
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        if z1 - (z0 + 12) < 4 * n_samples:
+            return None
+        sizes = [u32(z0 + 12 + 4 * i) for i in range(n_samples)]
+
+    # chunk offsets: stco (u32) or co64 (u64)
+    if b"stco" in boxes:
+        o0, o1 = boxes[b"stco"]
+        n_chunks = u32(o0 + 4)
+        if o1 - (o0 + 8) < 4 * n_chunks:
+            return None
+        chunk_off = [u32(o0 + 8 + 4 * i) for i in range(n_chunks)]
+    elif b"co64" in boxes:
+        o0, o1 = boxes[b"co64"]
+        n_chunks = u32(o0 + 4)
+        if o1 - (o0 + 8) < 8 * n_chunks:
+            return None
+        chunk_off = [struct.unpack(">Q", data[o0 + 8 + 8 * i:
+                                              o0 + 16 + 8 * i])[0]
+                     for i in range(n_chunks)]
+    else:
+        return None
+
+    # stsc runs: (first_chunk, samples_per_chunk, desc_idx), 1-based,
+    # each run extends to the next run's first_chunk
+    if b"stsc" not in boxes:
+        return None
+    c0_, c1_ = boxes[b"stsc"]
+    n_runs = u32(c0_ + 4)
+    if c1_ - (c0_ + 8) < 12 * n_runs or n_runs == 0:
+        return None
+    runs = [(u32(c0_ + 8 + 12 * i), u32(c0_ + 12 + 12 * i))
+            for i in range(n_runs)]
+
+    frames = []
+    sample = 0
+    for ri, (first, per_chunk) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_off)
+        for chunk in range(first, last + 1):
+            if chunk - 1 >= len(chunk_off) or sample >= n_samples:
+                break
+            pos = chunk_off[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= n_samples:
+                    break
+                end = pos + sizes[sample]
+                if end > len(data):
+                    return None  # offsets point past the payload
+                frames.append(data[pos:end])
+                pos = end
+                sample += 1
+    return frames if len(frames) == n_samples else None
+
+
+def _real_frames(data: bytes):
+    """Dispatch to the real per-container frame walkers (MJPEG-AVI,
+    MJPEG-MP4); None → the fixed-stride stand-in."""
+    return avi_mjpeg_frames(data) or mp4_jpeg_frames(data)
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "key",
                   every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
-    """Frame sampling: REAL for Motion-JPEG AVI payloads (container walk
-    via :func:`avi_mjpeg_frames`; each emitted ``frame_bytes`` is a
+    """Frame sampling: REAL for Motion-JPEG AVI and MP4/MOV payloads
+    (container walks via :func:`avi_mjpeg_frames` /
+    :func:`mp4_jpeg_frames`; each emitted ``frame_bytes`` is a
     decodable JPEG — compose with ``decode_image``/``resize_images``/
     ``image_features`` for pixels), fixed-stride chunks for everything
     else (the stand-in where a codec library would drop in at the same
@@ -479,7 +617,7 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "k
             keys, idxs, frames = [], [], []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 data = _payload_bytes(payload)
-                mjpeg = avi_mjpeg_frames(data)
+                mjpeg = _real_frames(data)
                 if mjpeg is not None:
                     n = len(mjpeg)
                     take = min(max_frames, n)

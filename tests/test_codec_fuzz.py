@@ -85,8 +85,9 @@ def _check_contract(data: bytes) -> None:
                    audio.parse_audio_header):
         out = parser(data)
         assert out is None or isinstance(out, tuple)
-    frames = multimodal.avi_mjpeg_frames(data)
-    assert frames is None or isinstance(frames, list)
+    for walker in (multimodal.avi_mjpeg_frames, multimodal.mp4_jpeg_frames):
+        frames = walker(data)
+        assert frames is None or isinstance(frames, list)
     # decoders: success or ValueError, nothing else
     for decoder in (multimodal.decode_image, audio.decode_audio):
         try:

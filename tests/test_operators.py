@@ -1567,3 +1567,123 @@ def test_avi_mjpeg_frames_corrupt_never_raises():
     for cut in (0, 11, 12, 20, 45, len(base) - 1):
         out = multimodal.avi_mjpeg_frames(base[:cut])
         assert out is None or isinstance(out, list)
+
+
+# --- REAL Motion-JPEG MP4 frame extraction (sample-table walk) ---------------
+
+def _mjpeg_mp4_fixture(jpegs, w=16, h=16, fourcc=b"jpeg", multi_chunk=True):
+    """Independent MP4 encoder assembled field-by-field from ISO 14496-12:
+    ftyp + mdat(frames) + moov/trak/mdia{mdhd,hdlr 'vide',minf/stbl
+    {stsd VisualSampleEntry, stts, stsc, stsz per-sample, stco absolute
+    offsets}}. multi_chunk puts samples 0-1 in one chunk and the rest in
+    singleton chunks, exercising the stsc run expansion."""
+    import struct as s
+
+    def box(tag, body):
+        return s.pack(">I", 8 + len(body)) + tag + body
+
+    def full(tag, body, ver=0, flags=0):
+        return box(tag, bytes([ver]) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = box(b"mdat", b"".join(jpegs))
+    base = len(ftyp) + 8  # absolute offset of the first sample
+    n, sizes = len(jpegs), [len(j) for j in jpegs]
+    if multi_chunk and n >= 3:
+        stsc_entries = [(1, 2, 1), (2, 1, 1)]
+        chunk_offsets = [base]
+        off = base + sizes[0] + sizes[1]
+        for k in range(2, n):
+            chunk_offsets.append(off)
+            off += sizes[k]
+    else:
+        stsc_entries = [(1, 1, 1)]
+        chunk_offsets, off = [], base
+        for k in range(n):
+            chunk_offsets.append(off)
+            off += sizes[k]
+
+    # VisualSampleEntry: 6 reserved + data_reference_index + 16 pre_defined/
+    # reserved + width + height + h/v resolution (72 dpi 16.16) + 4 reserved
+    # + frame_count + 32-byte compressorname + depth + pre_defined(-1)
+    vse = (b"\x00" * 6 + s.pack(">H", 1) + b"\x00" * 16
+           + s.pack(">HH", w, h) + s.pack(">II", 0x00480000, 0x00480000)
+           + b"\x00" * 4 + s.pack(">H", 1) + b"\x00" * 32
+           + s.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", s.pack(">I", 1) + box(fourcc, vse))
+    stts = full(b"stts", s.pack(">I", 1) + s.pack(">II", n, 1000))
+    stsc = full(b"stsc", s.pack(">I", len(stsc_entries))
+                + b"".join(s.pack(">III", *e) for e in stsc_entries))
+    stsz = full(b"stsz", s.pack(">II", 0, n)
+                + b"".join(s.pack(">I", x) for x in sizes))
+    stco = full(b"stco", s.pack(">I", len(chunk_offsets))
+                + b"".join(s.pack(">I", o) for o in chunk_offsets))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", full(b"vmhd", b"\x00" * 8, flags=1) + stbl)
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    mdhd = full(b"mdhd", s.pack(">IIII", 0, 0, 1000, n * 1000)
+                + s.pack(">HH", 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", b"\x00" * 72 + s.pack(">II", w << 16, h << 16),
+                flags=7)
+    mvhd = full(b"mvhd", b"\x00" * 8 + s.pack(">II", 1000, n * 1000)
+                + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def test_mp4_jpeg_frames_real_pixels(spark):
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import jpeg as J
+    from tests.test_jpeg import _encode_jpeg
+
+    grays = [50, 130, 210, 90]
+    jpegs = [_encode_jpeg(np.full((16, 16), g, np.uint8), q_val=1)
+             for g in grays]
+    for multi in (True, False):
+        mp4 = _mjpeg_mp4_fixture(jpegs, multi_chunk=multi)
+        frames = multimodal.mp4_jpeg_frames(mp4)
+        assert frames == jpegs, f"multi_chunk={multi}"
+        # metadata parser reads the same container (mvhd/tkhd untouched)
+        meta = multimodal.parse_video_header(mp4)
+        assert meta == ("mp4", 16, 16, 4.0, -1), meta
+
+    mp4 = _mjpeg_mp4_fixture(jpegs)
+    # non-JPEG codec and non-MP4 payloads -> None
+    assert multimodal.mp4_jpeg_frames(
+        _mjpeg_mp4_fixture(jpegs, fourcc=b"avc1")) is None
+    assert multimodal.mp4_jpeg_frames(b"RIFF not an mp4") is None
+    # Spark seam: decodable frames, decoded pixels match the source
+    df = spark.createDataFrame([(9, bytearray(mp4))], "key long, payload binary")
+    rows = multimodal.sample_frames(df).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
+    for r in rows:
+        dec = J.decode_jpeg(bytes(r.frame_bytes))
+        assert abs(int(dec.mean()) - grays[r.frame_idx]) <= 2
+    # determinism across partitionings
+    a = sorted((r.frame_idx, bytes(r.frame_bytes))
+               for r in multimodal.sample_frames(df.repartition(1)).collect())
+    b = sorted((r.frame_idx, bytes(r.frame_bytes))
+               for r in multimodal.sample_frames(df.repartition(5)).collect())
+    assert a == b
+
+
+def test_mp4_jpeg_frames_corrupt_never_raises():
+    import random
+
+    base = _mjpeg_mp4_fixture([b"\xff\xd8fake\xff\xd9"] * 3)
+    rnd = random.Random(31)
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rnd.randrange(1, 6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        out = multimodal.mp4_jpeg_frames(bytes(b))
+        assert out is None or isinstance(out, list)
+    for cut in (0, 7, 8, 30, len(base) // 2, len(base) - 1):
+        out = multimodal.mp4_jpeg_frames(base[:cut])
+        assert out is None or isinstance(out, list)
+    # offsets past the payload are rejected, not sliced short
+    trunc = base[:-4]
+    assert multimodal.mp4_jpeg_frames(trunc) is None or \
+        all(len(f) > 0 for f in multimodal.mp4_jpeg_frames(trunc))

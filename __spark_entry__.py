@@ -364,14 +364,30 @@ def _d6_dedup_clusters(spark, sf_dir):
     )
 
 
-def _d4_ngram_jaccard(spark, sf_dir):
+def _d4_neardup_pairs(spark, sf_dir):
+    # exact n-gram Jaccard pairs + embedding-cosine near-dup pairs as
+    # tagged legs of one entry (mirror (a, b, score) shapes, merged r7 to
+    # free a slot for t12); the merged entry inherits d4's sf<=0.01
+    # oracle scope (the all-pairs replay, see SMALL_SF_ORACLE_KEYS)
     _prep(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(spark.table("documents"), threshold=0.12)
+    ng = dedup.ngram_jaccard_pairs(
+        spark.table("documents"), threshold=0.12).select(
+        F.lit("ngram").alias("leg"), F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"), F.col("jaccard").alias("score"))
+    em = dedup.embedding_neardup_pairs(
+        spark.table("embeddings"), threshold=0.9).select(
+        F.lit("embed").alias("leg"), F.col("vec_a").alias("a"),
+        F.col("vec_b").alias("b"), F.col("cosine").alias("score"))
+    return ng.unionByName(em)
 
 
-def _d5_embedding_neardup(spark, sf_dir):
+def _t12_boilerplate(spark, sf_dir):
+    # CCNet-style corpus-level line dedup; the DuckDB oracle replays the
+    # whole pipeline by grouping normalized line STRINGS (== the xxhash64
+    # grouping absent collisions, same argument as d1)
     _prep(spark, sf_dir)
-    return dedup.embedding_neardup_pairs(spark.table("embeddings"), threshold=0.9)
+    return text.remove_boilerplate_lines(
+        spark.table("documents").select("doc_id", "text"), min_docs=3)
 
 
 def _s1_bruteforce_topk(spark, sf_dir):
@@ -647,8 +663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d3_simhash_pairs": _d3_simhash_pairs,
     "d6_dedup_clusters": _d6_dedup_clusters,
     "d7_incremental_dedup": _d7_incremental_dedup,
-    "d4_ngram_jaccard": _d4_ngram_jaccard,
-    "d5_embedding_neardup": _d5_embedding_neardup,
+    "d4_neardup_pairs": _d4_neardup_pairs,
     "s1_bruteforce_topk": _s1_bruteforce_topk,
     "s2_lsh_topk": _s2_lsh_topk,
     "s3_ivf_topk": _s3_ivf_topk,
@@ -660,6 +675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t7_repetition": _t7_repetition,
     "t8_vocab_topk": _t8_vocab_topk,
     "t10_tfidf": _t10_tfidf,
+    "t12_boilerplate": _t12_boilerplate,
     "c1_ngram_overlap": _c1_ngram_overlap,
     "c2_decontaminate": _c2_decontaminate,
     "c3_bloom_decontaminate": _c3_bloom_decontaminate,
@@ -901,7 +917,7 @@ ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
         FROM documents GROUP BY md5({_NORM})
     """,
-    "d4_ngram_jaccard": f"""
+    "d4_neardup_pairs": f"""
         WITH toks AS (
             SELECT doc_id, lang, {_TOKS} AS t FROM documents
         ), grams AS (
@@ -911,15 +927,34 @@ ORACLES: dict[str, str] = {
                                            i -> array_to_string(t[i:i+2], ' ')))
                    END AS g
             FROM toks
+        ), sig AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   {{_RH16}} AS bucket
+            FROM embeddings
+        ), bstats AS (
+            SELECT bucket, count(*) AS n, min(vec_id) AS hub
+            FROM sig GROUP BY bucket HAVING count(*) > 1
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        SELECT 'ngram' AS leg, a.doc_id AS a, b.doc_id AS b,
                round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                     / len(list_distinct(a.g || b.g)), 6) AS jaccard
+                     / len(list_distinct(a.g || b.g)), 6) AS score
         FROM grams a JOIN grams b
           ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                     / len(list_distinct(a.g || b.g)), 6) >= 0.12
-    """,
+        UNION ALL
+        SELECT 'embed' AS leg, a.vec_id AS a, b.vec_id AS b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN bstats s ON s.bucket = a.bucket
+        WHERE (s.n <= 500 OR a.vec_id = s.hub)
+          AND round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+    """.replace("{_RH16}", _RH16_SIG_SQL),
     "s1_bruteforce_topk": """
         WITH q AS (
             SELECT vec_id AS query_id,
@@ -1279,6 +1314,32 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, t AS token, tf, df, score, CAST(rn AS INT) AS rank
         FROM ranked WHERE rn <= 5
     """,
+    # t12: CCNet-style corpus-level line dedup — grouping normalized line
+    # STRINGS replays the Spark side's xxhash64 grouping exactly (absent
+    # collisions); empty lines always kept; order-preserving reassembly
+    "t12_boilerplate": """
+        WITH lines AS (
+            SELECT doc_id, t.i AS pos, ls[t.i] AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM documents),
+                 unnest(range(1, len(ls) + 1)) AS t(i)
+        ), drops AS (
+            SELECT lower(trim(line)) AS nl
+            FROM lines WHERE lower(trim(line)) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        ), marked AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (lower(trim(l.line)) = '' OR d.nl IS NULL) AS keep
+            FROM lines l LEFT JOIN drops d ON lower(trim(l.line)) = d.nl
+        )
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS text,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+               CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                   AS n_lines_dropped
+        FROM marked GROUP BY doc_id
+    """,
     # d7: the new-touching subset of the d2 all-pairs graph (store =
     # doc_id % 5 != 0, increment = % 5 == 0); valid under the same
     # deterministic-recall-1 argument as d2's oracle
@@ -1318,29 +1379,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """,
-    # hot-bucket star cap (> 500 members ⇒ hub-only pairs, hub = min
-    # vec_id) replayed exactly like d3's bstats pattern
-    "d5_embedding_neardup": f"""
-        WITH sig AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                   {_RH16_SIG_SQL} AS bucket
-            FROM embeddings
-        ), bstats AS (
-            SELECT bucket, count(*) AS n, min(vec_id) AS hub
-            FROM sig GROUP BY bucket HAVING count(*) > 1
-        )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        JOIN bstats s ON s.bucket = a.bucket
-        WHERE (s.n <= 500 OR a.vec_id = s.hub)
-          AND round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
-    """,
+
     "s3_ivf_topk": _ivf_sql(_S3_CENTROIDS, _S3_NPROBE, 10),
     # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid
     # because (a) d2's output is exact-verified Jaccard over LSH candidates,

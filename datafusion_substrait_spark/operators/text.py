@@ -468,3 +468,59 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         F.octet_length(F.col(text_col)).alias("n_bytes"),
         F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
     )
+
+
+def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
+                             text_col: str = "text",
+                             key_col: str = "doc_id") -> DataFrame:
+    """CCNet-style corpus-level line deduplication: drop every line whose
+    normalized form (lower + trim) appears in ``min_docs`` or more
+    DISTINCT documents — headers, footers, cookie banners and nav menus
+    repeat across a crawl; body text does not. Empty lines are structure,
+    not boilerplate, and are always kept.
+
+    Output: (key, text with surviving lines in original order,
+    n_lines_kept, n_lines_dropped).
+
+    Scale shape: lines explode with their position, the corpus-wide
+    document-frequency aggregation runs on ``xxhash64`` of the normalized
+    line (the shuffle carries 8-byte hashes, never line text; DuckDB
+    oracles replay by grouping the normalized STRINGS — identical absent
+    xxhash64 collisions, same argument as the dedup family), the
+    drop-set joins back un-hinted (AQE broadcasts it when it fits — it is
+    bounded by the number of distinct REPEATED lines, a tiny fraction of
+    the corpus), and one shuffle on the document key reassembles the
+    text via sort-of-own-lines (bounded by document length, no window).
+    """
+    key = F.col(key_col)
+    lines = df.select(
+        key, F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    norm = F.lower(F.trim(F.col("_line")))
+    keyed = lines.withColumn("_h", F.xxhash64(norm)) \
+        .withColumn("_empty", norm == "")
+    drops = (keyed.filter(~F.col("_empty"))
+             .groupBy("_h")
+             .agg(F.count_distinct(key).alias("_ndocs"))
+             .filter(F.col("_ndocs") >= int(min_docs))
+             .select("_h", F.lit(True).alias("_boiler")))
+    marked = (keyed.join(drops, "_h", "left")
+              .withColumn("_keep",
+                          F.col("_empty") | F.col("_boiler").isNull()))
+    return (marked.groupBy(key_col)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(F.collect_list(F.struct(
+                                F.col("_pos").alias("pos"),
+                                F.col("_line").alias("line"),
+                                F.col("_keep").alias("keep")))),
+                            lambda s: s["keep"]),
+                        lambda s: s["line"]),
+                    "\n").alias(text_col),
+                F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                .cast("bigint").alias("n_lines_kept"),
+                F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+                .cast("bigint").alias("n_lines_dropped"),
+            ))

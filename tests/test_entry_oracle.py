@@ -67,7 +67,7 @@ ROWS_ONLY_KEYS = sorted(set(entrymod.queries()) - set(ORACLE_KEYS))
 #     *contractually allowed* to miss, so exact graph equality is the wrong
 #     check there. The Spark side's scale behavior is pinned separately by
 #     tests/test_scale_stress.py.
-SMALL_SF_ORACLE_KEYS = {"d2_minhash_pairs", "d4_ngram_jaccard",
+SMALL_SF_ORACLE_KEYS = {"d2_minhash_pairs", "d4_neardup_pairs",
                         "d6_dedup_clusters", "d7_incremental_dedup"}
 
 # Columns that are approximate BY CONTRACT (sketch outputs). Exact at the

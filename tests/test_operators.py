@@ -1687,3 +1687,73 @@ def test_mp4_jpeg_frames_corrupt_never_raises():
     trunc = base[:-4]
     assert multimodal.mp4_jpeg_frames(trunc) is None or \
         all(len(f) > 0 for f in multimodal.mp4_jpeg_frames(trunc))
+
+
+# --- CCNet-style corpus-level line dedup --------------------------------------
+
+def test_remove_boilerplate_lines_planted(spark):
+    boiler = "Subscribe to our newsletter!"
+    rows = [
+        (1, f"unique first line\n{boiler}\nreal body one"),
+        (2, f"{boiler}\nanother body\n\ntrailing after empty"),
+        (3, f"opening text\n  {boiler.upper()}  \nclosing text"),
+        (4, "totally unique document"),
+        (5, f"{boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           text.remove_boilerplate_lines(df, min_docs=3).collect()}
+    # the banner appears (normalized: lower+trim) in docs 1, 2, 3, 5 -> dropped
+    assert out[1].text == "unique first line\nreal body one"
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_dropped == 1
+    # empty line is structure: kept, order preserved
+    assert out[2].text == "another body\n\ntrailing after empty"
+    assert out[3].text == "opening text\nclosing text"
+    assert out[4].text == "totally unique document"
+    assert out[4].n_lines_dropped == 0
+    assert out[5].text == "" and out[5].n_lines_dropped == 1
+    # below the threshold nothing is dropped
+    out2 = {r.doc_id: r for r in
+            text.remove_boilerplate_lines(df, min_docs=5).collect()}
+    assert all(r.n_lines_dropped == 0 for r in out2.values())
+
+
+def test_remove_boilerplate_lines_matches_duckdb_replay(spark, tables):
+    """Full DuckDB replay over the documents table: same normalization,
+    same distinct-doc threshold, same keep-empty-lines rule, same
+    order-preserving reassembly (grouping by normalized STRING replays
+    the xxhash64 grouping exactly, absent hash collisions)."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    docs = tables["documents"].select("doc_id", "text")
+    got = {r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+           for r in text.remove_boilerplate_lines(docs, min_docs=3).collect()}
+    docs_pq = os.path.join(SF_DIR, "documents.parquet")
+    rows = duckdb.sql(f"""
+        WITH lines AS (
+            SELECT doc_id, t.i AS pos, ls[t.i] AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM '{docs_pq}'),
+                 unnest(range(1, len(ls) + 1)) AS t(i)
+        ), drops AS (
+            SELECT lower(trim(line)) AS nl
+            FROM lines WHERE lower(trim(line)) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        ), marked AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (lower(trim(l.line)) = '' OR d.nl IS NULL) AS keep
+            FROM lines l LEFT JOIN drops d ON lower(trim(l.line)) = d.nl
+        )
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep), '') AS text,
+               count(*) FILTER (WHERE keep) AS n_kept,
+               count(*) FILTER (WHERE NOT keep) AS n_dropped
+        FROM marked GROUP BY doc_id
+    """).fetchall()
+    expect = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    assert got == expect and len(expect) > 0

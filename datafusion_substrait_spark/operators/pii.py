@@ -100,3 +100,50 @@ def filter_pii_heavy(df: DataFrame, max_hits: int = 5,
         c = _count(F.col(text_col), pat)
         total = c if total is None else total + c
     return df.filter(total <= int(max_hits))
+
+
+# --- URL hygiene (same regex-battery family) --------------------------------
+
+# common-subset URL pattern (no lookaround): scheme + non-space/quote run
+URL_PATTERN = r"""https?://[^\s<>"']+"""
+# capture group 1 = the host: everything after :// up to /, :, ?, or #
+DOMAIN_PATTERN = r"""https?://([^/:?#\s<>"']+)"""
+
+
+def url_features(df: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Per-document URL exposure: ``n_urls`` (total matches) and
+    ``domains`` (sorted distinct lowercased hosts). The companion to
+    :func:`detect_pii` for link-spam triage and blocklist joins. Narrow
+    map, codegen, no shuffle; same Java-regex ∩ RE2 dialect subset, so
+    the DuckDB replay in tests/test_pii.py is exact."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    domains = F.array_sort(F.array_distinct(F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1)))))
+    return df.select(
+        F.col(key_col),
+        F.size(urls).cast("int").alias("n_urls"),
+        domains.alias("domains"),
+    )
+
+
+def filter_blocked_domains(df: DataFrame, blocked: list[str],
+                           text_col: str = "text",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Drop documents containing a URL whose host is a blocked domain or
+    any subdomain of one (``evil.com`` blocks ``evil.com`` AND
+    ``cdn.evil.com``). The blocklist ships as a plan literal (small by
+    contract — thousands of entries; for a multi-million-entry blocklist
+    use the bloom/broadcast-join shape of contamination.py instead).
+    Keeps the full input row for survivors; pure filter, composes with
+    the scan."""
+    if not blocked:
+        return df
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    domains = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1)))
+    blocked_arr = F.array(*[F.lit(b.lower()) for b in blocked])
+    hit = F.exists(domains, lambda d: F.exists(
+        blocked_arr,
+        lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b))))
+    return df.filter(~F.coalesce(hit, F.lit(False)))

@@ -109,3 +109,65 @@ def test_pii_plan_is_narrow(planted):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:400]
         assert "Python" not in plan, plan[:400]
+
+
+# --- URL hygiene --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def url_docs(spark):
+    rows = [
+        (1, "see https://evil.com/page and http://cdn.evil.com:8080/x?q=1"),
+        (2, 'links: https://good.org/a "https://Good.ORG/b" end'),
+        (3, "no links here"),
+        (4, "sneaky https://notevil.com/ok and https://evil.community/x"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_url_features_planted(url_docs):
+    got = {r.doc_id: (r.n_urls, list(r.domains))
+           for r in pii.url_features(url_docs).collect()}
+    assert got[1] == (2, ["cdn.evil.com", "evil.com"])
+    assert got[2] == (2, ["good.org"])   # case-folded, distinct
+    assert got[3] == (0, [])
+    assert got[4] == (2, ["evil.community", "notevil.com"])
+    assert got[5] == (0, [])
+
+
+def test_filter_blocked_domains(url_docs):
+    kept = {r.doc_id for r in pii.filter_blocked_domains(
+        url_docs, ["evil.com"]).collect()}
+    # evil.com and its subdomain cdn.evil.com block doc 1; notevil.com
+    # and evil.community must NOT match (suffix-with-dot semantics)
+    assert kept == {2, 3, 4, 5}
+    kept2 = {r.doc_id for r in pii.filter_blocked_domains(
+        url_docs, ["good.org", "evil.community"]).collect()}
+    assert kept2 == {1, 3, 5}
+    # empty blocklist is a no-op
+    assert pii.filter_blocked_domains(url_docs, []).count() == 5
+
+
+def test_url_features_matches_duckdb_replay(spark, tables):
+    import os
+
+    from tests.conftest import SF_DIR
+
+    docs = tables["documents"].select("doc_id", "text")
+    got = {r.doc_id: (r.n_urls, list(r.domains))
+           for r in pii.url_features(docs).collect()}
+    docs_pq = os.path.join(SF_DIR, "documents.parquet")
+    url_sql = pii.URL_PATTERN.replace("'", "''")
+    dom_sql = pii.DOMAIN_PATTERN.replace("'", "''")
+    rows = duckdb.sql(f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{url_sql}')) AS INT)
+                   AS n_urls,
+               list_sort(list_distinct(list_transform(
+                   regexp_extract_all(text, '{url_sql}'),
+                   u -> lower(regexp_extract(u, '{dom_sql}', 1)))))
+                   AS domains
+        FROM '{docs_pq}'
+    """).fetchall()
+    expect = {r[0]: (r[1], list(r[2])) for r in rows}
+    assert got == expect and len(expect) > 0

@@ -587,10 +587,88 @@ def _trak_jpeg_frames(data: bytes, t0: int, t1: int):
     return frames if len(frames) == n_samples else None
 
 
+def webm_mjpeg_frames(data: bytes):
+    """REAL frame extraction for Motion-JPEG in WebM/Matroska: find the
+    ``V_MJPEG`` video TrackEntry in Tracks, then collect that track's
+    SimpleBlock / BlockGroup>Block payloads from every Cluster (block
+    header: EBML-coded track number + 2-byte timestamp + flags; unlaced
+    blocks only — lacing never occurs for one-frame-per-block video).
+    Returns None for non-Matroska payloads or other codecs; never raises
+    on corrupt input (same contract as the MP4 walker)."""
+    if len(data) < 4 or data[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    try:
+        return _webm_mjpeg_frames(data)
+    except (struct.error, IndexError, OverflowError, MemoryError):
+        return None
+
+
+def _webm_mjpeg_frames(data: bytes):
+    for eid, b0, b1 in _ebml_children(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        video_track = None
+        for eid2, c0, c1 in _ebml_children(data, b0, b1):
+            if eid2 != 0x1654AE6B:  # Tracks
+                continue
+            for eid3, d0, d1 in _ebml_children(data, c0, c1):
+                if eid3 != 0xAE:  # TrackEntry
+                    continue
+                tnum = ttype = None
+                codec = b""
+                for eid4, e0, e1 in _ebml_children(data, d0, d1):
+                    if eid4 == 0xD7 and e1 > e0:      # TrackNumber
+                        tnum = int.from_bytes(data[e0:e1], "big")
+                    elif eid4 == 0x83 and e1 > e0:    # TrackType
+                        ttype = int.from_bytes(data[e0:e1], "big")
+                    elif eid4 == 0x86:                # CodecID
+                        codec = data[e0:e1].rstrip(b"\x00")
+                if ttype == 1 and codec == b"V_MJPEG" and tnum:
+                    video_track = tnum
+                    break
+        if video_track is None:
+            return None
+        frames = []
+        for eid2, c0, c1 in _ebml_children(data, b0, b1):
+            if eid2 != 0x1F43B675:  # Cluster
+                continue
+            for eid3, d0, d1 in _ebml_children(data, c0, c1):
+                if eid3 == 0xA3:  # SimpleBlock
+                    f = _webm_block_frame(data, d0, d1, video_track)
+                    if f:
+                        frames.append(f)
+                elif eid3 == 0xA0:  # BlockGroup
+                    for eid4, e0, e1 in _ebml_children(data, d0, d1):
+                        if eid4 == 0xA1:  # Block
+                            f = _webm_block_frame(data, e0, e1,
+                                                  video_track)
+                            if f:
+                                frames.append(f)
+        return frames or None
+    return None
+
+
+def _webm_block_frame(data: bytes, b0: int, b1: int, track: int):
+    """One (Simple)Block's frame payload, or None if it belongs to
+    another track / is laced / is truncated. The track number uses the
+    same marker-stripped VINT coding as element sizes."""
+    r = _ebml_size(data, b0)
+    if r is None:
+        return None
+    tnum, pos, _ = r
+    # after the VINT: 2-byte relative timestamp + 1 flags byte
+    if tnum != track or pos + 3 > b1:
+        return None
+    if data[pos + 2] & 0x06:  # lacing bits set: multi-frame block, skip
+        return None
+    return data[pos + 3:b1]
+
+
 def _real_frames(data: bytes):
-    """Dispatch to the real per-container frame walkers (MJPEG-AVI,
-    MJPEG-MP4); None → the fixed-stride stand-in."""
-    return avi_mjpeg_frames(data) or mp4_jpeg_frames(data)
+    """Dispatch to the real per-container frame walkers (MJPEG in AVI,
+    MP4/MOV and WebM/Matroska); None → the fixed-stride stand-in."""
+    return (avi_mjpeg_frames(data) or mp4_jpeg_frames(data)
+            or webm_mjpeg_frames(data))
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload", key_col: str = "key",

@@ -85,7 +85,8 @@ def _check_contract(data: bytes) -> None:
                    audio.parse_audio_header):
         out = parser(data)
         assert out is None or isinstance(out, tuple)
-    for walker in (multimodal.avi_mjpeg_frames, multimodal.mp4_jpeg_frames):
+    for walker in (multimodal.avi_mjpeg_frames, multimodal.mp4_jpeg_frames,
+                   multimodal.webm_mjpeg_frames):
         frames = walker(data)
         assert frames is None or isinstance(frames, list)
     # decoders: success or ValueError, nothing else

@@ -1757,3 +1757,83 @@ def test_remove_boilerplate_lines_matches_duckdb_replay(spark, tables):
     """).fetchall()
     expect = {r[0]: (r[1], r[2], r[3]) for r in rows}
     assert got == expect and len(expect) > 0
+
+
+# --- REAL Motion-JPEG WebM/Matroska frame extraction --------------------------
+
+def _mjpeg_webm_fixture(jpegs, w=16, h=16, codec=b"V_MJPEG", track=1,
+                        laced_extra=False):
+    """Matroska fixture with a V_MJPEG TrackEntry and one Cluster per
+    frame: SimpleBlock = VINT track number + 2-byte timestamp + flags +
+    frame bytes. laced_extra appends a block with lacing bits set (must
+    be skipped, not misread)."""
+    def block(payload, flags=0x80, tnum=track):
+        # 1-byte VINT: 0x80 | number (number < 64)
+        return bytes([0x80 | tnum, 0, 0, flags]) + payload
+
+    header = _ebml_el(b"\x1a\x45\xdf\xa3", _ebml_el(b"\x42\x82", b"webm"))
+    video = _ebml_el(b"\xe0",
+                     _ebml_el(b"\xb0", w.to_bytes(2, "big"))
+                     + _ebml_el(b"\xba", h.to_bytes(2, "big")))
+    entry = (_ebml_el(b"\xd7", bytes([track]))       # TrackNumber
+             + _ebml_el(b"\x83", b"\x01")            # TrackType video
+             + _ebml_el(b"\x86", codec)              # CodecID
+             + video)
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", _ebml_el(b"\xae", entry))
+    clusters = b""
+    for i, j in enumerate(jpegs):
+        sb = _ebml_el(b"\xa3", block(j))
+        if i == 0:
+            # BlockGroup>Block form for the first frame: both paths walk
+            sb = _ebml_el(b"\xa0", _ebml_el(b"\xa1", block(j)))
+        # an audio-track block interleaved: must be filtered out
+        sb += _ebml_el(b"\xa3", block(b"audio-bytes", tnum=track + 1))
+        if laced_extra:
+            sb += _ebml_el(b"\xa3", block(b"laced!", flags=0x86))
+        clusters += _ebml_el(b"\x1f\x43\xb6\x75", sb)
+    segment = _ebml_el(b"\x18\x53\x80\x67", tracks + clusters)
+    return header + segment
+
+
+def test_webm_mjpeg_frames_real_pixels(spark):
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import jpeg as J
+    from tests.test_jpeg import _encode_jpeg
+
+    grays = [60, 150, 230]
+    jpegs = [_encode_jpeg(np.full((16, 16), g, np.uint8), q_val=1)
+             for g in grays]
+    webm = _mjpeg_webm_fixture(jpegs, laced_extra=True)
+    frames = multimodal.webm_mjpeg_frames(webm)
+    assert frames == jpegs  # audio-track and laced blocks excluded
+    # the metadata parser still reads the same container
+    meta = multimodal.parse_video_header(webm)
+    assert meta is not None and meta[0] == "webm" and meta[1:3] == (16, 16)
+    # non-MJPEG codec and non-Matroska payloads -> None
+    assert multimodal.webm_mjpeg_frames(
+        _mjpeg_webm_fixture(jpegs, codec=b"V_VP9")) is None
+    assert multimodal.webm_mjpeg_frames(b"RIFF....AVI ") is None
+    # Spark seam + pixel roundtrip
+    df = spark.createDataFrame([(3, bytearray(webm))], "key long, payload binary")
+    rows = multimodal.sample_frames(df).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 1, 2]
+    for r in rows:
+        dec = J.decode_jpeg(bytes(r.frame_bytes))
+        assert abs(int(dec.mean()) - grays[r.frame_idx]) <= 2
+
+
+def test_webm_mjpeg_frames_corrupt_never_raises():
+    import random
+
+    base = _mjpeg_webm_fixture([b"\xff\xd8fake\xff\xd9"] * 2)
+    rnd = random.Random(99)
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rnd.randrange(1, 6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        out = multimodal.webm_mjpeg_frames(bytes(b))
+        assert out is None or isinstance(out, list)
+    for cut in (0, 3, 4, 10, len(base) // 2, len(base) - 1):
+        out = multimodal.webm_mjpeg_frames(base[:cut])
+        assert out is None or isinstance(out, list)

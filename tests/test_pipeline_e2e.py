@@ -1,19 +1,28 @@
 """End-to-end training-data pipeline composition: the operators are built
-to chain — dedup → decontaminate → quality-gate → deterministic sample →
-budget accounting — with each stage a DataFrame in, DataFrame out, so the
-whole flow stays one lazy plan until the final action."""
+to chain — corpus hygiene (boilerplate lines, PII scrub, domain
+blocklist) → dedup → decontaminate → quality-gate → deterministic
+sample → budget accounting — with each stage a DataFrame in, DataFrame
+out, so the whole flow stays one lazy plan until the final action."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from datafusion_substrait_spark.operators import (contamination, dedup,
-                                                  sampling, text)
+                                                  pii, sampling, text)
 
 
 def test_full_corpus_pipeline(spark, tables):
-    docs = tables["documents"]
-    n0 = docs.count()
+    raw = tables["documents"]
+    n0 = raw.count()
+
+    # 0. corpus hygiene: corpus-level boilerplate lines out, PII redacted,
+    # blocklisted domains dropped — each a (doc_id, text)-preserving stage
+    cleaned = text.remove_boilerplate_lines(raw, min_docs=3)         .select("doc_id", "text")
+    scrubbed = pii.scrub_pii(cleaned)
+    docs = pii.filter_blocked_domains(scrubbed, ["blocked.example"])         .join(raw.select("doc_id", "lang"), "doc_id")
+    assert docs.count() == n0  # synthetic corpus: nothing blocklisted
+    assert docs.columns == ["doc_id", "text", "lang"]
 
     # 1. exact dedup: keep one doc per normalized-text fingerprint
     survivors = dedup.exact_dedup(docs).select("doc_id")
@@ -21,7 +30,9 @@ def test_full_corpus_pipeline(spark, tables):
     n1 = deduped.count()
     assert 0 < n1 <= n0
 
-    # 2. benchmark decontamination (every 97th doc is the eval set)
+    # 2. benchmark decontamination (every 97th doc is the eval set; the
+    # bench text is the HYGIENIC text — eval sets go through the same
+    # preprocessing as the corpus or grams would never align)
     bench = (docs.filter(F.col("doc_id") % 97 == 0)
              .select(F.col("doc_id").alias("bench_id"), "text"))
     clean = contamination.decontaminate(deduped, bench, n=5)

@@ -1235,3 +1235,41 @@ def extract_features(df: DataFrame, dim: int = 64,
             })
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def video_features(df: DataFrame, dim: int = 64, max_frames: int = 8,
+                   payload_col: str = "payload", key_col: str = "key",
+                   feature_fn: Callable[[bytes, int], list[float]] | None = None,
+                   ) -> DataFrame:
+    """Per-VIDEO embedding by composing the existing stages: sample
+    frames (REAL for MJPEG in AVI/MP4/WebM, stand-in otherwise) →
+    per-frame image features (real classical-CV for decodable frames, or
+    a model encoder via ``feature_fn``) → element-wise mean pool over the
+    video's frames, re-unit-normalized. Output (key, n_frames, features)
+    is schema-compatible with the ``embeddings`` consumers, so video
+    near-dup/ANN is ``video_features`` piped into ``similarity.*`` /
+    ``dedup.embedding_neardup_pairs``.
+
+    Scale shape: two narrow Arrow-batched maps plus ONE shuffle on the
+    video key whose groups are bounded by ``max_frames`` rows — the
+    pooling runs as codegen array expressions over the collected frame
+    vectors (zip_with fold), never Python."""
+    frames = sample_frames(df, payload_col=payload_col, key_col=key_col,
+                           max_frames=max_frames)
+    ff = extract_features(frames, dim=dim, payload_col="frame_bytes",
+                          key_col="key", feature_fn=feature_fn)
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    fs = F.collect_list("features")
+    summed = F.aggregate(
+        fs, zeros,
+        lambda acc, x: F.zip_with(acc, x,
+                                  lambda p, q: p + q.cast("double")))
+    mean = F.transform(summed, lambda v: v / F.size(fs))
+    nrm = F.sqrt(F.aggregate(mean, F.lit(0.0),
+                             lambda acc, x: acc + x * x))
+    unit = F.transform(
+        mean,
+        lambda x: F.when(nrm > 0, x / nrm).otherwise(x).cast("float"))
+    return ff.groupBy("key").agg(
+        F.size(fs).cast("int").alias("n_frames"),
+        unit.alias("features"))

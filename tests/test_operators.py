@@ -1837,3 +1837,50 @@ def test_webm_mjpeg_frames_corrupt_never_raises():
     for cut in (0, 3, 4, 10, len(base) // 2, len(base) - 1):
         out = multimodal.webm_mjpeg_frames(base[:cut])
         assert out is None or isinstance(out, list)
+
+
+def test_video_features_content_similarity(spark):
+    """Per-video embeddings compose the real frame walk + real image
+    features: a brightness-shifted copy of a video lands near cosine 1,
+    a different video lands lower; deterministic across partitionings;
+    output schema feeds similarity.* as-is."""
+    import numpy as np
+
+    from tests.test_jpeg import _encode_jpeg
+
+    rng = np.random.default_rng(7)
+    base_frames = [rng.integers(0, 200, (16, 16), np.uint8)
+                   for _ in range(3)]
+    shifted = [np.clip(f.astype(int) + 25, 0, 255).astype(np.uint8)
+               for f in base_frames]
+    different = [rng.integers(0, 256, (16, 16), np.uint8)
+                 for _ in range(3)]
+
+    def avi(frames):
+        return _mjpeg_avi_fixture(
+            [_encode_jpeg(f, q_val=2) for f in frames])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi(base_frames))),
+         (2, bytearray(avi(shifted))),
+         (3, bytearray(avi(different)))],
+        "key long, payload binary")
+    out = {r.key: (r.n_frames, np.array(r.features))
+           for r in multimodal.video_features(df, dim=64).collect()}
+    assert all(nf == 3 for nf, _ in out.values())
+    for _, v in out.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+    def cos(a, b):
+        return float(np.dot(a, b))
+
+    sim_shift = cos(out[1][1], out[2][1])
+    sim_diff = cos(out[1][1], out[3][1])
+    assert sim_shift > sim_diff, (sim_shift, sim_diff)
+    assert sim_shift > 0.98
+
+    a = sorted((r.key, tuple(r.features)) for r in
+               multimodal.video_features(df.repartition(1), dim=64).collect())
+    b = sorted((r.key, tuple(r.features)) for r in
+               multimodal.video_features(df.repartition(5), dim=64).collect())
+    assert a == b

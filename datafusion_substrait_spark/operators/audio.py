@@ -406,3 +406,51 @@ def audio_features(df: DataFrame, frame: int = 1024, hop: int = 512,
             })
 
     return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def audio_embedding(df: DataFrame, frame: int = 1024, hop: int = 512,
+                    payload_col: str = "payload", key_col: str = "key",
+                    decode_fn: Callable | None = None) -> DataFrame:
+    """Per-CLIP embedding from the windowed features — the audio analog
+    of ``multimodal.video_features``: statistical pooling of the frame
+    RMS/ZCR series into a small fixed vector [mean/std/max of RMS,
+    mean/std of ZCR, log frame count], unit-normalized. Output
+    (key, n_frames, features) feeds the ``similarity.*`` consumers, so
+    audio near-dup / clustering composes the same way video does.
+
+    Clips with zero full frames (shorter than ``frame`` samples) emit
+    n_frames = 0 and the canonical first basis vector — same degenerate-
+    vector convention as ``multimodal.image_features``. Pooling is
+    codegen aggregates after the Arrow-batched feature map; one shuffle
+    on the clip key."""
+    from pyspark.sql import functions as F
+
+    feats = audio_features(df, frame=frame, hop=hop,
+                           payload_col=payload_col, key_col=key_col,
+                           decode_fn=decode_fn)
+    pooled = feats.groupBy("key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.avg("rms").alias("_m_rms"),
+        F.coalesce(F.stddev_pop("rms"), F.lit(0.0)).alias("_s_rms"),
+        F.max("rms").alias("_x_rms"),
+        F.avg("zcr").alias("_m_zcr"),
+        F.coalesce(F.stddev_pop("zcr"), F.lit(0.0)).alias("_s_zcr"),
+    )
+    # clips with no frames never appear in feats: re-attach them so the
+    # operator is total over its input (left join keeps every clip)
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    pooled = keys.join(pooled, "key", "left")
+    raw = F.array(
+        F.col("_m_rms"), F.col("_s_rms"), F.col("_x_rms"),
+        F.col("_m_zcr"), F.col("_s_zcr"),
+        F.log1p(F.coalesce(F.col("n_frames"), F.lit(0)).cast("double")))
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(raw, lambda x: (x / nrm).cast("float"))
+    basis = F.array(F.lit(1.0).cast("float"),
+                    *[F.lit(0.0).cast("float")] * 5)
+    return pooled.select(
+        "key",
+        F.coalesce(F.col("n_frames"), F.lit(0)).alias("n_frames"),
+        F.when(F.col("n_frames").isNull() | (nrm <= 0), basis)
+        .otherwise(unit).alias("features"),
+    )

@@ -254,3 +254,47 @@ def test_ogg_granule_ignores_capture_pattern_in_packet_data():
     bad_head = (b"OpusHead" + bytes([1, 0]) + struct.pack("<H", 0)
                 + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0]))
     assert audio.parse_audio_header(_ogg_page(bad_head, 0, 0, htype=2)) is None
+
+
+def test_audio_embedding_content_similarity(spark):
+    """Per-clip embeddings: same-shaped signals land near cosine 1,
+    a different signal lower; zero-frame clips get the basis vector;
+    deterministic across partitionings."""
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = (np.sin(2 * np.pi * 440 * t) * 12000).astype(int).tolist()
+    tone_shift = (np.sin(2 * np.pi * 440 * t + 0.5) * 12000) \
+        .astype(int).tolist()
+    rng = np.random.default_rng(5)
+    noise = rng.integers(-12000, 12000, sr).tolist()
+    short = [100, -100, 200]  # shorter than one frame
+
+    rows = [
+        (1, bytearray(_wav(_pcm16(tone), 1, 1, sr, 16))),
+        (2, bytearray(_wav(_pcm16(tone_shift), 1, 1, sr, 16))),
+        (3, bytearray(_wav(_pcm16(noise), 1, 1, sr, 16))),
+        (4, bytearray(_wav(_pcm16(short), 1, 1, sr, 16))),
+    ]
+    df = spark.createDataFrame(rows, "key long, payload binary")
+    out = {r.key: (r.n_frames, np.array(r.features))
+           for r in audio.audio_embedding(df).collect()}
+    assert out[1][0] > 0 and out[3][0] > 0
+    assert out[4][0] == 0
+    assert np.allclose(out[4][1], [1, 0, 0, 0, 0, 0])
+    for k in (1, 2, 3):
+        assert abs(float(np.linalg.norm(out[k][1])) - 1.0) < 1e-5
+
+    def cos(a, b):
+        return float(np.dot(a, b))
+
+    # same tone, phase-shifted: nearly identical stats; noise differs
+    assert cos(out[1][1], out[2][1]) > cos(out[1][1], out[3][1])
+    assert cos(out[1][1], out[2][1]) > 0.999
+
+    a = sorted((r.key, tuple(r.features)) for r in
+               audio.audio_embedding(df.repartition(1)).collect())
+    b = sorted((r.key, tuple(r.features)) for r in
+               audio.audio_embedding(df.repartition(5)).collect())
+    assert a == b

@@ -242,3 +242,42 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
         .select(key_col).distinct()
     )
     return docs.join(F.broadcast(hits), key_col, "left_anti")
+
+
+def bloom_contamination_flag(docs: DataFrame, bench: DataFrame, n: int = 5,
+                             n_bits: int = 1 << 23, n_hashes: int = 5,
+                             text_col: str = "text",
+                             key_col: str = "doc_id",
+                             bench_text_col: str = "text",
+                             bench_key_col: str = "bench_id") -> DataFrame:
+    """Per-document contamination flag with ZERO joins on the corpus
+    side — the STREAMING-safe shape of ``bloom_decontaminate``
+    (``verify=False`` semantics: no false negatives; bloom false
+    positives over-flag, the conservative direction).
+
+    Instead of exploding grams and anti-joining hits back (stream-stream
+    anti-joins are unsupported, and the join is a shuffle batch doesn't
+    need either), each document keeps its distinct grams as an ARRAY and
+    the bloom test runs as ``exists(grams, all-k-bits-set)`` inside
+    whole-stage codegen against the 1-row broadcast-attached bitset: a
+    pure narrow map, so the SAME operator runs on a batch DataFrame or a
+    ``readStream`` source unchanged (stream==batch parity pinned in
+    tests/test_streaming.py). Returns the input plus boolean
+    ``is_contaminated``; filter on it for decontamination."""
+    import numpy as np
+
+    if key_col == bench_key_col:
+        raise ValueError(
+            f"key_col and bench_key_col are both {key_col!r}: pass "
+            "bench_key_col=... (same guard as bloom_decontaminate)")
+    filt = build_ngram_bloom(bench, n, n_bits, n_hashes,
+                             bench_text_col, bench_key_col)
+    words_df = docs.sparkSession.createDataFrame(
+        [(filt.astype(np.int64).tolist(),)], "__bloom_words array<bigint>")
+    grams = F.array_remove(
+        F.array_distinct(word_ngrams(F.col(text_col), n)), "")
+    hit = F.exists(grams, lambda g: _bloom_hit_jvm(
+        F.col("__bloom_words"), g, n_bits, n_hashes))
+    return (docs.crossJoin(F.broadcast(words_df))
+            .withColumn("is_contaminated", F.coalesce(hit, F.lit(False)))
+            .drop("__bloom_words"))

@@ -212,3 +212,57 @@ def test_stateful_ops_survive_null_columns(spark, tmp_path):
     expect2 = stateful.streaming_exact_dedup(df)
     assert rows_set(got2) == rows_set(expect2)
     assert got2.count() == 3  # (NULL,click), (7,NULL), (8,view)
+
+
+def test_corpus_hygiene_ops_work_on_streams(spark):
+    """The narrow-map corpus-hygiene operators (PII scrub/detect, URL
+    blocklist, bloom decontamination's verify-free probe) run unchanged
+    on a Structured Streaming source — they are pure projections/filters
+    with no batch-only plan shape — and the streamed result equals the
+    batch result. (remove_boilerplate_lines needs a corpus-wide
+    aggregation + self-join, which streaming forbids by design; it stays
+    a batch stage.)"""
+    from datafusion_substrait_spark.operators import contamination, pii
+
+    docs_path = f"{SF_DIR}/documents.parquet"
+    batch = spark.read.parquet(docs_path).select("doc_id", "text")
+    schema = batch.schema
+    # single-file test layout: stream the parent dir with a glob filter
+    # (the file source wants a directory), same trick as read_events_stream
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(f"{SF_DIR}")
+              .select("doc_id", "text"))
+
+    bench = batch.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text")
+
+    scrubbed = pii.scrub_pii(stream)
+    detected = pii.detect_pii(scrubbed)   # chained hygiene stages
+    blocked = pii.filter_blocked_domains(stream, ["blocked.example"])
+    # bloom_decontaminate's anti-join shape is batch-only (stream-stream
+    # anti-joins are unsupported); bloom_contamination_flag IS the
+    # streaming shape — a pure narrow map with identical verify=False
+    # semantics, filterable in-stream
+    flag_stream = (contamination.bloom_contamination_flag(
+        stream, bench, n=5)
+        .filter(~F.col("is_contaminated")).select("doc_id"))
+    flag_batch = (contamination.bloom_contamination_flag(
+        batch, bench, n=5)
+        .filter(~F.col("is_contaminated")).select("doc_id"))
+    # and the flag's survivor set equals bloom_decontaminate(verify=False)
+    decon_batch = contamination.bloom_decontaminate(
+        batch, bench, n=5, verify=False).select("doc_id")
+    assert rows_set(flag_batch) == rows_set(decon_batch)
+
+    for name, sdf, expect in [
+        ("pii_scrub_detect", detected, pii.detect_pii(pii.scrub_pii(batch))),
+        ("blocklist", blocked, pii.filter_blocked_domains(
+            batch, ["blocked.example"])),
+        ("bloom_flag", flag_stream, flag_batch),
+    ]:
+        q = (sdf.writeStream.format("memory").queryName(f"hyg_{name}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.table(f"hyg_{name}")
+        assert rows_set(got) == rows_set(expect), name

@@ -239,3 +239,75 @@ def test_asof_salted_rejects_bad_salt(spark):
     left = spark.createDataFrame([(1, 10, "x")], "k bigint, ts bigint, lval string")
     with pytest.raises(SubstraitError, match="salt"):
         temporal.asof_join_salted(left, left, on="k", ts_col="ts", salt=0)
+
+
+# --- sequence packing ----------------------------------------------------------
+
+def test_pack_sequences_planted(spark):
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, "tok " * c) for i, c in
+            [(0, 60), (1, 50), (2, 10), (3, 0), (4, 100), (5, 30)]]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.shard, r.bin_id, r.bin_offset, r.n_tokens)
+           for r in packing.pack_sequences(df, max_tokens=100,
+                                           n_shards=2).collect()}
+    # shard 0: docs 0 (60), 2 (10), 4 (100) in key order ->
+    #   starts 0, 60, 70 -> bins 0, 0, 0; doc 4 straddles into bin 1
+    assert out[0] == (0, 0, 0, 60)
+    assert out[2] == (0, 0, 60, 10)
+    assert out[4] == (0, 0, 70, 100)
+    # shard 1: docs 1 (50), 3 (0), 5 (30) -> starts 0, 50, 50
+    assert out[1] == (1, 0, 0, 50)
+    assert out[3] == (1, 0, 50, 0)   # zero-token doc: slot, no budget
+    assert out[5] == (1, 0, 50, 30)
+    # deterministic across partitionings
+    a = sorted(map(tuple, packing.pack_sequences(
+        df.repartition(1), 100, n_shards=2).collect()))
+    b = sorted(map(tuple, packing.pack_sequences(
+        df.repartition(7), 100, n_shards=2).collect()))
+    assert a == b
+    # stats: shard 0 bin 0 has 3 docs starting, 170 tokens started
+    stats = {(r.shard, r.bin_id): (r.n_docs, r.tokens_started)
+             for r in packing.bin_stats(
+                 packing.pack_sequences(df, 100, n_shards=2), 100).collect()}
+    assert stats[(0, 0)] == (3, 170)
+    assert stats[(1, 0)] == (3, 80)
+    import pytest as _p
+    with _p.raises(ValueError, match="max_tokens"):
+        packing.pack_sequences(df, 0)
+
+
+def test_pack_sequences_matches_duckdb_replay(spark, tables):
+    """Exact assignment replay: same shard (key mod), same key order,
+    same exclusive-cumsum binning, over the whitespace token count."""
+    import os
+
+    import duckdb
+
+    from datafusion_substrait_spark.operators import packing
+    from tests.conftest import SF_DIR
+
+    docs = tables["documents"].select("doc_id", "text")
+    got = sorted(map(tuple, packing.pack_sequences(
+        docs, max_tokens=512, n_shards=8).collect()))
+    docs_pq = os.path.join(SF_DIR, "documents.parquet")
+    rows = duckdb.sql(f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(doc_id % 8 AS INT) AS shard
+            FROM '{docs_pq}'
+        ), c AS (
+            SELECT doc_id, n_tokens, shard,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+            FROM t
+        )
+        SELECT doc_id, n_tokens, shard,
+               CAST(floor(start / 512) AS BIGINT) AS bin_id,
+               CAST(start % 512 AS BIGINT) AS bin_offset
+        FROM c
+    """).fetchall()
+    assert got == sorted(map(tuple, rows)) and got

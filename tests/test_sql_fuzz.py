@@ -80,7 +80,8 @@ class Gen:
     def num_expr(self, cols, depth=2) -> str:
         if depth <= 0 or self.r.random() < 0.35:
             return self.pick(cols + [str(self.r.randint(0, 1000))])
-        form = self.pick(["add", "sub", "mul", "round", "abs", "case", "mod"])
+        form = self.pick(["add", "sub", "mul", "round", "abs", "case", "mod",
+                          "bitand", "shift", "xor"])
         a = self.num_expr(cols, depth - 1)
         b = self.num_expr(cols, depth - 1)
         if form == "add":
@@ -95,6 +96,18 @@ class Gen:
             return f"abs({a})"
         if form == "mod":
             return f"({self.pick(cols)} % {self.r.randint(2, 97)})"
+        # bitwise family (columns may be DOUBLE: cast first — exercises
+        # cast + the five bitwise binaries through the interchange)
+        if form == "bitand":
+            return (f"(CAST({self.pick(cols)} AS BIGINT) "
+                    f"{self.pick(['&', '|'])} {self.r.randint(1, 4095)})")
+        if form == "shift":
+            fn = self.pick(["shiftleft", "shiftright"])
+            return (f"{fn}(CAST({self.pick(cols)} AS BIGINT), "
+                    f"{self.r.randint(1, 7)})")
+        if form == "xor":
+            return (f"(CAST({self.pick(cols)} AS BIGINT) ^ "
+                    f"CAST({self.pick(cols)} AS BIGINT))")
         return f"(CASE WHEN {self.bool_expr(cols, [], depth - 1)} " \
                f"THEN {a} ELSE {b} END)"
 
@@ -137,7 +150,7 @@ class Gen:
             return self.pick(["(1 = 0)", f"({c} < {c})", "(1 = 1)"])
         choices = ["numcmp", "between", "mod"]
         if scols:
-            choices += ["streq", "like", "inlist", "notnull"]
+            choices += ["streq", "like", "inlist", "notnull", "rlike", "nse"]
         form = self.pick(choices)
         if form == "numcmp":
             op = self.pick(["<", "<=", ">", ">=", "=", "<>"])
@@ -157,6 +170,19 @@ class Gen:
             return f"({c} IN ({', '.join(repr(v) for v in vals)}))"
         if form == "notnull":
             return f"({c} IS NOT NULL)"
+        if form == "rlike":
+            # regex match / (?i)-imatch, both polarities, safe literal
+            # patterns only (the produce path detects the (?i) prefix)
+            letter = self.pick("ABCDEFGHILMNOPRSU")
+            pat = self.pick([f"^[{letter}-Z]", f"{letter.lower()}",
+                             f"(?i)^{letter}", f"(?i){letter.lower()}$"])
+            neg = "NOT " if self.r.random() < 0.3 else ""
+            return f"({neg}{c} RLIKE '{pat}')"
+        if form == "nse":
+            v = POOLS.get(c)
+            rhs = f"'{self.pick(v)}'" if v else f"nullif({c}, {c})"
+            neg = "NOT " if self.r.random() < 0.3 else ""
+            return f"({neg}{c} <=> {rhs})"
         letter = self.pick("ABCDEFGHILMNOPRSU")
         pat = self.pick([f"{letter}%", f"%{letter}%", f"%{letter}"])
         return f"({c} LIKE '{pat}')"

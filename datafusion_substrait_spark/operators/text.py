@@ -524,3 +524,38 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
                 F.sum(F.when(F.col("_keep"), 0).otherwise(1))
                 .cast("bigint").alias("n_lines_dropped"),
             ))
+
+
+def score_features(df: DataFrame, weights: dict[str, float],
+                   bias: float = 0.0,
+                   score_col: str = "model_score") -> DataFrame:
+    """Append ``sigmoid(bias + Σ wᵢ·featureᵢ)`` over named numeric
+    columns — the scoring half of the standard corpus quality classifier
+    (a logistic regression / fastText-style linear head trained OFFLINE
+    on labeled documents; its weights travel here as plan literals, so
+    scoring runs at scan speed inside codegen with zero model runtime,
+    zero Python, zero shuffle). NULL features contribute 0 (a missing
+    feature is no evidence, not a poison)."""
+    if not weights:
+        raise ValueError("weights must name at least one feature column")
+    missing = sorted(set(weights) - set(df.columns))
+    if missing:
+        raise ValueError(f"weight columns not in the DataFrame: {missing}")
+    z = F.lit(float(bias))
+    for name, w in sorted(weights.items()):
+        z = z + F.coalesce(F.col(name).cast("double"), F.lit(0.0)) \
+            * F.lit(float(w))
+    return df.withColumn(score_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def quality_classifier_score(df: DataFrame, weights: dict[str, float],
+                             bias: float = 0.0, text_col: str = "text",
+                             key_col: str = "doc_id") -> DataFrame:
+    """Convenience: :func:`quality_features` piped into
+    :func:`score_features` — (key, engineered features, model_score) in
+    one narrow pass. Weight keys are quality_features' column names
+    (n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+    quality_score)."""
+    return score_features(
+        quality_features(df, text_col=text_col, key_cols=(key_col,)),
+        weights, bias)

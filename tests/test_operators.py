@@ -1884,3 +1884,34 @@ def test_video_features_content_similarity(spark):
     b = sorted((r.key, tuple(r.features)) for r in
                multimodal.video_features(df.repartition(5), dim=64).collect())
     assert a == b
+
+
+def test_score_features_linear_classifier(spark, tables):
+    """The scoring half of an offline-trained linear quality classifier:
+    exact logistic math (DuckDB-replayable), NULL features contribute 0,
+    monotone in the weighted feature, zero Python / zero shuffle."""
+    import math
+
+    docs = tables["documents"].select("doc_id", "text")
+    w = {"n_tokens": 0.01, "stopword_ratio": 2.0, "punct_ratio": -5.0}
+    scored = text.quality_classifier_score(docs, w, bias=-1.0)
+    rows = scored.collect()
+    assert all(0.0 < r.model_score < 1.0 for r in rows)
+    # exact replay of the math on one row
+    r = rows[0]
+    z = -1.0 + 0.01 * r.n_tokens + 2.0 * r.stopword_ratio \
+        - 5.0 * r.punct_ratio
+    assert abs(r.model_score - 1.0 / (1.0 + math.exp(-z))) < 1e-12
+    # NULL feature contributes zero, not NULL score
+    df = spark.createDataFrame([(1, None, 0.5)],
+                               "doc_id bigint, a double, b double")
+    out = text.score_features(df, {"a": 3.0, "b": 2.0}).collect()[0]
+    assert abs(out.model_score - 1.0 / (1.0 + math.exp(-1.0))) < 1e-12
+    # plan: narrow, no Python
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    import pytest as _p
+    with _p.raises(ValueError, match="not in the DataFrame"):
+        text.score_features(docs, {"nope": 1.0})
+    with _p.raises(ValueError, match="at least one"):
+        text.score_features(docs, {})

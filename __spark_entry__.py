@@ -150,13 +150,14 @@ _SQL: dict[str, str] = {
         SELECT c_custkey, c_name, o_orderkey, 'F' AS side
         FROM customer FULL JOIN orders ON c_custkey = o_custkey
     """,
-    "q12_semi_join": """
-        SELECT c_custkey, c_name FROM customer
+    # R8 semi + anti legs as one tagged UNION ALL (merged r7, same pattern
+    # as q09's outer-join legs, to free a driver slot for d8_semdedup)
+    "q12_semi_anti_join": """
+        SELECT 'semi' AS side, c_custkey, c_name FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-    """,
-    "q13_anti_join": """
-        SELECT c_custkey, c_name FROM customer
+        UNION ALL
+        SELECT 'anti' AS side, c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     # E5+E6: CASE (both forms) + BETWEEN, with the former q15/q16 surfaces
@@ -381,6 +382,27 @@ def _d4_neardup_pairs(spark, sf_dir):
     return ng.unionByName(em)
 
 
+def _d8_semdedup(spark, sf_dir):
+    # SemDeDup over the s3 deterministic-centroid cells (threshold 0.4
+    # drops 19/500 at sf0.01 — exercises the drop path; the >500-row
+    # star-cap arithmetic at sf0.1 cell sizes is replayed by the oracle
+    # bit-for-bit, so no scale carve-out is needed)
+    _prep(spark, sf_dir)
+    return dedup.semdedup(spark.table("embeddings"), _S3_CENTROIDS,
+                          threshold=0.4)
+
+
+def _t13_chunk(spark, sf_dir):
+    # fixed-token-window chunking with overlap (stride < chunk) so the
+    # sliding-window + short-tail arithmetic is driver-checked
+    from datafusion_substrait_spark.operators import packing
+
+    _prep(spark, sf_dir)
+    return packing.chunk_documents(
+        spark.table("documents").select("doc_id", "text"),
+        chunk_tokens=40, stride=30)
+
+
 def _t12_boilerplate(spark, sf_dir):
     # CCNet-style corpus-level line dedup; the DuckDB oracle replays the
     # whole pipeline by grouping normalized line STRINGS (== the xxhash64
@@ -561,26 +583,26 @@ def _m1_multimodal_meta(spark, sf_dir):
     return multimodal.extract_image_metadata(payloads)
 
 
-def _a1_audio_meta(spark, sf_dir):
-    # text payloads are valid UTF-8, which can never contain the 0xFF MP3
-    # sync byte and never starts with RIFF/fLaC/OggS/ID3-with-sync — so
-    # every row takes the sha256-keyed deterministic fake, which the
-    # DuckDB oracle replays exactly (same contract as m1)
+def _av1_media_meta(spark, sf_dir):
+    # audio + video metadata extractors joined on key (merged r7 from the
+    # separate a1/v1 rows to free a driver slot for t13_chunk). Text
+    # payloads are valid UTF-8, which can never contain the 0xFF MP3 sync
+    # byte, never starts with RIFF/fLaC/OggS/ID3-with-sync, and never
+    # carries the EBML / ftyp@4 / RIFF-AVI container magics — so every row
+    # takes the sha256-keyed deterministic fakes, which the DuckDB oracle
+    # replays exactly (same contract as m1)
     from datafusion_substrait_spark.operators import audio, multimodal
 
     _prep(spark, sf_dir)
     payloads = multimodal.attach_binary_payload(spark.table("documents"))
-    return audio.extract_audio_metadata(payloads)
-
-
-def _v1_video_meta(spark, sf_dir):
-    # same sha256-fake-replay contract as a1/m1: UTF-8 text never carries
-    # the EBML / ftyp@4 / RIFF-AVI container magics
-    from datafusion_substrait_spark.operators import multimodal
-
-    _prep(spark, sf_dir)
-    payloads = multimodal.attach_binary_payload(spark.table("documents"))
-    return multimodal.extract_video_metadata(payloads)
+    a = audio.extract_audio_metadata(payloads).select(
+        "key", "n_bytes", F.col("format").alias("a_format"), "channels",
+        "sample_rate", "bits_per_sample", "n_samples", "est_duration_s",
+        "payload_sha256")
+    v = multimodal.extract_video_metadata(payloads).select(
+        "key", F.col("format").alias("v_format"), "width", "height",
+        F.col("duration_s").alias("v_duration_s"), "n_frames")
+    return a.join(v, "key")
 
 
 def _t10_tfidf(spark, sf_dir):
@@ -656,14 +678,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_asof_join": _e6_asof_join,
     "e7_asof_salted": _e7_asof_salted,
     "m1_multimodal_meta": _m1_multimodal_meta,
-    "a1_audio_meta": _a1_audio_meta,
-    "v1_video_meta": _v1_video_meta,
+    "av1_media_meta": _av1_media_meta,
     "d1_exact_dedup": _d1_exact_dedup,
     "d2_minhash_pairs": _d2_minhash_pairs,
     "d3_simhash_pairs": _d3_simhash_pairs,
     "d6_dedup_clusters": _d6_dedup_clusters,
     "d7_incremental_dedup": _d7_incremental_dedup,
     "d4_neardup_pairs": _d4_neardup_pairs,
+    "d8_semdedup": _d8_semdedup,
     "s1_bruteforce_topk": _s1_bruteforce_topk,
     "s2_lsh_topk": _s2_lsh_topk,
     "s3_ivf_topk": _s3_ivf_topk,
@@ -676,6 +698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t8_vocab_topk": _t8_vocab_topk,
     "t10_tfidf": _t10_tfidf,
     "t12_boilerplate": _t12_boilerplate,
+    "t13_chunk": _t13_chunk,
     "c1_ngram_overlap": _c1_ngram_overlap,
     "c2_decontaminate": _c2_decontaminate,
     "c3_bloom_decontaminate": _c3_bloom_decontaminate,
@@ -761,6 +784,54 @@ _D2_PAIRS_FROM = """
 """
 
 
+def _cells_ss_sql(centroids: list[list[float]]) -> str:
+    """DuckDB list literal of per-cell cosine scores against ``v`` —
+    exact-double centroid reprs, shared by the s3 (IVF) and d8 (SemDeDup)
+    oracles so the assignment arithmetic cannot fork."""
+    cells_sql = []
+    for c in centroids:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        cn = repr(sum(x * x for x in c) ** 0.5)
+        cells_sql.append(
+            f"list_dot_product(v, {lit}) / (sqrt(list_dot_product(v, v)) * {cn})"
+        )
+    return "[" + ",\n                   ".join(cells_sql) + "]"
+
+
+def _semdedup_sql(centroids: list[list[float]], threshold: float,
+                  max_cell_size: int) -> str:
+    """DuckDB replay of dedup.semdedup: same first-max cell assignment as
+    the s3 oracle (shared ``_cells_ss_sql``), same 6dp-rounded cosine
+    BEFORE the threshold compare (the d4/d5 parity pattern), same
+    >max_cell_size hub-star cap arithmetic — so the entry needs no
+    small-SF carve-out."""
+    ss = _cells_ss_sql(centroids)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), cs AS (
+            SELECT vec_id, v, {ss} AS ss FROM e
+        ), a AS (
+            SELECT vec_id, v, CAST(list_position(ss, list_max(ss)) - 1 AS INT) AS cell
+            FROM cs
+        ), st AS (
+            SELECT cell, count(*) AS n, min(vec_id) AS hub
+            FROM a GROUP BY cell HAVING count(*) > 1
+        ), drops AS (
+            SELECT DISTINCT y.vec_id
+            FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+            JOIN st s ON s.cell = x.cell
+            WHERE (s.n <= {max_cell_size} OR x.vec_id = s.hub)
+              AND round(list_dot_product(x.v, y.v)
+                        / (sqrt(list_dot_product(x.v, x.v))
+                           * sqrt(list_dot_product(y.v, y.v))), 6) >= {threshold}
+        )
+        SELECT a.vec_id, cell, d.vec_id IS NULL AS kept
+        FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """
+
+
 def _ivf_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
     """DuckDB replay of similarity.ivf_topk with pre-trained centroids.
 
@@ -773,14 +844,7 @@ def _ivf_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
     ``list_dot_product``), and centroid literals are exact double reprs.
     """
     n_cells = len(centroids)
-    cells_sql = []
-    for c in centroids:
-        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
-        cn = repr(sum(x * x for x in c) ** 0.5)
-        cells_sql.append(
-            f"list_dot_product(v, {lit}) / (sqrt(list_dot_product(v, v)) * {cn})"
-        )
-    ss = "[" + ",\n                   ".join(cells_sql) + "]"
+    ss = _cells_ss_sql(centroids)
     return f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -840,8 +904,7 @@ ORACLES: dict[str, str] = {
     "q06_agg_distinct_filter": _SQL["q06_agg_distinct_filter"],
     "q08_join3": _SQL["q08_join3"],
     "q09_outer_joins": _SQL["q09_outer_joins"],
-    "q12_semi_join": _SQL["q12_semi_join"],
-    "q13_anti_join": _SQL["q13_anti_join"],
+    "q12_semi_anti_join": _SQL["q12_semi_anti_join"],
     "q14_case_between": _SQL["q14_case_between"],
     # q19: DuckDB spellings for the §2.3 tail — regexp_matches for RLIKE,
     # xor()/<</>> for Spark's ^/shiftleft/shiftright (DuckDB's ^ is power),
@@ -1241,11 +1304,13 @@ ORACLES: dict[str, str] = {
                hex AS payload_sha256
         FROM h
     """,
-    # a1: like m1, every UTF-8 text payload takes the deterministic
-    # sha256-keyed fake (_fake_audio_meta) — byte i of the digest is hex
-    # pair substr(2i+1, 2); est_duration_s is the same BIGINT/INT → DOUBLE
-    # IEEE division on both engines, bit-exact
-    "a1_audio_meta": """
+    # av1: like m1, every UTF-8 text payload takes the deterministic
+    # sha256-keyed fakes (_fake_audio_meta + _fake_video_meta) — byte i of
+    # the digest is hex pair substr(2i+1, 2); est_duration_s is the same
+    # BIGINT/INT → DOUBLE IEEE division on both engines, v_duration_s is
+    # 1.0 + digest[3]/16.0, a sixteenth — both bit-exact. Audio and video
+    # legs joined on key (merged from the r7 a1/v1 rows).
+    "av1_media_meta": """
         WITH h AS (
             SELECT doc_id AS key,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1254,7 +1319,7 @@ ORACLES: dict[str, str] = {
         ), f AS (
             SELECT key, n_bytes, hex,
                    ['mp3','wav','flac'][CAST(concat('0x', substr(hex, 1, 2)) AS INT) % 3 + 1]
-                       AS format,
+                       AS a_format,
                    CAST(1 + CAST(concat('0x', substr(hex, 5, 2)) AS INT) % 2 AS INT)
                        AS channels,
                    CAST([8000,16000,22050,44100]
@@ -1265,30 +1330,17 @@ ORACLES: dict[str, str] = {
                        AS n_samples
             FROM h
         )
-        SELECT key, n_bytes, format, channels, sample_rate,
+        SELECT key, n_bytes, a_format, channels, sample_rate,
                CAST(16 AS INT) AS bits_per_sample, n_samples,
                CAST(n_samples AS DOUBLE) / sample_rate AS est_duration_s,
-               hex AS payload_sha256
-        FROM f
-    """,
-    # v1: _fake_video_meta replay — duration 1.0 + digest[3]/16.0 is a
-    # sixteenth, exact in binary on both engines
-    "v1_video_meta": """
-        WITH h AS (
-            SELECT doc_id AS key,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   sha256(text) AS hex
-            FROM documents
-        )
-        SELECT key, n_bytes,
+               hex AS payload_sha256,
                ['mp4','avi','webm'][CAST(concat('0x', substr(hex, 1, 2)) AS INT) % 3 + 1]
-                   AS format,
+                   AS v_format,
                CAST(320 + CAST(concat('0x', substr(hex, 3, 2)) AS INT) * 8 AS INT) AS width,
                CAST(240 + CAST(concat('0x', substr(hex, 5, 2)) AS INT) * 8 AS INT) AS height,
-               1.0 + CAST(concat('0x', substr(hex, 7, 2)) AS INT) / 16.0 AS duration_s,
-               CAST(-1 AS BIGINT) AS n_frames,
-               hex AS payload_sha256
-        FROM h
+               1.0 + CAST(concat('0x', substr(hex, 7, 2)) AS INT) / 16.0 AS v_duration_s,
+               CAST(-1 AS BIGINT) AS n_frames
+        FROM f
     """,
     # t10: full TF-IDF pipeline replay — same tokenizer (_TOKS), same
     # smoothed idf ln((N+1)/(df+1))+1, same 6dp rounding BEFORE ranking,
@@ -1381,6 +1433,23 @@ ORACLES: dict[str, str] = {
     """,
 
     "s3_ivf_topk": _ivf_sql(_S3_CENTROIDS, _S3_NPROBE, 10),
+    "d8_semdedup": _semdedup_sql(_S3_CENTROIDS, 0.4, 500),
+    # t13: same tokenizer (_TOKS); DuckDB 1-based inclusive list slices
+    # clamp exactly like Spark's F.slice; window emitted while
+    # i*stride < n_tokens, so the tail window may be short
+    "t13_chunk": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), nz AS (
+            SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(len(toks[CAST(i*30+1 AS INT) : CAST(i*30+40 AS INT)]) AS INT)
+                   AS n_tokens,
+               array_to_string(toks[CAST(i*30+1 AS INT) : CAST(i*30+40 AS INT)], ' ')
+                   AS chunk_text
+        FROM nz, unnest(range(0, CAST(floor((n-1)/30) AS BIGINT) + 1)) AS u(i)
+    """,
     # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid
     # because (a) d2's output is exact-verified Jaccard over LSH candidates,
     # so Spark == oracle iff LSH recall is 1 on this dataset, and (b) recall

@@ -645,3 +645,60 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(df: DataFrame, centroids: list[list[float]],
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             threshold: float = 0.95,
+             max_cell_size: int = 500) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside k-means cells of the embedding space.
+
+    Returns EVERY input row tagged ``(key, cell, kept)``: ``kept`` is
+    false iff some same-cell row with a smaller key has 6dp-rounded
+    cosine >= ``threshold`` — the deterministic keep-min-key variant of
+    the paper's one-per-duplicate-group rule (the paper's
+    keep-farthest-from-centroid choice needs a score tie-break anyway;
+    min-key is order- and partitioning-independent, and matches this
+    module's pair convention where the dropped side is always ``b``).
+
+    Plan shape / 100 TB notes:
+      * assignment is a narrow map against centroid literals
+        (``similarity.assign_cells``) — no shuffle;
+      * the only data shuffle is the within-cell self-join on ``cell``.
+        The paper's cost model applies: n_cells must scale with the
+        corpus (they run 50k clusters at 100M+ docs) so per-cell
+        all-pairs work stays bounded — pass ``train_kmeans_centroids``
+        output of the right width;
+      * degenerate cells past ``max_cell_size`` (near-identical embedding
+        classes) fall back to star pairs against the cell's min-key hub,
+        the same bounded-output trade (and the same oracle-replayable
+        arithmetic) as ``embedding_neardup_pairs``;
+      * the final kept-tag join is a key join the optimizer sizes itself
+        (drop set can be O(corpus); never broadcast it by hand).
+    """
+    from datafusion_substrait_spark.operators.similarity import (assign_cells,
+                                                                 cosine)
+
+    assigned = assign_cells(df, centroids, vec_col=vec_col, key_col=key_col)
+    counts = (assigned.groupBy("cell")
+              .agg(F.count("*").alias("_n"), F.min(key_col).alias("_hub"))
+              .filter(F.col("_n") > 1))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    drops = (
+        a.join(F.broadcast(counts), "cell")
+        .join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                     F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+        .filter((F.col("_n") <= max_cell_size)
+                | (F.col(f"a.{key_col}") == F.col("_hub")))
+        .filter(F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+                >= threshold)
+        .select(F.col(f"b.{key_col}").alias(key_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(drops, key_col, "left")
+        .select(key_col, "cell",
+                F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
+    )

@@ -71,3 +71,54 @@ def bin_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
                  F.sum("n_tokens").alias("tokens_started"),
                  F.min("bin_offset").alias("first_offset"))
             .withColumn("budget", F.lit(int(max_tokens))))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    stride: int | None = None, text_col: str = "text",
+                    key_col: str = "doc_id") -> DataFrame:
+    """Split each document into fixed-token training windows:
+    one ``(key, chunk_id, n_tokens, chunk_text)`` row per window.
+
+    The other half of the concat-then-chunk pipeline (:func:`pack_sequences`
+    assigns whole documents to budget bins; this splits documents LONGER
+    than the context window). Window ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` of the document's normalized
+    token stream (``text.tokens`` — the same tokenizer as ``token_count``,
+    so chunk budgets and packing budgets agree); windows are emitted while
+    ``i*stride`` is inside the stream, so every token lands in ≥1 window
+    and the tail window may be short. ``stride`` defaults to
+    ``chunk_tokens`` (non-overlapping); pass a smaller stride for
+    overlapping context windows. Zero-token documents emit no rows.
+
+    Scale shape: a single codegen'd narrow map — tokenize, explode a
+    row-local index sequence, slice — no shuffle anywhere; at 100 TB this
+    is embarrassingly parallel and output-bounded (≈ n_tokens/stride rows
+    per doc). Engine-portable: the DuckDB replay is generate_series over
+    the same list slice.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    from .text import tokens
+
+    toked = df.select(F.col(key_col), tokens(F.col(text_col)).alias("_toks"))
+    nz = toked.filter(F.size("_toks") > 0)
+    # F.sequence(0, hi) with hi < 0 would generate a DESCENDING ramp, so
+    # the zero-token filter above is load-bearing, not cosmetic.
+    idx = nz.select(
+        key_col, "_toks",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.floor((F.size("_toks") - 1) / F.lit(stride)).cast("int"),
+        )).alias("chunk_id"),
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1,
+                     F.lit(chunk_tokens))
+    return idx.select(
+        F.col(key_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(window).cast("int").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

@@ -222,6 +222,20 @@ def _nearest_cell(n_cells: int) -> Column:
     return (F.array_position(ss, F.array_max(ss)) - 1).cast("int")
 
 
+def assign_cells(df: DataFrame, centroids: list[list[float]],
+                 vec_col: str = "embedding",
+                 key_col: str = "vec_id") -> DataFrame:
+    """(key, vec, cell): nearest-centroid assignment against pre-trained
+    centroids, as a narrow map (centroid literals ride the plan — no join,
+    no shuffle). ``cell`` ties break to the FIRST max-cosine index, the
+    same rule as IVF's ``_nearest_cell`` and the DuckDB
+    ``list_position(ss, list_max(ss))`` replay, so any consumer
+    (IVF probing, SemDeDup, cluster stats) shares one oracle-checkable
+    assignment."""
+    return _with_cell_scores(df, vec_col, centroids).select(
+        key_col, vec_col, _nearest_cell(len(centroids)).alias("cell"))
+
+
 def train_kmeans_centroids(embeddings: DataFrame, n_cells: int = 16,
                            iters: int = 10, vec_col: str = "embedding",
                            key_col: str = "vec_id",

@@ -166,6 +166,51 @@ def test_embedding_neardup_pairs(spark, tables):
     assert planted <= found  # identical vectors: cosine 1, same bucket
 
 
+def test_semdedup_planted_copies(spark, tables):
+    """Exact copies land in the original's cell (identical vector →
+    identical scores → same first-max cell) with cosine 1, so every
+    copy (the larger key) is dropped and every original survives."""
+    from datafusion_substrait_spark.operators import similarity
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(40)
+    copies = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    cents = similarity.deterministic_centroids(8, 64)
+    out = dedup.semdedup(emb.unionAll(copies), cents, threshold=0.999)
+    assert out.columns == ["vec_id", "cell", "kept"]
+    rows = {r.vec_id: (r.cell, r.kept) for r in out.collect()}
+    assert len(rows) == 80  # every input row tagged, none lost
+    for r in emb.collect():
+        oc, ok = rows[r.vec_id]
+        cc, ck = rows[r.vec_id + 10000]
+        assert oc == cc          # copy shares the original's cell
+        assert ok and not ck     # keep-min-key: original kept, copy dropped
+    # deterministic across partitionings
+    both = emb.unionAll(copies)
+    a = sorted(map(tuple, dedup.semdedup(both.repartition(1), cents,
+                                         threshold=0.999).collect()))
+    b = sorted(map(tuple, dedup.semdedup(both.repartition(13), cents,
+                                         threshold=0.999).collect()))
+    assert a == b
+
+
+def test_semdedup_hot_cell_star_cap(spark):
+    """A degenerate cell past max_cell_size compares only against the
+    cell's min-key hub — with identical vectors that still drops
+    everything but the hub, at O(n) instead of O(n²) pairs."""
+    from datafusion_substrait_spark.operators import similarity
+
+    n = 30
+    vec = [1.0] + [0.0] * 63
+    df = spark.createDataFrame([(i, vec) for i in range(n)],
+                               "vec_id bigint, embedding array<double>")
+    cents = similarity.deterministic_centroids(4, 64)
+    out = {r.vec_id: r.kept
+           for r in dedup.semdedup(df, cents, threshold=0.9,
+                                   max_cell_size=5).collect()}
+    assert out[0] is True                      # the hub survives
+    assert all(not out[i] for i in range(1, n))  # everyone else dropped
+
+
 # --- similarity -------------------------------------------------------------
 
 def test_brute_force_topk_matches_python(spark, tables):

@@ -311,3 +311,46 @@ def test_pack_sequences_matches_duckdb_replay(spark, tables):
         FROM c
     """).fetchall()
     assert got == sorted(map(tuple, rows)) and got
+
+
+def test_chunk_documents_planted(spark):
+    from datafusion_substrait_spark.operators import packing
+
+    toks = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, toks), (1, "one"), (2, ""), (3, "...!!")],
+        "doc_id bigint, text string")
+    # non-overlapping: windows [0..3] [4..7] [8..9]
+    out = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+           for r in packing.chunk_documents(df, chunk_tokens=4).collect()}
+    assert out[(0, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(0, 1)] == (4, "w4 w5 w6 w7")
+    assert out[(0, 2)] == (2, "w8 w9")          # short tail window
+    assert out[(1, 0)] == (1, "one")
+    # docs 2 (empty) and 3 (punctuation-only -> zero tokens) emit nothing
+    assert {k for k, _ in out} == {0, 1}
+    # overlapping windows: stride 2, starts 0,2,4,6,8
+    ov = {r.chunk_id: (r.n_tokens, r.chunk_text)
+          for r in packing.chunk_documents(
+              df.filter("doc_id = 0"), chunk_tokens=4, stride=2).collect()}
+    assert ov[1] == (4, "w2 w3 w4 w5")
+    assert ov[4] == (2, "w8 w9")
+    assert len(ov) == 5
+    # every token lands in >= 1 window
+    covered = " ".join(ov[i][1] for i in sorted(ov))
+    assert all(f"w{i}" in covered.split() for i in range(10))
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        packing.chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="stride"):
+        packing.chunk_documents(df, chunk_tokens=4, stride=-1)
+
+
+def test_chunk_documents_is_shuffle_free(spark, tables):
+    """The chunker must stay a narrow map: tokenize + explode + slice,
+    no Exchange anywhere (embarrassingly parallel at 100 TB)."""
+    from datafusion_substrait_spark.operators import packing
+
+    out = packing.chunk_documents(
+        tables["documents"].select("doc_id", "text"), chunk_tokens=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

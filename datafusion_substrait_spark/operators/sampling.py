@@ -79,3 +79,50 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
                      F.lit(_threshold_hex(rate))).otherwise(thr)
     h = F.md5(_key_bytes(F.col(key_col), salt))
     return df.filter(h < thr)
+
+
+def target_mix_sample(df: DataFrame, key_col: str, stratum_col: str,
+                      shares: dict[str, float], total: int | None = None,
+                      salt: str = "") -> DataFrame:
+    """Resample to a target stratum mix (the data-mixing step of a
+    pretraining pipeline: e.g. ``{"en": 0.5, "code": 0.3, "de": 0.2}``).
+
+    Picks the largest achievable output size T with every stratum s
+    still able to supply ``shares[s]·T`` rows (T = min_s count_s /
+    share_s, further capped by ``total`` if given), then keeps each
+    stratum at rate ``shares[s]·T / count_s`` via the deterministic
+    hash-threshold predicate — expected counts hit the mix; realized
+    counts carry the usual hash-sampling binomial jitter. Strata not in
+    ``shares`` are dropped (share 0). Shares are normalized, so relative
+    weights work too.
+
+    The stratum-count aggregate is collected to the driver — bounded by
+    the number of DISTINCT strata (languages/domains: tiny by contract,
+    like similarity.py's centroid collects), never by rows. The sampling
+    pass itself is the same narrow shuffle-free map as
+    ``stratified_hash_sample``.
+    """
+    if not shares:
+        raise ValueError("shares must name at least one stratum")
+    bad = {s: w for s, w in shares.items() if w <= 0}
+    if bad:
+        raise ValueError(f"shares must be positive, got {bad}")
+    norm = sum(shares.values())
+    shares = {s: w / norm for s, w in shares.items()}
+    counts = {
+        r["stratum"]: r["cnt"]
+        for r in df.filter(F.col(stratum_col).isin(*shares))
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    missing = sorted(set(shares) - set(counts))
+    if missing:
+        raise ValueError(f"strata absent from the data: {missing}")
+    t = min(counts[s] / w for s, w in shares.items())
+    if total is not None:
+        if total <= 0:
+            raise ValueError(f"total must be positive, got {total}")
+        t = min(t, float(total))
+    rates = {s: min(1.0, w * t / counts[s]) for s, w in shares.items()}
+    return stratified_hash_sample(df, key_col, stratum_col, rates,
+                                  default_rate=0.0, salt=salt)

@@ -368,6 +368,48 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def shared_span_pairs(df: DataFrame, text_col: str = "text",
+                      key_col: str = "doc_id", k: int = 25,
+                      window: int = 16, min_shared: int = 2,
+                      max_print_docs: int = 100) -> DataFrame:
+    """Document pairs sharing exact passages: ``(doc_a, doc_b,
+    shared_prints)`` for pairs with ≥ ``min_shared`` common winnowing
+    fingerprints — the MOSS-style partial-copy / quotation detector that
+    whole-document and near-dup hashing both miss. By the winnowing
+    coverage theorem any shared passage of length ≥ k + window − 1 chars
+    shares at least one print, so ``min_shared`` = 2 (default) asks for
+    either one long or two independent shared passages, suppressing
+    single-hash flukes.
+
+    Fingerprints appearing in more than ``max_print_docs`` documents are
+    boilerplate (headers, license blocks, templates) and are EXCLUDED
+    rather than star-capped: unlike dedup buckets, a boilerplate print is
+    evidence two docs share the *boilerplate*, not a passage — pairing on
+    it is noise (``remove_boilerplate_lines`` is the cleanup tool for the
+    text itself), and dropping it also bounds the join fan-out at
+    ``max_print_docs²`` per print.
+
+    Plan shape at 100 TB: rolling_fingerprints' single per-doc window
+    shuffle → per-print doc lists shuffle on the 8-byte print → self-join
+    within print → count per pair. All keys are longs; text never moves.
+    """
+    prints = rolling_fingerprints(df, text_col=text_col, key_col=key_col,
+                                  k=k, window=window)
+    docs_per = (prints.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter((F.col("_df") > 1) & (F.col("_df") <= max_print_docs)))
+    a, b = prints.alias("a"), prints.alias("b")
+    return (
+        a.join(docs_per, "fingerprint")
+        .join(b, on=[F.col("a.fingerprint") == F.col("b.fingerprint"),
+                     F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+        .groupBy(F.col(f"a.{key_col}").alias("doc_a"),
+                 F.col(f"b.{key_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_prints"))
+        .filter(F.col("shared_prints") >= min_shared)
+    )
+
+
 def tfidf_topk_terms(df: DataFrame, k: int = 10, text_col: str = "text",
                      key_col: str = "doc_id", min_df: int = 1) -> DataFrame:
     """Top-``k`` TF-IDF terms per document — the classic corpus-analysis

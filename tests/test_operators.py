@@ -452,6 +452,44 @@ def test_rolling_fingerprints_shared_passage_guarantee(spark):
     assert text.rolling_fingerprints(tiny).count() == 1
 
 
+def test_shared_span_pairs_planted(spark):
+    """The pair detector composed on winnowing: docs sharing a passage
+    >= k + window - 1 chars pair up; disjoint docs do not; boilerplate
+    prints past max_print_docs are excluded, not paired on."""
+    passage = ("the five boxing wizards jump quickly over the lazy dog "
+               "tonight while the quick brown fox naps by the fire")
+    rows = [
+        (1, "intro text alpha. " + passage + " closing remarks one."),
+        (2, "completely different opening, " + passage + " and another end."),
+        (3, "no overlap here at all: just some plain filler sentences."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b): r.shared_prints
+             for r in text.shared_span_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    # determinism across partitionings
+    p2 = {(r.doc_a, r.doc_b): r.shared_prints
+          for r in text.shared_span_pairs(df.repartition(7),
+                                          min_shared=1).collect()}
+    assert pairs == p2
+    # boilerplate exclusion: the same banner in EVERY doc of a 12-doc
+    # corpus is df=12 > max_print_docs=10 -> its prints pair nobody
+    banner = "generated by the exporter tool v2. all rights reserved. " * 2
+    # tails diverge at the FIRST char (a k-gram crossing the banner/tail
+    # boundary differs per doc), so every shared print sits fully inside
+    # the banner with df = 12
+    many = spark.createDataFrame(
+        [(i, banner + "abcdefghijkl"[i] * 30 + f" trailing text {i}")
+         for i in range(12)],
+        "doc_id bigint, text string")
+    assert text.shared_span_pairs(many, min_shared=1,
+                                  max_print_docs=10).count() == 0
+    # ...but with the cap lifted the banner-sharing pairs appear
+    assert text.shared_span_pairs(many, min_shared=1,
+                                  max_print_docs=100).count() > 0
+
+
 def test_rolling_fingerprints_select_full_windows_only(spark):
     """The emitted set must equal distinct minima over FULL windows of the
     k-gram hash sequence (truncated trailing windows once made the final

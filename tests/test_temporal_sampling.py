@@ -313,6 +313,44 @@ def test_pack_sequences_matches_duckdb_replay(spark, tables):
     assert got == sorted(map(tuple, rows)) and got
 
 
+def test_target_mix_sample(spark):
+    from datafusion_substrait_spark.operators import sampling
+
+    rows = ([(i, "en") for i in range(600)]
+            + [(600 + i, "de") for i in range(300)]
+            + [(900 + i, "fr") for i in range(100)]
+            + [(1000 + i, "xx") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sampling.target_mix_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2})
+    got = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # T = min(600/.5, 300/.3, 100/.2) = 500 -> fr is the binding stratum:
+    # rate 1.0, kept EXACTLY; en/de land near 250/150 with hash jitter
+    assert got.get("fr") == 100
+    assert "xx" not in got                     # unnamed strata dropped
+    assert 190 <= got.get("en", 0) <= 310
+    assert 100 <= got.get("de", 0) <= 200
+    # deterministic: same call, same rows
+    again = sampling.target_mix_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # relative weights normalize: {5, 3, 2} == {0.5, 0.3, 0.2}
+    rel = sampling.target_mix_sample(
+        df, "doc_id", "lang", {"en": 5, "de": 3, "fr": 2})
+    assert sorted(map(tuple, rel.collect())) == sorted(map(tuple, out.collect()))
+    # total caps the output size
+    capped = sampling.target_mix_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, total=100)
+    assert capped.count() < 150
+    with pytest.raises(ValueError, match="positive"):
+        sampling.target_mix_sample(df, "doc_id", "lang", {"en": 0.0})
+    with pytest.raises(ValueError, match="absent"):
+        sampling.target_mix_sample(df, "doc_id", "lang", {"zz": 1.0})
+    with pytest.raises(ValueError, match="at least one"):
+        sampling.target_mix_sample(df, "doc_id", "lang", {})
+
+
 def test_chunk_documents_planted(spark):
     from datafusion_substrait_spark.operators import packing
 

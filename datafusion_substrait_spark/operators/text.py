@@ -601,3 +601,72 @@ def quality_classifier_score(df: DataFrame, weights: dict[str, float],
     return score_features(
         quality_features(df, text_col=text_col, key_cols=(key_col,)),
         weights, bias)
+
+
+def train_quality_classifier(df: DataFrame, label_col: str,
+                             feature_cols: tuple[str, ...] = (
+                                 "n_chars", "n_tokens", "mean_token_len",
+                                 "punct_ratio", "stopword_ratio"),
+                             key_col: str = "doc_id",
+                             sample_n: int = 100_000, iters: int = 300,
+                             lr: float = 0.5, l2: float = 1e-3,
+                             ) -> tuple[dict[str, float], float]:
+    """Fit the linear quality classifier IN-ENGINE: returns ``(weights,
+    bias)`` ready for :func:`score_features` / :func:`quality_classifier_score`.
+
+    The training half of the standard corpus-filter recipe (label a seed
+    set good/bad, fit a linear head, score the whole corpus). Same design
+    rationale as ``similarity.train_kmeans_centroids``: a linear head
+    over a handful of engineered features needs only a representative
+    SAMPLE, so we pull the ``sample_n`` labeled rows with the smallest
+    ``xxhash64(key)`` (deterministic, partitioning-independent — one
+    distributed top-k, no RNG) and run full-batch logistic-regression
+    gradient descent driver-side in numpy (milliseconds). The
+    corpus-sized work — feature extraction and scoring — stays
+    distributed and codegen'd; at 100 TB you fit on 10⁵ labeled docs and
+    score 10¹¹ with the returned literals. Features are standardized for
+    conditioning; the returned weights/bias are FOLDED back to raw
+    feature units so they drop straight into ``score_features``.
+
+    ``df`` must already carry ``feature_cols`` (e.g. ``quality_features``
+    output joined to labels); ``label_col`` is 0/1 (or boolean). NULL
+    features are treated as 0, mirroring ``score_features``'s rule, so
+    train and score agree on missing data.
+    """
+    import numpy as np
+
+    if not feature_cols:
+        raise ValueError("feature_cols must name at least one feature")
+    missing = sorted((set(feature_cols) | {label_col}) - set(df.columns))
+    if missing:
+        raise ValueError(f"columns not in the DataFrame: {missing}")
+    rows = (
+        df.select(
+            *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+              for c in feature_cols],
+            F.col(label_col).cast("double").alias("_y"),
+            F.xxhash64(F.col(key_col)).alias("_h"),
+        )
+        .orderBy("_h").limit(sample_n).collect()
+    )
+    if not rows:
+        raise ValueError("no labeled rows to train on")
+    x = np.array([[r[c] for c in feature_cols] for r in rows])
+    y = np.array([r["_y"] for r in rows])
+    if not set(np.unique(y)) <= {0.0, 1.0}:
+        raise ValueError(f"{label_col} must be 0/1, got {sorted(set(y))[:5]}")
+    mu, sd = x.mean(axis=0), x.std(axis=0)
+    sd = np.where(sd < 1e-12, 1.0, sd)  # constant feature: weight stays 0
+    xs = (x - mu) / sd
+    w = np.zeros(len(feature_cols))
+    b = 0.0
+    n = len(y)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(xs @ w + b)))
+        g = xs.T @ (p - y) / n + l2 * w
+        w -= lr * g
+        b -= lr * float((p - y).mean())
+    # fold standardization into raw-unit weights: z = (x-μ)/σ·w + b
+    raw_w = w / sd
+    raw_b = b - float((mu / sd) @ w)
+    return ({c: float(v) for c, v in zip(feature_cols, raw_w)}, raw_b)

@@ -1998,3 +1998,65 @@ def test_score_features_linear_classifier(spark, tables):
         text.score_features(docs, {"nope": 1.0})
     with _p.raises(ValueError, match="at least one"):
         text.score_features(docs, {})
+
+
+def test_train_quality_classifier_recovers_separable_rule(spark):
+    """The training half: on linearly separable features the fitted
+    (weights, bias) must reproduce the labels through score_features
+    (the raw-unit fold-back is what makes fit and scoring agree)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        a = float(rng.uniform(0, 10))
+        b = float(rng.uniform(0, 10))
+        rows.append((i, a, b, int(2.0 * a - b - 5.0 > 0)))
+    df = spark.createDataFrame(rows, "doc_id bigint, fa double, fb double, y int")
+    w, bias = text.train_quality_classifier(
+        df, "y", feature_cols=("fa", "fb"), iters=2000, lr=1.0)
+    assert w["fa"] > 0 > w["fb"]  # signs of the planted rule
+    scored = text.score_features(df, w, bias=bias)
+    acc = scored.filter(
+        ((F.col("model_score") > 0.5).cast("int") == F.col("y"))
+    ).count() / 400
+    assert acc > 0.97
+    # deterministic across partitionings (hash sample + full-batch GD)
+    w2, b2 = text.train_quality_classifier(
+        df.repartition(11), "y", feature_cols=("fa", "fb"),
+        iters=2000, lr=1.0)
+    assert w == w2 and bias == b2
+    # constant feature gets weight ~0, not a blow-up
+    dfc = df.withColumn("fc", F.lit(3.0))
+    wc, _ = text.train_quality_classifier(
+        dfc, "y", feature_cols=("fa", "fb", "fc"), iters=200)
+    assert abs(wc["fc"]) < 1e-9
+    import pytest as _p
+    with _p.raises(ValueError, match="columns not in"):
+        text.train_quality_classifier(df, "nope", feature_cols=("fa",))
+    with _p.raises(ValueError, match="0/1"):
+        text.train_quality_classifier(
+            df.withColumn("y", F.col("fa")), "y", feature_cols=("fb",))
+    with _p.raises(ValueError, match="no labeled rows"):
+        text.train_quality_classifier(
+            df.filter("doc_id < 0"), "y", feature_cols=("fa",))
+
+
+def test_train_quality_classifier_end_to_end_on_text(spark):
+    """Fit on quality_features of planted good/bad docs, score unseen
+    docs of the same kinds: the full corpus-filter recipe in-engine."""
+    good = ("this is a well formed sentence with the usual words and a "
+            "reasonable amount of structure for the reader")
+    bad = "@@@ ### $$$ %% !!! ??? ;;; ::: ~~~ ^^^ ||| &&&"
+    train = [(i, good + f" variant {i}", 1) for i in range(30)] \
+        + [(100 + i, bad * (1 + i % 3), 0) for i in range(30)]
+    tdf = spark.createDataFrame(train, "doc_id bigint, text string, y int")
+    feats = text.quality_features(tdf.select("doc_id", "text")).join(
+        tdf.select("doc_id", "y"), "doc_id")
+    w, bias = text.train_quality_classifier(feats, "y", iters=1000, lr=1.0)
+    test_rows = [(900, good + " held out tail", 1), (901, bad + " ###", 0)]
+    sdf = text.quality_classifier_score(
+        spark.createDataFrame(test_rows, "doc_id bigint, text string, y int"),
+        w, bias=bias)
+    got = {r.doc_id: r.model_score for r in sdf.collect()}
+    assert got[900] > 0.5 > got[901]

@@ -416,3 +416,72 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         ).alias("cosine"),
     )
     return _topk_per_query(scored, k, query_key_col, key_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        key_col: str = "vec_id") -> DataFrame:
+    """(key, qvec: array<tinyint>, scale: float): per-vector symmetric
+    int8 scalar quantization — ``q_i = round(x_i / scale)`` with
+    ``scale = max|x| / 127`` — the standard 4× storage/scan-volume
+    reduction for embedding corpora (at 100 TB the ANN cost is dominated
+    by scan bytes, and int8 is the universally-deployed first step before
+    PQ). Row-local codegen-free narrow map (HOF fold, see module
+    docstring); all-zero vectors keep scale 0 and an all-zero qvec.
+    Lossless to reverse within ±scale/2 per component via
+    :func:`dequantize_expr`."""
+    v = F.col(vec_col)
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    return df.select(
+        F.col(key_col),
+        F.transform(
+            v,
+            lambda x: F.when(amax == 0.0, F.lit(0)).otherwise(
+                F.round(x.cast("double") * F.lit(127.0) / amax)
+            ).cast("tinyint"),
+        ).alias("qvec"),
+        scale.cast("float"),
+    )
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """array<double> reconstruction of a quantized vector (row-local)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale.cast("double"))
+
+
+def brute_force_topk_quantized(quantized: DataFrame, queries: DataFrame,
+                               k: int = 10, vec_col: str = "embedding",
+                               key_col: str = "vec_id",
+                               query_key_col: str = "query_id") -> DataFrame:
+    """Exact-arithmetic top-k over an int8-quantized corpus: cosine on
+    the DEQUANTIZED vectors (full-precision float queries), same output
+    contract and same broadcast/two-phase plan as ``brute_force_topk``.
+    Ranking error vs the float corpus is bounded by the quantization
+    step (≤ scale/2 per component); recall@k is checked in tests on real
+    embeddings. The corpus scan reads ~1/4 the bytes of the float path —
+    at 100 TB that IS the query cost."""
+    deq = quantized.select(
+        key_col,
+        dequantize_expr(F.col("qvec"), F.col("scale")).alias("_dv"),
+        norm(dequantize_expr(F.col("qvec"), F.col("scale"))).alias("_dnorm"),
+    )
+    q = queries.select(
+        F.col(query_key_col),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    scored = deq.crossJoin(F.broadcast(q)).select(
+        query_key_col, key_col,
+        F.round(
+            F.try_divide(dot(F.col("_qv"), F.col("_dv")),
+                         F.col("_qnorm") * F.col("_dnorm")),
+            6,
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k, query_key_col, key_col)

@@ -239,6 +239,49 @@ def test_brute_force_topk_matches_python(spark, tables):
         assert got_ids[0] == qid
 
 
+def test_quantize_embeddings_roundtrip_and_recall(spark, tables):
+    """int8 quantization: per-component reconstruction error <= scale/2,
+    byte storage schema, zero-vector safety, and recall@10 vs the exact
+    float path on the real embeddings."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    q = similarity.quantize_embeddings(emb)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    # reconstruction bound
+    joined = q.join(emb, "vec_id").select(
+        "vec_id", "scale",
+        F.aggregate(
+            F.zip_with(similarity.dequantize_expr(F.col("qvec"), F.col("scale")),
+                       F.col("embedding"),
+                       lambda d, x: F.abs(d - x.cast("double"))),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+    )
+    bad = joined.filter(F.col("max_err") > F.col("scale") * 0.5 + 1e-9)
+    assert bad.count() == 0
+    # zero vector: scale 0, all-zero qvec, and scoring yields NULL cosine
+    z = spark.createDataFrame([(1, [0.0] * 8), (2, [1.0] * 8)],
+                              "vec_id bigint, embedding array<float>")
+    zq = {r.vec_id: (r.scale, list(r.qvec))
+          for r in similarity.quantize_embeddings(z).collect()}
+    assert zq[1] == (0.0, [0] * 8)
+    assert zq[2][1] == [127] * 8
+    # recall@10 against the exact float path
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    approx = similarity.brute_force_topk_quantized(q, queries, k=10).collect()
+    for qid in range(5):
+        ex = {r.vec_id for r in exact if r.query_id == qid}
+        ap = {r.vec_id for r in approx if r.query_id == qid}
+        assert len(ex & ap) >= 9, (qid, ex, ap)
+    # deterministic across partitionings
+    a = sorted((r.vec_id, tuple(r.qvec), r.scale)
+               for r in similarity.quantize_embeddings(emb.repartition(1)).collect())
+    b = sorted((r.vec_id, tuple(r.qvec), r.scale)
+               for r in similarity.quantize_embeddings(emb.repartition(9)).collect())
+    assert a == b
+
+
 def test_lsh_topk_subset_of_bruteforce_scores(spark, tables):
     emb = tables["embeddings"].select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 2).select(

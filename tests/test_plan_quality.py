@@ -156,12 +156,19 @@ def test_no_rdd_or_collect_in_package_hot_paths(spark):
             #   - the Bloom-filter word array
             #     (contamination.build_ngram_bloom, <= n_bits/64 rows by
             #     construction — bounded by the FILTER size, not the data)
+            #   - the labeled classifier-training sample
+            #     (text.train_quality_classifier, <= sample_n rows — the
+            #     same sampled-fit design as the k-means trainer)
+            #   - the per-stratum count table
+            #     (sampling.target_mix_sample, <= |distinct strata| rows)
             allowed = ("limit(n_sample)" in code
                        or 'select("__cell").distinct().collect()' in code
                        or 'table(f"{store}_meta").collect()' in code
                        or 'sql(f"DESCRIBE EXTENDED {table}").collect()'
                        in code
-                       or "for r in words.collect():" in code)
+                       or "for r in words.collect():" in code
+                       or "limit(sample_n).collect()" in code
+                       or 'alias("cnt")).collect()' in code)
             if ".collect()" in code and not allowed:
                 offenders.append(f"{p.name}:{i}: .collect()")
     assert not offenders, offenders

@@ -454,9 +454,27 @@ def _s3_ivf_topk(spark, sf_dir):
 
 def _t9_unigram_lm(spark, sf_dir):
     # vocab_size=500 is deliberately small so the OOV bucket path carries
-    # real weight at sf0.01 (the corpus vocabulary is larger than 500)
+    # real weight at sf0.01 (the corpus vocabulary is larger than 500).
+    # The former t4 whole-doc fingerprint rides as a joined column
+    # (merged late-r7 to free the t14_dsir slot).
     _prep(spark, sf_dir)
-    return text.unigram_logprob(spark.table("documents"), vocab_size=500)
+    lm = text.unigram_logprob(spark.table("documents"), vocab_size=500)
+    return lm.join(text.fingerprint(spark.table("documents")), "doc_id")
+
+
+def _t14_dsir(spark, sf_dir):
+    # DSIR importance-resampling weights on the portable md5-bucket path
+    # (the xxhash64 production default is pinned by tests/test_selection.py);
+    # target = the corpus's English slice
+    from datafusion_substrait_spark.operators import selection
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text", "lang")
+    tp = selection.bucket_profile(docs.filter(F.col("lang") == "en"),
+                                  n_buckets=1024, portable=True)
+    rp = selection.bucket_profile(docs, n_buckets=1024, portable=True)
+    return selection.dsir_log_weights(docs, tp, rp, n_buckets=1024,
+                                      portable=True)
 
 
 def _t2_quality(spark, sf_dir):
@@ -467,11 +485,6 @@ def _t2_quality(spark, sf_dir):
 def _t3_lang_id(spark, sf_dir):
     _prep(spark, sf_dir)
     return text.lang_id(spark.table("documents"))
-
-
-def _t4_fingerprint(spark, sf_dir):
-    _prep(spark, sf_dir)
-    return text.fingerprint(spark.table("documents"))
 
 
 def _t7_repetition(spark, sf_dir):
@@ -692,13 +705,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t9_unigram_lm": _t9_unigram_lm,
     "t2_quality": _t2_quality,
     "t3_lang_id": _t3_lang_id,
-    "t4_fingerprint": _t4_fingerprint,
     "t5_samples": _t5_samples,
     "t7_repetition": _t7_repetition,
     "t8_vocab_topk": _t8_vocab_topk,
     "t10_tfidf": _t10_tfidf,
     "t12_boilerplate": _t12_boilerplate,
     "t13_chunk": _t13_chunk,
+    "t14_dsir": _t14_dsir,
     "c1_ngram_overlap": _c1_ngram_overlap,
     "c2_decontaminate": _c2_decontaminate,
     "c3_bloom_decontaminate": _c3_bloom_decontaminate,
@@ -1065,7 +1078,8 @@ ORACLES: dict[str, str] = {
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
         )
-        SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.mean_logprob
+        SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.mean_logprob,
+               md5({_NORM}) AS fingerprint
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
     "t2_quality": f"""

@@ -463,9 +463,11 @@ def _t9_unigram_lm(spark, sf_dir):
 
 
 def _t14_dsir(spark, sf_dir):
-    # DSIR importance-resampling weights on the portable md5-bucket path
-    # (the xxhash64 production default is pinned by tests/test_selection.py);
-    # target = the corpus's English slice
+    # DSIR selection END-TO-END on the portable md5-bucket path (the
+    # xxhash64 production default is pinned by tests/test_selection.py):
+    # importance log-weights for every doc (target = the corpus's English
+    # slice) plus the Gumbel-top-50 resampling leg as a joined
+    # gumbel_score column (non-null ⇔ selected).
     from datafusion_substrait_spark.operators import selection
 
     _prep(spark, sf_dir)
@@ -473,8 +475,10 @@ def _t14_dsir(spark, sf_dir):
     tp = selection.bucket_profile(docs.filter(F.col("lang") == "en"),
                                   n_buckets=1024, portable=True)
     rp = selection.bucket_profile(docs, n_buckets=1024, portable=True)
-    return selection.dsir_log_weights(docs, tp, rp, n_buckets=1024,
-                                      portable=True)
+    w = selection.dsir_log_weights(docs, tp, rp, n_buckets=1024,
+                                   portable=True)
+    sel = selection.dsir_sample(w, k=50).select("doc_id", "gumbel_score")
+    return w.join(sel, "doc_id", "left")
 
 
 def _t2_quality(spark, sf_dir):
@@ -1128,8 +1132,70 @@ ORACLES: dict[str, str] = {
                     ELSE 'es' END AS lang_pred
         FROM s
     """,
-    "t4_fingerprint": f"""
-        SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    # t14: full DSIR replay — md5-bucket bigram profiles with add-1
+    # smoothing, derived smoothing floors for absent buckets (α/(T+αB)
+    # recovered from Σp), 6dp per-doc log-weight sums, then the
+    # deterministic Gumbel-top-50 leg (12-md5-hex-char uniform → Gumbel,
+    # exactly operators/selection.py::dsir_sample). Mirrors
+    # tests/test_selection.py::_weights_sql (B=1024, n=2, alpha=1).
+    "t14_dsir": f"""
+        WITH grams AS (
+            SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                   ELSE list_transform(range(1, len(t)),
+                                       i -> array_to_string(t[i:i+1], ' '))
+                   END AS g
+            FROM (SELECT doc_id, list_filter(
+                             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+                  FROM documents)
+        ), tgrams AS (
+            SELECT g.g FROM grams g JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en'
+        ), tb AS (
+            SELECT (CAST(concat('0x', substr(md5(u.g2), 1, 8)) AS BIGINT)
+                    % 1024) AS bucket
+            FROM tgrams, unnest(g) AS u(g2)
+        ), tc AS (SELECT bucket, count(*) AS cnt FROM tb GROUP BY bucket),
+        tp AS (
+            SELECT bucket, (cnt + 1.0) / (tt + 1.0 * 1024) AS p
+            FROM tc, (SELECT sum(cnt) AS tt FROM tc)
+        ), rb AS (
+            SELECT (CAST(concat('0x', substr(md5(u.g2), 1, 8)) AS BIGINT)
+                    % 1024) AS bucket
+            FROM grams, unnest(g) AS u(g2)
+        ), rc AS (SELECT bucket, count(*) AS cnt FROM rb GROUP BY bucket),
+        rp AS (
+            SELECT bucket, (cnt + 1.0) / (tt + 1.0 * 1024) AS p
+            FROM rc, (SELECT sum(cnt) AS tt FROM rc)
+        ),
+        tfl AS (SELECT 1.0 / (1.0 * (1024 - count(*)) / (1 - sum(p))) AS f FROM tp),
+        rfl AS (SELECT 1.0 / (1.0 * (1024 - count(*)) / (1 - sum(p))) AS f FROM rp),
+        eb AS (
+            SELECT doc_id,
+                   (CAST(concat('0x', substr(md5(u.g2), 1, 8)) AS BIGINT)
+                    % 1024) AS bucket
+            FROM grams, unnest(g) AS u(g2)
+        ), lr AS (
+            SELECT doc_id,
+                   ln(coalesce(tp.p, tfl.f)) - ln(coalesce(rp.p, rfl.f)) AS lr
+            FROM eb LEFT JOIN tp USING (bucket) LEFT JOIN rp USING (bucket),
+                 tfl, rfl
+        ), w AS (
+            SELECT doc_id, CAST(count(lr) AS BIGINT) AS n_grams,
+                   round(coalesce(sum(lr), 0), 6) AS log_weight
+            FROM lr GROUP BY doc_id
+        ), g AS (
+            SELECT doc_id, round(log_weight - ln(-ln(
+                       (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 12)) AS BIGINT) + 1.0)
+                       / {16 ** 12 + 1}.0)), 6) AS gumbel_score
+            FROM w
+        ), sel AS (
+            SELECT doc_id, gumbel_score FROM g
+            ORDER BY gumbel_score DESC, doc_id LIMIT 50
+        )
+        SELECT w.doc_id, w.n_grams, w.log_weight, sel.gumbel_score
+        FROM w LEFT JOIN sel USING (doc_id)
     """,
     "e1_windowed_counts": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -142,16 +142,39 @@ def compact_minhash_store(spark: SparkSession, store: str) -> None:
     (e.g. nightly after a week of hourly appends), NOT per increment.
 
     The aggregation itself is shuffle-free (bucketed layout) and the
-    rewrite lands in a temp table first, then swaps via catalog RENAME —
-    Spark cannot overwrite a table it is reading, and a crash mid-
-    compact leaves the original table intact (at worst an orphan
-    ``*_compact_tmp`` to clean up)."""
+    rewrite lands in a temp table first, then swaps rename-aside
+    (``table``→``*_compact_old``, ``*_compact_tmp``→``table``, drop old)
+    so the store is never without a buckets table whose data survives a
+    crash at ANY point: every crash window leaves either the original or
+    the fully-written compacted table recoverable, and a re-run of this
+    function finishes (or rolls back) the interrupted swap before
+    compacting again."""
     table = f"{store}_buckets"
-    if not spark.catalog.tableExists(table):
+    tmp = f"{table}_compact_tmp"
+    old = f"{table}_compact_old"
+    cat = spark.catalog
+    # crash recovery from a previous interrupted compact, BEFORE the
+    # pre-r7-layout check (the crash windows hide `table` behind `old`):
+    if cat.tableExists(old):
+        if not cat.tableExists(table):
+            if cat.tableExists(tmp):
+                # crashed between the two renames: tmp is the complete
+                # compacted copy of old — finish the swap
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            else:
+                # tmp already promoted+dropped is impossible with old
+                # still present unless the drop raced; roll back
+                spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        if cat.tableExists(old):
+            spark.sql(f"DROP TABLE {old}")
+    elif cat.tableExists(tmp):
+        # crashed after writing tmp but before the swap began: appends may
+        # have landed since — the tmp is possibly stale, recompact fresh
+        spark.sql(f"DROP TABLE {tmp}")
+    if not cat.tableExists(table):
         raise ValueError(
             f"{table} does not exist — pre-r7 store layouts have no "
             "buckets table to compact (rebuild with write_minhash_store)")
-    tmp = f"{table}_compact_tmp"
     n_buckets = _store_bucket_count(spark, table)
     read_store_meta(spark, store)  # fail fast on a corrupted store
     merged = (spark.table(table).groupBy("band", "sig")
@@ -159,8 +182,9 @@ def compact_minhash_store(spark: SparkSession, store: str) -> None:
                    .alias("ids")))
     sinks.write_bucketed(merged, tmp, ("band", "sig"),
                          n_buckets=n_buckets, mode="overwrite")
-    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
 
 
 def read_store_meta(spark: SparkSession, store: str) -> dict:

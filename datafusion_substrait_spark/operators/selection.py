@@ -59,10 +59,14 @@ def gram_buckets(text: Column, n: int = 2, n_buckets: int = 8192,
 def bucket_profile(df: DataFrame, text_col: str = "text", n: int = 2,
                    n_buckets: int = 8192, alpha: float = 1.0,
                    portable: bool = False) -> DataFrame:
-    """(bucket, p): the corpus's add-``alpha``-smoothed hashed-n-gram
-    bucket distribution. Smoothing covers never-seen buckets, so the
-    log-ratio below is finite for every gram of the raw corpus; ≤
-    ``n_buckets`` rows out — broadcastable by construction."""
+    """(bucket, p, cnt): the corpus's add-``alpha``-smoothed hashed-n-gram
+    bucket distribution, plus the raw bucket count. Smoothing covers
+    never-seen buckets, so the log-ratio below is finite for every gram of
+    the raw corpus; ≤ ``n_buckets`` rows out — broadcastable by
+    construction. ``cnt`` lets the smoothing floor α/(T+αB) be computed
+    exactly from T = Σcnt instead of reconstructed from Σp (which is
+    0/0 when every bucket is present and catastrophically cancels when
+    Σp rounds to 1.0 in double on a huge corpus)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if alpha <= 0:
@@ -80,6 +84,7 @@ def bucket_profile(df: DataFrame, text_col: str = "text", n: int = 2,
         "bucket",
         ((F.col("cnt") + F.lit(float(alpha)))
          / (F.col("_t") + F.lit(float(alpha)) * n_buckets)).alias("p"),
+        "cnt",
     )
 
 
@@ -130,13 +135,21 @@ def dsir_log_weights(df: DataFrame, target_profile: DataFrame,
 def _floor_attach(target_profile: DataFrame, raw_profile: DataFrame,
                   alpha: float, n_buckets: int) -> DataFrame:
     """1-row (_tfloor, _rfloor): each profile's smoothing floor
-    α/(T+α·B), recovered from Σcnt via p's definition: for any profile
-    Σ_present p = (T + α·|present|)/(T + α·B) ⇒
-    T + α·B = α·(B − |present|) / (1 − Σp). Pure aggregates over the tiny
-    profile tables — no driver collect."""
+    α/(T+α·B). When the profile carries ``cnt`` (bucket_profile's output)
+    the floor is computed exactly from T = Σcnt. An externally-built
+    (bucket, p)-only profile falls back to reconstructing T+αB from Σp —
+    Σ_present p = (T + α·|present|)/(T + α·B) ⇒ T + α·B =
+    α·(B − |present|)/(1 − Σp) — which is 0/0 when all B buckets are
+    present and cancels badly as Σp → 1.0; hence the exact path is
+    preferred. Pure aggregates over the tiny profile tables — no driver
+    collect."""
     a = float(alpha)
 
     def one(p: DataFrame, name: str) -> DataFrame:
+        if "cnt" in p.columns:
+            return p.agg(
+                (F.lit(a) / (F.coalesce(F.sum("cnt"), F.lit(0)).cast("double")
+                             + F.lit(a) * n_buckets)).alias(name))
         return p.agg(
             (F.lit(a) * (F.lit(float(n_buckets)) - F.count(F.lit(1)))
              / (F.lit(1.0) - F.sum("p"))).alias("_denom")

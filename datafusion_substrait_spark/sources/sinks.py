@@ -62,14 +62,30 @@ def clear_orphaned_table_location(spark, table: str) -> None:
     import shutil
     from urllib.parse import urlparse
 
+    if "." in table:
+        # db-qualified names live under <warehouse>/<db>.db/… — the
+        # default-db path below would be the WRONG directory, and worse,
+        # tableExists('db.t') guarding a delete of <warehouse>/t could
+        # remove a directory this library never wrote. Self-heal covers
+        # default-database single-part names only.
+        return
     if spark.catalog.tableExists(table):
         return
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
     if not warehouse:
         return
     # default-database managed layout: <warehouse>/<lowercased table name>
-    loc = os.path.join(warehouse, table.split(".")[-1].lower())
-    if os.path.isdir(loc):
+    loc = os.path.join(warehouse, table.lower())
+    if not os.path.isdir(loc):
+        return
+    # only remove a directory that looks Spark-written (parquet part files
+    # / _SUCCESS marker, or empty) — never a same-named dir of unknown origin
+    entries = os.listdir(loc)
+    spark_written = all(
+        e == "_SUCCESS" or e.startswith("part-") or e.startswith(".")
+        or e == "_spark_metadata"
+        for e in entries)
+    if spark_written:
         shutil.rmtree(loc)
 
 

@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Preship gate: the end-of-round snapshot MUST be made after this exits 0.
+#
+# Round 7 shipped an entry file whose own lockstep guard
+# (set(ORACLES) == set(QUERIES)) failed at import — pytest was red at
+# collection, bench.py exited 1, and the driver recorded an empty
+# CORRECTNESS file, zeroing the round's record. The guard worked; it was
+# never run. This script makes running it mechanical:
+#
+#   1. import the driver entry module (2 s — catches lockstep/syntax)
+#   2. full pytest suite
+#   3. bench.py end-to-end (rc must be 0 and output must be one JSON line
+#      with the recorded {metric,value,unit,queries,sf} schema)
+#
+# Usage: scripts/preship.sh  (from the repo root; exits non-zero on any
+# failure — do NOT commit a snapshot if it does).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== preship 1/3: entry-module import guard =="
+python3 -c "import __spark_entry__ as e; assert set(e.ORACLES) == set(e.QUERIES); assert len(e.QUERIES) <= 50; print(f'ok: {len(e.QUERIES)} entries, lockstep holds')"
+
+echo "== preship 2/3: pytest =="
+python3 -m pytest tests/ -q
+
+echo "== preship 3/3: bench =="
+out="$(python3 bench.py)"
+echo "$out" | tail -1 | python3 -c "
+import json, sys
+rec = json.loads(sys.stdin.readline())
+missing = {'metric', 'value', 'unit', 'queries', 'sf'} - set(rec)
+assert not missing, f'bench JSON missing keys: {missing}'
+extra = set(rec) - {'metric', 'value', 'unit', 'queries', 'sf'}
+assert not extra, f'bench JSON has unrecorded extra keys: {extra}'
+print(f\"ok: {rec['value']}s over {len(rec['queries'])} queries at sf{rec['sf']}\")
+"
+
+echo "== preship: ALL GREEN — safe to snapshot =="

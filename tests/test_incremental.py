@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datafusion_substrait_spark.operators import dedup, incremental
+from datafusion_substrait_spark.sources import sinks
 
 PARAMS = dict(num_hashes=16, bands=4, shingle_n=4)
 STORE = "inc_store"
@@ -302,4 +303,65 @@ def test_compact_merges_generations_and_preserves_results(spark, split_docs):
     spark.sql(f"DROP TABLE {STORE}_buckets")
     with pytest.raises(ValueError, match="no\\s+.*buckets table|buckets table"):
         incremental.compact_minhash_store(spark, STORE)
+    _drop_store(spark)
+
+
+def test_compact_recovers_every_crash_window(spark, split_docs):
+    """The rename-aside swap (r7 ADVICE) leaves the store recoverable at
+    every crash point; a re-run of compact must finish or roll back the
+    interrupted swap and then compact normally, and increments must keep
+    returning the same pairs throughout."""
+    docs, old_docs, new_all = split_docs
+    new = new_all.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    new2 = new_all.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    table = f"{STORE}_buckets"
+    tmp, old = f"{table}_compact_tmp", f"{table}_compact_old"
+
+    def fresh_store():
+        _drop_store(spark)
+        for t in (tmp, old):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        incremental.write_minhash_store(old_docs, STORE, n_buckets=4,
+                                        **PARAMS)
+        incremental.append_to_minhash_store(new, STORE)
+        return _pairs(incremental.minhash_lsh_pairs_increment(
+            new2, STORE, threshold=0.5))
+
+    # window 1: crash after writing tmp, before the swap (tmp possibly
+    # stale) — recovery drops tmp and recompacts
+    expect = fresh_store()
+    sinks.write_bucketed(spark.table(table).limit(1), tmp, ("band", "sig"),
+                         n_buckets=4, mode="overwrite")
+    incremental.compact_minhash_store(spark, STORE)
+    assert not spark.catalog.tableExists(tmp)
+    assert not spark.catalog.tableExists(old)
+    got = _pairs(incremental.minhash_lsh_pairs_increment(
+        new2, STORE, threshold=0.5))
+    assert got == expect and got
+
+    # window 2: crash between the renames (table→old done, tmp complete)
+    # — recovery promotes tmp and drops old
+    expect = fresh_store()
+    merged = (spark.table(table).groupBy("band", "sig")
+              .agg(F.sort_array(F.flatten(F.collect_list("ids")))
+                   .alias("ids")))
+    sinks.write_bucketed(merged, tmp, ("band", "sig"), n_buckets=4,
+                         mode="overwrite")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    incremental.compact_minhash_store(spark, STORE)
+    assert not spark.catalog.tableExists(tmp)
+    assert not spark.catalog.tableExists(old)
+    got = _pairs(incremental.minhash_lsh_pairs_increment(
+        new2, STORE, threshold=0.5))
+    assert got == expect and got
+
+    # window 3: crash after promoting tmp, before dropping old —
+    # recovery just drops old
+    expect = fresh_store()
+    spark.sql(f"CREATE TABLE {old} AS SELECT * FROM {table} LIMIT 1")
+    incremental.compact_minhash_store(spark, STORE)
+    assert not spark.catalog.tableExists(old)
+    got = _pairs(incremental.minhash_lsh_pairs_increment(
+        new2, STORE, threshold=0.5))
+    assert got == expect and got
     _drop_store(spark)

@@ -131,6 +131,25 @@ def test_dsir_planted_identical_corpora_are_neutral(spark):
     assert w[2] == (0, 0.0)  # NULL text: neutral row, not dropped
 
 
+def test_dsir_floor_exact_at_full_bucket_coverage(spark):
+    """Regression (r7 ADVICE): with every bucket present, the old Σp
+    reconstruction of the smoothing floor was α·0/(1−1) = 0/0 → NaN.
+    bucket_profile now carries cnt so the floor is computed exactly as
+    α/(T+αB); n_buckets=1 guarantees full coverage."""
+    import math
+
+    df = spark.createDataFrame([(0, "a b c d")],
+                               "doc_id bigint, text string")
+    p = selection.bucket_profile(df, n_buckets=1)  # T = 3 bigrams
+    row = selection._floor_attach(p, p, 1.0, 1).collect()[0]
+    assert math.isfinite(row["_tfloor"]) and math.isfinite(row["_rfloor"])
+    assert abs(row["_tfloor"] - 1.0 / (3 + 1)) < 1e-12
+    # and the weights pipeline stays neutral/finite end-to-end
+    w = {r.doc_id: r.log_weight
+         for r in selection.dsir_log_weights(df, p, p, n_buckets=1).collect()}
+    assert w[0] == 0.0
+
+
 def test_dsir_error_contracts(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="n_buckets"):

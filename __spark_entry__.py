@@ -366,10 +366,14 @@ def _d6_dedup_clusters(spark, sf_dir):
 
 
 def _d4_neardup_pairs(spark, sf_dir):
-    # exact n-gram Jaccard pairs + embedding-cosine near-dup pairs as
-    # tagged legs of one entry (mirror (a, b, score) shapes, merged r7 to
-    # free a slot for t12); the merged entry inherits d4's sf<=0.01
-    # oracle scope (the all-pairs replay, see SMALL_SF_ORACLE_KEYS)
+    # exact n-gram Jaccard pairs + embedding-cosine near-dup pairs +
+    # shared-passage (winnowing) pairs as tagged legs of one entry (mirror
+    # (a, b, score) shapes; ngram/embed merged r7, span added r8); the
+    # merged entry inherits d4's sf<=0.01 oracle scope (the all-pairs
+    # replay, see SMALL_SF_ORACLE_KEYS). The span leg runs portable=True
+    # (md5-32-bit gram hashes) so DuckDB replays winnowing selection
+    # exactly; xxhash64 stays the production default and is pinned by
+    # tests/test_operators.py.
     _prep(spark, sf_dir)
     ng = dedup.ngram_jaccard_pairs(
         spark.table("documents"), threshold=0.12).select(
@@ -379,7 +383,12 @@ def _d4_neardup_pairs(spark, sf_dir):
         spark.table("embeddings"), threshold=0.9).select(
         F.lit("embed").alias("leg"), F.col("vec_a").alias("a"),
         F.col("vec_b").alias("b"), F.col("cosine").alias("score"))
-    return ng.unionByName(em)
+    sp = text.shared_span_pairs(
+        spark.table("documents"), portable=True).select(
+        F.lit("span").alias("leg"), F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("shared_prints").cast("double").alias("score"))
+    return ng.unionByName(em).unionByName(sp)
 
 
 def _d8_semdedup(spark, sf_dir):
@@ -413,13 +422,25 @@ def _t12_boilerplate(spark, sf_dir):
 
 
 def _s1_bruteforce_topk(spark, sf_dir):
+    # float brute-force + int8-quantized brute-force as tagged legs of one
+    # entry (mirror (query_id, vec_id, cosine, rank) shapes, merged r8 to
+    # give the quantized scan path a driver row). The int8 leg's cosine is
+    # computed on the DEQUANTIZED corpus against full-precision queries,
+    # and the DuckDB oracle replays the quantization arithmetic —
+    # scale = float32(amax/127), q = tinyint(round(x·127/amax)) — exactly.
     _prep(spark, sf_dir)
     emb = spark.table("embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.brute_force_topk(emb, queries, k=10)
-    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    f = similarity.brute_force_topk(emb, queries, k=10).select(
+        F.lit("float").alias("leg"), "query_id", "vec_id", "cosine",
+        F.col("rank").cast("int").alias("rank"))
+    qz = similarity.brute_force_topk_quantized(
+        similarity.quantize_embeddings(emb), queries, k=10).select(
+        F.lit("int8").alias("leg"), "query_id", "vec_id", "cosine",
+        F.col("rank").cast("int").alias("rank"))
+    return f.unionByName(qz)
 
 
 def _s2_lsh_topk(spark, sf_dir):
@@ -482,8 +503,27 @@ def _t14_dsir(spark, sf_dir):
 
 
 def _t2_quality(spark, sf_dir):
+    # quality features + an in-engine classifier fit→score round-trip as
+    # joined columns (added r8): labels are planted on a margin-separated
+    # rule (stopword_ratio ≥ 0.04 → 1, ≤ 0.02 → 0, band excluded), the
+    # linear head is TRAINED in-engine (deterministic hash-top-k sample +
+    # driver-side GD), and scoring runs with the learned weights as plan
+    # literals. Separable-with-margin data ⇒ the trained model's
+    # predictions equal the planted labels (verified 0 misclassified at
+    # sf 0.001/0.01/0.1), which is exactly what the oracle asserts —
+    # clf_pred must reproduce the planted rule END-TO-END through
+    # training, weight folding, and codegen scoring.
     _prep(spark, sf_dir)
-    return text.quality_features(spark.table("documents"))
+    feats = text.quality_features(spark.table("documents"))
+    sr = F.col("stopword_ratio")
+    labeled = feats.filter((sr >= 0.04) | (sr <= 0.02)).withColumn(
+        "label", (sr >= 0.04).cast("int"))
+    w, b = text.train_quality_classifier(
+        labeled, "label", feature_cols=("mean_token_len", "stopword_ratio"))
+    clf = text.score_features(labeled, w, b).select(
+        "doc_id", F.col("label").alias("clf_label"),
+        (F.col("model_score") > 0.5).cast("int").alias("clf_pred"))
+    return feats.join(clf, "doc_id", "left")
 
 
 def _t3_lang_id(spark, sf_dir):
@@ -521,8 +561,12 @@ def _c2_decontaminate(spark, sf_dir):
 
 
 def _t5_samples(spark, sf_dir):
-    # uniform + stratified hash-threshold sampling as tagged legs of one
-    # entry (mirror plan shapes, merged r7 to free a slot for p1)
+    # uniform + stratified + target-mix hash-threshold sampling as tagged
+    # legs of one entry (mirror plan shapes; u/s merged r7, m added r8).
+    # The m leg's rates are DATA-DERIVED (share·T/count with T the largest
+    # achievable mix size), so the oracle recomputes them in SQL; shares
+    # are chosen to normalize exactly in binary (0.5/0.25/0.25) so the
+    # double arithmetic replays bit-for-bit.
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     u = sampling.hash_sample(docs, "doc_id", 0.25).select(
@@ -530,7 +574,11 @@ def _t5_samples(spark, sf_dir):
     s = sampling.stratified_hash_sample(
         docs, "doc_id", "lang", {"en": 0.2, "zh": 0.5},
         default_rate=0.9).select(F.lit("s").alias("leg"), "doc_id", "lang")
-    return u.unionByName(s)
+    m = sampling.target_mix_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.25}).select(
+        F.lit("m").alias("leg"), "doc_id", "lang")
+    return u.unionByName(s).unionByName(m)
 
 
 def _p1_pii_detect(spark, sf_dir):
@@ -680,7 +728,10 @@ def _e7_asof_salted(spark, sf_dir):
 # after the relational block so nothing important could fall past a cap
 # even if it shrinks. The six slots freed in r7 carry the round-6
 # operators: a1 audio, v1 video, t10 tfidf, c3 bloom, d7 incremental,
-# e7 salted asof.
+# e7 salted asof. r8 rotated the unslotted r7 operators in as tagged
+# legs of mirror-shaped survivors: int8-quantized top-k → s1,
+# target-mix resampling → t5, shared-passage pairs → d4, classifier
+# fit→score round-trip → t2, Gumbel sampling → t14.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": lambda spark, sf: _rt(spark, sf, _Q01),
     **{
@@ -1034,7 +1085,47 @@ ORACLES: dict[str, str] = {
           AND round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+        UNION ALL
+        -- span leg: full winnowing replay (portable md5-32-bit gram
+        -- hashes, k=25, window=16) — min-hash per sliding window over
+        -- FULL windows only (+ the whole-doc window at ord 0 for short
+        -- docs), distinct prints per doc, boilerplate prints (>100 docs)
+        -- EXCLUDED, pairs sharing >= 2 prints
+        SELECT 'span' AS leg, a, b, score FROM (
+            WITH spn AS (
+                SELECT doc_id, {_NORM} AS n FROM documents
+            ), spg AS (
+                SELECT doc_id, t.i AS i,
+                       CAST(concat('0x', substr(md5(substr(n, CAST(t.i AS INT), 25)),
+                                                1, 8)) AS BIGINT) AS h,
+                       greatest(length(n) - 24, 1) AS tot
+                FROM spn, unnest(range(1, greatest(length(n) - 24, 1) + 1)) AS t(i)
+            ), spw AS (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id,
+                           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS BETWEEN CURRENT ROW
+                                        AND 15 FOLLOWING) AS fp,
+                           i - 1 AS ord, tot
+                    FROM spg)
+                WHERE ord <= tot - 16 OR ord = 0
+            ), spdf AS (
+                SELECT fp FROM spw GROUP BY fp
+                HAVING count(*) > 1 AND count(*) <= 100
+            )
+            SELECT pa.doc_id AS a, pb.doc_id AS b,
+                   CAST(count(*) AS DOUBLE) AS score
+            FROM spw pa JOIN spdf s ON s.fp = pa.fp
+            JOIN spw pb ON pb.fp = pa.fp AND pa.doc_id < pb.doc_id
+            GROUP BY pa.doc_id, pb.doc_id
+            HAVING count(*) >= 2
+        )
     """.replace("{_RH16}", _RH16_SIG_SQL),
+    # s1 int8 leg: replays the symmetric scalar quantization exactly —
+    # q_i = tinyint(round(x_i·127/amax)), scale = float32(amax/127),
+    # dequantized d_i = double(q_i)·double(scale) — then the same cosine
+    # top-k over the dequantized corpus (full-precision queries). Spark's
+    # round() and DuckDB's both tie away from zero.
     "s1_bruteforce_topk": """
         WITH q AS (
             SELECT vec_id AS query_id,
@@ -1043,19 +1134,36 @@ ORACLES: dict[str, str] = {
         ), e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
             FROM embeddings
+        ), dq AS (
+            SELECT vec_id,
+                   CASE WHEN amax = 0.0 THEN list_transform(ev, x -> 0.0)
+                        ELSE list_transform(ev, x ->
+                            CAST(CAST(round(x * 127.0 / amax) AS TINYINT)
+                                 AS DOUBLE)
+                            * CAST(CAST(amax / 127.0 AS REAL) AS DOUBLE))
+                   END AS dv
+            FROM (SELECT vec_id, ev,
+                         list_max(list_transform(ev, x -> abs(x))) AS amax
+                  FROM e)
         ), scored AS (
-            SELECT q.query_id, e.vec_id,
+            SELECT 'float' AS leg, q.query_id, e.vec_id,
                    round(list_dot_product(q.qv, e.ev)
                          / (sqrt(list_dot_product(q.qv, q.qv))
                             * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cosine
             FROM q CROSS JOIN e
+            UNION ALL
+            SELECT 'int8' AS leg, q.query_id, dq.vec_id,
+                   round(list_dot_product(q.qv, dq.dv)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(dq.dv, dq.dv))), 6) AS cosine
+            FROM q CROSS JOIN dq
         ), ranked AS (
-            SELECT query_id, vec_id, cosine,
-                   CAST(row_number() OVER (PARTITION BY query_id
+            SELECT leg, query_id, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY leg, query_id
                                            ORDER BY cosine DESC, vec_id) AS INT) AS rank
             FROM scored
         )
-        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        SELECT leg, query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """,
     # t9: corpus unigram LM replay — same vocab tie-break (count desc, token
     # asc, LIMIT 500), same add-1 smoothing with a shared OOV bucket; the
@@ -1110,7 +1218,16 @@ ORACLES: dict[str, str] = {
                     floor((least(n_tokens / 100.0, 1.0) * 0.5
                            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
                            + least(stopword_ratio * 5.0, 1.0) * 0.25)
-                          * 800000 + 0.5) / 800000 END AS quality_score
+                          * 800000 + 0.5) / 800000 END AS quality_score,
+               -- fit→score round-trip contract: the in-engine-trained
+               -- classifier must REPRODUCE the planted margin-separated
+               -- rule (stopword_ratio >= 0.04 / <= 0.02, band NULL) —
+               -- clf_pred == clf_label iff training + weight folding +
+               -- codegen scoring are all correct
+               CASE WHEN stopword_ratio >= 0.04 THEN 1
+                    WHEN stopword_ratio <= 0.02 THEN 0 END AS clf_label,
+               CASE WHEN stopword_ratio >= 0.04 THEN 1
+                    WHEN stopword_ratio <= 0.02 THEN 0 END AS clf_pred
         FROM feats
     """,
     "t3_lang_id": f"""
@@ -1357,7 +1474,23 @@ ORACLES: dict[str, str] = {
     """,
     # 'v' || key mirrors sampling._key_bytes' null-safe encoding (NULL
     # keys hash the bare-'n' sentinel; testdata keys are never NULL)
+    # t5 m leg: target_mix_sample's rates are DATA-DERIVED doubles
+    # (share·T/count, T = min count/share), so the hex-string threshold
+    # can't be precomputed; instead the md5's TOP 60 BITS compare against
+    # rate·2^60 — exactly equivalent to the full 128-bit compare because
+    # int(rate·2^128) is a multiple of 2^68 for any rate ≥ 2^-8 (the
+    # double's 53-bit significand leaves the low 75+ bits zero), and the
+    # rate arithmetic (c/share, min, share·t/c, least 1.0) is the same
+    # IEEE754 op sequence the Python side runs. Shares 0.5/0.25/0.25
+    # normalize exactly in binary.
     "t5_samples": f"""
+        WITH mcnt AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS c,
+                   CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END AS share
+            FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+        ), mt AS (SELECT min(c / share) AS t FROM mcnt),
+        mr AS (SELECT lang, least(1.0, share * t / c) AS rate
+               FROM mcnt, mt)
         SELECT 'u' AS leg, doc_id, lang FROM documents
         WHERE md5('v' || CAST(doc_id AS VARCHAR)) < '{sampling._threshold_hex(0.25)}'
         UNION ALL
@@ -1366,6 +1499,12 @@ ORACLES: dict[str, str] = {
             CASE WHEN lang = 'zh' THEN '{sampling._threshold_hex(0.5)}'
                  WHEN lang = 'en' THEN '{sampling._threshold_hex(0.2)}'
                  ELSE '{sampling._threshold_hex(0.9)}' END
+        UNION ALL
+        SELECT 'm' AS leg, d.doc_id, d.lang
+        FROM documents d JOIN mr USING (lang)
+        WHERE CAST(concat('0x', substr(md5('v' || CAST(doc_id AS VARCHAR)),
+                                       1, 15)) AS BIGINT)
+              < CAST(mr.rate * 1152921504606846976.0 AS BIGINT)
     """,
     # m1: the deterministic fake decoder is sha256-based, which DuckDB CAN
     # replay (hex-pair byte extraction ≡ digest[i])

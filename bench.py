@@ -71,9 +71,13 @@ BUDGETS: dict[str, float] = {
     "d1_exact_dedup": 0.41,
     "d2_minhash_pairs": 1.16,
     "d3_simhash_pairs": 2.24,
-    "s1_bruteforce_topk": 0.69,
+    # r8 re-derived (same formula, new best-of-3): s1 carries the int8
+    # leg, t2 carries the classifier fit→score legs, d8/t13 newly benched
+    "d8_semdedup": 6.75,
+    "t13_chunk": 0.45,
+    "s1_bruteforce_topk": 2.18,
     "s3_ivf_topk": 2.41,
-    "t2_quality": 0.78,
+    "t2_quality": 2.30,
     "t3_lang_id": 0.45,
     "e1_windowed_counts": 0.43,
     "e2_sessionize": 0.51,

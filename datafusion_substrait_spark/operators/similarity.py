@@ -388,6 +388,52 @@ def ivf_topk_partitioned(path: str, queries: DataFrame,
     return _topk_per_query(scored, k, query_key_col, key_col)
 
 
+def write_ivf_partitioned_quantized(embeddings: DataFrame, path: str,
+                                    centroids: list[list[float]],
+                                    vec_col: str = "embedding",
+                                    key_col: str = "vec_id",
+                                    mode: str = "overwrite") -> None:
+    """The 100 TB ANN *serving* layout: IVF cell directories holding
+    int8-quantized vectors — :func:`write_ivf_partitioned`'s partition
+    pruning (read only nprobe/n_cells of the corpus) COMPOSED with
+    :func:`quantize_embeddings`' 4× byte cut, so a probe reads
+    ~nprobe/(4·n_cells) of the float corpus bytes. Cell assignment runs
+    on the FULL-PRECISION vectors (assignment error would cost recall
+    forever; quantization error only costs ranking precision at query
+    time)."""
+    n_cells = len(centroids)
+    assigned = _with_cell_scores(embeddings, vec_col, centroids).select(
+        key_col, vec_col, _nearest_cell(n_cells).alias("cell_id"))
+    qz = quantize_embeddings(assigned, vec_col=vec_col, key_col=key_col,
+                             keep_cols=("cell_id",))
+    qz.write.mode(mode).partitionBy("cell_id").parquet(path)
+
+
+def ivf_topk_partitioned_quantized(path: str, queries: DataFrame,
+                                   centroids: list[list[float]], k: int = 10,
+                                   nprobe: int = 2,
+                                   vec_col: str = "embedding",
+                                   key_col: str = "vec_id",
+                                   query_key_col: str = "query_id") -> DataFrame:
+    """IVF top-k over a :func:`write_ivf_partitioned_quantized` layout:
+    the same partition-pruned probe as :func:`ivf_topk_partitioned`
+    (cell_id IN (...) is a partition filter — only probed directories'
+    files open), with vectors DEQUANTIZED row-locally at probe time
+    (full-precision float queries). Same output contract; ranking error
+    bounded by the quantization step — recall@k vs the float IVF is
+    pinned ≥ 0.9 in tests on the real embeddings table."""
+    q = _probe_rows(queries, vec_col, query_key_col, centroids, nprobe)
+    probe_cells = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
+    deq = dequantize_expr(F.col("qvec"), F.col("scale"))
+    e = (queries.sparkSession.read.parquet(path)
+         .filter(F.col("cell_id").isin(probe_cells))
+         .select(key_col, deq.alias("__dv"),
+                 F.col("cell_id").alias("__cell"),
+                 norm(deq).alias("__enorm")))
+    scored = _score_probed(e, q, "__dv", key_col, query_key_col)
+    return _topk_per_query(scored, k, query_key_col, key_col)
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", key_col: str = "vec_id",
              query_key_col: str = "query_id", planes: int = 8) -> DataFrame:
@@ -424,7 +470,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
-                        key_col: str = "vec_id") -> DataFrame:
+                        key_col: str = "vec_id",
+                        keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """(key, qvec: array<tinyint>, scale: float): per-vector symmetric
     int8 scalar quantization — ``q_i = round(x_i / scale)`` with
     ``scale = max|x| / 127`` — the standard 4× storage/scan-volume
@@ -433,7 +480,8 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     PQ). Row-local codegen-free narrow map (HOF fold, see module
     docstring); all-zero vectors keep scale 0 and an all-zero qvec.
     Lossless to reverse within ±scale/2 per component via
-    :func:`dequantize_expr`."""
+    :func:`dequantize_expr`. ``keep_cols`` pass through unchanged (e.g.
+    an IVF ``cell_id`` for the quantized partitioned layout)."""
     v = F.col(vec_col)
     amax = F.aggregate(v, F.lit(0.0),
                        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
@@ -447,6 +495,7 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
             ).cast("tinyint"),
         ).alias("qvec"),
         scale.cast("float"),
+        *keep_cols,
     )
 
 

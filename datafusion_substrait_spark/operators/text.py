@@ -316,7 +316,8 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 def rolling_fingerprints(df: DataFrame, text_col: str = "text",
                          key_col: str = "doc_id", k: int = 25,
-                         window: int = 16) -> DataFrame:
+                         window: int = 16,
+                         portable: bool = False) -> DataFrame:
     """Winnowing fingerprints (MOSS-style rolling-hash selection): hash
     every char k-gram of the normalized text, then keep the MINIMUM hash of
     each ``window``-length sliding window, deduplicated. Two documents
@@ -331,9 +332,19 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
     only shuffle is the per-document window sort — the same single-shuffle
     profile as sessionization. Output rows are (key, fingerprint) longs;
     a self-join on fingerprint finds candidate passage-sharing pairs.
+
+    ``portable=True`` hashes grams as the first 8 md5 hex chars (an
+    unsigned 32-bit value — the selection.py/d3 pattern) instead of
+    xxhash64, so a DuckDB oracle can replay winnowing selection exactly;
+    xxhash64 (JVM-native, 64-bit) stays the production default.
     """
     from pyspark.sql import Window as W
 
+    if portable:
+        gram_hash = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    else:
+        gram_hash = F.xxhash64
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     base = df.select(F.col(key_col), norm.alias("_n"))
     grams = base.select(
@@ -344,7 +355,7 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
         F.col("_n"),
     ).select(
         key_col, "_ord", "_i",
-        F.xxhash64(F.col("_n").substr(F.col("_i"), F.lit(k))).alias("_h"),
+        gram_hash(F.col("_n").substr(F.col("_i"), F.lit(k))).alias("_h"),
     )
     # winnowing selects minima over FULL windows only: trailing truncated
     # windows would always select the document's final k-gram (window size
@@ -371,7 +382,8 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
 def shared_span_pairs(df: DataFrame, text_col: str = "text",
                       key_col: str = "doc_id", k: int = 25,
                       window: int = 16, min_shared: int = 2,
-                      max_print_docs: int = 100) -> DataFrame:
+                      max_print_docs: int = 100,
+                      portable: bool = False) -> DataFrame:
     """Document pairs sharing exact passages: ``(doc_a, doc_b,
     shared_prints)`` for pairs with ≥ ``min_shared`` common winnowing
     fingerprints — the MOSS-style partial-copy / quotation detector that
@@ -394,7 +406,7 @@ def shared_span_pairs(df: DataFrame, text_col: str = "text",
     within print → count per pair. All keys are longs; text never moves.
     """
     prints = rolling_fingerprints(df, text_col=text_col, key_col=key_col,
-                                  k=k, window=window)
+                                  k=k, window=window, portable=portable)
     docs_per = (prints.groupBy("fingerprint")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter((F.col("_df") > 1) & (F.col("_df") <= max_print_docs)))

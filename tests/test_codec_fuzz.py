@@ -108,6 +108,46 @@ def test_mutated_fixtures_respect_error_contract():
             _check_contract(mutant)
 
 
+def test_advice_mp4_box_layouts_pinned():
+    """Fixed fixtures for the r7 ADVICE box layouts the random fuzzer
+    cannot construct self-consistently: (a) an mvhd whose version byte
+    says v1 but whose body is SHORTER than the 32 bytes the 64-bit
+    duration needs — the parser must SKIP it (duration stays 0), never
+    read it at v0 offsets; (b) a zero-body (size-8) tkhd — nothing to
+    read, must not crash or poison the other track's dimensions
+    (guards at multimodal.py parse_video_header)."""
+    import struct as s
+
+    def box(tag, body):
+        return s.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    tkhd_v0 = (bytes([0, 0, 0, 0]) + b"\x00" * 72
+               + s.pack(">II", 640 << 16, 360 << 16))
+    mvhd_v0 = (bytes([0, 0, 0, 0]) + b"\x00" * 8
+               + s.pack(">II", 1000, 2500) + b"\x00" * 80)
+
+    # (a) mvhd v1 with a 24-byte body: >= the 20-byte entry guard, < the
+    # 32 bytes a v1 duration needs. At v0 offsets bytes 12..20 would read
+    # as timescale=7, duration=11 — the wrong-dur trap the guard closes.
+    mvhd_v1_short = (bytes([1, 0, 0, 0]) + b"\x00" * 8
+                     + s.pack(">II", 7, 11) + b"\x00" * 4)
+    assert len(mvhd_v1_short) == 24
+    mp4 = ftyp + box(b"moov", box(b"mvhd", mvhd_v1_short)
+                     + box(b"trak", box(b"tkhd", tkhd_v0)))
+    assert multimodal.parse_video_header(mp4) == ("mp4", 640, 360, 0.0, -1)
+
+    # (b) zero-body tkhd next to a real video track
+    mp4 = ftyp + box(b"moov", box(b"mvhd", mvhd_v0)
+                     + box(b"trak", box(b"tkhd", b""))
+                     + box(b"trak", box(b"tkhd", tkhd_v0)))
+    assert multimodal.parse_video_header(mp4) == ("mp4", 640, 360, 2.5, -1)
+    # and alone: dimensions simply stay 0
+    mp4 = ftyp + box(b"moov", box(b"mvhd", mvhd_v0)
+                     + box(b"trak", box(b"tkhd", b"")))
+    assert multimodal.parse_video_header(mp4) == ("mp4", 0, 0, 2.5, -1)
+
+
 def test_pure_noise_respects_error_contract():
     rnd = random.Random(99)
     for _ in range(120):

@@ -59,6 +59,54 @@ def test_consume_path_has_no_jvm_bridge():
     )
 
 
+def test_consume_path_runs_on_a_live_connect_session(tmp_path):
+    """Executable witness for the spike's Finding 1 (r7 VERDICT
+    directive 8): the moment an environment has the Connect client's
+    grpc stack, this test produces plan bytes on a CLASSIC session
+    (the producer needs the JVM bridge), then deserializes and CONSUMES
+    them on a real Spark Connect session — proving the consume path
+    truly needs nothing beyond the public DataFrame API. In this
+    container it self-skips at the grpcio import."""
+    import pytest
+
+    pytest.importorskip("grpc")
+    pytest.importorskip("google.protobuf")
+
+    from pyspark.sql import SparkSession
+
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+    from datafusion_substrait_spark.plans.serializer import (deserialize,
+                                                             serialize)
+    from datafusion_substrait_spark.sources.catalog import register_testdata
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                            "/root/testdata/sf0.001")
+    sql = ("SELECT r_regionkey, upper(r_name) AS rname "
+           "FROM region WHERE r_regionkey > 0")
+    plan_path = str(tmp_path / "q.plan")
+
+    classic = (SparkSession.builder.master("local[2]")
+               .config("spark.sql.shuffle.partitions", "2")
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.ui.enabled", "false").getOrCreate())
+    try:
+        register_testdata(classic, sf_dir)
+        serialize(sql, classic, plan_path)
+        expect = sorted(map(tuple, classic.sql(sql).collect()))
+    finally:
+        classic.stop()
+
+    # builder.remote("local") spawns a local Connect server in-process
+    connect = SparkSession.builder.remote("local").getOrCreate()
+    try:
+        register_testdata(connect, sf_dir)
+        got = sorted(map(tuple, from_substrait_plan(
+            connect, deserialize(plan_path)).collect()))
+    finally:
+        connect.stop()
+    assert got == expect and got
+
+
 def test_producer_bridge_use_is_single_and_fenced():
     """to_substrait_plan's JVM-bridge dependency is exactly one call,
     guarded by the up-front Connect detection that raises a named

@@ -233,6 +233,119 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     )
 
 
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id",
+                         max_symbol_word_ratio: float = 0.1,
+                         max_bullet_line_frac: float = 0.9,
+                         max_ellipsis_line_frac: float = 0.3,
+                         min_alpha_word_frac: float = 0.8) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+    this module's other features don't already cover — (key,
+    symbol_word_ratio, alpha_word_frac, bullet_line_frac,
+    ellipsis_line_frac, gopher_flagged):
+
+    * ``symbol_word_ratio`` — (# + … + ...) occurrences / word count;
+      hash/ellipsis spam (default flag > 0.1);
+    * ``alpha_word_frac`` — fraction of words containing ≥ 1 alphabetic
+      char (default flag < 0.8: number/symbol soup);
+    * ``bullet_line_frac`` / ``ellipsis_line_frac`` — fraction of
+      non-empty lines starting with a bullet (•, -, *) / ending with an
+      ellipsis (default flags > 0.9 / > 0.3: scraped navigation lists,
+      truncated previews);
+    * ``gopher_flagged`` — OR of the four rules, NULL-safe (a rule whose
+      denominator is empty contributes false, matching the paper's
+      "cannot fire on no evidence" reading; the length rules live in
+      :func:`quality_features`, repetition in
+      :func:`repetition_features`).
+
+    Pure narrow map — split/filter/regexp_count inside codegen, no
+    shuffle, no Python; thresholds are plan literals. Ratios 6dp-rounded
+    for the cross-engine oracle like every feature op here.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks).cast("double")
+    n_symbols = (F.regexp_count(text, F.lit("#"))
+                 + F.regexp_count(text, F.lit(r"\.\.\."))
+                 + F.regexp_count(text, F.lit("…"))).cast("double")
+    # words here are whitespace chunks (bullets/symbols survive), unlike
+    # tokens(): the alpha rule is about junk BETWEEN words
+    chunks = F.filter(F.split(text, r"\s+"), lambda c: c != "")
+    n_chunks = F.size(chunks).cast("double")
+    n_alpha = F.size(
+        F.filter(chunks, lambda c: c.rlike("[A-Za-z]"))).cast("double")
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "")
+    n_lines = F.size(lines).cast("double")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^[•\\-\\*]"))).cast("double")
+    n_ellipsis = F.size(
+        F.filter(lines,
+                 lambda ln: ln.rlike("(\\.\\.\\.|…)$"))).cast("double")
+    swr = F.round(F.try_divide(n_symbols, n_words), 6)
+    awf = F.round(F.try_divide(n_alpha, n_chunks), 6)
+    blf = F.round(F.try_divide(n_bullet, n_lines), 6)
+    elf = F.round(F.try_divide(n_ellipsis, n_lines), 6)
+    flagged = (F.coalesce(swr > max_symbol_word_ratio, F.lit(False))
+               | F.coalesce(awf < min_alpha_word_frac, F.lit(False))
+               | F.coalesce(blf > max_bullet_line_frac, F.lit(False))
+               | F.coalesce(elf > max_ellipsis_line_frac, F.lit(False)))
+    return df.select(
+        F.col(key_col),
+        swr.alias("symbol_word_ratio"),
+        awf.alias("alpha_word_frac"),
+        blf.alias("bullet_line_frac"),
+        elf.alias("ellipsis_line_frac"),
+        flagged.alias("gopher_flagged"),
+    )
+
+
+_MARKUP_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_markup(df: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id") -> DataFrame:
+    """(key, text, n_tags): HTML/XML markup removal — the extraction step
+    between a raw web crawl and every text operator in this module.
+
+    Order matters and is part of the contract: (1) drop ``<script>`` /
+    ``<style>`` blocks and comments WITH their contents (lazy-dotall,
+    case-insensitive — JS/CSS is not prose), (2) strip remaining tags to
+    a space (so ``a<br>b`` stays two words), (3) decode the six
+    ubiquitous entities with ``&amp;`` LAST (``&amp;lt;`` means a literal
+    "&lt;" — decoding ``&amp;`` first would double-decode it), (4)
+    collapse whitespace and trim. ``n_tags`` counts stripped tags — a
+    markup-density signal for quality filtering.
+
+    Pure narrow map, every regex in the Java-regex ∩ RE2 subset
+    (lazy quantifiers + ``(?is)`` work in both), so the DuckDB oracle
+    replays it exactly; NULL text passes through as NULL (no evidence,
+    not empty — the quality_features convention).
+    """
+    raw = F.col(text_col)
+    # script and style handled by SEPARATE patterns: a combined
+    # alternation needs a \1 backreference to close the right tag, and
+    # RE2 (the DuckDB oracle's engine) has no backreferences
+    noblock = raw
+    for block in ("script", "style"):
+        noblock = F.regexp_replace(
+            noblock, rf"(?is)<{block}[^>]*>.*?</{block}\s*>", " ")
+    noblock = F.regexp_replace(noblock, r"(?s)<!--.*?-->", " ")
+    # a "tag" must LOOK like one — <, optional / or !, then a letter —
+    # so prose comparisons ("1 < 2 and 3 > 2") survive; [^>] spans
+    # newlines in both engines without a dotall flag
+    tag_re = r"<[/!]?[a-zA-Z][^>]*>"
+    n_tags = F.regexp_count(noblock, F.lit(tag_re))
+    clean = F.regexp_replace(noblock, tag_re, " ")
+    for ent, rep in _MARKUP_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(rep))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(F.col(key_col), clean.alias(text_col),
+                     n_tags.cast("int").alias("n_tags"))
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus-wide token frequencies, top ``k`` by (freq desc, token asc).
 

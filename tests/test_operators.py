@@ -698,6 +698,152 @@ def test_quality_features_survives_degenerate_docs(spark):
     assert out[3].punct_ratio is not None  # has chars, just no tokens
 
 
+def test_gopher_quality_flags_planted_rules(spark):
+    """Each Gopher rule fires on a doc PLANTED to violate exactly it, a
+    clean doc passes all four, and empty/NULL docs are unflagged with
+    NULL ratios (no evidence ⇒ no flag)."""
+    df = spark.createDataFrame([
+        (0, "a normal sentence with plain words written here"),
+        (1, "# # # # spam tags and markers # # #"),
+        (2, "• one thing\n• two things\n• three things\n• four things"),
+        (3, "cut off preview...\nanother teaser...\nmore of it..."),
+        (4, "12 34 56 78 90 11 22 33"),
+        (5, ""),
+        (6, None),
+    ], "doc_id bigint, text string")
+    out = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    assert out[0].gopher_flagged is False
+    assert out[1].gopher_flagged and out[1].symbol_word_ratio > 0.1
+    assert out[2].gopher_flagged and out[2].bullet_line_frac == 1.0
+    assert out[3].gopher_flagged and out[3].ellipsis_line_frac == 1.0
+    assert out[4].gopher_flagged and out[4].alpha_word_frac == 0.0
+    for d in (5, 6):
+        assert out[d].gopher_flagged is False
+        assert out[d].symbol_word_ratio is None
+        assert out[d].bullet_line_frac is None
+
+
+def test_gopher_flags_match_duckdb_replay(spark, tables):
+    """Full cross-engine replay on the real documents table — same
+    tokenizer, same non-overlapping regexp counts, same trimmed
+    non-empty-line rules, 6dp rounding."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    toks = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')")
+    chunks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    lines = ("list_filter(list_transform(string_split(text, chr(10)),"
+             " l -> trim(l)), l -> l <> '')")
+    pq = os.path.join(SF_DIR, "documents.parquet")
+    want = sorted(duckdb.sql(f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(len({toks}) AS DOUBLE) AS nw,
+                   CAST(len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.'))
+                        + len(regexp_extract_all(text, '…')) AS DOUBLE) AS ns,
+                   CAST(len({chunks}) AS DOUBLE) AS nc,
+                   CAST(len(list_filter({chunks},
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS na,
+                   CAST(len({lines}) AS DOUBLE) AS nl,
+                   CAST(len(list_filter({lines},
+                        l -> regexp_matches(l, '^[•\\-\\*]'))) AS DOUBLE) AS nb,
+                   CAST(len(list_filter({lines},
+                        l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE) AS ne
+            FROM read_parquet('{pq}')
+        ), r AS (
+            SELECT doc_id,
+                   CASE WHEN nw = 0 THEN NULL ELSE round(ns / nw, 6) END AS swr,
+                   CASE WHEN nc = 0 THEN NULL ELSE round(na / nc, 6) END AS awf,
+                   CASE WHEN nl = 0 THEN NULL ELSE round(nb / nl, 6) END AS blf,
+                   CASE WHEN nl = 0 THEN NULL ELSE round(ne / nl, 6) END AS elf
+            FROM b
+        )
+        SELECT doc_id, swr, awf, blf, elf,
+               coalesce(swr > 0.1, false) OR coalesce(awf < 0.8, false)
+               OR coalesce(blf > 0.9, false) OR coalesce(elf > 0.3, false)
+        FROM r
+    """).fetchall())
+    got = sorted(map(tuple,
+                     text.gopher_quality_flags(tables["documents"]).collect()))
+    assert got == want and got
+
+
+def test_strip_markup_planted(spark):
+    """Tag/block/entity semantics pinned on planted HTML: blocks go WITH
+    contents, tags become word boundaries, &amp; decodes LAST, NULL
+    passes through."""
+    df = spark.createDataFrame([
+        (0, "<html><body><p>Hello <b>world</b></p>"
+            "<script type='t'>var x = '<p>no</p>';</script>"
+            "<style>p { color: red }</style>"
+            "<!-- secret <b>comment</b> -->Tom &amp; Jerry &lt;3</body></html>"),
+        (1, "a<br>b"),
+        (2, "plain text, no markup"),
+        (3, "&amp;lt; stays a literal &lt;"),   # no double decode
+        (4, "math: 1 < 2 and 3 > 2"),            # lone < > untouched
+        (5, None),
+    ], "doc_id bigint, text string")
+    out = {r.doc_id: (r.text, r.n_tags)
+           for r in text.strip_markup(df).collect()}
+    assert out[0] == ("Hello world Tom & Jerry <3", 8)
+    assert out[1] == ("a b", 1)
+    assert out[2] == ("plain text, no markup", 0)
+    assert out[3] == ("&lt; stays a literal <", 0)
+    assert out[4] == ("math: 1 < 2 and 3 > 2", 0)
+    assert out[5] == (None, None)
+
+
+def test_strip_markup_matches_duckdb_replay(spark, tables):
+    """Cross-engine replay on the real documents table plus planted HTML
+    rows appended via a view — every regex lives in the Java∩RE2 subset
+    and entity decodes are literal replaces on both engines."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    pq = os.path.join(SF_DIR, "documents.parquet")
+    planted = ("SELECT doc_id, text FROM read_parquet('{pq}') "
+               "UNION ALL VALUES (100001, '<p>x &amp; y</p><br/>'), "
+               "(100002, '<script>junk</script>keep<!-- c -->me')"
+               ).format(pq=pq)
+    want = sorted(duckdb.sql(f"""
+        WITH src AS ({planted}), s1 AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS t
+            FROM src
+        ), s2 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '<[/!]?[a-zA-Z][^>]*>'))
+                       AS INT) AS n_tags,
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(t, '<[/!]?[a-zA-Z][^>]*>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+            FROM s1
+        )
+        SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text,
+               n_tags
+        FROM s2
+    """).fetchall())
+    docs = tables["documents"].select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(100001, "<p>x &amp; y</p><br/>"),
+             (100002, "<script>junk</script>keep<!-- c -->me")],
+            "doc_id bigint, text string"))
+    got = sorted(map(tuple, text.strip_markup(docs).collect()))
+    assert got == want and got
+
+
 def test_cosine_zero_vector_is_null_not_crash(spark):
     from datafusion_substrait_spark.operators import similarity
 

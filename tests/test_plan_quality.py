@@ -186,6 +186,7 @@ def test_text_feature_ops_are_narrow_maps(spark, tables):
         text.quality_features(docs),
         text.lang_id(docs),
         text.fingerprint(docs),
+        text.gopher_quality_flags(docs),
         docs.select("doc_id", text.token_count(F.col("text")).alias("n"),
                     text.bpe_token_count(F.col("text")).alias("b")),
     ):

@@ -93,3 +93,38 @@ def test_simhash_10x_replication_groups_stay_connected(spark, tables):
     assert n_groups == n_docs          # no group vanishes from the graph
     assert bad <= n_docs // 10         # >=90% perfectly clustered
     assert total < (10 * n_docs) ** 2 / 4  # far from quadratic
+
+
+def test_semdedup_10x_exact_clone_collapse(spark, tables):
+    """SemDeDup under 10× exact replication has a PROVABLE closed form
+    (unlike the text-hash families): clones are bit-identical vectors, so
+    every clone lands in its original's cell with pairwise cosine exactly
+    1.0, and the keep-min-key rule must (a) keep exactly the min-rep
+    clone of every vector the 1× run kept and (b) drop every other clone
+    — kept(10×) == {10·k for k in kept(1×)}, an exact SET equality. Key
+    order is preserved by the 10k+rep scheme (10u+9 < 10v ⟺ u < v for
+    integers). The star cap is lifted for the run (10× cell sizes exceed
+    it; the cap's own arithmetic is oracle-replayed by d8) so the
+    equality is about semedup semantics, not cap interaction."""
+    from datafusion_substrait_spark.operators import similarity
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    cents = similarity.deterministic_centroids(8, 64)
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    emb10 = (
+        emb.crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                "embedding")
+    )
+    t0 = time.perf_counter()
+    kept1 = {r.vec_id for r in dedup.semdedup(
+        emb, cents, threshold=0.95, max_cell_size=10 ** 6
+    ).filter("kept").collect()}
+    t1 = time.perf_counter()
+    kept10 = {r.vec_id for r in dedup.semdedup(
+        emb10, cents, threshold=0.95, max_cell_size=10 ** 6
+    ).filter("kept").collect()}
+    t2 = time.perf_counter()
+    print(f"\nsemdedup 1x: {t1-t0:.1f}s {len(kept1)} kept; "
+          f"10x: {t2-t1:.1f}s {len(kept10)} kept")
+    assert kept10 == {10 * k for k in kept1}

@@ -600,6 +600,40 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def keep_best_per_cluster(clusters: DataFrame, scores: DataFrame,
+                          key_col: str = "doc_id",
+                          score_col: str = "quality_score") -> DataFrame:
+    """The "which copy survives" step between :func:`dedup_clusters` and
+    the corpus rewrite: (key, cluster_id, kept) keeping exactly ONE
+    member per cluster — the highest-``score_col``, key-ascending on ties
+    (deterministic, partitioning-independent). Cluster members absent
+    from ``scores`` rank as NULL (last), so a scoring gap can never
+    silently promote an unscored copy over a scored one.
+
+    Keeping min-key (``cluster_id`` itself) is free but keeps an
+    arbitrary copy; real pipelines keep the BEST copy (longest, highest
+    quality classifier score, freshest crawl) — pass any per-document
+    score table, e.g. ``quality_features`` output.
+
+    Plan shape at 100 TB: one key join (clusters × scores — both sides
+    key-partitioned longs+doubles, never text) and one per-cluster
+    window rank. Cluster sizes are bounded by the pair generators' star
+    caps upstream, so no window partition degenerates.
+    """
+    from pyspark.sql import Window as W
+
+    joined = (clusters.join(
+        scores.select(F.col(key_col).alias("node"),
+                      F.col(score_col).alias("_s")),
+        "node", "left"))
+    rank = F.row_number().over(
+        W.partitionBy("cluster_id")
+        .orderBy(F.col("_s").desc_nulls_last(), F.col("node").asc()))
+    return joined.select(
+        F.col("node").alias(key_col), "cluster_id",
+        (rank == 1).alias("kept"))
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -126,3 +126,22 @@ def target_mix_sample(df: DataFrame, key_col: str, stratum_col: str,
     rates = {s: min(1.0, w * t / counts[s]) for s, w in shares.items()}
     return stratified_hash_sample(df, key_col, stratum_col, rates,
                                   default_rate=0.0, salt=salt)
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str,
+                          salt: str = "") -> DataFrame:
+    """Reproducible pseudo-random global order: sort by
+    ``md5(key ‖ salt)`` with the key itself as tie-break — the
+    training-order shuffle of a data pipeline (example order must be
+    random-looking but BIT-REPRODUCIBLE across re-runs, partitionings,
+    and engines; ``df.orderBy(rand())`` is none of those). Vary ``salt``
+    per epoch for independent orders.
+
+    Executes as Spark's standard distributed sort — one range-partition
+    exchange on the 32-char hash (sampled range boundaries keep the sort
+    balanced regardless of key skew), then per-partition sorts; nothing
+    funnels through one task. Downstream writers preserve the order
+    per output file, which is what sequence packing consumes.
+    """
+    return df.orderBy(F.md5(_key_bytes(F.col(key_col), salt)),
+                      F.col(key_col))

@@ -131,6 +131,77 @@ def test_dedup_clusters_connected_components(spark):
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_keep_best_per_cluster(spark):
+    """Highest score survives, ties break to the smaller key, unscored
+    members rank last, singletons always keep — exactly one kept per
+    cluster, and the output is partitioning-independent."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        ["node", "cluster_id"])
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5)],  # 11, 20 unscored
+        ["doc_id", "quality_score"])
+    out = {r.doc_id: r.kept
+           for r in dedup.keep_best_per_cluster(clusters, scores).collect()}
+    assert out == {1: False, 2: True, 3: False,   # 2 wins the 0.9 tie
+                   10: True, 11: False,            # scored beats unscored
+                   20: True}                       # unscored singleton kept
+    a = sorted(map(tuple, dedup.keep_best_per_cluster(
+        clusters.repartition(1), scores).collect()))
+    b = sorted(map(tuple, dedup.keep_best_per_cluster(
+        clusters.repartition(7), scores).collect()))
+    assert a == b
+
+
+def test_keep_best_end_to_end_with_quality(spark, tables):
+    """Pipeline composition on real data: pairs → clusters → keep-best
+    by quality_features score; every cluster keeps exactly one member
+    and it attains the cluster's max score."""
+    docs = tables["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
+    clusters = dedup.dedup_clusters(pairs)
+    scores = text.quality_features(docs)
+    out = dedup.keep_best_per_cluster(clusters, scores)
+    per = (out.groupBy("cluster_id")
+           .agg(F.sum(F.col("kept").cast("int")).alias("n_kept"))
+           .filter("n_kept != 1"))
+    assert per.count() == 0
+    joined = out.join(scores, "doc_id")
+    best = (joined.groupBy("cluster_id")
+            .agg(F.max("quality_score").alias("mx")))
+    bad = (joined.filter("kept").join(best, "cluster_id")
+           .filter(F.col("quality_score") != F.col("mx")))
+    assert bad.count() == 0 and out.count() > 0
+
+
+def test_deterministic_shuffle_order(spark, tables):
+    """Order is the md5-of-key order (DuckDB-replayable), independent of
+    input partitioning, and salt changes produce a different permutation
+    of the same row set."""
+    import duckdb
+
+    from datafusion_substrait_spark.operators import sampling
+
+    docs = tables["documents"].select("doc_id")
+    got = [r.doc_id for r in
+           sampling.deterministic_shuffle(docs, "doc_id").collect()]
+    import os
+
+    from tests.conftest import SF_DIR
+    pq = os.path.join(SF_DIR, "documents.parquet")
+    want = [r[0] for r in duckdb.sql(f"""
+        SELECT doc_id FROM read_parquet('{pq}')
+        ORDER BY md5('v' || CAST(doc_id AS VARCHAR)), doc_id
+    """).fetchall()]
+    assert got == want and len(got) > 0
+    again = [r.doc_id for r in sampling.deterministic_shuffle(
+        docs.repartition(13), "doc_id").collect()]
+    assert again == got
+    other = [r.doc_id for r in sampling.deterministic_shuffle(
+        docs, "doc_id", salt="epoch2").collect()]
+    assert other != got and sorted(other) == sorted(got)
+
+
 def test_simhash_exact_expected_pair_set(spark):
     # deterministic planted ground truth, value-checked as an exact SET (not
     # a recall bound): disjoint-vocabulary docs are ~32 bits apart in a

@@ -68,6 +68,15 @@ def _parallelize(df: DataFrame, key_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def fingerprint_expr(text_col: str = "text"):
+    """md5-of-normalized-text Column — THE exact-dedup fingerprint. One
+    definition shared by :func:`exact_dedup`, :func:`text.fingerprint`'s
+    semantics, and the incremental fingerprint store, so the three can
+    never silently fork (a forked normalization would make the store
+    miss every duplicate)."""
+    return F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Exact duplicate removal: keep the smallest key per normalized-text
     fingerprint. Output: (doc_id, fingerprint) of survivors.
@@ -76,9 +85,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     moves. At 100 TB this is the difference between shuffling 100 TB and
     shuffling ~2% of it.
     """
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return (
-        df.select(F.col(key_col), F.md5(norm).alias("fingerprint"))
+        df.select(F.col(key_col), fingerprint_expr(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min(key_col).alias(key_col))
         .select(key_col, "fingerprint")

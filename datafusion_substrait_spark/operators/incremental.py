@@ -187,13 +187,20 @@ def compact_minhash_store(spark: SparkSession, store: str) -> None:
     spark.sql(f"DROP TABLE {old}")
 
 
-def read_store_meta(spark: SparkSession, store: str) -> dict:
+def _meta_row(spark: SparkSession, store: str):
+    """The store's single parameter row (shared by the minhash and
+    fingerprint stores; 1-row bounded collect)."""
     row = spark.table(f"{store}_meta").collect()
     if len(row) != 1:
         raise ValueError(
             f"{store}_meta must hold exactly one parameter row, "
             f"found {len(row)}")
-    return {c: row[0][c] for c in _META_COLS}
+    return row[0]
+
+
+def read_store_meta(spark: SparkSession, store: str) -> dict:
+    row = _meta_row(spark, store)
+    return {c: row[c] for c in _META_COLS}
 
 
 def _store_bucket_count(spark: SparkSession, table: str) -> int:

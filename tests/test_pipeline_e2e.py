@@ -64,3 +64,49 @@ def test_full_corpus_pipeline(spark, tables):
 
     # the composed flow funnels monotonically
     assert n0 >= n1 > n2 >= n3 >= n4 > 0
+
+
+def test_full_corpus_pipeline_r8_stages(spark, tables):
+    """The round-8 operators chained as pipeline stages: markup
+    stripping → Gopher rule gate → near-dup clusters → keep-BEST copy
+    (not min-key) → deterministic training-order shuffle. Each stage is
+    DataFrame-in/DataFrame-out and the final order is reproducible."""
+    raw = tables["documents"]
+    n0 = raw.count()
+
+    # 0. crawl→text extraction (no-op on this clean corpus, but the
+    # schema contract — text replaced, n_tags appended — must hold)
+    extracted = text.strip_markup(raw)
+    assert extracted.columns == ["doc_id", "text", "n_tags"]
+    assert extracted.filter("n_tags > 0").count() == 0
+    docs = extracted.select("doc_id", "text")
+
+    # 1. Gopher rule gate
+    flags = text.gopher_quality_flags(docs)
+    kept = docs.join(flags.filter(~F.col("gopher_flagged"))
+                    .select("doc_id"), "doc_id")
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    # 2. near-dup pairs → clusters → keep the highest-quality copy
+    pairs = dedup.minhash_lsh_pairs(kept, threshold=0.35)
+    clusters = dedup.dedup_clusters(pairs)
+    best = dedup.keep_best_per_cluster(
+        clusters, text.quality_features(kept))
+    # docs in no cluster survive; clustered docs keep exactly the best
+    in_cluster = clusters.select(F.col("node").alias("doc_id"))
+    survivors = (kept.join(in_cluster, "doc_id", "left_anti")
+                 .select("doc_id")
+                 .unionByName(best.filter("kept").select("doc_id")))
+    n2 = survivors.count()
+    dropped = clusters.count() - best.filter("kept").count()
+    assert n2 == n1 - dropped and dropped > 0
+
+    # 3. deterministic training order over the final cut — stable across
+    # re-runs and partitionings
+    final = kept.join(survivors, "doc_id")
+    order1 = [r.doc_id for r in sampling.deterministic_shuffle(
+        final, "doc_id").select("doc_id").collect()]
+    order2 = [r.doc_id for r in sampling.deterministic_shuffle(
+        final.repartition(11), "doc_id").select("doc_id").collect()]
+    assert order1 == order2 and len(order1) == n2

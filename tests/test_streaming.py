@@ -255,11 +255,23 @@ def test_corpus_hygiene_ops_work_on_streams(spark):
         batch, bench, n=5, verify=False).select("doc_id")
     assert rows_set(flag_batch) == rows_set(decon_batch)
 
+    # r8 narrow text ops stream unchanged too: markup stripping and the
+    # Gopher rule gate are pure per-row projections
+    from datafusion_substrait_spark.operators import text as text_ops
+
+    stripped = text_ops.strip_markup(stream)
+    gated = (text_ops.gopher_quality_flags(stream)
+             .filter(~F.col("gopher_flagged")).select("doc_id"))
+
     for name, sdf, expect in [
         ("pii_scrub_detect", detected, pii.detect_pii(pii.scrub_pii(batch))),
         ("blocklist", blocked, pii.filter_blocked_domains(
             batch, ["blocked.example"])),
         ("bloom_flag", flag_stream, flag_batch),
+        ("strip_markup", stripped, text_ops.strip_markup(batch)),
+        ("gopher_gate", gated,
+         text_ops.gopher_quality_flags(batch)
+         .filter(~F.col("gopher_flagged")).select("doc_id")),
     ]:
         q = (sdf.writeStream.format("memory").queryName(f"hyg_{name}")
              .outputMode("append").trigger(availableNow=True).start())

@@ -915,6 +915,44 @@ def test_strip_markup_matches_duckdb_replay(spark, tables):
     assert got == want and got
 
 
+def test_strip_markup_random_battery(spark):
+    """Seeded random + adversarial fragment battery, one Spark job:
+    output is always whitespace-collapsed and trimmed, and for inputs
+    with no entities, no tag-shaped substring survives. (Entity-encoded
+    tags like &lt;p&gt; legitimately DECODE to tag-shaped text — they
+    were displayed text, not markup — so the no-tag property is scoped
+    to entity-free inputs.)"""
+    import random
+    import re
+
+    rnd = random.Random(8)
+    alphabet = "abc <>/&;!#\"'=\n\t.ampltgqu;Nox-"
+    rows = [(i, "".join(rnd.choice(alphabet)
+                        for _ in range(rnd.randrange(0, 120))))
+            for i in range(300)]
+    rows += list(enumerate([
+        "<script>", "</script>", "<script>a", "<sc<script>ript>x</script>",
+        "<p", "p>", "<>", "< p >", "<1tag>", "<a b=c>", "&amp;",
+        "&amp;amp;", "<style>x", "<!--", "-->", "<!-- <script> -->",
+        "<a\nhref=x>line</a>", "<SCRIPT>UPPER</SCRIPT>done",
+        "a<b>b</b>c", "&lt;p&gt;",
+    ], start=1000))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = text.strip_markup(df).collect()
+    tag = re.compile(r"<[/!]?[a-zA-Z][^>]*>")
+    src = dict(rows)
+    for r in out:
+        assert r.text == r.text.strip() and "  " not in r.text, r
+        assert "\n" not in r.text and "\t" not in r.text, r
+        if "&" not in src[r.doc_id]:
+            assert not tag.search(r.text), (r.doc_id, src[r.doc_id], r.text)
+        assert r.n_tags >= 0
+    # determinism across partitionings
+    a = sorted(map(tuple, text.strip_markup(df.repartition(1)).collect()))
+    b = sorted(map(tuple, text.strip_markup(df.repartition(7)).collect()))
+    assert a == b
+
+
 def test_cosine_zero_vector_is_null_not_crash(spark):
     from datafusion_substrait_spark.operators import similarity
 

@@ -624,22 +624,33 @@ def keep_best_per_cluster(clusters: DataFrame, scores: DataFrame,
     score table, e.g. ``quality_features`` output.
 
     Plan shape at 100 TB: one key join (clusters × scores — both sides
-    key-partitioned longs+doubles, never text) and one per-cluster
-    window rank. Cluster sizes are bounded by the pair generators' star
-    caps upstream, so no window partition degenerates.
+    key-partitioned longs+doubles, never text), then the per-cluster
+    best via a ``max(struct(score, −node))`` AGGREGATE — deliberately
+    not a window rank: aggregation gets map-side combine (each input
+    partition collapses to one row per cluster before the shuffle) and
+    AQE skew splitting, so a degenerate giant cluster — boilerplate
+    corpora produce them through transitive chaining, and the pair
+    generators' star caps bound pair COUNTS, not component sizes —
+    cannot become a single-task window sort. The winner joins back on
+    the cluster key to tag members.
     """
-    from pyspark.sql import Window as W
-
     joined = (clusters.join(
         scores.select(F.col(key_col).alias("node"),
                       F.col(score_col).alias("_s")),
         "node", "left"))
-    rank = F.row_number().over(
-        W.partitionBy("cluster_id")
-        .orderBy(F.col("_s").desc_nulls_last(), F.col("node").asc()))
-    return joined.select(
-        F.col("node").alias(key_col), "cluster_id",
-        (rank == 1).alias("kept"))
+    # NULL scores rank below every real score via a -inf floor (explicit,
+    # rather than leaning on struct NULL-ordering rules); max of
+    # (score, -node) ⇒ highest score, smallest key on ties
+    ranked = joined.select(
+        "node", "cluster_id",
+        F.struct(
+            F.coalesce(F.col("_s"), F.lit(float("-inf"))).alias("s"),
+            (-F.col("node")).alias("negnode")).alias("_b"))
+    best = (ranked.groupBy("cluster_id")
+            .agg(F.max("_b").alias("_best")))
+    return (ranked.join(best, "cluster_id")
+            .select(F.col("node").alias(key_col), "cluster_id",
+                    (F.col("_b") == F.col("_best")).alias("kept")))
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,25 @@ def test_aggregate_keeps_partial_phase(spark):
     )
 
 
+def test_keep_best_per_cluster_is_aggregate_not_window(spark, tables):
+    """keep_best_per_cluster must plan its per-cluster winner as a
+    map-side-combined AGGREGATE, never a window rank: a degenerate giant
+    cluster (transitive chaining — star caps bound pair counts, not
+    component sizes) would make a window a single-task sort, while
+    partial aggregation collapses each input partition to one row per
+    cluster before the shuffle."""
+    from datafusion_substrait_spark.operators import dedup, text
+
+    docs = tables["documents"]
+    clusters = dedup.dedup_clusters(
+        dedup.minhash_lsh_pairs(docs, threshold=0.35))
+    out = dedup.keep_best_per_cluster(clusters, text.quality_features(docs))
+    plan = _phys(out)
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, (
+        "per-cluster max must keep its partial (map-side) phase")
+
+
 def test_semi_join_for_exists(spark):
     out = roundtrip(spark.sql("""
         SELECT c_custkey FROM customer

@@ -415,6 +415,78 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id", vocab_size: int = 50000,
+                   alpha: float = 1.0) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-probability — the
+    stronger form of :func:`unigram_logprob`'s fluency signal (unigram
+    scores word choice; the bigram model scores word ORDER, separating
+    fluent text from bag-of-frequent-words gibberish).
+
+    Model: tokens outside the top-``vocab_size`` unigram vocabulary map
+    to one ``<oov>`` symbol FIRST (tokens are [a-z0-9]+ so the symbol
+    cannot collide), then p(b|a) = (c₂(a,b)+α) / (c₁(a)+α·(K+1)) with
+    corpus-wide mapped-bigram counts c₂, context totals c₁(a)=Σ_b c₂(a,b)
+    and K = |vocab| (the +1 is ``<oov>``) — add-α smoothing over the
+    mapped next-symbol space. Every observed context has c₁ ≥ 1 by
+    construction, so no probability is undefined.
+
+    Output: (key, n_bigrams, mean_logprob); documents with fewer than
+    two tokens keep their row with ``n_bigrams`` 0 and NULL mean.
+
+    Scale shape: token counts shuffle map-side-combined (the vocabulary,
+    not the corpus); the OOV mapping is a broadcast join; adjacency is
+    ONE per-document window shuffle (the sessionize profile); the
+    bigram-count joins are left UN-HINTED — mapping to the vocab first
+    bounds distinct bigrams by min(corpus, (K+1)²), so AQE broadcasts
+    the count tables when the vocabulary is modest and falls back to a
+    shuffle join for huge K (the t10 tf×df pattern). 6dp-rounded mean
+    for the cross-engine oracle.
+    """
+    from pyspark.sql import Window as W
+
+    key = F.col(key_col)
+    tok = df.select(key, F.posexplode(tokens(F.col(text_col)))
+                    .alias("_pos", "_t"))
+    counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = counts.orderBy(F.desc("_c"), F.asc("_t")).limit(vocab_size)
+    mapped = (
+        tok.join(F.broadcast(vocab.select("_t", F.lit(1).alias("_inv"))),
+                 "_t", "left")
+        .select(key_col, "_pos",
+                F.when(F.col("_inv").isNull(), F.lit("<oov>"))
+                .otherwise(F.col("_t")).alias("_w"))
+    )
+    win = W.partitionBy(key_col).orderBy("_pos")
+    bg = (mapped.select(key_col, "_w",
+                        F.lag("_w").over(win).alias("_prev"))
+          .filter(F.col("_prev").isNotNull()))
+    c2 = bg.groupBy("_prev", "_w").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("_prev").agg(F.sum("_c2").alias("_c1"))
+    vsz = vocab.agg((F.count(F.lit(1)) + 1).alias("_v"))
+    a = F.lit(float(alpha))
+    scored = (
+        bg.join(c2, ["_prev", "_w"])
+        .join(c1, "_prev")
+        .crossJoin(F.broadcast(vsz))
+        .select(key_col,
+                (F.log(F.col("_c2") + a)
+                 - F.log(F.col("_c1") + a * F.col("_v"))).alias("_lp"))
+    )
+    per_doc = scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )
+    return (
+        df.select(key).join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "mean_logprob",
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 key_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.

@@ -915,6 +915,70 @@ def test_strip_markup_matches_duckdb_replay(spark, tables):
     assert got == want and got
 
 
+def test_bigram_logprob_matches_duckdb_replay(spark, tables):
+    """Full cross-engine replay at vocab_size=200 (OOV path carries real
+    weight): same vocab tie-break, same OOV mapping, same add-1
+    conditional smoothing, 6dp-rounded means."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    toks = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')")
+    pq = os.path.join(SF_DIR, "documents.parquet")
+    want = sorted(duckdb.sql(f"""
+        WITH tok AS (
+            SELECT doc_id, t.i AS pos, ts[t.i] AS w0
+            FROM (SELECT doc_id, {toks} AS ts FROM read_parquet('{pq}')),
+                 unnest(range(1, len(ts) + 1)) AS t(i)
+        ), counts AS (SELECT w0, count(*) AS c FROM tok GROUP BY w0),
+        vocab AS (SELECT w0 FROM counts ORDER BY c DESC, w0 LIMIT 200),
+        mapped AS (
+            SELECT doc_id, pos,
+                   CASE WHEN v.w0 IS NULL THEN '<oov>' ELSE tok.w0 END AS w
+            FROM tok LEFT JOIN vocab v USING (w0)
+        ), bg AS (
+            SELECT doc_id, w,
+                   lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM mapped QUALIFY prev IS NOT NULL
+        ), c2 AS (SELECT prev, w, count(*) AS c2 FROM bg GROUP BY prev, w),
+        c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+        vs AS (SELECT count(*) + 1 AS v FROM vocab),
+        lp AS (
+            SELECT doc_id, ln(c2.c2 + 1.0) - ln(c1.c1 + 1.0 * vs.v) AS lp
+            FROM bg JOIN c2 USING (prev, w) JOIN c1 USING (prev), vs
+        ), pd AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS mean_logprob
+            FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+               pd.mean_logprob
+        FROM read_parquet('{pq}') d LEFT JOIN pd USING (doc_id)
+    """).fetchall())
+    got = sorted(map(tuple, text.bigram_logprob(
+        tables["documents"], vocab_size=200).collect()))
+    assert got == want and got
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    """Word ORDER must matter: under a corpus of consistent 'a b c d'
+    sentences, the in-order doc outscores the same bag of words
+    scrambled — exactly what unigram_logprob cannot see — and sub-2-token
+    docs keep a (0, NULL) row."""
+    rows = [(i, "a b c d a b c d a b c d") for i in range(10)]
+    rows += [(100, "a b c d"), (101, "d b a c"), (102, "a"), (103, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in text.bigram_logprob(df, vocab_size=10).collect()}
+    assert out[100].mean_logprob > out[101].mean_logprob
+    u = {r.doc_id: r for r in text.unigram_logprob(df, vocab_size=10).collect()}
+    assert u[100].mean_logprob == u[101].mean_logprob  # unigram is blind
+    assert (out[102].n_bigrams, out[102].mean_logprob) == (0, None)
+    assert (out[103].n_bigrams, out[103].mean_logprob) == (0, None)
+
+
 def test_strip_markup_random_battery(spark):
     """Seeded random + adversarial fragment battery, one Spark job:
     output is always whitespace-collapsed and trimmed, and for inputs

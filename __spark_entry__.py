@@ -358,11 +358,16 @@ def _d3_simhash_pairs(spark, sf_dir):
 
 
 def _d6_dedup_clusters(spark, sf_dir):
+    # connected components + the r8 canonical-copy selection column:
+    # kept ⇔ the member attaining max (quality_score, -doc_id) in its
+    # cluster (keep_best_per_cluster over quality_features scores)
     _prep(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.35)
-    return dedup.dedup_clusters(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
+    clusters = dedup.dedup_clusters(pairs)
+    return dedup.keep_best_per_cluster(
+        clusters, text.quality_features(docs)).select(
+        "doc_id", "cluster_id", "kept")
 
 
 def _d4_neardup_pairs(spark, sf_dir):
@@ -415,10 +420,17 @@ def _t13_chunk(spark, sf_dir):
 def _t12_boilerplate(spark, sf_dir):
     # CCNet-style corpus-level line dedup; the DuckDB oracle replays the
     # whole pipeline by grouping normalized line STRINGS (== the xxhash64
-    # grouping absent collisions, same argument as d1)
+    # grouping absent collisions, same argument as d1). The r8 markup
+    # stripper rides as joined (markup_stripped, n_tags) columns — on
+    # this markup-free corpus it must reproduce exactly the whitespace
+    # collapse + trim + zero-tag identity, end-to-end through the
+    # block/tag/entity regex chain on both engines.
     _prep(spark, sf_dir)
-    return text.remove_boilerplate_lines(
-        spark.table("documents").select("doc_id", "text"), min_docs=3)
+    docs = spark.table("documents").select("doc_id", "text")
+    cleaned = text.remove_boilerplate_lines(docs, min_docs=3)
+    stripped = text.strip_markup(docs).select(
+        "doc_id", F.col("text").alias("markup_stripped"), "n_tags")
+    return cleaned.join(stripped, "doc_id")
 
 
 def _s1_bruteforce_topk(spark, sf_dir):
@@ -477,10 +489,17 @@ def _t9_unigram_lm(spark, sf_dir):
     # vocab_size=500 is deliberately small so the OOV bucket path carries
     # real weight at sf0.01 (the corpus vocabulary is larger than 500).
     # The former t4 whole-doc fingerprint rides as a joined column
-    # (merged late-r7 to free the t14_dsir slot).
+    # (merged late-r7 to free the t14_dsir slot); the r8 conditional
+    # bigram LM rides as (n_bigrams, bigram_mean_logprob) — word-order
+    # fluency the unigram mean is provably blind to.
     _prep(spark, sf_dir)
-    lm = text.unigram_logprob(spark.table("documents"), vocab_size=500)
-    return lm.join(text.fingerprint(spark.table("documents")), "doc_id")
+    docs = spark.table("documents")
+    lm = text.unigram_logprob(docs, vocab_size=500)
+    bg = text.bigram_logprob(docs, vocab_size=500).select(
+        "doc_id", "n_bigrams",
+        F.col("mean_logprob").alias("bigram_mean_logprob"))
+    return (lm.join(text.fingerprint(docs), "doc_id")
+            .join(bg, "doc_id"))
 
 
 def _t14_dsir(spark, sf_dir):
@@ -514,7 +533,8 @@ def _t2_quality(spark, sf_dir):
     # clf_pred must reproduce the planted rule END-TO-END through
     # training, weight folding, and codegen scoring.
     _prep(spark, sf_dir)
-    feats = text.quality_features(spark.table("documents"))
+    docs = spark.table("documents")
+    feats = text.quality_features(docs)
     sr = F.col("stopword_ratio")
     labeled = feats.filter((sr >= 0.04) | (sr <= 0.02)).withColumn(
         "label", (sr >= 0.04).cast("int"))
@@ -523,7 +543,9 @@ def _t2_quality(spark, sf_dir):
     clf = text.score_features(labeled, w, b).select(
         "doc_id", F.col("label").alias("clf_label"),
         (F.col("model_score") > 0.5).cast("int").alias("clf_pred"))
-    return feats.join(clf, "doc_id", "left")
+    # r8: the Gopher rule battery rides as joined columns
+    gop = text.gopher_quality_flags(docs)
+    return feats.join(clf, "doc_id", "left").join(gop, "doc_id")
 
 
 def _t3_lang_id(spark, sf_dir):
@@ -731,7 +753,9 @@ def _e7_asof_salted(spark, sf_dir):
 # e7 salted asof. r8 rotated the unslotted r7 operators in as tagged
 # legs of mirror-shaped survivors: int8-quantized top-k → s1,
 # target-mix resampling → t5, shared-passage pairs → d4, classifier
-# fit→score round-trip → t2, Gumbel sampling → t14.
+# fit→score round-trip → t2, Gumbel sampling → t14 — and slotted the
+# r8 additions as joined columns: Gopher rules → t2, markup stripping
+# → t12, bigram LM → t9, keep-best canonical selection → d6.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": lambda spark, sf: _rt(spark, sf, _Q01),
     **{
@@ -788,6 +812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _NORM = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+# gopher replay fragments: whitespace chunks (bullets survive) and
+# trimmed non-empty lines
+_GCHUNKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_GLINES = ("list_filter(list_transform(string_split(text, chr(10)),"
+           " l -> trim(l)), l -> l <> '')")
 
 # word-n-gram replica of operators/text.py:word_ngrams — including the
 # short-document edge (fewer than n tokens → one joined-token gram)
@@ -1190,11 +1219,40 @@ ORACLES: dict[str, str] = {
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
         )
+        -- r8 bigram leg: positions, OOV mapping against the SAME
+        -- 500-token vocab, corpus-wide add-1 conditional smoothing
+        , ptok AS (
+            SELECT doc_id, t.i AS pos, ts[t.i] AS w0
+            FROM (SELECT doc_id, {_TOKS} AS ts FROM documents),
+                 unnest(range(1, len(ts) + 1)) AS t(i)
+        ), bmap AS (
+            SELECT doc_id, pos,
+                   CASE WHEN v.t IS NULL THEN '<oov>' ELSE ptok.w0 END AS w
+            FROM ptok LEFT JOIN vocab v ON ptok.w0 = v.t
+        ), bgr AS (
+            SELECT doc_id, w,
+                   lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM bmap QUALIFY prev IS NOT NULL
+        ), bc2 AS (SELECT prev, w, count(*) AS c2 FROM bgr GROUP BY prev, w),
+        bc1 AS (SELECT prev, sum(c2) AS c1 FROM bc2 GROUP BY prev),
+        bvs AS (SELECT count(*) + 1 AS v FROM vocab),
+        blp AS (
+            SELECT doc_id,
+                   ln(bc2.c2 + 1.0) - ln(bc1.c1 + 1.0 * bvs.v) AS lp
+            FROM bgr JOIN bc2 USING (prev, w) JOIN bc1 USING (prev), bvs
+        ), bpd AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS mean_logprob
+            FROM blp GROUP BY doc_id
+        )
         SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.mean_logprob,
-               md5({_NORM}) AS fingerprint
+               md5({_NORM}) AS fingerprint,
+               coalesce(b.n_bigrams, 0) AS n_bigrams,
+               b.mean_logprob AS bigram_mean_logprob
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN bpd b USING (doc_id)
     """,
-    "t2_quality": f"""
+    "t2_quality": rf"""
         WITH base AS (
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1227,8 +1285,43 @@ ORACLES: dict[str, str] = {
                CASE WHEN stopword_ratio >= 0.04 THEN 1
                     WHEN stopword_ratio <= 0.02 THEN 0 END AS clf_label,
                CASE WHEN stopword_ratio >= 0.04 THEN 1
-                    WHEN stopword_ratio <= 0.02 THEN 0 END AS clf_pred
-        FROM feats
+                    WHEN stopword_ratio <= 0.02 THEN 0 END AS clf_pred,
+               gr.symbol_word_ratio, gr.alpha_word_frac,
+               gr.bullet_line_frac, gr.ellipsis_line_frac, gr.gopher_flagged
+        FROM feats JOIN (
+            -- r8 Gopher rule battery replay (same tokenizer, same
+            -- non-overlapping regexp counts, trimmed non-empty lines)
+            WITH gb AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS DOUBLE) AS nw,
+                       CAST(len(regexp_extract_all(text, '#'))
+                            + len(regexp_extract_all(text, '\.\.\.'))
+                            + len(regexp_extract_all(text, '…')) AS DOUBLE) AS ns,
+                       CAST(len({_GCHUNKS}) AS DOUBLE) AS nc,
+                       CAST(len(list_filter({_GCHUNKS},
+                            x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS na,
+                       CAST(len({_GLINES}) AS DOUBLE) AS nl,
+                       CAST(len(list_filter({_GLINES},
+                            l -> regexp_matches(l, '^[•\-\*]'))) AS DOUBLE) AS nb,
+                       CAST(len(list_filter({_GLINES},
+                            l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) AS ne
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN nw = 0 THEN NULL ELSE round(ns / nw, 6) END
+                       AS symbol_word_ratio,
+                   CASE WHEN nc = 0 THEN NULL ELSE round(na / nc, 6) END
+                       AS alpha_word_frac,
+                   CASE WHEN nl = 0 THEN NULL ELSE round(nb / nl, 6) END
+                       AS bullet_line_frac,
+                   CASE WHEN nl = 0 THEN NULL ELSE round(ne / nl, 6) END
+                       AS ellipsis_line_frac,
+                   coalesce(round(ns / nw, 6) > 0.1, false)
+                   OR coalesce(round(na / nc, 6) < 0.8, false)
+                   OR coalesce(round(nb / nl, 6) > 0.9, false)
+                   OR coalesce(round(ne / nl, 6) > 0.3, false) AS gopher_flagged
+            FROM gb
+        ) gr USING (doc_id)
     """,
     "t3_lang_id": f"""
         WITH s AS (
@@ -1588,7 +1681,7 @@ ORACLES: dict[str, str] = {
     # t12: CCNet-style corpus-level line dedup — grouping normalized line
     # STRINGS replays the Spark side's xxhash64 grouping exactly (absent
     # collisions); empty lines always kept; order-preserving reassembly
-    "t12_boilerplate": """
+    "t12_boilerplate": r"""
         WITH lines AS (
             SELECT doc_id, t.i AS pos, ls[t.i] AS line
             FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
@@ -1602,14 +1695,40 @@ ORACLES: dict[str, str] = {
             SELECT l.doc_id, l.pos, l.line,
                    (lower(trim(l.line)) = '' OR d.nl IS NULL) AS keep
             FROM lines l LEFT JOIN drops d ON lower(trim(l.line)) = d.nl
+        ),
+        final AS (
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                       AS n_lines_dropped
+            FROM marked GROUP BY doc_id
+        ),
+        -- r8 strip_markup leg: block/tag regex chain (Java-RE2 subset),
+        -- 6-entity decode with &amp; LAST, whitespace collapse + trim
+        sm0 AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS t
+            FROM documents
+        ), sm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(t, '<[/!]?[a-zA-Z][^>]*>', ' ', 'g'),
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS markup_stripped,
+                   CAST(len(regexp_extract_all(t, '<[/!]?[a-zA-Z][^>]*>'))
+                        AS INT) AS n_tags
+            FROM sm0
         )
-        SELECT doc_id,
-               coalesce(string_agg(line, chr(10) ORDER BY pos)
-                        FILTER (WHERE keep), '') AS text,
-               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
-               CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
-                   AS n_lines_dropped
-        FROM marked GROUP BY doc_id
+        SELECT final.doc_id, final.text, final.n_lines_kept,
+               final.n_lines_dropped, sm.markup_stripped, sm.n_tags
+        FROM final JOIN sm USING (doc_id)
     """,
     # d7: the new-touching subset of the d2 all-pairs graph (store =
     # doc_id % 5 != 0, increment = % 5 == 0); valid under the same
@@ -1702,9 +1821,40 @@ ORACLES: dict[str, str] = {
             SELECT a, b FROM edges
             UNION
             SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        cl AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        -- r8 keep-best leg: quality_score replay (exactly the t2
+        -- floor-to-lattice arithmetic), then kept <=> the member
+        -- attaining max (score, -doc_id) in its cluster
+        qb AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len({_TOKS}) AS DOUBLE) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains({_ALL_STOP_SQL}, t))) AS DOUBLE) AS n_stop
+            FROM documents
+        ), qs AS (
+            SELECT doc_id,
+                   CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+                        floor((least(n_tokens / 100.0, 1.0) * 0.5
+                               + (1.0 - least(round(n_punct / n_chars, 6) * 10.0, 1.0)) * 0.25
+                               + least(round(n_stop / n_tokens, 6) * 5.0, 1.0) * 0.25)
+                              * 800000 + 0.5) / 800000 END AS q
+            FROM qb
+        ), cj AS (
+            SELECT cl.doc_id, cl.cluster_id, qs.q FROM cl JOIN qs USING (doc_id)
+        ), cbest AS (
+            SELECT cluster_id,
+                   max(struct_pack(s := q, n := -doc_id)) AS b
+            FROM cj GROUP BY cluster_id
         )
-        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src
+        SELECT cj.doc_id, cj.cluster_id,
+               struct_pack(s := cj.q, n := -cj.doc_id) = cbest.b AS kept
+        FROM cj JOIN cbest USING (cluster_id)
     """,
     # d3: exact pipeline replay — the queries() entry uses md5_token_hash
     # (not xxhash64) precisely so every stage is cross-engine deterministic:

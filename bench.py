@@ -77,7 +77,7 @@ BUDGETS: dict[str, float] = {
     "t13_chunk": 0.45,
     "s1_bruteforce_topk": 2.18,
     "s3_ivf_topk": 2.41,
-    "t2_quality": 2.30,
+    "t2_quality": 2.62,  # re-derived after the gopher-columns merge
     "t3_lang_id": 0.45,
     "e1_windowed_counts": 0.43,
     "e2_sessionize": 0.51,

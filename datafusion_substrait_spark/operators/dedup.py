@@ -455,30 +455,54 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     super-linear at 10× data).
     """
     sigs = simhash_signatures(df, text_col, key_col, hash_fn=hash_fn)
-    banded = sigs.select(
-        key_col, "simhash",
+    return hamming_pairs(sigs, key_col=key_col, sig_col="simhash",
+                         max_hamming=max_hamming,
+                         max_bucket_size=max_bucket_size)
+
+
+def hamming_pairs(sigs: DataFrame, key_col: str = "doc_id",
+                  sig_col: str = "simhash", max_hamming: int = 6,
+                  max_bucket_size: int = 500,
+                  out_prefix: str = "doc") -> DataFrame:
+    """Band-colliding pairs with ``bit_count(a XOR b) ≤ max_hamming``
+    over ANY 64-bit signature column — the banding/verify half of
+    :func:`simhash_pairs`, factored out so other 64-bit content
+    signatures (perceptual image hashes, audio fingerprints) reuse the
+    identical scale machinery: 4 × 16-bit band buckets, in-bucket
+    Generate-chain pair expansion with the hot-bucket star cap, codegen
+    ``bit_count`` verify. Same pigeonhole recall contract as simhash
+    (complete for Hamming ≤ 3; wider radii get the band-colliding
+    subset). NULL signatures are excluded — an unhashable item matches
+    nothing. Output: (``{out_prefix}_a``, ``{out_prefix}_b``, hamming)
+    with a < b.
+    """
+    s = (sigs.select(F.col(key_col).alias("_k"),
+                     F.col(sig_col).alias("_sig"))
+         .filter(F.col("_sig").isNotNull()))
+    banded = s.select(
+        "_k", "_sig",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                F.shiftrightunsigned("_sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
             )
             for b in range(4)
         ])).alias("bb"),
-    ).select(key_col, "simhash", "bb.band", "bb.val")
+    ).select("_k", "_sig", "bb.band", "bb.val")
     buckets = (
         banded.groupBy("band", "val")
-        .agg(F.sort_array(F.collect_list(F.struct(key_col, "simhash"))).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("_k", "_sig"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # pair expansion only COPIES the two (key, simhash) structs; the Hamming
+    # pair expansion only COPIES the two (key, sig) structs; the Hamming
     # distance is computed after the Generate chain, on flat columns, inside
     # codegen (round 1 ran bit_count per pair inside the interpreted HOF)
     return (
         _exploded_bucket_pairs(buckets, max_bucket_size)
         .select(
-            F.col(f"a.{key_col}").alias("doc_a"),
-            F.col(f"b.{key_col}").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.col("a._k").alias(f"{out_prefix}_a"),
+            F.col("b._k").alias(f"{out_prefix}_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink
         .distinct()                               # the dedup shuffle input

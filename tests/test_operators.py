@@ -131,6 +131,84 @@ def test_dedup_clusters_connected_components(spark):
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_perceptual_hash_against_independent_reference(spark):
+    """ahash/dhash checked against an independent nested-loop
+    implementation on a 64×64 image (NN-resample is the identity there,
+    so the reference needs only exact 8×8 block means), plus invariance
+    and error contracts."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64), np.uint8)
+    png = _encode_png(img.tolist(), 0, (list(range(5)) * 13)[:64])  # gray PNG
+
+    def block_means(g):
+        return [[float(np.mean(g[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8]))
+                 for c in range(g.shape[1] // 8)] for r in range(8)]
+
+    got_a = multimodal.perceptual_hash(png, "ahash")
+    grid = block_means(img.astype(np.float64))
+    mean = sum(sum(row) for row in grid) / 64.0
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c] > mean:
+                want |= 1 << (r * 8 + c)
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert got_a == want
+
+    got_d = multimodal.perceptual_hash(png, "dhash")
+    # dhash pools a 72-wide grid: on a 64-wide image the NN resample
+    # repeats columns, so only verify structural properties here —
+    # determinism and 64-bit signedness
+    assert got_d == multimodal.perceptual_hash(png, "dhash")
+    assert -(1 << 63) <= got_d < (1 << 63)
+
+    # undecodable → None; bad kind → error
+    assert multimodal.perceptual_hash(b"not an image", "ahash") is None
+    with pytest.raises(ValueError, match="kind"):
+        multimodal.perceptual_hash(png, "phash9000")
+
+
+def test_image_neardup_pairs_finds_planted_copies(spark):
+    """A noised re-encode of an image must pair with its original at
+    small Hamming; an unrelated image must not; undecodable payloads get
+    NULL phash and never pair; deterministic across partitionings."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import multimodal
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 32), np.uint8)
+    noised = base.copy()
+    noised[0, 0] ^= 3
+    noised[13, 7] ^= 2     # tiny perturbation: block means barely move
+    other = 255 - base      # inverted: every ahash bit flips
+    scan = (list(range(5)) * 7)[:32]
+    rows = [
+        (1, _encode_png(base.tolist(), 0, scan)),
+        (2, _encode_png(noised.tolist(), 0, scan)),
+        (3, _encode_png(other.tolist(), 0, scan)),
+        (4, b"corrupt \x00 payload"),
+    ]
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    sigs = {r.key: r.phash for r in multimodal.image_phash(df).collect()}
+    assert sigs[4] is None and sigs[1] is not None
+    assert bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1") <= 4
+
+    pairs = multimodal.image_neardup_pairs(df, max_hamming=6)
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+    a = sorted(map(tuple, multimodal.image_neardup_pairs(
+        df.repartition(1), max_hamming=6).collect()))
+    b = sorted(map(tuple, multimodal.image_neardup_pairs(
+        df.repartition(5), max_hamming=6).collect()))
+    assert a == b
+
+
 def test_keep_best_per_cluster(spark):
     """Highest score survives, ties break to the smaller key, unscored
     members rank last, singletons always keep — exactly one kept per

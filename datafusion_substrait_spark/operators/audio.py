@@ -454,3 +454,97 @@ def audio_embedding(df: DataFrame, frame: int = 1024, hop: int = 512,
         F.when(F.col("n_frames").isNull() | (nrm <= 0), basis)
         .otherwise(unit).alias("features"),
     )
+
+
+def audio_fingerprint(payload: bytes, n_time: int = 8, n_bands: int = 8,
+                      decode_fn: Callable | None = None) -> int | None:
+    """64-bit spectral fingerprint over decoded PCM (None when the
+    payload cannot be decoded or is shorter than ``2·n_time·n_bands``
+    samples — an unhashable clip matches nothing).
+
+    The Chromaprint-style shape without the model: mono mix → ``n_time``
+    equal time slices → per-slice rFFT log band energies (``n_bands``
+    contiguous bands, DC excluded) → bit ``i·n_bands+j`` set iff band j
+    outranks the SEGMENT's mean log-energy (the ahash trick along
+    frequency — comparing against the mean gives tonal content large
+    margins, where adjacent-band dhash bits sit at the noise floor's
+    razor edge for sparse spectra). Adding a constant gain shifts every
+    log energy and the mean equally, so the fingerprint is EXACTLY
+    re-leveling-invariant up to sample quantization; light noise flips
+    only razor-margin bits, which :func:`audio_neardup_pairs`' Hamming
+    radius absorbs. Wrapped to a signed 64-bit int (Spark LongType)."""
+    import numpy as np
+
+    if (n_time, n_bands) != (8, 8):
+        raise ValueError("the 64-bit layout requires n_time=8, n_bands=8")
+    decode = decode_fn or decode_audio
+    try:
+        out = decode(payload)
+    except ValueError:
+        return None
+    if out is None:
+        return None
+    samples, _rate = out
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    if len(mono) < 2 * n_time * n_bands:
+        return None
+    v = 0
+    n = len(mono)
+    for i in range(n_time):
+        seg = mono[i * n // n_time:(i + 1) * n // n_time]
+        spec = np.abs(np.fft.rfft(seg))[1:]  # drop DC: level, not timbre
+        bands = np.array_split(spec, n_bands)
+        loge = np.log(np.array(
+            [float(np.sum(b * b)) for b in bands]) + 1e-20)
+        mean = float(loge.mean())
+        for j in range(n_bands):
+            if loge[j] > mean:
+                v |= 1 << (i * n_bands + j)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+AUDIO_PHASH_SCHEMA = "key bigint, phash bigint"
+
+
+def audio_phash(df: DataFrame, payload_col: str = "payload",
+                key_col: str = "key",
+                hash_fn: Callable | None = None) -> DataFrame:
+    """(key, phash): spectral fingerprints for a binary audio column —
+    Arrow-batched narrow map, NULL for undecodable/too-short clips
+    (per-payload error capture). Swap in a library fingerprinter
+    (e.g. chromaprint) via ``hash_fn`` at the same seam."""
+    fn = hash_fn or audio_fingerprint
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "phash": pd.Series(
+                    [fn(b"" if p is None else bytes(p))
+                     for p in pdf[payload_col]],
+                    dtype="Int64"),
+            })
+
+    return df.mapInPandas(run, AUDIO_PHASH_SCHEMA)
+
+
+def audio_neardup_pairs(df: DataFrame, max_hamming: int = 6,
+                        payload_col: str = "payload", key_col: str = "key",
+                        max_bucket_size: int = 500,
+                        hash_fn: Callable | None = None) -> DataFrame:
+    """Near-duplicate AUDIO pairs (key_a, key_b, hamming): re-leveled /
+    re-encoded / lightly-noised copies of a clip that byte-exact dedup
+    cannot see. The Python seam computes only the 8-byte fingerprint;
+    candidates and verify run JVM-side through ``dedup.hamming_pairs`` —
+    the same banding, star cap, and codegen bit_count as text simhash
+    and image near-dup (shared machinery, one scale contract)."""
+    from datafusion_substrait_spark.operators.dedup import hamming_pairs
+
+    sigs = audio_phash(df, payload_col=payload_col, key_col=key_col,
+                       hash_fn=hash_fn)
+    return hamming_pairs(sigs, key_col="key", sig_col="phash",
+                         max_hamming=max_hamming,
+                         max_bucket_size=max_bucket_size,
+                         out_prefix="key")

@@ -298,3 +298,80 @@ def test_audio_embedding_content_similarity(spark):
     b = sorted((r.key, tuple(r.features)) for r in
                audio.audio_embedding(df.repartition(5)).collect())
     assert a == b
+
+
+def test_audio_fingerprint_gain_invariance_and_discrimination():
+    """The spectral fingerprint must be exactly invariant to re-leveling
+    (signs of log-energy differences are gain-invariant), near-invariant
+    to light noise, and far for a clip with a different spectrum; too
+    short / undecodable → None."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n, rate = 4096, 16000
+    t = np.arange(n) / rate
+
+    def tone(freqs, gain=0.5, noise=0.0):
+        sig = sum(np.sin(2 * math.pi * f * t) for f in freqs)
+        sig = gain * sig / len(freqs) + noise * rng.standard_normal(n)
+        return _wav(_pcm16([int(max(-1, min(1, v)) * 30000) for v in sig]),
+                    1, 1, rate, 16)
+
+    base = audio.audio_fingerprint(tone([440, 1800]))
+    releveled = audio.audio_fingerprint(tone([440, 1800], gain=0.25))
+    noised = audio.audio_fingerprint(tone([440, 1800], noise=0.01))
+    other = audio.audio_fingerprint(tone([3500, 6000]))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(base, releveled) <= 2   # int16 rounding can graze a margin
+    assert ham(base, noised) <= 6
+    assert ham(base, other) >= 16
+    assert audio.audio_fingerprint(b"junk bytes") is None
+    assert audio.audio_fingerprint(
+        _wav(_pcm16([0] * 40), 1, 1, 8000, 16)) is None  # too short
+    with pytest.raises(ValueError, match="n_time"):
+        audio.audio_fingerprint(tone([440]), n_time=4)
+    # 64 zero bits is a LEGAL value (flat spectrum) but tonal content
+    # must produce a non-trivial pattern
+    assert base != 0
+
+
+def test_audio_neardup_pairs_planted(spark):
+    """Re-leveled + noised copies pair with the original at small
+    Hamming; the different-spectrum clip and junk payloads never pair;
+    deterministic across partitionings."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n, rate = 4096, 16000
+    t = np.arange(n) / rate
+
+    def tone(freqs, gain=0.5, noise=0.0):
+        sig = sum(np.sin(2 * math.pi * f * t) for f in freqs)
+        sig = gain * sig / len(freqs) + noise * rng.standard_normal(n)
+        return _wav(_pcm16([int(max(-1, min(1, v)) * 30000) for v in sig]),
+                    1, 1, rate, 16)
+
+    rows = [(1, tone([440, 1800])),
+            (2, tone([440, 1800], gain=0.2)),
+            (3, tone([440, 1800], noise=0.01)),
+            (4, tone([3500, 6000])),
+            (5, b"not audio at all")]
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    sigs = {r.key: r.phash for r in audio.audio_phash(df).collect()}
+    assert sigs[5] is None and sigs[1] is not None
+    pairs = audio.audio_neardup_pairs(df, max_hamming=6)
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert all(4 not in p and 5 not in p for p in got)
+    a = sorted(map(tuple, audio.audio_neardup_pairs(
+        df.repartition(1), max_hamming=6).collect()))
+    b = sorted(map(tuple, audio.audio_neardup_pairs(
+        df.repartition(4), max_hamming=6).collect()))
+    assert a == b

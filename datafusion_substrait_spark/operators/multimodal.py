@@ -1280,6 +1280,68 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, PHASH_SCHEMA)
 
 
+def video_phash(df: DataFrame, payload_col: str = "payload",
+                key_col: str = "key", kind: str = "ahash",
+                max_frames: int = 8,
+                hash_fn: Callable[[bytes], int | None] | None = None,
+                ) -> DataFrame:
+    """(key, phash): per-VIDEO perceptual signature — evenly-sampled
+    frames (REAL for MJPEG in AVI/MP4/WebM) are perceptual-hashed, then
+    each of the 64 bits takes the MAJORITY vote across the clip's
+    decodable frames, so a few edited/corrupt frames cannot move the
+    clip signature. The vote uses the simhash SIMD-in-a-register lane
+    packing (16 packed sums instead of 64) and runs entirely JVM-side;
+    Python computes only the per-frame 8-byte hashes. Clips with zero
+    decodable frames keep a row with NULL phash (unhashable matches
+    nothing); ties break to 0, deterministically."""
+    frames = sample_frames(df, payload_col=payload_col, key_col=key_col,
+                           max_frames=max_frames)
+    fp = image_phash(frames, payload_col="frame_bytes", key_col="key",
+                     kind=kind, hash_fn=hash_fn) \
+        .filter(F.col("phash").isNotNull())
+    lane = 0x0001000100010001
+    votes = fp.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.shiftrightunsigned("phash", j)
+                .bitwiseAND(F.lit(lane))).alias(f"_l{j}")
+          for j in range(16)],
+    )
+    sig = None
+    for j in range(16):
+        for ln in range(4):
+            i = j + 16 * ln
+            cnt = F.shiftrightunsigned(F.col(f"_l{j}"), 16 * ln) \
+                .bitwiseAND(F.lit(0xFFFF))
+            bit = F.when(cnt * 2 > F.col("_n"),
+                         F.shiftleft(F.lit(1).cast("long"), i)) \
+                .otherwise(F.lit(0).cast("long"))
+            sig = bit if sig is None else sig.bitwiseOR(bit)
+    out = votes.select("key", sig.alias("phash"))
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    return keys.join(out, "key", "left")
+
+
+def video_neardup_pairs(df: DataFrame, max_hamming: int = 8,
+                        payload_col: str = "payload", key_col: str = "key",
+                        kind: str = "ahash", max_frames: int = 8,
+                        max_bucket_size: int = 500,
+                        hash_fn: Callable[[bytes], int | None] | None = None,
+                        ) -> DataFrame:
+    """Near-duplicate VIDEO pairs (key_a, key_b, hamming): re-encoded /
+    lightly-edited clip copies, via :func:`video_phash` majority
+    signatures through ``dedup.hamming_pairs`` — the same banding, star
+    cap, and codegen bit_count as text simhash, image, and audio
+    near-dup. One scale contract across all four modalities."""
+    from datafusion_substrait_spark.operators.dedup import hamming_pairs
+
+    sigs = video_phash(df, payload_col=payload_col, key_col=key_col,
+                       kind=kind, max_frames=max_frames, hash_fn=hash_fn)
+    return hamming_pairs(sigs, key_col="key", sig_col="phash",
+                         max_hamming=max_hamming,
+                         max_bucket_size=max_bucket_size,
+                         out_prefix="key")
+
+
 def image_neardup_pairs(df: DataFrame, max_hamming: int = 8,
                         payload_col: str = "payload", key_col: str = "key",
                         kind: str = "ahash", max_bucket_size: int = 500,

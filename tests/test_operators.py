@@ -209,6 +209,40 @@ def test_image_neardup_pairs_finds_planted_copies(spark):
     assert a == b
 
 
+def test_video_neardup_pairs_planted(spark):
+    """Clip of JPEG-encoded planted frames: a noised re-encode pairs
+    with the original at small Hamming, a one-frame-corrupted copy still
+    pairs (majority vote), the inverted clip and an undecodable payload
+    never pair; zero-decodable-frame clips keep a NULL phash row."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import multimodal
+    from tests.test_jpeg import _encode_jpeg
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, (32, 32), np.uint8)
+    noised = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape),
+                     0, 255).astype(np.uint8)
+    jb = _encode_jpeg(base, q_val=8)
+    jn = _encode_jpeg(noised, q_val=8)
+    ji = _encode_jpeg(255 - base, q_val=8)
+    rows = [
+        (1, _mjpeg_mp4_fixture([jb, jb, jb])),
+        (2, _mjpeg_mp4_fixture([jn, jn, jn])),
+        (3, _mjpeg_mp4_fixture([jb, b"\xff\xd8corrupt\xff\xd9", jb])),
+        (4, _mjpeg_mp4_fixture([ji, ji, ji])),
+        (5, b"not a video container"),
+    ]
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    sigs = {r.key: r.phash for r in multimodal.video_phash(df).collect()}
+    assert sigs[1] is not None and sigs[5] is None
+    assert sigs[1] == sigs[3]  # majority vote absorbs the corrupt frame
+    pairs = multimodal.video_neardup_pairs(df, max_hamming=6)
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert all(4 not in p and 5 not in p for p in got)
+
+
 def test_keep_best_per_cluster(spark):
     """Highest score survives, ties break to the smaller key, unscored
     members rank last, singletons always keep — exactly one kept per

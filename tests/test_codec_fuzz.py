@@ -99,6 +99,11 @@ def _check_contract(data: bytes) -> None:
     assert len(multimodal._default_resize(data, 2, 2)) == 4
     feats = multimodal._default_features(data, 16)
     assert len(feats) == 16
+    # perceptual/spectral fingerprints: signed-64 int or None, never raise
+    for fp in (multimodal.perceptual_hash(data, "ahash"),
+               multimodal.perceptual_hash(data, "dhash"),
+               audio.audio_fingerprint(data)):
+        assert fp is None or -(1 << 63) <= fp < (1 << 63)
 
 
 def test_mutated_fixtures_respect_error_contract():

@@ -28,7 +28,8 @@ from .text import token_count
 
 def pack_sequences(df: DataFrame, max_tokens: int, n_shards: int = 64,
                    text_col: str = "text", key_col: str = "doc_id",
-                   token_col: str | None = None) -> DataFrame:
+                   token_col: str | None = None,
+                   order_col: str | None = None) -> DataFrame:
     """(key, n_tokens, shard, bin_id, bin_offset): the deterministic
     packed-training-file assignment for every document.
 
@@ -38,6 +39,13 @@ def pack_sequences(df: DataFrame, max_tokens: int, n_shards: int = 64,
     pre-computed count (e.g. a real tokenizer's); default is the
     whitespace ``token_count``. Zero-token documents still get a slot
     (offset-only, they consume no budget).
+
+    ``order_col`` sets the within-shard concatenation order (key-ascending
+    tie-break) instead of the default key order — e.g. an
+    ``md5(key‖salt)`` column for SHUFFLED training order (the
+    ``sampling.deterministic_shuffle`` composition: pack the stream in
+    reproducible random order, one salt per epoch) or a timestamp for
+    temporal curricula. Same single shuffle, same replayability.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
@@ -49,8 +57,10 @@ def pack_sequences(df: DataFrame, max_tokens: int, n_shards: int = 64,
         F.col(key_col),
         toks.alias("n_tokens"),
         F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("shard"),
+        *([F.col(order_col).alias("_ord")] if order_col else []),
     )
-    w = (Window.partitionBy("shard").orderBy(key_col)
+    order = [F.col("_ord"), F.col(key_col)] if order_col else [F.col(key_col)]
+    w = (Window.partitionBy("shard").orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
     return keyed.select(

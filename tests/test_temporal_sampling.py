@@ -278,6 +278,51 @@ def test_pack_sequences_planted(spark):
         packing.pack_sequences(df, 0)
 
 
+def test_pack_sequences_shuffled_order(spark):
+    """order_col packs the stream in a caller-supplied order — here the
+    deterministic-shuffle md5 order (the per-epoch composition) — with
+    offsets replayed exactly by a DuckDB window in the same order, and
+    the default path unchanged."""
+    import duckdb
+
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, "tok " * c) for i, c in
+            [(0, 60), (1, 50), (2, 10), (3, 0), (4, 100), (5, 30)]]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    shuffled = df.withColumn(
+        "epoch_key", F.md5(F.concat(F.lit("v"), F.col("doc_id").cast("string"),
+                                    F.lit("epoch1"))))
+    got = sorted(map(tuple, packing.pack_sequences(
+        shuffled, 100, n_shards=2, order_col="epoch_key")
+        .select("doc_id", "shard", "bin_id", "bin_offset").collect()))
+    want = sorted(duckdb.sql("""
+        WITH d AS (
+            SELECT * FROM (VALUES (0, 60), (1, 50), (2, 10), (3, 0),
+                                  (4, 100), (5, 30)) AS t(doc_id, n)
+        ), o AS (
+            SELECT doc_id, n, doc_id % 2 AS shard,
+                   md5('v' || CAST(doc_id AS VARCHAR) || 'epoch1') AS ek
+            FROM d
+        ), s AS (
+            SELECT doc_id, shard,
+                   sum(n) OVER (PARTITION BY shard ORDER BY ek, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n AS st
+            FROM o
+        )
+        SELECT doc_id, CAST(shard AS INT) AS shard,
+               CAST(floor(st / 100) AS BIGINT) AS bin_id,
+               CAST(st % 100 AS BIGINT) AS bin_offset
+        FROM s
+    """).fetchall())
+    assert got == want and got
+    # order really differs from the key-ordered default for this salt
+    default = sorted(map(tuple, packing.pack_sequences(
+        df, 100, n_shards=2)
+        .select("doc_id", "shard", "bin_id", "bin_offset").collect()))
+    assert got != default
+
+
 def test_pack_sequences_matches_duckdb_replay(spark, tables):
     """Exact assignment replay: same shard (key mod), same key order,
     same exclusive-cumsum binning, over the whitespace token count."""

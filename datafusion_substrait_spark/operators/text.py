@@ -765,6 +765,51 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 3,
             ))
 
 
+def remove_repeated_lines(df: DataFrame, text_col: str = "text",
+                          key_col: str = "doc_id") -> DataFrame:
+    """WITHIN-document repeated-line removal — the Gopher/CCNet cleanup
+    step :func:`remove_boilerplate_lines` does not cover (that one drops
+    lines repeated ACROSS documents; this drops re-occurrences of a line
+    INSIDE one document: scraped pagination artifacts, duplicated
+    paragraphs, chat-log echoes). Keeps the FIRST occurrence of each
+    normalized (lower+trim) line; empty lines are structure and always
+    kept. Output (key, text, n_lines_kept, n_lines_dropped).
+
+    Scale shape: completely ROW-LOCAL — lines live in one row's array,
+    first-occurrence is ``array_position(prefix-scan) == own index`` over
+    HOF array ops, so the operator is a narrow map with NO shuffle at
+    all (unlike the corpus-level variant's doc-frequency aggregation).
+    The per-row cost is O(lines²) string compares — bounded by document
+    size, not data size; a 1000-line doc is ~10⁶ comparisons, microseconds.
+    Engine-portable: DuckDB replays with the same list semantics.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    norm = F.transform(lines, lambda ln: F.lower(F.trim(ln)))
+    # line i kept iff empty OR its normalized form first occurs at i
+    # (two-arg indexed filter lambda; NULL text propagates naturally —
+    # split→filter→join/size all yield NULL)
+    kept_lines = F.filter(
+        lines,
+        lambda ln, i: (F.lower(F.trim(ln)) == "")
+        | (F.array_position(norm, F.lower(F.trim(ln))) == i + 1))
+    # TWO projections, deliberately: the output column is aliased
+    # ``text_col`` (same name as the input), and Spark 4's LATERAL COLUMN
+    # ALIAS resolution makes later items of the SAME select list resolve
+    # ``F.col(text_col)`` against the freshly-aliased CLEANED text — the
+    # counts then silently measured the already-deduped lines (and an
+    # earlier variant aborted with an out-of-bounds element_at). Arrays
+    # are materialized under non-conflicting names first.
+    base = df.select(F.col(key_col), lines.alias("_lines"),
+                     kept_lines.alias("_kept"))
+    return base.select(
+        F.col(key_col),
+        F.array_join("_kept", "\n").alias(text_col),
+        F.size("_kept").cast("bigint").alias("n_lines_kept"),
+        (F.size("_lines") - F.size("_kept")).cast("bigint")
+        .alias("n_lines_dropped"),
+    )
+
+
 def score_features(df: DataFrame, weights: dict[str, float],
                    bias: float = 0.0,
                    score_col: str = "model_score") -> DataFrame:

@@ -956,6 +956,70 @@ def test_gopher_flags_match_duckdb_replay(spark, tables):
     assert got == want and got
 
 
+def test_remove_repeated_lines_planted_and_replay(spark, tables):
+    """First occurrence survives, later re-occurrences (case/space
+    variants included) drop, empty lines always keep, NULL text passes
+    through; plus a DuckDB replay over real documents with planted
+    repeats appended."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    df = spark.createDataFrame([
+        (0, "a\nb\na\nA \nc\n\nb"),
+        (1, "only one line"),
+        (2, ""),
+        (3, None),
+        (4, "x\n\n\nx"),
+    ], "doc_id bigint, text string")
+    out = {r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+           for r in text.remove_repeated_lines(df).collect()}
+    # 'a' repeat, its 'A ' case/space variant, and the second 'b' all
+    # drop; the empty line is structure and stays
+    assert out[0] == ("a\nb\nc\n", 4, 3)
+    assert out[1] == ("only one line", 1, 0)
+    assert out[2] == ("", 1, 0)           # single empty line kept
+    assert out[3] == (None, None, None)
+    assert out[4] == ("x\n\n", 3, 1)      # empties kept, repeat dropped
+
+    pq = os.path.join(SF_DIR, "documents.parquet")
+    planted = (f"SELECT doc_id, text FROM read_parquet('{pq}') "
+               "UNION ALL VALUES (200001, 'p\nq\np\nq\nr'), "
+               "(200002, 'same\nSAME\n same \nnew')")
+    want = sorted(duckdb.sql(f"""
+        WITH src AS ({planted}), l AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM src
+        ), e AS (
+            SELECT doc_id, t.i AS i, ls[t.i] AS ln,
+                   lower(trim(ls[t.i])) AS nl,
+                   list_transform(ls, x -> lower(trim(x))) AS nls
+            FROM l, unnest(range(1, len(ls) + 1)) AS t(i)
+        ), k AS (
+            SELECT doc_id, i, ln,
+                   (nl = '' OR list_position(nls, nl) = i) AS keep
+            FROM e
+        )
+        SELECT doc_id,
+               coalesce(string_agg(ln, chr(10) ORDER BY i)
+                        FILTER (WHERE keep), '') AS text,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+               CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                   AS n_lines_dropped
+        FROM k GROUP BY doc_id
+    """).fetchall())
+    docs = tables["documents"].select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(200001, "p\nq\np\nq\nr"), (200002, "same\nSAME\n same \nnew")],
+            "doc_id bigint, text string"))
+    got = sorted(map(tuple, text.remove_repeated_lines(docs).collect()))
+    assert got == want and got
+    plan = text.remove_repeated_lines(
+        tables["documents"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: NO shuffle at all
+
+
 def test_strip_markup_planted(spark):
     """Tag/block/entity semantics pinned on planted HTML: blocks go WITH
     contents, tags become word boundaries, &amp; decodes LAST, NULL

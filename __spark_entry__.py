@@ -430,7 +430,11 @@ def _t12_boilerplate(spark, sf_dir):
     cleaned = text.remove_boilerplate_lines(docs, min_docs=3)
     stripped = text.strip_markup(docs).select(
         "doc_id", F.col("text").alias("markup_stripped"), "n_tags")
-    return cleaned.join(stripped, "doc_id")
+    repeats = text.remove_repeated_lines(docs).select(
+        "doc_id", F.col("text").alias("rl_text"),
+        F.col("n_lines_kept").alias("rl_n_kept"),
+        F.col("n_lines_dropped").alias("rl_n_dropped"))
+    return cleaned.join(stripped, "doc_id").join(repeats, "doc_id")
 
 
 def _s1_bruteforce_topk(spark, sf_dir):
@@ -755,7 +759,8 @@ def _e7_asof_salted(spark, sf_dir):
 # target-mix resampling → t5, shared-passage pairs → d4, classifier
 # fit→score round-trip → t2, Gumbel sampling → t14 — and slotted the
 # r8 additions as joined columns: Gopher rules → t2, markup stripping
-# → t12, bigram LM → t9, keep-best canonical selection → d6.
+# + within-doc repeated-line removal → t12, bigram LM → t9, keep-best
+# canonical selection → d6.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": lambda spark, sf: _rt(spark, sf, _Q01),
     **{
@@ -1726,9 +1731,33 @@ ORACLES: dict[str, str] = {
                         AS INT) AS n_tags
             FROM sm0
         )
+        ,
+        -- r8 within-doc repeated-line leg: first occurrence per
+        -- normalized line, empties always kept (list_position replay)
+        rle AS (
+            SELECT doc_id, t.i AS i, ls[t.i] AS ln,
+                   lower(trim(ls[t.i])) AS nl,
+                   list_transform(ls, x -> lower(trim(x))) AS nls
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM documents),
+                 unnest(range(1, len(ls) + 1)) AS t(i)
+        ), rlk AS (
+            SELECT doc_id, i, ln,
+                   (nl = '' OR list_position(nls, nl) = i) AS keep
+            FROM rle
+        ), rl AS (
+            SELECT doc_id,
+                   coalesce(string_agg(ln, chr(10) ORDER BY i)
+                            FILTER (WHERE keep), '') AS rl_text,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS rl_n_kept,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                       AS rl_n_dropped
+            FROM rlk GROUP BY doc_id
+        )
         SELECT final.doc_id, final.text, final.n_lines_kept,
-               final.n_lines_dropped, sm.markup_stripped, sm.n_tags
-        FROM final JOIN sm USING (doc_id)
+               final.n_lines_dropped, sm.markup_stripped, sm.n_tags,
+               rl.rl_text, rl.rl_n_kept, rl.rl_n_dropped
+        FROM final JOIN sm USING (doc_id) JOIN rl USING (doc_id)
     """,
     # d7: the new-touching subset of the d2 all-pairs graph (store =
     # doc_id % 5 != 0, increment = % 5 == 0); valid under the same

@@ -110,3 +110,68 @@ def test_full_corpus_pipeline_r8_stages(spark, tables):
     order2 = [r.doc_id for r in sampling.deterministic_shuffle(
         final.repartition(11), "doc_id").select("doc_id").collect()]
     assert order1 == order2 and len(order1) == n2
+
+
+def test_cross_modal_unified_dedup(spark):
+    """Pairs from THREE modalities over one key space union into a
+    single connected-components pass — the unified duplicate-group
+    shape a multimodal corpus needs (a doc can be a text near-dup of
+    one neighbor and carry the image of another; the cluster must merge
+    both). All three pair families share hamming/banding machinery and
+    the (a, b) contract, so the union is a plain unionByName."""
+    import math
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datafusion_substrait_spark.operators import multimodal
+    from datafusion_substrait_spark.operators import audio as audio_ops
+    from tests.test_operators import _encode_png
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (32, 32), np.uint8)
+    img2 = np.clip(img.astype(int) + rng.integers(-2, 3, img.shape),
+                   0, 255).astype(np.uint8)
+    scan = (list(range(5)) * 7)[:32]
+
+    def wav(gain):
+        t = [int(gain * 30000 * math.sin(2 * math.pi * 440 * i / 16000))
+             for i in range(4096)]
+        body = struct.pack(f"<{len(t)}h", *t)
+        return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    # docs 1-2: text clones; docs 2-3: same image; docs 3-4: same audio
+    # → one transitive cluster {1,2,3,4}; doc 5 unrelated everywhere
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again",
+         None, None),
+        (2, "the quick brown fox jumps over the lazy dog again and again!",
+         bytes(_encode_png(img.tolist(), 0, scan)), None),
+        (3, "completely different text about spark physical planning",
+         bytes(_encode_png(img2.tolist(), 0, scan)), wav(0.9)),
+        (4, "yet another unrelated body of text entirely here",
+         None, wav(0.4)),
+        (5, "nothing like any of the others in any modality at all",
+         None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, image binary, sound binary")
+
+    tp = dedup.minhash_lsh_pairs(df.select("doc_id", "text"),
+                                 threshold=0.5).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ip = multimodal.image_neardup_pairs(
+        df.filter(F.col("image").isNotNull()), max_hamming=6,
+        payload_col="image", key_col="doc_id").select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b"))
+    ap = audio_ops.audio_neardup_pairs(
+        df.filter(F.col("sound").isNotNull()), max_hamming=6,
+        payload_col="sound", key_col="doc_id").select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b"))
+    unified = tp.unionByName(ip).unionByName(ap)
+    clusters = {r.node: r.cluster_id for r in dedup.dedup_clusters(
+        unified, key_a="a", key_b="b").collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1}  # transitive merge; 5 out

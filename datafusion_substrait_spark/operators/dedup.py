@@ -460,6 +460,26 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
                          max_bucket_size=max_bucket_size)
 
 
+def _banded_sigs(sigs: DataFrame, key_col: str, sig_col: str) -> DataFrame:
+    """(_k, _sig, band, val): 4 × 16-bit band rows per non-NULL 64-bit
+    signature — the shared candidate-generation layout of
+    :func:`hamming_pairs` and the incremental Hamming store (one
+    definition, so batch and increment banding cannot drift)."""
+    s = (sigs.select(F.col(key_col).alias("_k"),
+                     F.col(sig_col).alias("_sig"))
+         .filter(F.col("_sig").isNotNull()))
+    return s.select(
+        "_k", "_sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("_sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("_k", "_sig", "bb.band", "bb.val")
+
+
 def hamming_pairs(sigs: DataFrame, key_col: str = "doc_id",
                   sig_col: str = "simhash", max_hamming: int = 6,
                   max_bucket_size: int = 500,
@@ -476,27 +496,24 @@ def hamming_pairs(sigs: DataFrame, key_col: str = "doc_id",
     nothing. Output: (``{out_prefix}_a``, ``{out_prefix}_b``, hamming)
     with a < b.
     """
-    s = (sigs.select(F.col(key_col).alias("_k"),
-                     F.col(sig_col).alias("_sig"))
-         .filter(F.col("_sig").isNotNull()))
-    banded = s.select(
-        "_k", "_sig",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("_sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-            )
-            for b in range(4)
-        ])).alias("bb"),
-    ).select("_k", "_sig", "bb.band", "bb.val")
+    banded = _banded_sigs(sigs, key_col, sig_col)
     buckets = (
         banded.groupBy("band", "val")
         .agg(F.sort_array(F.collect_list(F.struct("_k", "_sig"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # pair expansion only COPIES the two (key, sig) structs; the Hamming
-    # distance is computed after the Generate chain, on flat columns, inside
-    # codegen (round 1 ran bit_count per pair inside the interpreted HOF)
+    return _hamming_expand(buckets, max_hamming, max_bucket_size, out_prefix)
+
+
+def _hamming_expand(buckets: DataFrame, max_hamming: int,
+                    max_bucket_size: int, out_prefix: str) -> DataFrame:
+    """Bucket rows (``ids``: ascending-sorted (_k, _sig) structs) → the
+    verified pair set. Pair expansion only COPIES the two structs; the
+    Hamming distance is computed after the Generate chain, on flat
+    columns, inside codegen (round 1 ran bit_count per pair inside the
+    interpreted HOF). Shared by :func:`hamming_pairs` and the
+    incremental Hamming store probe (identical cap + verify, so the
+    increment ≡ batch argument holds by construction)."""
     return (
         _exploded_bucket_pairs(buckets, max_bucket_size)
         .select(

@@ -150,11 +150,28 @@ def compact_minhash_store(spark: SparkSession, store: str) -> None:
     function finishes (or rolls back) the interrupted swap before
     compacting again."""
     table = f"{store}_buckets"
+    _recover_compact_swap(spark, table)
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} does not exist — pre-r7 store layouts have no "
+            "buckets table to compact (rebuild with write_minhash_store)")
+    n_buckets = _store_bucket_count(spark, table)
+    read_store_meta(spark, store)  # fail fast on a corrupted store
+    merged = (spark.table(table).groupBy("band", "sig")
+              .agg(F.sort_array(F.flatten(F.collect_list("ids")))
+                   .alias("ids")))
+    sinks.write_bucketed(merged, f"{table}_compact_tmp", ("band", "sig"),
+                         n_buckets=n_buckets, mode="overwrite")
+    _finish_compact_swap(spark, table)
+
+
+def _recover_compact_swap(spark: SparkSession, table: str) -> None:
+    """Finish or roll back a previous interrupted rename-aside compact
+    of ``table`` — run BEFORE any existence check (the crash windows
+    hide ``table`` behind ``*_compact_old``)."""
     tmp = f"{table}_compact_tmp"
     old = f"{table}_compact_old"
     cat = spark.catalog
-    # crash recovery from a previous interrupted compact, BEFORE the
-    # pre-r7-layout check (the crash windows hide `table` behind `old`):
     if cat.tableExists(old):
         if not cat.tableExists(table):
             if cat.tableExists(tmp):
@@ -171,19 +188,15 @@ def compact_minhash_store(spark: SparkSession, store: str) -> None:
         # crashed after writing tmp but before the swap began: appends may
         # have landed since — the tmp is possibly stale, recompact fresh
         spark.sql(f"DROP TABLE {tmp}")
-    if not cat.tableExists(table):
-        raise ValueError(
-            f"{table} does not exist — pre-r7 store layouts have no "
-            "buckets table to compact (rebuild with write_minhash_store)")
-    n_buckets = _store_bucket_count(spark, table)
-    read_store_meta(spark, store)  # fail fast on a corrupted store
-    merged = (spark.table(table).groupBy("band", "sig")
-              .agg(F.sort_array(F.flatten(F.collect_list("ids")))
-                   .alias("ids")))
-    sinks.write_bucketed(merged, tmp, ("band", "sig"),
-                         n_buckets=n_buckets, mode="overwrite")
+
+
+def _finish_compact_swap(spark: SparkSession, table: str) -> None:
+    """The rename-aside swap: ``table``→old, tmp→``table``, drop old —
+    every crash window leaves a recoverable state for
+    :func:`_recover_compact_swap`."""
+    old = f"{table}_compact_old"
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"ALTER TABLE {table}_compact_tmp RENAME TO {table}")
     spark.sql(f"DROP TABLE {old}")
 
 
@@ -348,3 +361,124 @@ def exact_dedup_increment(new_docs: DataFrame, store: str,
     return batch.join(spark.table(f"{store}_fps").select("fingerprint"),
                       "fingerprint", "left_anti").select(
         key_col, "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# incremental Hamming-signature store (text simhash / image / audio / video
+# perceptual hashes — any 64-bit signature probed via dedup.hamming_pairs)
+# ---------------------------------------------------------------------------
+
+
+def write_hamming_store(sigs: DataFrame, store: str, key_col: str = "key",
+                        sig_col: str = "phash", n_buckets: int = 16,
+                        mode: str = "overwrite") -> None:
+    """Persist a 64-bit signature corpus (e.g. ``image_phash`` /
+    ``audio_phash`` / ``simhash_signatures`` output) for incremental
+    near-dup probing: ``{store}_hbuckets`` holds (band, val,
+    ids: sorted array<(_k, _sig)>) — one row per (bucket, generation),
+    BUCKETED by (band, val) so increments join it shuffle-free — and
+    ``{store}_h_meta`` pins the column names. NULL signatures
+    (undecodable payloads) are excluded at write, matching
+    ``hamming_pairs``."""
+    from datafusion_substrait_spark.operators.dedup import _banded_sigs
+
+    spark = sigs.sparkSession
+    banded = _banded_sigs(sigs, key_col, sig_col)
+    arrays = (banded.groupBy("band", "val")
+              .agg(F.sort_array(F.collect_list(F.struct("_k", "_sig")))
+                   .alias("ids")))
+    sinks.write_bucketed(arrays, f"{store}_hbuckets", ("band", "val"),
+                         n_buckets=n_buckets, mode=mode)
+    meta = spark.createDataFrame([(key_col, sig_col)],
+                                 "key_col string, sig_col string")
+    # named {store}_h_meta so the shared _meta_row helper (which appends
+    # "_meta") reads it via the "{store}_h" prefix
+    sinks.write_table(meta, f"{store}_h_meta", mode=mode)
+
+
+def append_to_hamming_store(new_sigs: DataFrame, store: str) -> None:
+    """Fold a probed new batch's signatures in (one generation row per
+    touched bucket; the probe merges generations after its bucketed
+    join). Run AFTER :func:`hamming_pairs_increment` on the same batch —
+    and materialize the increment's result first (it is lazy over the
+    store table, the same note as :func:`append_to_minhash_store`)."""
+    from datafusion_substrait_spark.operators.dedup import _banded_sigs
+
+    spark = new_sigs.sparkSession
+    m = _meta_row(spark, f"{store}_h")  # reads {store}_hmeta
+    banded = _banded_sigs(new_sigs, m["key_col"], m["sig_col"])
+    arrays = (banded.groupBy("band", "val")
+              .agg(F.sort_array(F.collect_list(F.struct("_k", "_sig")))
+                   .alias("ids")))
+    n_buckets = _store_bucket_count(spark, f"{store}_hbuckets")
+    sinks.write_bucketed(arrays, f"{store}_hbuckets", ("band", "val"),
+                         n_buckets=n_buckets, mode="append")
+
+
+def hamming_pairs_increment(new_sigs: DataFrame, store: str,
+                            max_hamming: int = 6,
+                            max_bucket_size: int = 500) -> DataFrame:
+    """New-touching near-dup pairs of ``new_sigs`` vs (store ∪ new):
+    exactly the subset of ``hamming_pairs(old ∪ new)`` touching ≥ 1 new
+    key (same banding, same sorted-array pair expansion, same hot-bucket
+    star cap, same bit_count verify — all SHARED code, so the equality
+    holds by construction). New keys must not already exist in the store
+    (the pipeline contract: dedup THEN append).
+
+    Plan shape: the new batch bands and aggregates (one small shuffle);
+    the store side is bucketed by exactly (band, val) — its join input
+    needs NO Exchange and no aggregation; a touched bucket's generation
+    rows merge AFTER the join, so per-increment work is O(batch +
+    touched buckets), never O(store). Output (key_a, key_b, hamming).
+    """
+    from datafusion_substrait_spark.operators.dedup import (_banded_sigs,
+                                                            _hamming_expand)
+
+    spark = new_sigs.sparkSession
+    m = _meta_row(spark, f"{store}_h")
+    new_banded = _banded_sigs(new_sigs, m["key_col"], m["sig_col"])
+    new_arrays = (new_banded.groupBy("band", "val")
+                  .agg(F.collect_list(F.struct("_k", "_sig"))
+                       .alias("_new")))
+    merged = (
+        new_arrays.join(spark.table(f"{store}_hbuckets"),
+                        ["band", "val"], "left")
+        .groupBy("band", "val")
+        .agg(F.first("_new").alias("_new"),
+             F.flatten(F.collect_list("ids")).alias("_old"))
+    )
+    # collect_list skips the left-join NULL, so an untouched-store
+    # bucket's _old is [] (typed empty array), never NULL — no coalesce
+    buckets = (
+        merged.select(
+            "band", "val",
+            F.sort_array(F.concat("_old", "_new")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = _hamming_expand(buckets, max_hamming, max_bucket_size,
+                            out_prefix="key")
+    new_keys = new_banded.select(F.col("_k").alias("key_a")).distinct()
+    # keep pairs touching a new key: semi-join either side
+    a_new = pairs.join(new_keys, "key_a", "left_semi")
+    b_new = pairs.join(new_keys.withColumnRenamed("key_a", "key_b"),
+                       "key_b", "left_semi")
+    return a_new.unionByName(b_new.select(*a_new.columns)).distinct()
+
+
+def compact_hamming_store(spark: SparkSession, store: str) -> None:
+    """Collapse the hbuckets table's generation rows to one sorted array
+    per (band, val) — same crash-safe rename-aside swap as
+    :func:`compact_minhash_store` (shared helpers, shared recovery)."""
+    table = f"{store}_hbuckets"
+    _recover_compact_swap(spark, table)
+    if not spark.catalog.tableExists(table):
+        raise ValueError(f"{table} does not exist — write the store with "
+                         "write_hamming_store first")
+    n_buckets = _store_bucket_count(spark, table)
+    _meta_row(spark, f"{store}_h")  # fail fast on a corrupted store
+    merged = (spark.table(table).groupBy("band", "val")
+              .agg(F.sort_array(F.flatten(F.collect_list("ids")))
+                   .alias("ids")))
+    sinks.write_bucketed(merged, f"{table}_compact_tmp", ("band", "val"),
+                         n_buckets=n_buckets, mode="overwrite")
+    _finish_compact_swap(spark, table)

@@ -365,3 +365,89 @@ def test_compact_recovers_every_crash_window(spark, split_docs):
         new2, STORE, threshold=0.5))
     assert got == expect and got
     _drop_store(spark)
+
+
+def test_hamming_store_increment_equals_batch(spark):
+    """The Hamming store invariant over REAL image perceptual hashes:
+    increment(new) == the new-touching subset of hamming_pairs(old ∪
+    new); a second generation (append then increment again) keeps the
+    invariant; compaction collapses generations and preserves results;
+    a shuffle-free probe plan on the store side."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import multimodal
+    from tests.test_operators import _encode_png
+
+    rng = np.random.default_rng(31)
+    scan = (list(range(5)) * 7)[:32]
+
+    def png(img):
+        return bytes(_encode_png(img.tolist(), 0, scan))
+
+    base = [rng.integers(0, 256, (32, 32), np.uint8) for _ in range(6)]
+    payloads = {}
+    k = 0
+    for b in base:                       # 3 noised copies of each base
+        for _ in range(3):
+            noised = np.clip(b.astype(int)
+                             + rng.integers(-2, 3, b.shape),
+                             0, 255).astype(np.uint8)
+            payloads[k] = png(noised)
+            k += 1
+    df = spark.createDataFrame(sorted(payloads.items()),
+                               "key bigint, payload binary")
+    sigs = multimodal.image_phash(df)
+    old = sigs.filter(F.col("key") % 3 != 0)
+    new1 = sigs.filter(F.col("key") % 3 == 0).filter(F.col("key") < 9)
+    new2 = sigs.filter(F.col("key") % 3 == 0).filter(F.col("key") >= 9)
+
+    for t in ("hstore_hbuckets", "hstore_h_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    incremental.write_hamming_store(old, "hstore", n_buckets=4)
+
+    full = {(r.key_a, r.key_b, r.hamming) for r in dedup.hamming_pairs(
+        sigs, key_col="key", sig_col="phash", max_hamming=6,
+        out_prefix="key").collect()}
+
+    def expect_touching(keys):
+        return {(a, b, h) for a, b, h in full if a in keys or b in keys}
+
+    inc1 = {(r.key_a, r.key_b, r.hamming)
+            for r in incremental.hamming_pairs_increment(
+                new1, "hstore", max_hamming=6).collect()}
+    k1 = {r.key for r in new1.select("key").collect()}
+    k2 = {r.key for r in new2.select("key").collect()}
+    # generation-1 increment can't see generation-2 keys
+    assert inc1 == {p for p in expect_touching(k1)
+                    if not (p[0] in k2 or p[1] in k2)} and inc1
+
+    incremental.append_to_hamming_store(new1, "hstore")
+    inc2 = {(r.key_a, r.key_b, r.hamming)
+            for r in incremental.hamming_pairs_increment(
+                new2, "hstore", max_hamming=6).collect()}
+    assert inc2 == expect_touching(k2) and inc2
+
+    # compaction: multiple generation rows collapse, results identical
+    buckets = spark.table("hstore_hbuckets")
+    assert buckets.count() > buckets.select("band", "val").distinct().count()
+    incremental.compact_hamming_store(spark, "hstore")
+    after = spark.table("hstore_hbuckets")
+    assert after.count() == after.select("band", "val").distinct().count()
+    inc2b = {(r.key_a, r.key_b, r.hamming)
+             for r in incremental.hamming_pairs_increment(
+                 new2, "hstore", max_hamming=6).collect()}
+    assert inc2b == inc2
+
+    # store side of the probe join reads the bucketed table with no
+    # Exchange between scan and join (downstream pair-expansion shuffles
+    # sit above legitimately — gate the probe subplan, the same approach
+    # as the minhash buckets gate)
+    from datafusion_substrait_spark.operators.dedup import _banded_sigs
+    new_arrays = (_banded_sigs(new2, "key", "phash")
+                  .groupBy("band", "val")
+                  .agg(F.collect_list(F.struct("_k", "_sig")).alias("_new")))
+    probe = new_arrays.join(spark.table("hstore_hbuckets"),
+                            ["band", "val"], "left")
+    _assert_scan_not_under_exchange(probe, "hstore_hbuckets")
+    for t in ("hstore_hbuckets", "hstore_h_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

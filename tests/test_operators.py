@@ -131,6 +131,49 @@ def test_dedup_clusters_connected_components(spark):
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_hamming_pairs_edge_contracts(spark):
+    """All-NULL signatures produce an empty (not failing) result;
+    identical signatures pair at hamming 0 exactly once despite
+    colliding in all four bands (the distinct contract); a pair differing
+    in every band is never generated (the pigeonhole recall fence)."""
+    from datafusion_substrait_spark.operators.dedup import hamming_pairs
+
+    allnull = spark.createDataFrame([(1, None), (2, None)],
+                                    "key bigint, sig bigint")
+    assert hamming_pairs(allnull, key_col="key", sig_col="sig",
+                         out_prefix="key").count() == 0
+
+    same = spark.createDataFrame([(1, 77), (2, 77), (3, None)],
+                                 "key bigint, sig bigint")
+    got = [(r.key_a, r.key_b, r.hamming) for r in hamming_pairs(
+        same, key_col="key", sig_col="sig", out_prefix="key").collect()]
+    assert got == [(1, 2, 0)]  # once, not once per colliding band
+
+    # one bit flipped in EVERY 16-bit band: hamming 4 but zero shared
+    # bands — the documented band-colliding-subset contract
+    a = 0x0001000100010001
+    spread = spark.createDataFrame([(1, 0), (2, a)],
+                                   "key bigint, sig bigint")
+    assert hamming_pairs(spread, key_col="key", sig_col="sig",
+                         max_hamming=8, out_prefix="key").count() == 0
+
+
+def test_deterministic_shuffle_null_keys_stable(spark):
+    """NULL keys share one hash (the null-safe 'n' tag) and the key
+    tie-break keeps the order fully deterministic across partitionings —
+    NULL keys must not crash or wander."""
+    from datafusion_substrait_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,), (None,), (3,)], "doc_id bigint")
+    a = [r.doc_id for r in sampling.deterministic_shuffle(
+        df, "doc_id").collect()]
+    b = [r.doc_id for r in sampling.deterministic_shuffle(
+        df.repartition(5), "doc_id").collect()]
+    assert a == b and sorted(x for x in a if x is not None) == [1, 2, 3]
+    assert a.count(None) == 2
+
+
 def test_perceptual_hash_against_independent_reference(spark):
     """ahash/dhash checked against an independent nested-loop
     implementation on a 64×64 image (NN-resample is the identity there,

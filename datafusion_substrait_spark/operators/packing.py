@@ -132,3 +132,32 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
         F.size(window).cast("int").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def write_training_shards(df: DataFrame, path: str, max_tokens: int,
+                          n_shards: int = 64, text_col: str = "text",
+                          key_col: str = "doc_id",
+                          token_col: str | None = None,
+                          order_col: str | None = None,
+                          mode: str = "overwrite") -> None:
+    """The egress half of the packing pipeline: materialize the corpus
+    as ``shard=N`` parquet directories whose ROW ORDER inside each shard
+    is exactly :func:`pack_sequences`' concatenation order — the layout
+    a training dataloader consumes (open one shard dir, stream rows,
+    cut every ``max_tokens``; ``bin_id``/``bin_offset`` travel with each
+    row so a loader can seek). Pass ``order_col`` for shuffled/curricula
+    order exactly as in pack_sequences.
+
+    Plan shape: the pack assignment's single window shuffle, one
+    repartition on ``shard`` (so each output directory is written by one
+    task, preserving the sort), and a per-partition sort — parquet
+    preserves row order within files, which is the property the loader
+    relies on. One directory per shard; size ``n_shards`` so a shard
+    fits a loader worker, same guidance as pack_sequences."""
+    packed = pack_sequences(df, max_tokens, n_shards=n_shards,
+                            text_col=text_col, key_col=key_col,
+                            token_col=token_col, order_col=order_col)
+    out = (df.join(packed, key_col)
+           .repartition("shard")
+           .sortWithinPartitions("shard", "bin_id", "bin_offset", key_col))
+    out.write.mode(mode).partitionBy("shard").parquet(path)

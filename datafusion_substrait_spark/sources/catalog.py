@@ -16,6 +16,7 @@ import os
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_substrait_spark.plans.proto import SubstraitError
 
@@ -63,6 +64,37 @@ def register_json(spark: SparkSession, name: str, path: str, schema=None) -> Dat
     df = reader.schema(schema).json(path) if schema is not None else reader.json(path)
     df.createOrReplaceTempView(name)
     _PATH_TO_NAME[_norm(path)] = name
+    return df
+
+
+def register_binary_dir(spark: SparkSession, name: str, path: str,
+                        glob: str | None = None,
+                        recursive: bool = False) -> DataFrame:
+    """Raw-payload ingestion for the multimodal pipeline: Spark's
+    built-in ``binaryFile`` source over a directory of image/audio/video
+    files, registered as a temp view with columns (key, path, length,
+    modificationTime, payload) — ``payload`` feeds ``image_phash`` /
+    ``extract_image_metadata`` / ``decode_audio`` / frame sampling
+    directly, and ``key = xxhash64(path)`` gives the stable 64-bit join
+    key every downstream operator expects (paths are unique within a
+    crawl snapshot; the hash is deterministic across runs and engines
+    that share the file listing).
+
+    Scale notes: binaryFile is a real FileFormat — the scan parallelizes
+    over files, prunes on the lazily-materialized ``content`` column
+    (metadata-only queries never read payload bytes), and
+    ``pathGlobFilter``/``recursiveFileLookup`` push into the listing.
+    One file = one row; shard huge corpora into subdirs and pass
+    ``recursive=True``."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path).select(
+        F.xxhash64("path").alias("key"), "path", "length",
+        "modificationTime", F.col("content").alias("payload"))
+    df.createOrReplaceTempView(name)
     return df
 
 

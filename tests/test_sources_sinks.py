@@ -66,3 +66,71 @@ def test_write_bucketed_join_skips_shuffle(spark, tmp_path):
     assert j.count() > 0
     spark.sql("DROP TABLE IF EXISTS cust_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_register_binary_dir_feeds_multimodal_pipeline(spark, tmp_path):
+    """File-system ingestion → perceptual near-dup, end to end: PNG
+    FILES on disk register through the binaryFile source and the planted
+    noised copy pairs with its original; the glob filter excludes
+    non-matching files; keys are stable across re-registration."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import multimodal
+    from tests.test_operators import _encode_png
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 256, (32, 32), np.uint8)
+    noised = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape),
+                     0, 255).astype(np.uint8)
+    other = 255 - base
+    scan = (list(range(5)) * 7)[:32]
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.png").write_bytes(bytes(_encode_png(base.tolist(), 0, scan)))
+    (d / "b.png").write_bytes(bytes(_encode_png(noised.tolist(), 0, scan)))
+    (d / "c.png").write_bytes(bytes(_encode_png(other.tolist(), 0, scan)))
+    (d / "notes.txt").write_bytes(b"not an image")
+
+    df = catalog.register_binary_dir(spark, "crawl_imgs", str(d),
+                                     glob="*.png")
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png", "c.png"}
+    assert all(r.length == len(bytes(r.payload)) for r in rows.values())
+    # view registered + keys stable across re-registration
+    assert spark.table("crawl_imgs").count() == 3
+    again = catalog.register_binary_dir(spark, "crawl_imgs", str(d),
+                                        glob="*.png")
+    assert ({r.key for r in df.select("key").collect()}
+            == {r.key for r in again.select("key").collect()})
+
+    pairs = multimodal.image_neardup_pairs(df, max_hamming=6)
+    got = {(rows_by_key[r.key_a], rows_by_key[r.key_b])
+           for rows_by_key in [
+               {r.key: os.path.basename(r.path) for r in df.collect()}]
+           for r in pairs.collect()}
+    assert got == {tuple(sorted(("a.png", "b.png")))} or \
+        got == {("a.png", "b.png")} or got == {("b.png", "a.png")}
+
+
+def test_write_training_shards_preserves_pack_order(spark, tmp_path):
+    """The shard sink's row order inside each shard directory equals
+    pack_sequences' concatenation order (the dataloader contract), the
+    directory layout is shard=N, and every doc appears exactly once."""
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, f"tok {'x ' * (i % 7 + 1)}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "shards")
+    packing.write_training_shards(df, path, max_tokens=16, n_shards=4)
+    assert sorted(p for p in os.listdir(path) if p.startswith("shard=")) \
+        == [f"shard={i}" for i in range(4)]
+
+    packed = packing.pack_sequences(df, 16, n_shards=4)
+    for shard in range(4):
+        want = [r.doc_id for r in packed.filter(F.col("shard") == shard)
+                .orderBy("bin_id", "bin_offset", "doc_id").collect()]
+        got = [r.doc_id for r in
+               spark.read.parquet(f"{path}/shard={shard}").collect()]
+        assert got == want and got
+    total = spark.read.parquet(path).count()
+    assert total == 40

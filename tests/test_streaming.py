@@ -278,3 +278,40 @@ def test_corpus_hygiene_ops_work_on_streams(spark):
         q.awaitTermination(180)
         got = spark.table(f"hyg_{name}")
         assert rows_set(got) == rows_set(expect), name
+
+
+def test_binary_ingestion_streams_with_phash_parity(spark, tmp_path):
+    """File-arrival streaming ingestion for multimodal payloads: the
+    binaryFile source readStreams over a crawl directory and the
+    Arrow-batched perceptual-hash map runs unchanged on it — streamed
+    (key, phash) equals the batch register_binary_dir path."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import multimodal
+    from datafusion_substrait_spark.sources.catalog import register_binary_dir
+    from tests.test_operators import _encode_png
+
+    rng = np.random.default_rng(43)
+    scan = (list(range(5)) * 7)[:32]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for n in range(3):
+        img = rng.integers(0, 256, (32, 32), np.uint8)
+        (d / f"img{n}.png").write_bytes(
+            bytes(_encode_png(img.tolist(), 0, scan)))
+
+    batch = register_binary_dir(spark, "crawl_b", str(d), glob="*.png")
+    want = rows_set(multimodal.image_phash(batch))
+
+    stream = (spark.readStream.format("binaryFile")
+              .option("pathGlobFilter", "*.png")
+              .schema(spark.read.format("binaryFile").load(str(d)).schema)
+              .load(str(d))
+              .select(F.xxhash64("path").alias("key"),
+                      F.col("content").alias("payload")))
+    out = multimodal.image_phash(stream)
+    q = (out.writeStream.format("memory").queryName("stream_phash")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = rows_set(spark.table("stream_phash"))
+    assert got == want and got

@@ -348,3 +348,32 @@ def test_connect_dataframe_rejected_up_front():
 
     with pytest.raises(SubstraitError, match="Spark Connect"):
         to_substrait_plan(FakeConnectDataFrame())
+
+
+def test_pivot_raises_named_error_with_manual_alternative(spark):
+    """SQL PIVOT compiles to Catalyst's PivotFirst aggregate, which is
+    outside the reference surface (SURVEY.md §2.5 fence) — the producer
+    must name the unsupported function, and the manual FILTER-aggregate
+    spelling of the same pivot must round-trip with identical values."""
+    piv = spark.sql("""
+        SELECT * FROM (SELECT o_custkey, o_orderstatus, o_totalprice
+                       FROM orders)
+        PIVOT (round(sum(o_totalprice), 2)
+               FOR o_orderstatus IN ('O', 'F', 'P'))
+    """)
+    with pytest.raises(SubstraitError, match="pivotfirst"):
+        to_substrait_plan(piv)
+
+    manual = spark.sql("""
+        SELECT o_custkey,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS O,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS F,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS P
+        FROM orders GROUP BY o_custkey
+    """)
+    back = from_substrait_plan(spark, to_substrait_plan(manual))
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    assert sorted(map(tuple, manual.collect()), key=key) \
+        == sorted(map(tuple, back.collect()), key=key)
+    assert sorted(map(tuple, piv.collect()), key=key) \
+        == sorted(map(tuple, manual.collect()), key=key)

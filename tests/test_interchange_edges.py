@@ -377,3 +377,39 @@ def test_pivot_raises_named_error_with_manual_alternative(spark):
         == sorted(map(tuple, back.collect()), key=key)
     assert sorted(map(tuple, piv.collect()), key=key) \
         == sorted(map(tuple, manual.collect()), key=key)
+
+
+def test_unpivot_fence_and_lateral_scalar_roundtrip(spark):
+    """UNPIVOT compiles to a bare Catalyst Expand — outside the
+    serializable surface, named error pinned (the UNION ALL spelling is
+    the supported equivalent and round-trips value-identical). A
+    correlated LATERAL scalar subquery, by contrast, is rewritten by
+    Catalyst into supported join shapes and must round-trip as-is."""
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+
+    unp = spark.sql("""
+        SELECT o_orderkey, kind, amt FROM
+        (SELECT o_orderkey, o_totalprice,
+                CAST(o_custkey AS DOUBLE) AS o_ck FROM orders)
+        UNPIVOT (amt FOR kind IN (o_totalprice AS price, o_ck AS cust))
+    """)
+    with pytest.raises(SubstraitError, match="Expand"):
+        to_substrait_plan(unp)
+    manual = spark.sql("""
+        SELECT o_orderkey, 'price' AS kind, o_totalprice AS amt FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'cust' AS kind, CAST(o_custkey AS DOUBLE) FROM orders
+    """)
+    back = from_substrait_plan(spark, to_substrait_plan(manual))
+    assert sorted(map(tuple, unp.collect()), key=key) \
+        == sorted(map(tuple, back.collect()), key=key)
+
+    lat = spark.sql("""
+        SELECT c_custkey, o.m FROM customer c,
+        LATERAL (SELECT max(o_totalprice) AS m FROM orders
+                 WHERE o_custkey = c.c_custkey) o
+    """)
+    lback = from_substrait_plan(spark, to_substrait_plan(lat))
+    assert sorted(map(tuple, lat.collect()), key=key) \
+        == sorted(map(tuple, lback.collect()), key=key)
+    assert lat.count() == 150

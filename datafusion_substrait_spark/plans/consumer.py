@@ -578,7 +578,27 @@ class _Consumer:
         layout. Output = requiredChildIndices columns ++ generated columns."""
         detail = body["detail"]
         df = self.rel(body["input"])
-        arg = self.rex(detail["argument"], lambda i, d=df: d[f"f{i}"])
+        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        arg = self.rex(detail["argument"], resolver)
+        req_idx = detail.get("requiredChildIndices", [])
+        req = [df[f"f{i}"].alias(f"f{j}") for j, i in enumerate(req_idx)]
+        n_out = int(detail.get("generatorOutputs", 1))
+        if detail.get("mode") == "replicaterows":
+            # Catalyst's ReplicateRows (INTERSECT/EXCEPT ALL): emit each
+            # row `argument` times. array_repeat's count ≤ 0 yields an
+            # empty array — explode then drops the row, exactly the
+            # vanish-on-nonpositive-multiplicity semantics the set-op
+            # rewrite needs (no descending-sequence footgun).
+            cols = [self.rex(a, resolver) for a in
+                    detail.get("arguments", [])]
+            if len(cols) != n_out:
+                raise SubstraitError(
+                    f"replicaterows carries {len(cols)} column "
+                    f"expressions but declares {n_out} outputs")
+            out = [c.alias(f"f{len(req) + j}") for j, c in enumerate(cols)]
+            rep = F.explode(
+                F.array_repeat(F.lit(1), arg.cast("int"))).alias("__rep")
+            return df.select(*req, *out, rep).drop("__rep")
         fns = {
             ("explode", False): F.explode,
             ("explode", True): F.explode_outer,
@@ -590,9 +610,6 @@ class _Consumer:
             raise SubstraitError(
                 f"unsupported generator mode {detail.get('mode')!r}"
             )
-        req_idx = detail.get("requiredChildIndices", [])
-        req = [df[f"f{i}"].alias(f"f{j}") for j, i in enumerate(req_idx)]
-        n_out = int(detail.get("generatorOutputs", 1))
         gen = fn(arg).alias(*[f"f{len(req) + j}" for j in range(n_out)])
         return df.select(*req, gen)
 

@@ -478,11 +478,13 @@ class _Producer:
         engine-specific escape hatch; neither core Substrait nor the
         reference has an unnest relation — SURVEY.md §2.5 beyond-fence)."""
         gen = node.generator()
-        modes = {"Explode": "explode", "PosExplode": "posexplode"}
+        modes = {"Explode": "explode", "PosExplode": "posexplode",
+                 "ReplicateRows": "replicaterows"}
         mode = modes.get(_cls(gen))
         if mode is None:
             raise SubstraitError(
-                f"unsupported generator {_cls(gen)} (explode/posexplode only)"
+                f"unsupported generator {_cls(gen)} "
+                "(explode/posexplode/replicaterows only)"
             )
         req = _seq(node.requiredChildOutput())
         child_needed = (
@@ -491,14 +493,24 @@ class _Producer:
                for a in _seq(gen.references().toSeq())}
         ) if needed is not None else None
         crel, cids = self.rel(node.child(), child_needed)
-        arg = self.rex(_seq(gen.children())[0], cids)
+        gen_children = _seq(gen.children())
+        # explode: the one array argument. replicaterows (Catalyst's
+        # INTERSECT/EXCEPT ALL building block): child 0 is the row
+        # multiplier, children 1..N are the replicated column exprs
+        arg = self.rex(gen_children[0], cids)
+        extra = ([self.rex(c, cids) for c in gen_children[1:]]
+                 if mode == "replicaterows" else None)
         req_ordinals = [cids.index(a.exprId().id()) for a in req]
         gen_out = _seq(node.generatorOutput())
+        if mode == "replicaterows" and len(gen_out) != len(extra or []):
+            raise SubstraitError(
+                f"ReplicateRows outputs {len(gen_out)} columns but has "
+                f"{len(extra or [])} column expressions")
         out_ids = [a.exprId().id() for a in req] + \
                   [a.exprId().id() for a in gen_out]
         return (
             proto.generate_rel(crel, arg, mode, bool(node.outer()),
-                               req_ordinals, len(gen_out)),
+                               req_ordinals, len(gen_out), arguments=extra),
             out_ids,
         )
 

@@ -240,7 +240,8 @@ def aggregate_rel_multi(input_rel: dict, grouping_expressions: list[dict],
 
 
 def generate_rel(input_rel: dict, argument: dict, mode: str, outer: bool,
-                 required_child_ordinals: list[int], n_outputs: int) -> dict:
+                 required_child_ordinals: list[int], n_outputs: int,
+                 arguments: list[dict] | None = None) -> dict:
     """Generate (explode/posexplode) as a Substrait ExtensionSingleRel —
     the spec's escape hatch for engine-specific single-input rels (core
     Substrait has no unnest relation; DataFusion's consumer has none
@@ -248,7 +249,10 @@ def generate_rel(input_rel: dict, argument: dict, mode: str, outer: bool,
 
     Output = input columns selected by ``requiredChildIndices`` (ordinals
     into the input) ++ ``generatorOutputs`` generated columns (1 for
-    array explode, 2 for posexplode / map explode).
+    array explode, 2 for posexplode / map explode; N for replicaterows,
+    whose replicated column expressions travel in ``arguments`` while
+    ``argument`` carries the row multiplier — Catalyst's ReplicateRows,
+    the INTERSECT ALL / EXCEPT ALL building block).
     """
     return {
         "extensionSingle": {
@@ -259,6 +263,7 @@ def generate_rel(input_rel: dict, argument: dict, mode: str, outer: bool,
                 "mode": mode,
                 "outer": bool(outer),
                 "argument": argument,
+                **({"arguments": list(arguments)} if arguments else {}),
                 "requiredChildIndices": [int(i) for i in required_child_ordinals],
                 "generatorOutputs": int(n_outputs),
             },

@@ -407,6 +407,10 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "argument": (3, "m:Expression"),
         "requiredChildIndices": (4, "u32", "rep"),
         "generatorOutputs": (5, "u32"),
+        # replicaterows (INTERSECT/EXCEPT ALL): the replicated column
+        # expressions; `argument` carries the multiplier. Absent for
+        # explode/posexplode, so pre-r8 plans decode unchanged.
+        "arguments": (6, "m:Expression", "rep"),
     },
     # OUR extension message (spark.substrait_spark.SampleRel)
     "SampleRel": {

@@ -311,6 +311,38 @@ def test_intersect_and_except(spark):
     """)
 
 
+def test_intersect_all_and_except_all(spark):
+    """The ALL variants rewrite through Catalyst's ReplicateRows
+    generator — encoded as GenerateRel mode=replicaterows (multiplier in
+    `argument`, replicated columns in `arguments`, r8) and consumed as
+    explode(array_repeat(1, n)), whose empty-array-on-n≤0 gives exactly
+    the vanish-on-nonpositive-multiplicity set-op semantics. Both sides
+    keep DUPLICATE multiplicities, which the distinct variants cannot."""
+    ia = spark.sql("""
+        SELECT o_orderstatus FROM orders
+        INTERSECT ALL
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 1000
+    """)
+    assert_same_result(ia, roundtrip(ia))
+    assert ia.count() > ia.select("o_orderstatus").distinct().count()
+
+    ea = spark.sql("""
+        SELECT o_orderstatus FROM orders
+        EXCEPT ALL
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+    """)
+    assert_same_result(ea, roundtrip(ea))
+    assert ea.count() > 0  # surviving multiplicities, non-vacuous
+
+    # the binary wire format carries the new repeated `arguments` field
+    from datafusion_substrait_spark.plans import wire
+
+    plan = to_substrait_plan(ea)
+    decoded = wire.decode_plan(wire.encode_plan(plan))
+    assert_same_result(ea, __import__(
+        "datafusion_substrait_spark").from_substrait_plan(spark, decoded))
+
+
 # --- window functions (ConsistentPartitionWindowRel extension) -------------
 
 def test_window_ranking_and_aggregates(spark):

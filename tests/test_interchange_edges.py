@@ -413,3 +413,41 @@ def test_unpivot_fence_and_lateral_scalar_roundtrip(spark):
     assert sorted(map(tuple, lat.collect()), key=key) \
         == sorted(map(tuple, lback.collect()), key=key)
     assert lat.count() == 150
+
+
+def test_complex_constructor_surface_and_fences(spark):
+    """Array construction and LATERAL VIEW explode over it round-trip
+    (CreateArray + Generate are in-surface); struct/map constructors and
+    Spark 4.1 recursive CTEs raise NAMED errors (Substrait's nested
+    struct is positional — silently dropping user field names would be
+    wrong data — and Substrait has no recursion rel at all)."""
+    key = lambda r: str(tuple(r))  # noqa: E731
+
+    arr = spark.sql("""
+        SELECT o_orderkey, array(o_custkey, o_orderkey) AS a
+        FROM orders LIMIT 20
+    """)
+    back = from_substrait_plan(spark, to_substrait_plan(arr))
+    assert sorted(map(tuple, arr.collect()), key=key) \
+        == sorted(map(tuple, back.collect()), key=key)
+
+    lv = spark.sql("""
+        SELECT o_orderkey, x FROM orders
+        LATERAL VIEW explode(array(o_custkey, o_orderkey)) t AS x
+    """)
+    lback = from_substrait_plan(spark, to_substrait_plan(lv))
+    assert sorted(map(tuple, lv.collect()), key=key) \
+        == sorted(map(tuple, lback.collect()), key=key)
+
+    with pytest.raises(SubstraitError, match="CreateNamedStruct"):
+        to_substrait_plan(spark.sql(
+            "SELECT struct(o_orderstatus AS s) AS st FROM orders"))
+    with pytest.raises(SubstraitError, match="CreateMap"):
+        to_substrait_plan(spark.sql(
+            "SELECT map('k', o_totalprice) AS m FROM orders"))
+    with pytest.raises(SubstraitError, match="UnionLoop"):
+        to_substrait_plan(spark.sql("""
+            WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL
+                                    SELECT n + 1 FROM r WHERE n < 5)
+            SELECT * FROM r
+        """))

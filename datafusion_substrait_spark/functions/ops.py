@@ -109,6 +109,12 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "StringSplit": "regexp_split",  # (str, pattern, limit) — Spark's split()
     "SortArray": "sort_array",      # (array, asc) — asc rides as a literal
     "ArrayJoin": "array_join",      # (array, delimiter)
+    # complex-type constructors (r8): Catalyst's children are already the
+    # interleaved (name/key literal, value, …) the Spark builders take, so
+    # user STRUCT FIELD NAMES survive the roundtrip as literal arguments —
+    # the core Expression.Nested.Struct is positional and would drop them
+    "CreateNamedStruct": "named_struct",
+    "CreateMap": "map",
 }
 
 # ---------------------------------------------------------------------------
@@ -200,11 +206,14 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     # round's scale argument is special-cased in the consumer (needs a python
     # int for F.round); this entry covers the scale-0 unary form
     "round": lambda a: F.round(a),
+    # complex-type constructors: interleaved (name/key, value, …) varargs
+    "named_struct": lambda *args: F.named_struct(*args),
+    "map": lambda *args: F.create_map(*args),
 }
 
 # concat_ws is NOT here: the consumer special-cases it (separator must be
 # a python str for F.concat_ws) before apply_scalar is ever reached
-_VARARG = {"str_concat", "coalesce", "greatest", "least"}
+_VARARG = {"str_concat", "coalesce", "greatest", "least", "named_struct", "map"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

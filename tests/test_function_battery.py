@@ -97,6 +97,11 @@ SNIPPETS: dict[str, str] = {
     "regexp_split": "split(o_orderpriority, '-')",
     "sort_array": "sort_array(split(o_orderpriority, '-'))",
     "array_join": "array_join(split(o_orderpriority, '-'), '+')",
+    # complex-type constructors (r8): field/key NAMES ride as interleaved
+    # literal args, so they survive the roundtrip (schema-equal, pinned
+    # in test_interchange_edges)
+    "named_struct": "struct(o_orderstatus AS s, o_totalprice AS p)",
+    "map": "map('k', o_totalprice, 'j', o_totalprice * 2)",
 }
 
 

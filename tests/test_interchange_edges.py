@@ -416,11 +416,11 @@ def test_unpivot_fence_and_lateral_scalar_roundtrip(spark):
 
 
 def test_complex_constructor_surface_and_fences(spark):
-    """Array construction and LATERAL VIEW explode over it round-trip
-    (CreateArray + Generate are in-surface); struct/map constructors and
-    Spark 4.1 recursive CTEs raise NAMED errors (Substrait's nested
-    struct is positional — silently dropping user field names would be
-    wrong data — and Substrait has no recursion rel at all)."""
+    """Array/struct/map construction and LATERAL VIEW explode round-trip
+    (CreateArray via Nested.List; struct/map as named_struct/map
+    extension functions whose interleaved name literals preserve user
+    field names, r8); Spark 4.1 recursive CTEs raise a NAMED error
+    (Substrait has no recursion rel)."""
     key = lambda r: str(tuple(r))  # noqa: E731
 
     arr = spark.sql("""
@@ -439,12 +439,21 @@ def test_complex_constructor_surface_and_fences(spark):
     assert sorted(map(tuple, lv.collect()), key=key) \
         == sorted(map(tuple, lback.collect()), key=key)
 
-    with pytest.raises(SubstraitError, match="CreateNamedStruct"):
-        to_substrait_plan(spark.sql(
-            "SELECT struct(o_orderstatus AS s) AS st FROM orders"))
-    with pytest.raises(SubstraitError, match="CreateMap"):
-        to_substrait_plan(spark.sql(
-            "SELECT map('k', o_totalprice) AS m FROM orders"))
+    # struct()/map() constructors round-trip SCHEMA-EQUAL (r8): the
+    # interleaved name/key literals ride as function arguments, so user
+    # field names survive where the positional Expression.Nested.Struct
+    # would drop them
+    for csql in (
+        "SELECT o_orderkey, struct(o_orderstatus AS s, o_totalprice AS p)"
+        " AS st FROM orders",
+        "SELECT o_orderkey, map('k', o_totalprice, 'j', 1.0) AS m"
+        " FROM orders",
+    ):
+        cdf = spark.sql(csql)
+        cback = from_substrait_plan(spark, to_substrait_plan(cdf))
+        assert cdf.schema == cback.schema
+        assert sorted(map(tuple, cdf.collect()), key=key) \
+            == sorted(map(tuple, cback.collect()), key=key)
     with pytest.raises(SubstraitError, match="UnionLoop"):
         to_substrait_plan(spark.sql("""
             WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL

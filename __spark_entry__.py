@@ -1348,8 +1348,10 @@ ORACLES: dict[str, str] = {
         FROM s
     """,
     # t14: full DSIR replay — md5-bucket bigram profiles with add-1
-    # smoothing, derived smoothing floors for absent buckets (α/(T+αB)
-    # recovered from Σp), 6dp per-doc log-weight sums, then the
+    # smoothing, smoothing floors for absent buckets computed EXACTLY as
+    # α/(T+αB) from T = Σcnt (the same op sequence as Spark's
+    # _floor_attach — not reconstructed from Σp, whose cancellation
+    # could flip a 6dp rounding), 6dp per-doc log-weight sums, then the
     # deterministic Gumbel-top-50 leg (12-md5-hex-char uniform → Gumbel,
     # exactly operators/selection.py::dsir_sample). Mirrors
     # tests/test_selection.py::_weights_sql (B=1024, n=2, alpha=1).
@@ -1383,8 +1385,8 @@ ORACLES: dict[str, str] = {
             SELECT bucket, (cnt + 1.0) / (tt + 1.0 * 1024) AS p
             FROM rc, (SELECT sum(cnt) AS tt FROM rc)
         ),
-        tfl AS (SELECT 1.0 / (1.0 * (1024 - count(*)) / (1 - sum(p))) AS f FROM tp),
-        rfl AS (SELECT 1.0 / (1.0 * (1024 - count(*)) / (1 - sum(p))) AS f FROM rp),
+        tfl AS (SELECT 1.0 / (sum(cnt) + 1.0 * 1024) AS f FROM tc),
+        rfl AS (SELECT 1.0 / (sum(cnt) + 1.0 * 1024) AS f FROM rc),
         eb AS (
             SELECT doc_id,
                    (CAST(concat('0x', substr(md5(u.g2), 1, 8)) AS BIGINT)
@@ -1857,7 +1859,8 @@ ORACLES: dict[str, str] = {
         ),
         -- r8 keep-best leg: quality_score replay (exactly the t2
         -- floor-to-lattice arithmetic), then kept <=> the member
-        -- attaining max (score, -doc_id) in its cluster
+        -- attaining max (score, ~doc_id) in its cluster (bitwise NOT:
+        -- overflow-free descending key, mirrors dedup.py r9)
         qb AS (
             SELECT doc_id,
                    CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1878,11 +1881,11 @@ ORACLES: dict[str, str] = {
             SELECT cl.doc_id, cl.cluster_id, qs.q FROM cl JOIN qs USING (doc_id)
         ), cbest AS (
             SELECT cluster_id,
-                   max(struct_pack(s := q, n := -doc_id)) AS b
+                   max(struct_pack(s := q, n := ~doc_id)) AS b
             FROM cj GROUP BY cluster_id
         )
         SELECT cj.doc_id, cj.cluster_id,
-               struct_pack(s := cj.q, n := -cj.doc_id) = cbest.b AS kept
+               struct_pack(s := cj.q, n := ~cj.doc_id) = cbest.b AS kept
         FROM cj JOIN cbest USING (cluster_id)
     """,
     # d3: exact pipeline replay — the queries() entry uses md5_token_hash

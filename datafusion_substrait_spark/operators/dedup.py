@@ -681,12 +681,16 @@ def keep_best_per_cluster(clusters: DataFrame, scores: DataFrame,
         "node", "left"))
     # NULL scores rank below every real score via a -inf floor (explicit,
     # rather than leaning on struct NULL-ordering rules); max of
-    # (score, -node) ⇒ highest score, smallest key on ties
+    # (score, ~node) ⇒ highest score, smallest key on ties. Bitwise NOT
+    # (= -node-1) is a strictly DECREASING bijection with no overflow:
+    # plain negation wraps Long.MIN_VALUE to itself in non-ANSI mode,
+    # and xxhash64-derived keys (register_binary_dir) span the full
+    # signed range, so -node could silently invert the tie-break there.
     ranked = joined.select(
         "node", "cluster_id",
         F.struct(
             F.coalesce(F.col("_s"), F.lit(float("-inf"))).alias("s"),
-            (-F.col("node")).alias("negnode")).alias("_b"))
+            F.bitwise_not(F.col("node")).alias("negnode")).alias("_b"))
     best = (ranked.groupBy("cluster_id")
             .agg(F.max("_b").alias("_best")))
     return (ranked.join(best, "cluster_id")

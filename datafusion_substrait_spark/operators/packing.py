@@ -157,7 +157,13 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     packed = pack_sequences(df, max_tokens, n_shards=n_shards,
                             text_col=text_col, key_col=key_col,
                             token_col=token_col, order_col=order_col)
+    # Sort key must reproduce pack_sequences' concatenation order EXACTLY:
+    # (bin_id, bin_offset) alone is ambiguous for zero-token documents
+    # (they share a bin_offset with their successor), so the true order
+    # column — (order_col, key) when supplied, else key — is the
+    # tie-break, not merely key.
+    order = ([order_col, key_col] if order_col else [key_col])
     out = (df.join(packed, key_col)
            .repartition("shard")
-           .sortWithinPartitions("shard", "bin_id", "bin_offset", key_col))
+           .sortWithinPartitions("shard", "bin_id", "bin_offset", *order))
     out.write.mode(mode).partitionBy("shard").parquet(path)

@@ -589,6 +589,14 @@ class _Consumer:
             # empty array — explode then drops the row, exactly the
             # vanish-on-nonpositive-multiplicity semantics the set-op
             # rewrite needs (no descending-sequence footgun).
+            if detail.get("outer"):
+                # An OUTER replicate would KEEP zero-multiplicity rows;
+                # this path always drops them. Catalyst never emits it
+                # today — fence rather than silently consume with inner
+                # semantics.
+                raise SubstraitError(
+                    "replicaterows with outer=true is not supported "
+                    "(inner drop-on-nonpositive semantics only)")
             cols = [self.rex(a, resolver) for a in
                     detail.get("arguments", [])]
             if len(cols) != n_out:

@@ -290,17 +290,22 @@ def test_keep_best_per_cluster(spark):
     """Highest score survives, ties break to the smaller key, unscored
     members rank last, singletons always keep — exactly one kept per
     cluster, and the output is partitioning-independent."""
+    lmin = -(1 << 63)  # Long.MIN_VALUE: -x wraps to itself; ~x does not
     clusters = spark.createDataFrame(
-        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20),
+         (lmin, lmin), (30, lmin)],
         ["node", "cluster_id"])
     scores = spark.createDataFrame(
-        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5)],  # 11, 20 unscored
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5),
+         (lmin, 0.7), (30, 0.7)],  # 11, 20 unscored
         ["doc_id", "quality_score"])
     out = {r.doc_id: r.kept
            for r in dedup.keep_best_per_cluster(clusters, scores).collect()}
     assert out == {1: False, 2: True, 3: False,   # 2 wins the 0.9 tie
                    10: True, 11: False,            # scored beats unscored
-                   20: True}                       # unscored singleton kept
+                   20: True,                       # unscored singleton kept
+                   lmin: True, 30: False}          # MIN_VALUE wins its tie
+                                                   # (negation would invert)
     a = sorted(map(tuple, dedup.keep_best_per_cluster(
         clusters.repartition(1), scores).collect()))
     b = sorted(map(tuple, dedup.keep_best_per_cluster(

@@ -343,6 +343,37 @@ def test_intersect_all_and_except_all(spark):
         "datafusion_substrait_spark").from_substrait_plan(spark, decoded))
 
 
+def test_replicaterows_outer_is_fenced(spark):
+    """A replicaterows detail with outer=true must raise, not silently
+    consume with inner (drop-on-nonpositive) semantics — Catalyst never
+    emits it, so this shape can only come from a foreign producer."""
+    import copy
+
+    from datafusion_substrait_spark import from_substrait_plan
+    from datafusion_substrait_spark.plans.proto import SubstraitError
+
+    ea = spark.sql("""
+        SELECT o_orderstatus FROM orders
+        EXCEPT ALL
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+    """)
+    plan = copy.deepcopy(to_substrait_plan(ea))
+
+    def flip(node):
+        if isinstance(node, dict):
+            if node.get("mode") == "replicaterows":
+                node["outer"] = True
+                return True
+            return any(flip(v) for v in node.values())
+        if isinstance(node, list):
+            return any(flip(v) for v in node)
+        return False
+
+    assert flip(plan), "plan should contain a replicaterows generate rel"
+    with pytest.raises(SubstraitError, match="outer"):
+        from_substrait_plan(spark, plan).collect()
+
+
 # --- window functions (ConsistentPartitionWindowRel extension) -------------
 
 def test_window_ranking_and_aggregates(spark):

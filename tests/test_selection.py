@@ -39,16 +39,18 @@ def _profile_sql(pq: str, where: str = "") -> str:
           FROM grams, unnest(g) AS u(g2)),
     c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
     t AS (SELECT sum(cnt) AS tt FROM c)
-    SELECT bucket, (cnt + {ALPHA}) / (tt + {ALPHA} * {B}) AS p FROM c, t
+    SELECT bucket, (cnt + {ALPHA}) / (tt + {ALPHA} * {B}) AS p, cnt FROM c, t
     """
 
 
 def _weights_sql(pq: str) -> str:
+    # floors exactly as Spark's _floor_attach: α/(Σcnt + αB), never the
+    # Σp reconstruction (its cancellation can flip a 6dp rounding)
     return f"""
     WITH tp AS ({_profile_sql(pq, "WHERE lang = 'en'")}),
     rp AS ({_profile_sql(pq)}),
-    tfl AS (SELECT {ALPHA} / ({ALPHA} * ({B} - count(*)) / (1 - sum(p))) AS f FROM tp),
-    rfl AS (SELECT {ALPHA} / ({ALPHA} * ({B} - count(*)) / (1 - sum(p))) AS f FROM rp),
+    tfl AS (SELECT {ALPHA} / (sum(cnt) + {ALPHA} * {B}) AS f FROM tp),
+    rfl AS (SELECT {ALPHA} / (sum(cnt) + {ALPHA} * {B}) AS f FROM rp),
     grams AS ({_GRAMS.format(pq=pq, where="")}),
     eb AS (SELECT doc_id,
                   (CAST(concat('0x', substr(md5(u.g2), 1, 8)) AS BIGINT) % {B}) AS bucket

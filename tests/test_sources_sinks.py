@@ -134,3 +134,22 @@ def test_write_training_shards_preserves_pack_order(spark, tmp_path):
         assert got == want and got
     total = spark.read.parquet(path).count()
     assert total == 40
+
+
+def test_write_training_shards_order_col_zero_token_ties(spark, tmp_path):
+    """With order_col, zero-token documents share a bin_offset with their
+    successor — the file sort must tie-break by the pack order (_ord, key),
+    not by key, or their relative order deviates from pack order."""
+    from datafusion_substrait_spark.operators import packing
+
+    # one shard; _ord reverses key order, keys 1 and 2 are zero-token and
+    # share bin_offset 2 — key-sorted output would emit 3,1,2 while pack
+    # order is 3,2,1
+    df = spark.createDataFrame(
+        [(1, "", 3), (2, "", 2), (3, "a b", 1)],
+        "doc_id bigint, text string, ord bigint")
+    path = str(tmp_path / "shards_ord")
+    packing.write_training_shards(df, path, max_tokens=16, n_shards=1,
+                                  order_col="ord")
+    got = [r.doc_id for r in spark.read.parquet(f"{path}/shard=0").collect()]
+    assert got == [3, 2, 1]

@@ -408,13 +408,21 @@ def _d8_semdedup(spark, sf_dir):
 
 def _t13_chunk(spark, sf_dir):
     # fixed-token-window chunking with overlap (stride < chunk) so the
-    # sliding-window + short-tail arithmetic is driver-checked
+    # sliding-window + short-tail arithmetic is driver-checked, joined
+    # with the pack_sequences assignment (r9 leg: key-mod shards,
+    # exclusive window cumsum, start-offset binning — the full
+    # concat-then-chunk pipeline in one row shape). pack LEFT JOIN
+    # chunks keeps zero-token docs (they get a pack slot but no chunk).
     from datafusion_substrait_spark.operators import packing
 
     _prep(spark, sf_dir)
-    return packing.chunk_documents(
-        spark.table("documents").select("doc_id", "text"),
-        chunk_tokens=40, stride=30)
+    docs = spark.table("documents").select("doc_id", "text")
+    chunks = packing.chunk_documents(docs, chunk_tokens=40, stride=30)
+    packed = packing.pack_sequences(docs, max_tokens=512, n_shards=8)
+    return (packed.select("doc_id",
+                          F.col("n_tokens").alias("pk_tokens"),
+                          "shard", "bin_id", "bin_offset")
+            .join(chunks, "doc_id", "left"))
 
 
 def _t12_boilerplate(spark, sf_dir):
@@ -713,12 +721,24 @@ def _c3_bloom_decontaminate(spark, sf_dir):
 
 
 def _d7_incremental_dedup(spark, sf_dir):
-    # incremental minhash dedup against a persisted signature store:
-    # store = docs with doc_id % 5 != 0, increment = the % 5 == 0 batch.
-    # Same parameters as d2 (32 hashes / 8 bands / 5-shingles, threshold
-    # 0.35), so the increment must equal the new-touching subset of d2's
-    # batch pair set — which the all-pairs DuckDB oracle replays exactly
-    # (recall deterministically 1 at sf<=0.01, see the d2 oracle note)
+    # incremental dedup against persisted signature stores, two
+    # mirror-shaped legs (leg, doc_a, doc_b, metric):
+    #   'minhash' — store = docs with doc_id % 5 != 0, increment = the
+    #     % 5 == 0 batch; same parameters as d2 (32 hashes / 8 bands /
+    #     5-shingles, threshold 0.35), so the increment must equal the
+    #     new-touching subset of d2's batch pair set — which the
+    #     all-pairs DuckDB oracle replays exactly (recall
+    #     deterministically 1 at sf<=0.01, see the d2 oracle note);
+    #     metric = 6dp jaccard.
+    #   'hamming' (r9) — the incremental Hamming store: portable
+    #     md5-token-hash simhash signatures (the d3 trick, so DuckDB
+    #     replays the signature bit-for-bit) written with
+    #     write_hamming_store for the % 5 != 0 docs, then
+    #     hamming_pairs_increment over the % 5 == 0 batch. increment ==
+    #     the new-touching subset of hamming_pairs(old ∪ new) BY SHARED
+    #     CODE (_banded_sigs/_hamming_expand), which the oracle replays
+    #     with the same banding + star cap + bit_count verify as d3;
+    #     metric = Hamming distance (≤ 8).
     from datafusion_substrait_spark.operators import incremental
 
     _prep(spark, sf_dir)
@@ -726,8 +746,22 @@ def _d7_incremental_dedup(spark, sf_dir):
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
     incremental.write_minhash_store(old, "d7_incr_store")
-    return incremental.minhash_lsh_pairs_increment(
+    mh = incremental.minhash_lsh_pairs_increment(
         new, "d7_incr_store", threshold=0.35)
+    sigs = dedup.simhash_signatures(docs, hash_fn=dedup.md5_token_hash)
+    incremental.write_hamming_store(
+        sigs.filter(F.col("doc_id") % 5 != 0), "d7_hamm_store",
+        key_col="doc_id", sig_col="simhash")
+    hm = incremental.hamming_pairs_increment(
+        sigs.filter(F.col("doc_id") % 5 == 0), "d7_hamm_store",
+        max_hamming=8)
+    return (mh.select(F.lit("minhash").alias("leg"), "doc_a", "doc_b",
+                      F.col("jaccard").cast("double").alias("metric"))
+            .unionByName(hm.select(
+                F.lit("hamming").alias("leg"),
+                F.col("key_a").alias("doc_a"),
+                F.col("key_b").alias("doc_b"),
+                F.col("hamming").cast("double").alias("metric"))))
 
 
 def _e7_asof_salted(spark, sf_dir):
@@ -1761,17 +1795,60 @@ ORACLES: dict[str, str] = {
                rl.rl_text, rl.rl_n_kept, rl.rl_n_dropped
         FROM final JOIN sm USING (doc_id) JOIN rl USING (doc_id)
     """,
-    # d7: the new-touching subset of the d2 all-pairs graph (store =
-    # doc_id % 5 != 0, increment = % 5 == 0); valid under the same
-    # deterministic-recall-1 argument as d2's oracle
+    # d7: two mirror-shaped incremental-store legs. 'minhash' = the
+    # new-touching subset of the d2 all-pairs graph (store = doc_id % 5
+    # != 0, increment = % 5 == 0); valid under the same
+    # deterministic-recall-1 argument as d2's oracle. 'hamming' (r9) =
+    # the new-touching subset of the d3 banding pipeline (identical
+    # md5-60-bit signature, 4×16-bit band buckets, star cap, bit_count
+    # verify ≤ 8) — exactly what hamming_pairs_increment computes over
+    # the persisted store, since increment and batch share
+    # _banded_sigs/_hamming_expand.
     "d7_incremental_dedup": f"""
-        WITH sh AS ({_D2_SHINGLES_SQL})
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                     / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
-                   AS jaccard
-        {_D2_PAIRS_FROM}
-          AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        WITH sh AS ({_D2_SHINGLES_SQL}),
+        mh AS (
+            SELECT 'minhash' AS leg, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                       AS metric
+            {_D2_PAIRS_FROM}
+              AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(CASE WHEN len({_TOKS}) = 0 THEN ['']
+                                     ELSE {_TOKS} END) AS t
+                  FROM documents)
+        ),
+        sigs AS (
+            SELECT doc_id, CAST({_D3_SIG_EXPR} AS BIGINT) AS sig
+            FROM th GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, sig, band, (sig >> (16 * band)) & 65535 AS val
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(band)
+        ),
+        bstats AS (
+            SELECT band, val, count(*) AS n, min(doc_id) AS hub
+            FROM banded GROUP BY band, val HAVING count(*) > 1
+        ),
+        hm AS (
+            SELECT DISTINCT 'hamming' AS leg,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS DOUBLE) AS metric
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.val = b.val
+                         AND a.doc_id < b.doc_id
+            JOIN bstats s ON s.band = a.band AND s.val = a.val
+            WHERE (s.n <= 500 OR a.doc_id = s.hub)
+              AND bit_count(xor(a.sig, b.sig)) <= 8
+              AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        )
+        SELECT leg, doc_a, doc_b, metric FROM mh
+        UNION ALL
+        SELECT leg, doc_a, doc_b, metric FROM hm
     """,
     # s2/d5: the random-hyperplane signature is integer arithmetic (Fibonacci
     # hash of (plane, dim), identical in BIGINT on both engines) plus one
@@ -1803,21 +1880,45 @@ ORACLES: dict[str, str] = {
 
     "s3_ivf_topk": _ivf_sql(_S3_CENTROIDS, _S3_NPROBE, 10),
     "d8_semdedup": _semdedup_sql(_S3_CENTROIDS, 0.4, 500),
-    # t13: same tokenizer (_TOKS); DuckDB 1-based inclusive list slices
-    # clamp exactly like Spark's F.slice; window emitted while
-    # i*stride < n_tokens, so the tail window may be short
+    # t13: same tokenizer (_TOKS) for the chunk leg; DuckDB 1-based
+    # inclusive list slices clamp exactly like Spark's F.slice; window
+    # emitted while i*stride < n_tokens, so the tail window may be
+    # short. r9 pack leg: pack_sequences' assignment (whitespace
+    # token_count, key-mod-8 shards, exclusive cumsum in key order,
+    # 512-token bins) LEFT JOINed so zero-token docs keep their pack
+    # slot with NULL chunk columns.
     "t13_chunk": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents
         ), nz AS (
             SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), ch AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   CAST(len(toks[CAST(i*30+1 AS INT) : CAST(i*30+40 AS INT)]) AS INT)
+                       AS n_tokens,
+                   array_to_string(toks[CAST(i*30+1 AS INT) : CAST(i*30+40 AS INT)], ' ')
+                       AS chunk_text
+            FROM nz, unnest(range(0, CAST(floor((n-1)/30) AS BIGINT) + 1)) AS u(i)
+        ), pt AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(doc_id % 8 AS INT) AS shard
+            FROM documents
+        ), pc AS (
+            SELECT doc_id, n_tokens, shard,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+            FROM pt
+        ), pk AS (
+            SELECT doc_id, n_tokens AS pk_tokens, shard,
+                   CAST(floor(start / 512) AS BIGINT) AS bin_id,
+                   CAST(start % 512 AS BIGINT) AS bin_offset
+            FROM pc
         )
-        SELECT doc_id, CAST(i AS INT) AS chunk_id,
-               CAST(len(toks[CAST(i*30+1 AS INT) : CAST(i*30+40 AS INT)]) AS INT)
-                   AS n_tokens,
-               array_to_string(toks[CAST(i*30+1 AS INT) : CAST(i*30+40 AS INT)], ' ')
-                   AS chunk_text
-        FROM nz, unnest(range(0, CAST(floor((n-1)/30) AS BIGINT) + 1)) AS u(i)
+        SELECT pk.doc_id, pk.pk_tokens, pk.shard, pk.bin_id, pk.bin_offset,
+               ch.chunk_id, ch.n_tokens, ch.chunk_text
+        FROM pk LEFT JOIN ch USING (doc_id)
     """,
     # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid
     # because (a) d2's output is exact-verified Jaccard over LSH candidates,

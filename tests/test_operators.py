@@ -131,6 +131,18 @@ def test_dedup_clusters_connected_components(spark):
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_dedup_clusters_long_chain_converges(spark):
+    """A planted 1000-link chain (diameter 1000 — the template-drift
+    pathology: each near-dup pairs only with its neighbors) must converge
+    within max_iter=20: pointer doubling covers ≥ 2d+1 distance per
+    round, where r8's one-hop propagation needed ~1000 rounds and raised."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], ["doc_a", "doc_b"])
+    got = dedup.dedup_clusters(pairs, max_iter=20)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == 1001
+
+
 def test_hamming_pairs_edge_contracts(spark):
     """All-NULL signatures produce an empty (not failing) result;
     identical signatures pair at hamming 0 exactly once despite

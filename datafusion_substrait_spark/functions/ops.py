@@ -62,6 +62,11 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "DateAdd": "date_add",
     "DateSub": "date_sub",
     "DateDiff": "date_diff",  # (end, start) argument order on both sides
+    # 0-based array indexing (arr[i]); also emitted by the PIVOT
+    # auto-lowering's slot-array extraction (producer._rel_Aggregate).
+    # Consumed as F.get (NULL on out-of-bounds) — under ANSI mode Spark's
+    # own GetArrayItem errors on OOB instead, a documented asymmetry.
+    "GetArrayItem": "array_get",
 }
 
 # Not(inner-class) → negated substrait name (producer's NotEq/NotLike/… forms)
@@ -197,6 +202,7 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "date_add": lambda a, b: F.date_add(a, b),
     "date_sub": lambda a, b: F.date_sub(a, b),
     "date_diff": lambda a, b: F.datediff(a, b),
+    "array_get": lambda a, b: F.get(a, b),  # 0-based, NULL on OOB
     "replace": lambda a, b, c: F.replace(a, b, c),
     # call_function: the F.split/F.sort_array wrappers want pattern/limit/
     # asc as python values, but consumed plans pass everything as Columns

@@ -124,12 +124,6 @@ class _Producer:
         kind = _cls(node)
         handler = getattr(self, f"_rel_{kind}", None)
         if handler is None:
-            if kind == "Expand":
-                raise SubstraitError(
-                    "bare Catalyst Expand outside a GROUP BY aggregate is not "
-                    "serializable (GROUPING SETS / ROLLUP / CUBE under an "
-                    "Aggregate ARE — see _rel_Aggregate_grouping_sets)"
-                )
             raise SubstraitError(
                 f"unsupported logical operator {kind} "
                 "(≡ producer.rs:281-285 catch-all)"
@@ -310,6 +304,9 @@ class _Producer:
         def agg_override(e):
             kind = _cls(e)
             if kind == "AggregateExpression":
+                if _cls(e.aggregateFunction()) == "PivotFirst":
+                    return self._lower_pivot_first(
+                        e, cids, n_g, measures, measure_nodes)
                 for idx, m in enumerate(measure_nodes):
                     if m.semanticEquals(e):
                         return proto.field_ref(n_g + idx)
@@ -578,6 +575,68 @@ class _Producer:
             cids,
         )
 
+    class _NeverEqual:
+        """Placeholder in measure_nodes for synthesized (non-Catalyst)
+        measures — never deduplicated against real AggregateExpressions."""
+
+        @staticmethod
+        def semanticEquals(_other) -> bool:  # noqa: N802 (Catalyst API shape)
+            return False
+
+    def _lower_pivot_first(self, agg_expr, cids, n_g, measures,
+                           measure_nodes) -> dict:
+        """Auto-lower Catalyst's PivotFirst (SQL PIVOT / DataFrame
+        ``.pivot()``) into per-pivot-value FILTER measures — the
+        reference-surface mechanism the consumer already executes
+        (per-measure FILTER, consumer.rs:242-251) instead of an r8-style
+        named fence.
+
+        ResolvePivot emits ``Aggregate [gby] [gby, pivotfirst(pivotCol,
+        value#ref, v1..vn)] <- Aggregate [gby, pivotCol] [...]``: the
+        inner aggregate leaves exactly ONE row per (group, pivot value),
+        so ``pivotfirst``'s slot i — "the value from the row where
+        pivotCol = v_i" — equals ``max(value) FILTER (WHERE pivotCol <=>
+        v_i)`` over the inner output, including missing-combination NULLs
+        (max over the empty filtered set). The slots are emitted as plain
+        measures and reassembled into the array the parent Project
+        indexes (``__pivot_...[i]``) with Expression.Nested.List +
+        ``array_get``; Catalyst's SimplifyExtractValueOps collapses the
+        array back out of the consumed plan, leaving flat FILTER
+        aggregates."""
+        pf = agg_expr.aggregateFunction()
+        if agg_expr.isDistinct() or _opt(agg_expr.filter()) is not None:
+            raise SubstraitError(
+                "pivotfirst with DISTINCT or FILTER has no lowering "
+                "(Catalyst's ResolvePivot never emits one)")
+        kids = _seq(pf.children())
+        if len(kids) != 2:
+            # the 3-child ordered form carries an orderColumn Spark only
+            # uses for struct-reassembly of multi-agg pivots pre-3.0
+            raise SubstraitError(
+                f"pivotfirst with {len(kids)} children is not the "
+                "2-child (pivotColumn, valueColumn) ResolvePivot shape")
+        pivot_e, value_e = kids
+        pdt = pivot_e.dataType().simpleString()
+        # measure args/filters live in the input ordinal space — suspend
+        # the output-space override (same rule as _measure)
+        prev, self._override = self._override, None
+        try:
+            pivot_ref = self.rex(pivot_e, cids)
+            value_ref = self.rex(value_e, cids)
+        finally:
+            self._override = prev
+        slot_refs = []
+        for v in _seq(pf.pivotColumnValues()):
+            filt = proto.scalar_function(
+                self.registry.register("is_not_distinct_from"),
+                [pivot_ref, self._literal_value(v, pdt)])
+            measure_nodes.append(self._NeverEqual)
+            measures.append(proto.measure(
+                self.registry.register("max"), [value_ref],
+                filter_expr=filt))
+            slot_refs.append(proto.field_ref(n_g + len(measures) - 1))
+        return proto.nested_list(slot_refs)
+
     def _measure(self, agg_expr, cids) -> dict:
         # measure args/filters live in the aggregate's INPUT ordinal space —
         # the output-space override must not apply inside them
@@ -675,6 +734,28 @@ class _Producer:
             )
         groupings = [proto.field_ref(cids.index(k)) for k in keys]
         return proto.aggregate_rel(crel, groupings, []), keys
+
+    def _rel_Expand(self, node, needed=None):
+        """Bare Catalyst Expand (UNPIVOT, and any other row-replication
+        outside the grouping-sets shape that _rel_Aggregate intercepts) —
+        auto-lowered to the UNION-ALL-of-projections it is semantically:
+        each Expand projection row becomes one ProjectRel branch over the
+        SHARED child rel, combined with SetRel UNION ALL (exactly the
+        manual spelling the r8 fence test pinned as the equivalent).
+        Replaces the r8 named fence. The child is produced once; branch
+        projections re-reference it, so at scale this is one scan feeding
+        n branch projections — Spark's own Expand executes the same row
+        multiplication."""
+        rows = [_seq(r) for r in _seq(node.projections())]
+        out_ids = [a.exprId().id() for a in _seq(node.output())]
+        used = {a.exprId().id() for r in rows for e in r
+                for a in _seq(e.references().toSeq())}
+        crel, cids = self.rel(node.child(), used or None)
+        branches = [
+            proto.project_rel(crel, [self.rex(e, cids) for e in row])
+            for row in rows
+        ]
+        return proto.set_rel(branches, "SET_OP_UNION_ALL"), out_ids
 
     def _rel_Union(self, node, needed=None):
         # Substrait SetRel (spec §SetRel; NOT in the reference — extension).

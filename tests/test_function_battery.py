@@ -95,6 +95,9 @@ SNIPPETS: dict[str, str] = {
     "least": "least(o_orderkey, o_custkey, 5)",
     # arrays (via split)
     "regexp_split": "split(o_orderpriority, '-')",
+    # 0-based indexing; non-foldable array so SimplifyExtractValueOps
+    # cannot constant-fold GetArrayItem away pre-produce
+    "array_get": "split(o_orderpriority, '-')[1]",
     "sort_array": "sort_array(split(o_orderpriority, '-'))",
     "array_join": "array_join(split(o_orderpriority, '-'), '+')",
     # complex-type constructors (r8): field/key NAMES ride as interleaved

@@ -350,19 +350,29 @@ def test_connect_dataframe_rejected_up_front():
         to_substrait_plan(FakeConnectDataFrame())
 
 
-def test_pivot_raises_named_error_with_manual_alternative(spark):
-    """SQL PIVOT compiles to Catalyst's PivotFirst aggregate, which is
-    outside the reference surface (SURVEY.md §2.5 fence) — the producer
-    must name the unsupported function, and the manual FILTER-aggregate
-    spelling of the same pivot must round-trip with identical values."""
+def test_pivot_auto_lowers_and_roundtrips(spark):
+    """SQL PIVOT compiles to Catalyst's PivotFirst aggregate; the
+    producer auto-lowers it (r9) to per-pivot-value max-FILTER measures
+    — the reference's own per-measure FILTER mechanism
+    (consumer.rs:242-251) — so it round-trips value-identical through
+    JSON and the binary wire, including the missing-combination NULLs
+    and the multi-aggregate form. The manual FILTER-aggregate spelling
+    stays pinned as the semantic ground truth."""
+    from datafusion_substrait_spark.plans import wire
+
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
     piv = spark.sql("""
         SELECT * FROM (SELECT o_custkey, o_orderstatus, o_totalprice
                        FROM orders)
         PIVOT (round(sum(o_totalprice), 2)
                FOR o_orderstatus IN ('O', 'F', 'P'))
     """)
-    with pytest.raises(SubstraitError, match="pivotfirst"):
-        to_substrait_plan(piv)
+    plan = to_substrait_plan(piv)
+    back = from_substrait_plan(spark, plan)
+    want = sorted(map(tuple, piv.collect()), key=key)
+    assert sorted(map(tuple, back.collect()), key=key) == want
+    wback = from_substrait_plan(spark, wire.decode_plan(wire.encode_plan(plan)))
+    assert sorted(map(tuple, wback.collect()), key=key) == want
 
     manual = spark.sql("""
         SELECT o_custkey,
@@ -371,20 +381,30 @@ def test_pivot_raises_named_error_with_manual_alternative(spark):
                round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS P
         FROM orders GROUP BY o_custkey
     """)
-    back = from_substrait_plan(spark, to_substrait_plan(manual))
-    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
-    assert sorted(map(tuple, manual.collect()), key=key) \
-        == sorted(map(tuple, back.collect()), key=key)
-    assert sorted(map(tuple, piv.collect()), key=key) \
-        == sorted(map(tuple, manual.collect()), key=key)
+    assert sorted(map(tuple, manual.collect()), key=key) == want
+
+    multi = spark.sql("""
+        SELECT * FROM (SELECT o_custkey, o_orderstatus, o_totalprice
+                       FROM orders)
+        PIVOT (sum(o_totalprice) AS s, count(o_totalprice) AS c
+               FOR o_orderstatus IN ('O', 'F'))
+    """)
+    mback = from_substrait_plan(spark, to_substrait_plan(multi))
+    assert sorted(map(tuple, multi.collect()), key=key) \
+        == sorted(map(tuple, mback.collect()), key=key)
 
 
-def test_unpivot_fence_and_lateral_scalar_roundtrip(spark):
-    """UNPIVOT compiles to a bare Catalyst Expand — outside the
-    serializable surface, named error pinned (the UNION ALL spelling is
-    the supported equivalent and round-trips value-identical). A
-    correlated LATERAL scalar subquery, by contrast, is rewritten by
-    Catalyst into supported join shapes and must round-trip as-is."""
+def test_unpivot_auto_lowers_and_lateral_scalar_roundtrip(spark):
+    """UNPIVOT compiles to a bare Catalyst Expand; the producer
+    auto-lowers it (r9) to the UNION-ALL-of-projections it is
+    semantically — SetRel over per-row ProjectRels, exactly the manual
+    spelling this test previously pinned as the equivalent — so it
+    round-trips value-identical through JSON and the binary wire,
+    multi-value-column form included. A correlated LATERAL scalar
+    subquery, by contrast, is rewritten by Catalyst into supported join
+    shapes and must round-trip as-is."""
+    from datafusion_substrait_spark.plans import wire
+
     key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
 
     unp = spark.sql("""
@@ -393,16 +413,30 @@ def test_unpivot_fence_and_lateral_scalar_roundtrip(spark):
                 CAST(o_custkey AS DOUBLE) AS o_ck FROM orders)
         UNPIVOT (amt FOR kind IN (o_totalprice AS price, o_ck AS cust))
     """)
-    with pytest.raises(SubstraitError, match="Expand"):
-        to_substrait_plan(unp)
+    plan = to_substrait_plan(unp)
+    want = sorted(map(tuple, unp.collect()), key=key)
+    assert sorted(map(tuple,
+                      from_substrait_plan(spark, plan).collect()),
+                  key=key) == want
+    wback = from_substrait_plan(spark, wire.decode_plan(wire.encode_plan(plan)))
+    assert sorted(map(tuple, wback.collect()), key=key) == want
     manual = spark.sql("""
         SELECT o_orderkey, 'price' AS kind, o_totalprice AS amt FROM orders
         UNION ALL
         SELECT o_orderkey, 'cust' AS kind, CAST(o_custkey AS DOUBLE) FROM orders
     """)
-    back = from_substrait_plan(spark, to_substrait_plan(manual))
-    assert sorted(map(tuple, unp.collect()), key=key) \
-        == sorted(map(tuple, back.collect()), key=key)
+    assert sorted(map(tuple, manual.collect()), key=key) == want
+
+    multi = spark.sql("""
+        SELECT * FROM
+        (SELECT o_orderkey, o_totalprice AS a1, o_totalprice * 2 AS a2,
+                CAST(o_custkey AS DOUBLE) AS b1,
+                CAST(o_custkey * 2 AS DOUBLE) AS b2 FROM orders)
+        UNPIVOT ((x, y) FOR kind IN ((a1, b1) AS one, (a2, b2) AS two))
+    """)
+    mback = from_substrait_plan(spark, to_substrait_plan(multi))
+    assert sorted(map(tuple, multi.collect()), key=key) \
+        == sorted(map(tuple, mback.collect()), key=key)
 
     lat = spark.sql("""
         SELECT c_custkey, o.m FROM customer c,

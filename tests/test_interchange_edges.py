@@ -494,3 +494,50 @@ def test_complex_constructor_surface_and_fences(spark):
                                     SELECT n + 1 FROM r WHERE n < 5)
             SELECT * FROM r
         """))
+
+
+def test_recursive_union_helper_matches_native_recursion(spark):
+    """The tested manual equivalent behind the recursive-CTE fence (r9):
+    operators.recursion.recursive_union runs the same semi-naive
+    iterate-until-empty evaluation as Spark's UnionLoop, as a bounded
+    driver loop of DataFrame jobs. Checked against the NATIVE recursive
+    CTE on (a) a level ramp (UNION ALL mode) and (b) cyclic-graph
+    reachability (UNION mode, where dedup is what terminates); the
+    non-convergence contract raises like Spark's recursion limit."""
+    from pyspark.sql import functions as F
+
+    from datafusion_substrait_spark.operators.recursion import recursive_union
+
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+
+    native = spark.sql("""
+        WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL
+                                SELECT n + 1 FROM r WHERE n < 5)
+        SELECT * FROM r
+    """)
+    seed = spark.range(1, 2).select(F.col("id").cast("int").alias("n"))
+    got = recursive_union(
+        seed, lambda f: f.filter("n < 5").select((F.col("n") + 1).alias("n")),
+        distinct=False)
+    assert sorted(map(tuple, got.collect()), key=key) \
+        == sorted(map(tuple, native.collect()), key=key)
+
+    # cyclic reachability: 1->2->3->1 plus 3->4. Spark 4.1 rejects
+    # UNION (distinct) inside a recursive CTE outright
+    # (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — the helper's
+    # distinct=True mode is a SUPERSET: dedup is what terminates the
+    # cycle, checked against the hand-computed closure.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)],
+                                  ["src", "dst"])
+    seed2 = spark.range(1, 2).select(F.col("id").cast("bigint").alias("node"))
+    got2 = recursive_union(
+        seed2,
+        lambda f: f.join(edges, f["node"] == edges["src"])
+                   .select(edges["dst"].alias("node")),
+        distinct=True)
+    assert sorted(map(tuple, got2.collect()), key=key) \
+        == [(1,), (2,), (3,), (4,)]
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        recursive_union(seed, lambda f: f.select((F.col("n") + 1).alias("n")),
+                        max_iter=3, distinct=False)

@@ -280,6 +280,99 @@ def test_corpus_hygiene_ops_work_on_streams(spark):
         assert rows_set(got) == rows_set(expect), name
 
 
+def test_streaming_hamming_store_daily_append_loop(spark, tmp_path):
+    """The daily-append near-dup loop end-to-end AS A STREAM (r9):
+    file-arrival binaryFile stream → image_phash → foreachBatch
+    (hamming_pairs_increment, then append_to_hamming_store) across ≥2
+    micro-batch generations. The union of per-batch increments must
+    equal the new-touching subset of the full batch hamming_pairs over
+    store ∪ all streamed files — regardless of how the files split into
+    micro-batches (each pair is emitted exactly once, when its latest
+    member arrives)."""
+    import os
+
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import (dedup, incremental,
+                                                      multimodal)
+    from datafusion_substrait_spark.sources.catalog import register_binary_dir
+    from tests.test_operators import _encode_png
+
+    rng = np.random.default_rng(47)
+    scan = (list(range(5)) * 7)[:32]
+
+    def png(img):
+        return bytes(_encode_png(img.tolist(), 0, scan))
+
+    def noised(b):
+        return np.clip(b.astype(int) + rng.integers(-2, 3, b.shape),
+                       0, 255).astype(np.uint8)
+
+    base = [rng.integers(0, 256, (32, 32), np.uint8) for _ in range(4)]
+    store_dir = tmp_path / "store_gen"
+    crawl = tmp_path / "crawl_gen"
+    store_dir.mkdir()
+    crawl.mkdir()
+    # store generation: one noised copy of each base image
+    for i, b in enumerate(base):
+        (store_dir / f"s{i}.png").write_bytes(png(noised(b)))
+    # streamed generations: two more copies of each base (near-dups of
+    # the store AND of each other), staggered mtimes so the file source
+    # splits them deterministically across micro-batches
+    files = []
+    for g in range(2):
+        for i, b in enumerate(base):
+            p = crawl / f"g{g}_{i}.png"
+            p.write_bytes(png(noised(b)))
+            files.append((p, 1_700_000_000 + g * 1000 + i))
+    for p, mt in files:
+        os.utime(p, (mt, mt))
+
+    for t in ("sh_store_hbuckets", "sh_store_h_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    old = multimodal.image_phash(
+        register_binary_dir(spark, "sh_gen0", str(store_dir), glob="*.png"))
+    incremental.write_hamming_store(old, "sh_store", key_col="key",
+                                    sig_col="phash", n_buckets=4)
+
+    got_pairs: set = set()
+    batch_ids: list[int] = []
+
+    def process(batch_df, epoch_id):
+        sigs = multimodal.image_phash(
+            batch_df.select(F.xxhash64("path").alias("key"),
+                            F.col("content").alias("payload")))
+        inc = incremental.hamming_pairs_increment(sigs, "sh_store",
+                                                  max_hamming=6)
+        got_pairs.update((r.key_a, r.key_b, r.hamming)
+                         for r in inc.collect())
+        incremental.append_to_hamming_store(sigs, "sh_store")
+        batch_ids.append(epoch_id)
+
+    schema = spark.read.format("binaryFile").load(str(crawl)).schema
+    q = (spark.readStream.format("binaryFile")
+         .option("pathGlobFilter", "*.png")
+         .option("maxFilesPerTrigger", 4)
+         .schema(schema).load(str(crawl))
+         .writeStream.foreachBatch(process)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert len(batch_ids) >= 2, f"expected >=2 micro-batches: {batch_ids}"
+
+    new = multimodal.image_phash(
+        register_binary_dir(spark, "sh_new", str(crawl), glob="*.png"))
+    new_keys = {r.key for r in new.select("key").collect()}
+    full = {(r.key_a, r.key_b, r.hamming)
+            for r in dedup.hamming_pairs(
+                old.unionByName(new), key_col="key", sig_col="phash",
+                max_hamming=6, out_prefix="key").collect()}
+    want = {p for p in full if p[0] in new_keys or p[1] in new_keys}
+    assert got_pairs == want and got_pairs
+    # and the store now holds everything: a fresh increment of an
+    # already-seen near-dup family finds its neighbors in ONE probe
+    assert spark.table("sh_store_hbuckets").count() > 0
+
+
 def test_binary_ingestion_streams_with_phash_parity(spark, tmp_path):
     """File-arrival streaming ingestion for multimodal payloads: the
     binaryFile source readStreams over a crawl directory and the

@@ -410,18 +410,27 @@ def _t13_chunk(spark, sf_dir):
     # fixed-token-window chunking with overlap (stride < chunk) so the
     # sliding-window + short-tail arithmetic is driver-checked, joined
     # with the pack_sequences assignment (r9 leg: key-mod shards,
-    # exclusive window cumsum, start-offset binning — the full
-    # concat-then-chunk pipeline in one row shape). pack LEFT JOIN
+    # exclusive window cumsum, start-offset binning) packed in
+    # DETERMINISTIC-SHUFFLE order — epoch_key = md5('v'‖key‖salt), the
+    # exact deterministic_shuffle/_key_bytes expression, rides as
+    # order_col AND as an output column, so the per-epoch shuffled
+    # packing composition is value-checked end to end. pack LEFT JOIN
     # chunks keeps zero-token docs (they get a pack slot but no chunk).
     from datafusion_substrait_spark.operators import packing
+    from datafusion_substrait_spark.operators.sampling import _key_bytes
 
     _prep(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
     chunks = packing.chunk_documents(docs, chunk_tokens=40, stride=30)
-    packed = packing.pack_sequences(docs, max_tokens=512, n_shards=8)
+    packed = packing.pack_sequences(
+        docs.withColumn("epoch_key",
+                        F.md5(_key_bytes(F.col("doc_id"), "r9epoch"))),
+        max_tokens=512, n_shards=8, order_col="epoch_key")
     return (packed.select("doc_id",
                           F.col("n_tokens").alias("pk_tokens"),
-                          "shard", "bin_id", "bin_offset")
+                          "shard", "bin_id", "bin_offset",
+                          F.md5(_key_bytes(F.col("doc_id"), "r9epoch"))
+                          .alias("epoch_key"))
             .join(chunks, "doc_id", "left"))
 
 
@@ -1884,9 +1893,12 @@ ORACLES: dict[str, str] = {
     # inclusive list slices clamp exactly like Spark's F.slice; window
     # emitted while i*stride < n_tokens, so the tail window may be
     # short. r9 pack leg: pack_sequences' assignment (whitespace
-    # token_count, key-mod-8 shards, exclusive cumsum in key order,
-    # 512-token bins) LEFT JOINed so zero-token docs keep their pack
-    # slot with NULL chunk columns.
+    # token_count, key-mod-8 shards, 512-token bins) with the exclusive
+    # cumsum in DETERMINISTIC-SHUFFLE order — epoch_key =
+    # md5('v' ‖ key ‖ 'r9epoch'), the deterministic_shuffle/_key_bytes
+    # expression, is both the window order and an output column — LEFT
+    # JOINed so zero-token docs keep their pack slot with NULL chunk
+    # columns.
     "t13_chunk": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -1903,21 +1915,23 @@ ORACLES: dict[str, str] = {
             SELECT doc_id,
                    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                                         x -> x <> '')) AS BIGINT) AS n_tokens,
-                   CAST(doc_id % 8 AS INT) AS shard
+                   CAST(doc_id % 8 AS INT) AS shard,
+                   md5('v' || CAST(doc_id AS VARCHAR) || 'r9epoch') AS epoch_key
             FROM documents
         ), pc AS (
-            SELECT doc_id, n_tokens, shard,
-                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            SELECT doc_id, n_tokens, shard, epoch_key,
+                   sum(n_tokens) OVER (PARTITION BY shard
+                       ORDER BY epoch_key, doc_id
                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
             FROM pt
         ), pk AS (
-            SELECT doc_id, n_tokens AS pk_tokens, shard,
+            SELECT doc_id, n_tokens AS pk_tokens, shard, epoch_key,
                    CAST(floor(start / 512) AS BIGINT) AS bin_id,
                    CAST(start % 512 AS BIGINT) AS bin_offset
             FROM pc
         )
         SELECT pk.doc_id, pk.pk_tokens, pk.shard, pk.bin_id, pk.bin_offset,
-               ch.chunk_id, ch.n_tokens, ch.chunk_text
+               pk.epoch_key, ch.chunk_id, ch.n_tokens, ch.chunk_text
         FROM pk LEFT JOIN ch USING (doc_id)
     """,
     # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid

@@ -393,6 +393,25 @@ def test_pivot_auto_lowers_and_roundtrips(spark):
     assert sorted(map(tuple, multi.collect()), key=key) \
         == sorted(map(tuple, mback.collect()), key=key)
 
+    # DataFrame-API forms ride the same ResolvePivot shape: explicit
+    # values, analysis-time-inferred values (count agg: present
+    # combinations count, missing ones stay NULL — the semantics max
+    # FILTER preserves and a bare count FILTER would turn into 0), and
+    # non-string pivot values
+    from pyspark.sql import functions as F
+    dfp = (spark.table("orders").groupBy("o_custkey")
+           .pivot("o_orderstatus").agg(F.count(F.lit(1))))
+    dback = from_substrait_plan(spark, to_substrait_plan(dfp))
+    assert sorted(map(tuple, dfp.collect()), key=key) \
+        == sorted(map(tuple, dback.collect()), key=key)
+    ints = (spark.table("orders")
+            .withColumn("k", (F.col("o_orderkey") % 3).cast("int"))
+            .groupBy("o_orderstatus")
+            .pivot("k", [0, 1, 2]).agg(F.round(F.avg("o_totalprice"), 2)))
+    iback = from_substrait_plan(spark, to_substrait_plan(ints))
+    assert sorted(map(tuple, ints.collect()), key=key) \
+        == sorted(map(tuple, iback.collect()), key=key)
+
 
 def test_unpivot_auto_lowers_and_lateral_scalar_roundtrip(spark):
     """UNPIVOT compiles to a bare Catalyst Expand; the producer

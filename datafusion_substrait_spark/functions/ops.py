@@ -67,6 +67,10 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     # Consumed as F.get (NULL on out-of-bounds) — under ANSI mode Spark's
     # own GetArrayItem errors on OOB instead, a documented asymmetry.
     "GetArrayItem": "array_get",
+    # m[k]: NULL on missing key in BOTH ANSI modes (SPARK-40066), which
+    # try_element_at reproduces exactly on consume
+    "GetMapValue": "map_get",
+    "ArrayContains": "array_contains",
 }
 
 # Not(inner-class) → negated substrait name (producer's NotEq/NotLike/… forms)
@@ -100,6 +104,8 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "StringTrimRight": "rtrim",
     "InitCap": "initcap",
     "BitwiseNot": "bitwise_not",
+    # size(array|map); ANSI-era semantics (size(NULL) = NULL) on both sides
+    "Size": "size",
 }
 
 CATALYST_NARY_TO_NAME: dict[str, str] = {
@@ -203,6 +209,9 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "date_sub": lambda a, b: F.date_sub(a, b),
     "date_diff": lambda a, b: F.datediff(a, b),
     "array_get": lambda a, b: F.get(a, b),  # 0-based, NULL on OOB
+    "map_get": lambda a, b: F.try_element_at(a, b),  # NULL on missing key
+    "array_contains": lambda a, b: F.array_contains(a, b),
+    "size": lambda a: F.size(a),
     "replace": lambda a, b, c: F.replace(a, b, c),
     # call_function: the F.split/F.sort_array wrappers want pattern/limit/
     # asc as python values, but consumed plans pass everything as Columns

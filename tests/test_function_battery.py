@@ -98,6 +98,13 @@ SNIPPETS: dict[str, str] = {
     # 0-based indexing; non-foldable array so SimplifyExtractValueOps
     # cannot constant-fold GetArrayItem away pre-produce
     "array_get": "split(o_orderpriority, '-')[1]",
+    "array_contains": "array_contains(split(o_orderpriority, '-'), 'LOW')",
+    "size": "size(split(o_orderpriority, '-'))",
+    # the CASE barrier keeps SimplifyExtractValueOps from folding the
+    # access into a CASE over the CreateMap; NULL-on-missing semantics
+    # pinned by the 'zzz' probe
+    "map_get": "(CASE WHEN o_orderkey > 0 THEN map(o_orderstatus, o_orderkey) "
+               "END)['zzz']",
     "sort_array": "sort_array(split(o_orderpriority, '-'))",
     "array_join": "array_join(split(o_orderpriority, '-'), '+')",
     # complex-type constructors (r8): field/key NAMES ride as interleaved

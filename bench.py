@@ -74,7 +74,9 @@ BUDGETS: dict[str, float] = {
     # r8 re-derived (same formula, new best-of-3): s1 carries the int8
     # leg, t2 carries the classifier fit→score legs, d8/t13 newly benched
     "d8_semdedup": 6.75,
-    "t13_chunk": 0.45,
+    # r9 re-derived (same formula): t13 grew the shuffled-pack leg
+    # (md5 order_col window + pack LEFT JOIN chunks)
+    "t13_chunk": 0.68,
     "s1_bruteforce_topk": 2.18,
     "s3_ivf_topk": 2.41,
     "t2_quality": 2.62,  # re-derived after the gopher-columns merge

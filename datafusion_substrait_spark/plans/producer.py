@@ -742,10 +742,12 @@ class _Producer:
         each Expand projection row becomes one ProjectRel branch over the
         SHARED child rel, combined with SetRel UNION ALL (exactly the
         manual spelling the r8 fence test pinned as the equivalent).
-        Replaces the r8 named fence. The child is produced once; branch
-        projections re-reference it, so at scale this is one scan feeding
-        n branch projections — Spark's own Expand executes the same row
-        multiplication."""
+        Replaces the r8 named fence. The child rel is produced once and
+        shared by every branch. On consume Spark plans one scan per
+        branch, but each branch column-prunes to its own value column +
+        the id columns, so total scan BYTES match the original Expand's
+        single all-columns read — and the n× row multiplication is
+        identical either way."""
         rows = [_seq(r) for r in _seq(node.projections())]
         out_ids = [a.exprId().id() for a in _seq(node.output())]
         used = {a.exprId().id() for r in rows for e in r

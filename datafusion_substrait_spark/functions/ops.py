@@ -62,6 +62,8 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "DateAdd": "date_add",
     "DateSub": "date_sub",
     "DateDiff": "date_diff",  # (end, start) argument order on both sides
+    "Pow": "power",
+    "Atan2": "atan2",
     # 0-based array indexing (arr[i]); also emitted by the PIVOT
     # auto-lowering's slot-array extraction (producer._rel_Aggregate).
     # Consumed as F.get (NULL on out-of-bounds) — under ANSI mode Spark's
@@ -106,6 +108,24 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "BitwiseNot": "bitwise_not",
     # size(array|map); ANSI-era semantics (size(NULL) = NULL) on both sides
     "Size": "size",
+    # math battery (r9): substrait-spec spellings; consumed by the
+    # same-named Spark builders, so values are bit-identical both ways
+    "Exp": "exp",
+    "Log": "ln",
+    "Log10": "log10",
+    "Log2": "log2",
+    "Sin": "sin",
+    "Cos": "cos",
+    "Tan": "tan",
+    "Asin": "asin",
+    "Acos": "acos",
+    "Atan": "atan",
+    "Sinh": "sinh",
+    "Cosh": "cosh",
+    "Tanh": "tanh",
+    "Signum": "sign",
+    "ToDegrees": "degrees",
+    "ToRadians": "radians",
 }
 
 CATALYST_NARY_TO_NAME: dict[str, str] = {
@@ -212,6 +232,24 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "map_get": lambda a, b: F.try_element_at(a, b),  # NULL on missing key
     "array_contains": lambda a, b: F.array_contains(a, b),
     "size": lambda a: F.size(a),
+    "exp": lambda a: F.exp(a),
+    "ln": lambda a: F.log(a),
+    "log10": lambda a: F.log10(a),
+    "log2": lambda a: F.log2(a),
+    "sin": lambda a: F.sin(a),
+    "cos": lambda a: F.cos(a),
+    "tan": lambda a: F.tan(a),
+    "asin": lambda a: F.asin(a),
+    "acos": lambda a: F.acos(a),
+    "atan": lambda a: F.atan(a),
+    "sinh": lambda a: F.sinh(a),
+    "cosh": lambda a: F.cosh(a),
+    "tanh": lambda a: F.tanh(a),
+    "sign": lambda a: F.signum(a),
+    "degrees": lambda a: F.degrees(a),
+    "radians": lambda a: F.radians(a),
+    "power": lambda a, b: F.pow(a, b),
+    "atan2": lambda a, b: F.atan2(a, b),
     "replace": lambda a, b, c: F.replace(a, b, c),
     # call_function: the F.split/F.sort_array wrappers want pattern/limit/
     # asc as python values, but consumed plans pass everything as Columns

@@ -77,6 +77,26 @@ SNIPPETS: dict[str, str] = {
     "ceil": "ceil(o_totalprice)",
     "sqrt": "round(sqrt(o_totalprice), 4)",
     "round": "round(o_totalprice, 1)",
+    # math battery (r9): both directions run the SAME JVM builders, so
+    # values compare bit-identical without rounding
+    "exp": "exp(o_totalprice / 1e6)",
+    "ln": "ln(o_totalprice)",
+    "log10": "log10(o_totalprice)",
+    "log2": "log2(o_totalprice)",
+    "sin": "sin(o_totalprice)",
+    "cos": "cos(o_totalprice)",
+    "tan": "tan(o_totalprice)",
+    "asin": "asin(o_totalprice / 1e9)",
+    "acos": "acos(o_totalprice / 1e9)",
+    "atan": "atan(o_totalprice)",
+    "sinh": "sinh(o_totalprice / 1e6)",
+    "cosh": "cosh(o_totalprice / 1e6)",
+    "tanh": "tanh(o_totalprice / 1e6)",
+    "sign": "sign(o_totalprice - 100000)",
+    "degrees": "degrees(o_totalprice / 1e6)",
+    "radians": "radians(o_totalprice)",
+    "power": "power(o_totalprice, 0.5)",
+    "atan2": "atan2(o_totalprice, o_orderkey)",
     # strings
     "lower": "lower(o_orderpriority)",
     "upper": "upper(o_orderpriority)",

@@ -290,7 +290,14 @@ class _Producer:
         outputs are not exactly the identity over groupings++measures — wrap
         the AggregateRel in a ProjectRel that rebuilds each Catalyst output
         over the (groupings ++ measures) ordinal space."""
-        if _cls(node.child()) == "Expand":
+        if _cls(node.child()) == "Expand" and any(
+                a.name() == "spark_grouping_id"
+                for a in _seq(node.child().output())):
+            # GROUPING SETS / ROLLUP / CUBE → native multi-grouping
+            # AggregateRel. An Expand WITHOUT the grouping-id column is
+            # not a grouping-sets shape — it falls through to the generic
+            # path, where _rel_Expand (r9) produces it as
+            # UNION-ALL-of-projections under a plain aggregate.
             return self._rel_Aggregate_grouping_sets(node)
         crel, cids = self.rel(node.child(), _refs(node))
         g_exprs = _seq(node.groupingExpressions())

@@ -457,6 +457,20 @@ def test_unpivot_auto_lowers_and_lateral_scalar_roundtrip(spark):
     assert sorted(map(tuple, multi.collect()), key=key) \
         == sorted(map(tuple, mback.collect()), key=key)
 
+    # aggregate over unpivot: a grouping-id-free Expand under Aggregate
+    # must fall through to the generic path (NOT the grouping-sets
+    # reconstruction) and compose with the plain aggregate rel
+    agg = spark.sql("""
+        SELECT kind, round(sum(amt), 2) AS s FROM
+        (SELECT o_orderkey, o_totalprice,
+                CAST(o_custkey AS DOUBLE) AS o_ck FROM orders)
+        UNPIVOT (amt FOR kind IN (o_totalprice AS price, o_ck AS cust))
+        GROUP BY kind
+    """)
+    aback = from_substrait_plan(spark, to_substrait_plan(agg))
+    assert sorted(map(tuple, agg.collect()), key=key) \
+        == sorted(map(tuple, aback.collect()), key=key)
+
     lat = spark.sql("""
         SELECT c_custkey, o.m FROM customer c,
         LATERAL (SELECT max(o_totalprice) AS m FROM orders

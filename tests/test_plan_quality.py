@@ -58,6 +58,23 @@ def test_aggregate_keeps_partial_phase(spark):
     )
 
 
+def test_pivot_lowering_keeps_partial_phase_and_pruning(spark):
+    """The r9 PIVOT auto-lowering must stay scale-correct on consume:
+    the max-FILTER slot measures get a map-side partial phase (each
+    input partition collapses to one row per group before the shuffle)
+    and the scan still prunes to the three referenced columns."""
+    piv = spark.sql("""
+        SELECT * FROM (SELECT o_custkey, o_orderstatus, o_totalprice
+                       FROM orders)
+        PIVOT (round(sum(o_totalprice), 2)
+               FOR o_orderstatus IN ('O', 'F', 'P'))
+    """)
+    plan = _phys(roundtrip(piv))
+    assert "partial_max" in plan, "pivot slots lost map-side combine"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in read_schema and "o_orderdate" not in read_schema
+
+
 def test_keep_best_per_cluster_is_aggregate_not_window(spark, tables):
     """keep_best_per_cluster must plan its per-cluster winner as a
     map-side-combined AGGREGATE, never a window rank: a degenerate giant

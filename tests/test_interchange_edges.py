@@ -412,6 +412,17 @@ def test_pivot_auto_lowers_and_roundtrips(spark):
     assert sorted(map(tuple, ints.collect()), key=key) \
         == sorted(map(tuple, iback.collect()), key=key)
 
+    # a NULL in the IN list: the null-safe-equality slot filter
+    # (pivotCol <=> NULL ⇔ IS NULL) matches pivotfirst's NULL bucket
+    nul = spark.sql("""
+        SELECT * FROM (SELECT o_custkey, nullif(o_orderstatus, 'P') AS st,
+                              o_totalprice FROM orders)
+        PIVOT (round(sum(o_totalprice), 2) FOR st IN ('O', NULL))
+    """)
+    nback = from_substrait_plan(spark, to_substrait_plan(nul))
+    assert sorted(map(tuple, nul.collect()), key=key) \
+        == sorted(map(tuple, nback.collect()), key=key)
+
 
 def test_unpivot_auto_lowers_and_lateral_scalar_roundtrip(spark):
     """UNPIVOT compiles to a bare Catalyst Expand; the producer

@@ -64,6 +64,14 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "DateDiff": "date_diff",  # (end, start) argument order on both sides
     "Pow": "power",
     "Atan2": "atan2",
+    # date/time + string/hash battery (r9, part 2)
+    "AddMonths": "add_months",
+    "TruncDate": "trunc_date",      # (date, format-literal)
+    "StringRepeat": "repeat",
+    "StringInstr": "instr",         # (str, substr) → 1-based position
+    "Levenshtein": "levenshtein",   # 2-arg form (threshold form is 3-child
+                                    # and fails arity cleanly)
+    "Sha2": "sha2",                 # (binary, numBits-literal)
     # 0-based array indexing (arr[i]); also emitted by the PIVOT
     # auto-lowering's slot-array extraction (producer._rel_Aggregate).
     # Consumed as F.get (NULL on out-of-bounds) — under ANSI mode Spark's
@@ -126,6 +134,25 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "Signum": "sign",
     "ToDegrees": "degrees",
     "ToRadians": "radians",
+    # date/time parts
+    "Hour": "hour",
+    "Minute": "minute",
+    "Second": "second",
+    "DayOfWeek": "day_of_week",
+    "DayOfYear": "day_of_year",
+    "Quarter": "quarter",
+    "WeekOfYear": "week_of_year",
+    "LastDay": "last_day",
+    # string / numeric encodings + hashes
+    "Reverse": "reverse",           # strings AND arrays, both sides
+    "Ascii": "ascii",
+    "Chr": "chr",
+    "Factorial": "factorial",
+    "Hex": "hex",
+    "Unhex": "unhex",
+    "Bin": "bin",
+    "Crc32": "crc32",
+    "Sha1": "sha1",
 }
 
 CATALYST_NARY_TO_NAME: dict[str, str] = {
@@ -146,6 +173,13 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     # the core Expression.Nested.Struct is positional and would drop them
     "CreateNamedStruct": "named_struct",
     "CreateMap": "map",
+    # r9 part 2: 3-child string/date forms
+    "StringLPad": "lpad",
+    "StringRPad": "rpad",
+    "StringTranslate": "translate",
+    "SubstringIndex": "substring_index",
+    "Conv": "conv",                    # (num-string, from-base, to-base)
+    "MonthsBetween": "months_between",  # (d1, d2, roundOff-literal)
 }
 
 # ---------------------------------------------------------------------------
@@ -250,6 +284,39 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "radians": lambda a: F.radians(a),
     "power": lambda a, b: F.pow(a, b),
     "atan2": lambda a, b: F.atan2(a, b),
+    "hour": lambda a: F.hour(a),
+    "minute": lambda a: F.minute(a),
+    "second": lambda a: F.second(a),
+    "day_of_week": lambda a: F.dayofweek(a),
+    "day_of_year": lambda a: F.dayofyear(a),
+    "quarter": lambda a: F.quarter(a),
+    "week_of_year": lambda a: F.weekofyear(a),
+    "last_day": lambda a: F.last_day(a),
+    "add_months": lambda a, b: F.call_function("add_months", a, b),
+    # call_function for the rest: the python wrappers demand plain
+    # int/str operands (format strings, pad chars, bases, numBits), but
+    # consumed plans carry them as literal Columns — JVM-side SQL name
+    # resolution binds either
+    "trunc_date": lambda a, b: F.call_function("trunc", a, b),
+    "repeat": lambda a, b: F.call_function("repeat", a, b),
+    "instr": lambda a, b: F.call_function("instr", a, b),
+    "levenshtein": lambda a, b: F.levenshtein(a, b),
+    "sha2": lambda a, b: F.call_function("sha2", a, b),
+    "reverse": lambda a: F.reverse(a),
+    "ascii": lambda a: F.ascii(a),
+    "chr": lambda a: F.call_function("chr", a),
+    "factorial": lambda a: F.factorial(a),
+    "hex": lambda a: F.hex(a),
+    "unhex": lambda a: F.unhex(a),
+    "bin": lambda a: F.bin(a),
+    "crc32": lambda a: F.crc32(a),
+    "sha1": lambda a: F.sha1(a),
+    "lpad": lambda a, b, c: F.call_function("lpad", a, b, c),
+    "rpad": lambda a, b, c: F.call_function("rpad", a, b, c),
+    "translate": lambda a, b, c: F.call_function("translate", a, b, c),
+    "substring_index": lambda a, b, c: F.call_function("substring_index", a, b, c),
+    "conv": lambda a, b, c: F.call_function("conv", a, b, c),
+    "months_between": lambda a, b, c: F.call_function("months_between", a, b, c),
     "replace": lambda a, b, c: F.replace(a, b, c),
     # call_function: the F.split/F.sort_array wrappers want pattern/limit/
     # asc as python values, but consumed plans pass everything as Columns

@@ -71,6 +71,18 @@ SNIPPETS: dict[str, str] = {
     "year": "year(o_orderdate)",
     "month": "month(o_orderdate)",
     "day": "day(o_orderdate)",
+    # date/time parts (r9 part 2)
+    "hour": "hour(CAST(o_orderdate AS TIMESTAMP))",
+    "minute": "minute(CAST(o_orderdate AS TIMESTAMP))",
+    "second": "second(CAST(o_orderdate AS TIMESTAMP))",
+    "day_of_week": "dayofweek(o_orderdate)",
+    "day_of_year": "dayofyear(o_orderdate)",
+    "quarter": "quarter(o_orderdate)",
+    "week_of_year": "weekofyear(o_orderdate)",
+    "last_day": "last_day(o_orderdate)",
+    "add_months": "add_months(o_orderdate, 2)",
+    "trunc_date": "trunc(o_orderdate, 'MM')",
+    "months_between": "months_between(o_orderdate, date_add(o_orderdate, 45))",
     # math
     "abs": "abs(o_totalprice - 100000)",
     "floor": "floor(o_totalprice)",
@@ -110,6 +122,25 @@ SNIPPETS: dict[str, str] = {
     "substring": "substring(o_orderpriority, 1, 3)",
     "replace": "replace(o_orderpriority, '-', '_')",
     "concat_ws": "concat_ws(':', o_orderstatus, o_orderpriority)",
+    # string/encoding/hash battery (r9 part 2)
+    "lpad": "lpad(o_orderpriority, 12, '*')",
+    "rpad": "rpad(o_orderpriority, 12, '*')",
+    "repeat": "repeat(o_orderstatus, 3)",
+    "reverse": "reverse(o_orderpriority)",
+    "ascii": "ascii(o_orderstatus)",
+    "chr": "char(o_orderkey % 26 + 65)",
+    "instr": "instr(o_orderpriority, '-')",
+    "translate": "translate(o_orderpriority, '-', '_')",
+    "substring_index": "substring_index(o_orderpriority, '-', 1)",
+    "levenshtein": "levenshtein(o_orderstatus, o_orderpriority)",
+    "factorial": "factorial(CAST(o_orderkey % 10 AS INT))",
+    "hex": "hex(o_orderkey)",
+    "unhex": "unhex(hex(o_orderkey))",
+    "bin": "bin(o_orderkey)",
+    "conv": "conv(CAST(o_orderkey AS STRING), 10, 16)",
+    "crc32": "crc32(CAST(o_orderstatus AS BINARY))",
+    "sha1": "sha1(CAST(o_orderstatus AS BINARY))",
+    "sha2": "sha2(CAST(o_orderstatus AS BINARY), 256)",
     "coalesce": "coalesce(nullif(o_orderstatus, 'F'), 'FB')",
     "greatest": "greatest(o_orderkey, o_custkey, 5)",
     "least": "least(o_orderkey, o_custkey, 5)",

@@ -81,7 +81,7 @@ class Gen:
         if depth <= 0 or self.r.random() < 0.35:
             return self.pick(cols + [str(self.r.randint(0, 1000))])
         form = self.pick(["add", "sub", "mul", "round", "abs", "case", "mod",
-                          "bitand", "shift", "xor"])
+                          "bitand", "shift", "xor", "strnum"])
         a = self.num_expr(cols, depth - 1)
         b = self.num_expr(cols, depth - 1)
         if form == "add":
@@ -108,6 +108,15 @@ class Gen:
         if form == "xor":
             return (f"(CAST({self.pick(cols)} AS BIGINT) ^ "
                     f"CAST({self.pick(cols)} AS BIGINT))")
+        if form == "strnum":
+            # numeric-valued string functions (r9 battery: ascii/instr/
+            # levenshtein through arbitrary expression nests)
+            c = f"CAST({self.pick(cols)} AS STRING)"
+            return self.pick([
+                f"ascii({c})",
+                f"instr({c}, '{self.r.randint(0, 9)}')",
+                f"levenshtein({c}, '{self.r.randint(0, 999)}')",
+            ])
         return f"(CASE WHEN {self.bool_expr(cols, [], depth - 1)} " \
                f"THEN {a} ELSE {b} END)"
 
@@ -115,7 +124,8 @@ class Gen:
         c = self.pick(scols)
         if depth <= 0 or self.r.random() < 0.4:
             return c
-        form = self.pick(["upper", "lower", "substr", "concat", "case_base"])
+        form = self.pick(["upper", "lower", "substr", "concat", "case_base",
+                          "lpad", "translate", "reverse", "subidx"])
         if form == "upper":
             return f"upper({c})"
         if form == "lower":
@@ -124,6 +134,15 @@ class Gen:
             return f"substring({c}, 1, {self.r.randint(1, 4)})"
         if form == "concat":
             return f"concat({c}, '_', {self.pick(scols)})"
+        # r9 string battery through arbitrary nests
+        if form == "lpad":
+            return f"{self.pick(['lpad', 'rpad'])}({c}, {self.r.randint(6, 14)}, '*')"
+        if form == "translate":
+            return f"translate({c}, 'AEIOU', 'aeiou')"
+        if form == "reverse":
+            return f"reverse({c})"
+        if form == "subidx":
+            return f"substring_index({c}, '{self.pick('-# ')}', {self.r.randint(1, 2)})"
         # base-expression CASE form (E5's second shape)
         v = self.pick(POOLS.get(c, ["A"]))
         return f"(CASE {c} WHEN '{v}' THEN 'hit' ELSE 'miss' END)"
@@ -483,14 +502,49 @@ class Gen:
                  f"GROUP BY v")
         return q
 
+    def pivot_query(self) -> str:
+        # r9 auto-lowering: random value subsets, single- or multi-agg,
+        # over a randomly filtered base so missing combinations (NULL
+        # slots) occur
+        vals = self.r.sample(["'O'", "'F'", "'P'"], self.r.randint(2, 3))
+        aggs = self.pick([
+            "round(sum(o_totalprice), 2)",
+            "count(o_totalprice)",
+            "round(max(o_totalprice), 2)",
+            "round(sum(o_totalprice), 2) AS s, count(o_totalprice) AS c",
+        ])
+        ncols, scols, _ = TABLES["orders"]
+        return (
+            f"SELECT * FROM (SELECT o_custkey, o_orderstatus, o_totalprice "
+            f"FROM orders WHERE {self.bool_expr(ncols, scols, 1)}) "
+            f"PIVOT ({aggs} FOR o_orderstatus IN ({', '.join(vals)}))"
+        )
+
+    def unpivot_query(self) -> str:
+        # r9 Expand lowering; sometimes aggregated on top (the
+        # grouping-id-free Aggregate-over-Expand fall-through)
+        m = self.r.randint(2, 9)
+        base = (
+            f"SELECT o_orderkey, kind, amt FROM "
+            f"(SELECT o_orderkey, o_totalprice, "
+            f"CAST(o_custkey AS DOUBLE) AS o_ck, "
+            f"CAST(o_orderkey % {m} AS DOUBLE) AS o_m FROM orders) "
+            f"UNPIVOT (amt FOR kind IN (o_totalprice AS a, o_ck AS b, "
+            f"o_m AS c))"
+        )
+        if self.r.random() < 0.4:
+            return (f"SELECT kind, count(*) AS n, round(sum(amt), 2) AS s "
+                    f"FROM ({base}) GROUP BY kind")
+        return base
+
     def query(self) -> str:
         shape = self.r.choices(
             ["select", "agg", "join", "semi", "setop", "window", "distinct",
              "scalar_sub", "rollup", "explode", "cte", "cross", "date",
              "values", "join_agg", "window_derived", "nested_setop",
-             "window_frames"],
-            weights=[16, 16, 12, 5, 7, 6, 4, 5, 6, 4, 5, 2, 3, 4, 7, 5, 4,
-                     7],
+             "window_frames", "pivot", "unpivot"],
+            weights=[15, 15, 12, 5, 7, 6, 4, 5, 6, 4, 5, 2, 3, 4, 7, 5, 4,
+                     7, 4, 4],
         )[0]
         return getattr(self, {
             "select": "select_query", "agg": "agg_query",
@@ -505,6 +559,7 @@ class Gen:
             "window_derived": "window_over_derived_query",
             "nested_setop": "nested_setop_query",
             "window_frames": "window_frames_query",
+            "pivot": "pivot_query", "unpivot": "unpivot_query",
         }[shape])()
 
 

@@ -331,6 +331,13 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "map": lambda *args: F.create_map(*args),
 }
 
+# Foreign-producer compatibility alias: the reference's PRODUCER emits the
+# typo "substract" (producer.rs:297) that even its own consumer rejects
+# (name_to_op only knows "subtract", consumer.rs:46) — the documented
+# roundtrip-breaking asymmetry. We PRODUCE the spec spelling, but a plan
+# produced by the reference must still consume here.
+SCALAR_CONSUME["substract"] = SCALAR_CONSUME["subtract"]
+
 # concat_ws is NOT here: the consumer special-cases it (separator must be
 # a python str for F.concat_ws) before apply_scalar is ever reached
 _VARARG = {"str_concat", "coalesce", "greatest", "least", "named_struct", "map"}

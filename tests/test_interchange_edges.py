@@ -540,6 +540,30 @@ def test_complex_constructor_surface_and_fences(spark):
         """))
 
 
+def test_reference_substract_typo_consumes(spark):
+    """Foreign-producer compatibility: the reference's producer emits the
+    'substract' typo (producer.rs:297) that even its own consumer rejects
+    (name_to_op knows only 'subtract', consumer.rs:46). A plan carrying
+    that name — i.e., any subtraction produced by the reference — must
+    consume here; we keep PRODUCING the spec spelling."""
+    import copy
+
+    df = spark.sql(
+        "SELECT o_orderkey, o_totalprice - 100.0 AS d FROM orders")
+    plan = copy.deepcopy(to_substrait_plan(df))
+    hits = 0
+    for ext in plan.get("extensions", []):
+        fn = ext.get("extensionFunction", {})
+        if fn.get("name") == "subtract":
+            fn["name"] = "substract"
+            hits += 1
+    assert hits == 1, "expected exactly one subtract declaration"
+    back = from_substrait_plan(spark, plan)
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    assert sorted(map(tuple, df.collect()), key=key) \
+        == sorted(map(tuple, back.collect()), key=key)
+
+
 def test_recursive_union_helper_matches_native_recursion(spark):
     """The tested manual equivalent behind the recursive-CTE fence (r9):
     operators.recursion.recursive_union runs the same semi-naive

@@ -128,3 +128,19 @@ def test_semdedup_10x_exact_clone_collapse(spark, tables):
     print(f"\nsemdedup 1x: {t1-t0:.1f}s {len(kept1)} kept; "
           f"10x: {t2-t1:.1f}s {len(kept10)} kept")
     assert kept10 == {10 * k for k in kept1}
+
+
+def test_dedup_clusters_10k_chain_pointer_doubling(spark):
+    """The r9 pointer-doubling convergence claim at an order of magnitude
+    past the in-suite 1000-link test: a 10,000-link chain (diameter 10k
+    — the worst-case template-drift topology) must converge within the
+    default max_iter=20, since covered distance grows ≥ 2d+1 per round
+    (~13 rounds for 10k). One-hop propagation would need 10,000."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10_000)], ["doc_a", "doc_b"])
+    t0 = time.perf_counter()
+    got = dedup.dedup_clusters(pairs, max_iter=20)
+    bad = got.filter(F.col("cluster_id") != 0).count()
+    n = got.count()
+    print(f"\n10k chain: {time.perf_counter()-t0:.1f}s")
+    assert bad == 0 and n == 10_001

@@ -75,6 +75,28 @@ def test_pivot_lowering_keeps_partial_phase_and_pruning(spark):
     assert "o_custkey" in read_schema and "o_orderdate" not in read_schema
 
 
+def test_unpivot_lowering_branch_scans_prune(spark):
+    """The r9 UNPIVOT lowering consumes as UNION ALL of per-branch
+    projections; each branch's scan must prune to the id column + its
+    OWN value column, so total scan bytes match the original Expand's
+    single all-columns read (the scale argument in _rel_Expand)."""
+    unp = spark.sql("""
+        SELECT o_orderkey, kind, amt FROM
+        (SELECT o_orderkey, o_totalprice,
+                CAST(o_custkey AS DOUBLE) AS o_ck FROM orders)
+        UNPIVOT (amt FOR kind IN (o_totalprice AS price, o_ck AS cust))
+    """)
+    plan = _phys(roundtrip(unp))
+    schemas = [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]
+    assert len(schemas) == 2, "expected one pruned scan per branch"
+    for s in schemas:
+        assert "o_orderkey" in s and "o_orderdate" not in s \
+            and "o_orderstatus" not in s
+    # each branch reads exactly one of the two value columns
+    assert sorted(("o_totalprice" in s, "o_custkey" in s)
+                  for s in schemas) == [(False, True), (True, False)]
+
+
 def test_keep_best_per_cluster_is_aggregate_not_window(spark, tables):
     """keep_best_per_cluster must plan its per-cluster winner as a
     map-side-combined AGGREGATE, never a window rank: a degenerate giant

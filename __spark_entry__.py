@@ -359,8 +359,9 @@ def _d3_simhash_pairs(spark, sf_dir):
 
 def _d6_dedup_clusters(spark, sf_dir):
     # connected components + the r8 canonical-copy selection column:
-    # kept ⇔ the member attaining max (quality_score, -doc_id) in its
-    # cluster (keep_best_per_cluster over quality_features scores)
+    # kept ⇔ the member attaining max (quality_score, ~doc_id) in its
+    # cluster (keep_best_per_cluster over quality_features scores; the
+    # tie-break is bitwise NOT, r9 — plain negation wraps Long.MIN_VALUE)
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.35)
@@ -1912,9 +1913,12 @@ ORACLES: dict[str, str] = {
                        AS chunk_text
             FROM nz, unnest(range(0, CAST(floor((n-1)/30) AS BIGINT) + 1)) AS u(i)
         ), pt AS (
+            -- SAME tokenizer as pack_sequences' token_count (the alnum
+            -- splitter _TOKS), not a whitespace reconstruction: a doc
+            -- with intra-word punctuation would shift the cumsum for
+            -- every later doc in its shard (the t14-floor lesson)
             SELECT doc_id,
-                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
                    CAST(doc_id % 8 AS INT) AS shard,
                    md5('v' || CAST(doc_id AS VARCHAR) || 'r9epoch') AS epoch_key
             FROM documents

@@ -631,11 +631,17 @@ def dedup_clusters(pairs: DataFrame, key_a: str = "doc_a", key_b: str = "doc_b",
             sym.join(labels, sym["b"] == labels["node"])
             .select(sym["a"].alias("node"), F.col("label"))
         )
+        # eager localCheckpoint BEFORE the self-join below: the shortcut
+        # references `propagated` twice, so without it each iteration
+        # would execute the neighbor-join + aggregation twice (exchange
+        # reuse saves the shuffle, not the post-shuffle agg) and the
+        # logical plan would double per iteration between the interval
+        # checkpoints — the exact bloat pathology documented above.
         propagated = (
             labels.unionAll(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        )
+        ).localCheckpoint()
         # pointer doubling: label(u) := label(label(u)). Inner join is
         # total (labels are monotone-decreasing minima of node ids, so
         # every label value is itself a node with a label row) and

@@ -290,14 +290,15 @@ class _Producer:
         outputs are not exactly the identity over groupings++measures — wrap
         the AggregateRel in a ProjectRel that rebuilds each Catalyst output
         over the (groupings ++ measures) ordinal space."""
-        if _cls(node.child()) == "Expand" and any(
-                a.name() == "spark_grouping_id"
-                for a in _seq(node.child().output())):
+        if _cls(node.child()) == "Expand" and \
+                self._is_grouping_sets_expand(node.child()):
             # GROUPING SETS / ROLLUP / CUBE → native multi-grouping
-            # AggregateRel. An Expand WITHOUT the grouping-id column is
-            # not a grouping-sets shape — it falls through to the generic
-            # path, where _rel_Expand (r9) produces it as
-            # UNION-ALL-of-projections under a plain aggregate.
+            # AggregateRel. An Expand that is NOT the grouping-sets shape
+            # (no synthetic grouping-id column — e.g. aggregate over
+            # UNPIVOT, or a user column merely NAMED spark_grouping_id)
+            # falls through to the generic path, where _rel_Expand (r9)
+            # produces it as UNION-ALL-of-projections under a plain
+            # aggregate.
             return self._rel_Aggregate_grouping_sets(node)
         crel, cids = self.rel(node.child(), _refs(node))
         g_exprs = _seq(node.groupingExpressions())
@@ -344,6 +345,28 @@ class _Producer:
         if out_exprs != identity:
             rel = proto.project_rel(rel, out_exprs)
         return rel, out_ids
+
+    @staticmethod
+    def _is_grouping_sets_expand(ex) -> bool:
+        """True iff ``ex`` is Catalyst's grouping-sets Expand: exactly one
+        output named ``spark_grouping_id`` AND every projection row holds
+        a non-null integer literal in that slot (the per-set bitmask).
+        Name alone is not enough — a USER column named spark_grouping_id
+        (e.g. as an UNPIVOT key) would misroute into the grouping-sets
+        reconstruction and die in ``int()`` instead of taking the r9
+        Expand lowering."""
+        out_names = [a.name() for a in _seq(ex.output())]
+        if out_names.count("spark_grouping_id") != 1:
+            return False
+        gid_pos = out_names.index("spark_grouping_id")
+        for r in _seq(ex.projections()):
+            slot = _seq(r)[gid_pos]
+            if _cls(slot) != "Literal" or slot.value() is None:
+                return False
+            if not str(slot.dataType().simpleString()).startswith(
+                    ("int", "bigint", "smallint", "tinyint")):
+                return False
+        return True
 
     def _rel_Aggregate_grouping_sets(self, node):
         """GROUP BY GROUPING SETS / ROLLUP / CUBE.

@@ -482,6 +482,21 @@ def test_unpivot_auto_lowers_and_lateral_scalar_roundtrip(spark):
     assert sorted(map(tuple, agg.collect()), key=key) \
         == sorted(map(tuple, aback.collect()), key=key)
 
+    # a USER column literally named spark_grouping_id must not misroute
+    # the Expand into the grouping-sets reconstruction (detection checks
+    # the per-row integer-literal bitmask slot, not just the name)
+    trap = spark.sql("""
+        SELECT spark_grouping_id, round(sum(amt), 2) AS s FROM
+        (SELECT o_orderkey, o_totalprice,
+                CAST(o_custkey AS DOUBLE) AS o_ck FROM orders)
+        UNPIVOT (amt FOR spark_grouping_id IN (o_totalprice AS price,
+                                               o_ck AS cust))
+        GROUP BY spark_grouping_id
+    """)
+    tback = from_substrait_plan(spark, to_substrait_plan(trap))
+    assert sorted(map(tuple, trap.collect()), key=key) \
+        == sorted(map(tuple, tback.collect()), key=key)
+
     lat = spark.sql("""
         SELECT c_custkey, o.m FROM customer c,
         LATERAL (SELECT max(o_totalprice) AS m FROM orders

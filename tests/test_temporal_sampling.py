@@ -339,9 +339,12 @@ def test_pack_sequences_matches_duckdb_replay(spark, tables):
     docs_pq = os.path.join(SF_DIR, "documents.parquet")
     rows = duckdb.sql(f"""
         WITH t AS (
+            -- the SAME alnum tokenizer as operators.text.token_count —
+            -- a whitespace split only coincides on punctuation-free text
             SELECT doc_id,
-                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(
+                            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
                    CAST(doc_id % 8 AS INT) AS shard
             FROM '{docs_pq}'
         ), c AS (

@@ -886,6 +886,31 @@ _D3_SIG_EXPR = " + ".join(
     for b in range(60)
 )
 
+# shared d3/d7 oracle pipeline: md5-60-bit token hash → per-bit majority
+# signature → 4×16-bit band rows → per-bucket stats (star-cap inputs).
+# ONE definition so the batch (d3) and incremental-store (d7 hamming leg)
+# replays cannot drift.
+_D3_BANDED_CTES = f"""th AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(CASE WHEN len({_TOKS}) = 0 THEN ['']
+                                     ELSE {_TOKS} END) AS t
+                  FROM documents)
+        ),
+        sigs AS (
+            SELECT doc_id, CAST({_D3_SIG_EXPR} AS BIGINT) AS sig
+            FROM th GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, sig, band, (sig >> (16 * band)) & 65535 AS val
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(band)
+        ),
+        bstats AS (
+            SELECT band, val, count(*) AS n, min(doc_id) AS hub
+            FROM banded GROUP BY band, val HAVING count(*) > 1
+        )"""
+
 # stopword SQL literals generated from the SAME source as the Spark operators
 # (operators/text.py) so the two sides cannot drift
 from datafusion_substrait_spark.operators.text import LANG_STOPWORDS as _LS  # noqa: E402
@@ -1824,26 +1849,7 @@ ORACLES: dict[str, str] = {
             {_D2_PAIRS_FROM}
               AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
         ),
-        th AS (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
-            FROM (SELECT DISTINCT doc_id,
-                         unnest(CASE WHEN len({_TOKS}) = 0 THEN ['']
-                                     ELSE {_TOKS} END) AS t
-                  FROM documents)
-        ),
-        sigs AS (
-            SELECT doc_id, CAST({_D3_SIG_EXPR} AS BIGINT) AS sig
-            FROM th GROUP BY doc_id
-        ),
-        banded AS (
-            SELECT doc_id, sig, band, (sig >> (16 * band)) & 65535 AS val
-            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(band)
-        ),
-        bstats AS (
-            SELECT band, val, count(*) AS n, min(doc_id) AS hub
-            FROM banded GROUP BY band, val HAVING count(*) > 1
-        ),
+        {_D3_BANDED_CTES},
         hm AS (
             SELECT DISTINCT 'hamming' AS leg,
                    a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2014,26 +2020,7 @@ ORACLES: dict[str, str] = {
     # hub-only pairs, hub = min doc_id, mirroring _exploded_bucket_pairs) →
     # bit_count(xor) Hamming verify ≤ 8
     "d3_simhash_pairs": f"""
-        WITH th AS (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
-            FROM (SELECT DISTINCT doc_id,
-                         unnest(CASE WHEN len({_TOKS}) = 0 THEN ['']
-                                     ELSE {_TOKS} END) AS t
-                  FROM documents)
-        ),
-        sigs AS (
-            SELECT doc_id, CAST({_D3_SIG_EXPR} AS BIGINT) AS sig
-            FROM th GROUP BY doc_id
-        ),
-        banded AS (
-            SELECT doc_id, sig, band, (sig >> (16 * band)) & 65535 AS val
-            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(band)
-        ),
-        bstats AS (
-            SELECT band, val, count(*) AS n, min(doc_id) AS hub
-            FROM banded GROUP BY band, val HAVING count(*) > 1
-        )
+        WITH {_D3_BANDED_CTES}
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM banded a

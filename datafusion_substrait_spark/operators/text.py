@@ -912,3 +912,80 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     raw_w = w / sd
     raw_b = b - float((mu / sd) @ w)
     return ({c: float(v) for c, v in zip(feature_cols, raw_w)}, raw_b)
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed text embeddings (r9) — text → vector without a model
+# ---------------------------------------------------------------------------
+
+
+def hash_embedding(df: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id", dim: int = 64,
+                   portable: bool = False) -> DataFrame:
+    """(key, embedding array<double>): signed feature-hashing ("hashing
+    trick", Weinberger et al. 2009) of the token bag into a fixed
+    ``dim``-dimensional L2-normalized vector — a deterministic,
+    model-free text embedding that feeds every vector operator in the
+    repo as-is (``similarity.brute_force_topk``/``lsh_topk``/
+    ``ivf_topk``, ``dedup.embedding_neardup_pairs``, ``dedup.semdedup``):
+    vocabulary-overlapping documents land at high cosine, so semantic-ish
+    dedup and clustering run text-only, with no embedding model in the
+    container.
+
+    Each token t adds sign(t) (±1, from one hash bit) at bucket(t) =
+    hash(t) mod dim; the signed sum is then L2-normalized. Signs make
+    colliding tokens cancel in expectation instead of biasing counts
+    (the kernel-approximation argument in the paper). Zero-token
+    documents (and total-cancellation degenerates) emit the zero vector
+    rather than NULL — cosine 0 against everything, so they never pair.
+
+    Plan shape at 100 TB: one narrow codegen map, NO shuffle and NO
+    Python — the accumulation is transform(sequence(0, dim-1)) over the
+    token array (O(tokens × dim) register work per row, the same
+    measured HOF-fold trade as similarity.py's dot product: it stays
+    inside whole-stage codegen where an explode + groupBy would shuffle
+    one row per token). ``portable=True`` swaps xxhash64 for md5-derived
+    hashes so DuckDB replays the exact vector (tests pin it).
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    toks = tokens(F.col(text_col))
+    if portable:
+        # 60-bit md5 value: bucket = h % dim, sign from the low bit of
+        # the NEXT hex nibble (h div dim parity would correlate with
+        # bucket for power-of-two dims; an independent bit is cleaner)
+        h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+        s = lambda t: F.when(  # noqa: E731
+            F.conv(F.substring(F.md5(t), 16, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+    else:
+        h = lambda t: F.xxhash64(t)  # noqa: E731
+        s = lambda t: F.when(F.xxhash64(t, F.lit("sign")) % 2 == 0,  # noqa: E731
+                             F.lit(1.0)).otherwise(F.lit(-1.0))
+    bucket = lambda t: F.pmod(h(t), F.lit(dim))  # noqa: E731
+    # per-token (bucket, sign) computed ONCE in its own projection — the
+    # accumulation below references the array 'dim' times, and hashing
+    # inside that lambda would re-evaluate md5/xxhash per (i, token)
+    # pair. Separate select, non-conflicting name: the Spark 4
+    # lateral-alias + HOF resolution hazard (see remove_repeated_lines).
+    pre = df.select(
+        F.col(key_col),
+        F.transform(toks, lambda t: F.struct(
+            bucket(t).alias("b"), s(t).alias("sg"))).alias("_bs"),
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.col("_bs"), F.lit(0.0),
+            lambda acc, e: acc + F.when(e["b"] == i.cast("bigint"),
+                                        e["sg"]).otherwise(F.lit(0.0))),
+    )
+    # materialize the O(tokens × dim) accumulation once — the norm and
+    # both normalize branches below reference it, and each reference
+    # would re-run the full fold otherwise
+    mid = pre.select(F.col(key_col), raw.alias("_raw"))
+    nrm = F.sqrt(F.aggregate(F.col("_raw"), F.lit(0.0),
+                             lambda a, v: a + v * v))
+    emb = F.when(nrm > 0, F.transform(F.col("_raw"), lambda v: v / nrm)) \
+        .otherwise(F.transform(F.col("_raw"), lambda v: v * 0.0))
+    return mid.select(F.col(key_col), emb.alias("embedding"))

@@ -2700,3 +2700,96 @@ def test_train_quality_classifier_end_to_end_on_text(spark):
         w, bias=bias)
     got = {r.doc_id: r.model_score for r in sdf.collect()}
     assert got[900] > 0.5 > got[901]
+
+
+# --- feature-hashed text embeddings (r9) -----------------------------------
+
+
+def test_hash_embedding_signal_replay_and_composition(spark, tables):
+    """Signed feature hashing: (a) vocabulary-overlapping docs land at
+    high cosine, disjoint-vocabulary docs near 0; (b) unit norm; zero-
+    token docs get the zero vector; (c) the portable path replays
+    bit-for-bit in DuckDB (same md5 bucket/sign, same accumulate/
+    normalize op order); (d) the vectors feed embedding_neardup_pairs
+    as-is; (e) partitioning-independent; (f) narrow no-shuffle plan."""
+    import duckdb
+
+    from datafusion_substrait_spark.operators import text as T
+
+    base = ("solar panels convert sunlight into electricity using "
+            "photovoltaic cells arranged on rooftops " * 3)
+    near = base + " with modern inverters improving efficiency"
+    other = ("violin concertos from the baroque period feature ornate "
+             "melodic figuration over continuo accompaniment " * 3)
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, ""), (5, "!!! ???")],
+        "doc_id bigint, text string")
+    emb = T.hash_embedding(docs, dim=32, portable=True)
+    vecs = {r.doc_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(vecs[1], vecs[2]) > 0.9          # near-copy pair
+    assert abs(cos(vecs[1], vecs[3])) < 0.5     # disjoint vocabulary
+    assert abs(cos(vecs[1], vecs[1]) - 1.0) < 1e-12  # unit norm
+    assert vecs[4] == [0.0] * 32 == vecs[5]     # zero-token → zero vector
+
+    # (c) exact DuckDB replay of the portable pipeline
+    con = duckdb.connect()
+    con.register("docs_py", emb.sparkSession.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, ""), (5, "!!! ???")],
+        "doc_id bigint, text string").toPandas())
+    want = con.sql("""
+        WITH tok AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS t
+            FROM docs_py
+        ), bs AS (
+            SELECT doc_id, list_transform(t, x -> struct_pack(
+                b := CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 32,
+                sg := CASE WHEN CAST(('0x' || substring(md5(x), 16, 1))
+                                AS BIGINT) % 2 = 0
+                           THEN 1.0 ELSE -1.0 END)) AS bs
+            FROM tok
+        ), raw AS (
+            -- coalesce: list_sum of an empty list is NULL in DuckDB,
+            -- where Spark's aggregate starts from the 0.0 seed
+            SELECT doc_id, list_transform(range(0, 32), i ->
+                coalesce(list_sum(list_transform(bs, e ->
+                    CASE WHEN e.b = i THEN e.sg ELSE 0.0 END)), 0.0)) AS r
+            FROM bs
+        )
+        SELECT doc_id,
+               CASE WHEN sqrt(list_dot_product(r, r)) > 0
+                    THEN list_transform(r, v -> v / sqrt(list_dot_product(r, r)))
+                    ELSE list_transform(r, v -> v * 0.0) END AS e
+        FROM raw
+    """).fetchall()
+    got6 = {k: [round(x, 9) for x in v] for k, v in vecs.items()}
+    for doc_id, e in want:
+        wv = [round(float(x) if x is not None else 0.0, 9) for x in e]
+        assert got6[doc_id] == wv, doc_id
+
+    # (d) composition: near-dup over the hashed vectors finds the pair
+    pairs = {(r.vec_a, r.vec_b) for r in dedup.embedding_neardup_pairs(
+        emb.withColumnRenamed("doc_id", "vec_id"),
+        threshold=0.9, planes=8, max_bucket_size=50).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
+
+    # (e) partitioning independence
+    a = sorted(map(tuple, T.hash_embedding(
+        docs.repartition(1), dim=32, portable=True).collect()))
+    b = sorted(map(tuple, T.hash_embedding(
+        docs.repartition(7), dim=32, portable=True).collect()))
+    assert a == b
+
+    # (f) narrow plan: no Exchange, no Python — one codegen map
+    plan = T.hash_embedding(tables["documents"], dim=32) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    with __import__("pytest").raises(ValueError, match="dim"):
+        T.hash_embedding(docs, dim=0)

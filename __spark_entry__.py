@@ -394,7 +394,18 @@ def _d4_neardup_pairs(spark, sf_dir):
         F.lit("span").alias("leg"), F.col("doc_a").alias("a"),
         F.col("doc_b").alias("b"),
         F.col("shared_prints").cast("double").alias("score"))
-    return ng.unionByName(em).unionByName(sp)
+    # r9 'hembed' leg: near-dup over feature-HASHED text embeddings
+    # (text.hash_embedding portable md5 path, dim 64) — model-free
+    # semantic-ish dedup running text-only; the oracle recomputes the
+    # exact vectors in SQL and replays the same 16-plane LSH + star cap
+    # + 6dp cosine as the 'embed' leg
+    hv = text.hash_embedding(spark.table("documents"), dim=64,
+                             portable=True) \
+        .withColumnRenamed("doc_id", "vec_id")
+    he = dedup.embedding_neardup_pairs(hv, threshold=0.9).select(
+        F.lit("hembed").alias("leg"), F.col("vec_a").alias("a"),
+        F.col("vec_b").alias("b"), F.col("cosine").alias("score"))
+    return ng.unionByName(em).unionByName(sp).unionByName(he)
 
 
 def _d8_semdedup(spark, sf_dir):
@@ -1222,6 +1233,52 @@ ORACLES: dict[str, str] = {
             JOIN spw pb ON pb.fp = pa.fp AND pa.doc_id < pb.doc_id
             GROUP BY pa.doc_id, pb.doc_id
             HAVING count(*) >= 2
+        )
+        UNION ALL
+        -- hembed leg (r9): near-dup over feature-HASHED text embeddings —
+        -- exact replay of text.hash_embedding's portable path (md5 bucket
+        -- % 64 + independent-nibble sign, 0.0-seeded accumulate, L2
+        -- normalize; coalesce() because list_sum of an empty list is NULL
+        -- where Spark's fold seed is 0.0), then the SAME 16-plane LSH +
+        -- star cap + 6dp cosine as the embed leg above
+        SELECT 'hembed' AS leg, a, b, score FROM (
+            WITH htok AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), hbs AS (
+                SELECT doc_id, list_transform(t, x -> struct_pack(
+                    b := CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 64,
+                    sg := CASE WHEN CAST(('0x' || substring(md5(x), 16, 1))
+                                    AS BIGINT) % 2 = 0
+                               THEN 1.0 ELSE -1.0 END)) AS bs
+                FROM htok
+            ), hraw AS (
+                SELECT doc_id, list_transform(range(0, 64), i ->
+                    coalesce(list_sum(list_transform(bs, e ->
+                        CASE WHEN e.b = i THEN e.sg ELSE 0.0 END)), 0.0)) AS r
+                FROM hbs
+            ), hvec AS (
+                SELECT doc_id AS vec_id,
+                       CASE WHEN sqrt(list_dot_product(r, r)) > 0
+                            THEN list_transform(r, v -> v / sqrt(list_dot_product(r, r)))
+                            ELSE list_transform(r, v -> v * 0.0) END AS v
+                FROM hraw
+            ), hsig AS (
+                SELECT vec_id, v, {{_RH16}} AS bucket FROM hvec
+            ), hbst AS (
+                SELECT bucket, count(*) AS n, min(vec_id) AS hub
+                FROM hsig GROUP BY bucket HAVING count(*) > 1
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+            FROM hsig a JOIN hsig b ON a.bucket = b.bucket
+                                   AND a.vec_id < b.vec_id
+            JOIN hbst s ON s.bucket = a.bucket
+            WHERE (s.n <= 500 OR a.vec_id = s.hub)
+              AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
         )
     """.replace("{_RH16}", _RH16_SIG_SQL),
     # s1 int8 leg: replays the symmetric scalar quantization exactly —

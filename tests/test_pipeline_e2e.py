@@ -175,3 +175,50 @@ def test_cross_modal_unified_dedup(spark):
     clusters = {r.node: r.cluster_id for r in dedup.dedup_clusters(
         unified, key_a="a", key_b="b").collect()}
     assert clusters == {1: 1, 2: 1, 3: 1, 4: 1}  # transitive merge; 5 out
+
+
+def test_text_only_semantic_dedup_composition(spark):
+    """Zero-model semantic dedup end-to-end (r9): hash_embedding feeds
+    train_kmeans_centroids + semdedup directly, so the SemDeDup pipeline
+    runs on raw TEXT with no embedding model in the container. Planted:
+    3 clone families (light edits — byte-exact dedup misses them) plus
+    distinct singletons; every family must lose members to the cosine
+    prune and every singleton must survive."""
+    from datafusion_substrait_spark.operators import similarity
+
+    bases = [
+        "solar panels convert sunlight into electricity using "
+        "photovoltaic cells arranged across suburban rooftops",
+        "the symphony orchestra rehearsed the second movement while "
+        "the conductor adjusted tempo markings in the score",
+        "fermentation transforms crushed grapes into wine as yeast "
+        "consumes sugar and produces alcohol in oak barrels",
+    ]
+    singles = [
+        "quarterly earnings exceeded analyst expectations despite "
+        "headwinds in the logistics and shipping segment",
+        "the mountain trail switchbacks through alpine meadows before "
+        "reaching the exposed granite summit ridge",
+    ]
+    rows, k = [], 0
+    for b in bases:            # 4 light variants per family
+        for suffix in ("", " today", " worldwide", " every year"):
+            rows.append((k, b + suffix))
+            k += 1
+    for s in singles:
+        rows.append((k, s))
+        k += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    from datafusion_substrait_spark.operators.text import hash_embedding
+    emb = hash_embedding(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    cents = similarity.train_kmeans_centroids(emb, n_cells=2)
+    out = dedup.semdedup(emb, cents, threshold=0.9)
+    kept = {r.vec_id for r in out.filter("kept").collect()}
+    dropped = {r.vec_id for r in out.filter("NOT kept").collect()}
+
+    fam = [set(range(i * 4, i * 4 + 4)) for i in range(3)]
+    for f in fam:               # each clone family collapses
+        assert len(f & kept) < 4 and (f & kept), (f, kept)
+    assert {12, 13} <= kept     # singletons always survive
+    assert dropped and dropped <= set(range(12))

@@ -363,8 +363,8 @@ class _Producer:
             slot = _seq(r)[gid_pos]
             if _cls(slot) != "Literal" or slot.value() is None:
                 return False
-            if not str(slot.dataType().simpleString()).startswith(
-                    ("int", "bigint", "smallint", "tinyint")):
+            if str(slot.dataType().simpleString()) not in (
+                    "int", "bigint", "smallint", "tinyint"):
                 return False
         return True
 

@@ -386,6 +386,11 @@ CATALYST_AGG_TO_NAME: dict[str, str] = {
     "percentile": "percentile",  # Spark desugars median() to percentile(c, 0.5)
     "first": "first_value",
     "last": "last_value",
+    # the SQL window spellings: First/Last prettyName is "first_value"/
+    # "last_value" unless the FUNC_ALIAS tag says "first"/"last" (how the
+    # aggregate-call form presents) — both arrive here
+    "first_value": "first_value",
+    "last_value": "last_value",
 }
 
 # consume: substrait name → (plain builder, distinct builder | None)

@@ -685,7 +685,8 @@ class _Producer:
                 f"unsupported aggregate function {pretty!r} "
                 "(effective surface = DataFusion 15 from_str set, SURVEY.md §2.4)"
             )
-        if pretty in ("first", "last") and bool(fn.ignoreNulls()):
+        if pretty in ("first", "last", "first_value", "last_value") \
+                and bool(fn.ignoreNulls()):
             # the flag is not in children(), so it cannot ride through the
             # plan as an argument; consuming would silently rebuild with
             # ignorenulls=False — translate-or-error, like the fences above
@@ -695,7 +696,8 @@ class _Producer:
             )
         args = [self.rex(c, cids) for c in _seq(fn.children())]
         filt = _opt(agg_expr.filter())
-        if pretty in ("first", "last") and filt is not None:
+        if pretty in ("first", "last", "first_value",
+                      "last_value") and filt is not None:
             # the measure-filter consume path rewrites fn(x) FILTER (WHERE p)
             # to fn(CASE WHEN p THEN x END), sound only for null-SKIPPING
             # aggregates; first/last keep nulls, so the rewrite would return
@@ -848,7 +850,8 @@ class _Producer:
                     raise SubstraitError(
                         f"unsupported window aggregate {inner.prettyName()!r}"
                     )
-                if inner.prettyName() in ("first", "last") \
+                if inner.prettyName() in ("first", "last",
+                                          "first_value", "last_value") \
                         and bool(inner.ignoreNulls()):
                     # same fence as the aggregate-measure path: the flag has
                     # no Substrait encoding, and dropping it would silently

@@ -389,6 +389,28 @@ def test_window_ranking_and_aggregates(spark):
     """)
 
 
+def test_window_first_last_value(spark):
+    # the SQL window spellings present prettyName "first_value"/
+    # "last_value" (the aggregate-call form aliases to "first"/"last") —
+    # both must produce (r9); the ignoreNulls fence covers both spellings
+    check(spark, """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+                                               ORDER BY o_orderkey) AS fv,
+               last_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS lv
+        FROM orders WHERE o_custkey < 100
+    """)
+    import pytest as _pytest
+
+    from datafusion_substrait_spark.plans.proto import SubstraitError
+    with _pytest.raises(SubstraitError, match="ignoreNulls"):
+        to_substrait_plan(spark.sql("""
+            SELECT first_value(nullif(o_orderstatus, 'F'), true)
+                   OVER (ORDER BY o_orderkey) FROM orders"""))
+
+
 def test_window_nth_value_and_rank_ratios(spark):
     check(spark, """
         SELECT o_custkey, o_orderkey,

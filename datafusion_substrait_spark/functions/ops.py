@@ -81,6 +81,10 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     # try_element_at reproduces exactly on consume
     "GetMapValue": "map_get",
     "ArrayContains": "array_contains",
+    # raw-crawl JSON extraction + timestamp formatting (2-child forms;
+    # DateFormatClass' optional timezone rides session state, not a child)
+    "GetJsonObject": "get_json_object",
+    "DateFormatClass": "date_format",
 }
 
 # Not(inner-class) → negated substrait name (producer's NotEq/NotLike/… forms)
@@ -298,6 +302,8 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     # consumed plans carry them as literal Columns — JVM-side SQL name
     # resolution binds either
     "trunc_date": lambda a, b: F.call_function("trunc", a, b),
+    "get_json_object": lambda a, b: F.call_function("get_json_object", a, b),
+    "date_format": lambda a, b: F.call_function("date_format", a, b),
     "repeat": lambda a, b: F.call_function("repeat", a, b),
     "instr": lambda a, b: F.call_function("instr", a, b),
     "levenshtein": lambda a, b: F.levenshtein(a, b),

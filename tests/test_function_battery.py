@@ -83,6 +83,9 @@ SNIPPETS: dict[str, str] = {
     "add_months": "add_months(o_orderdate, 2)",
     "trunc_date": "trunc(o_orderdate, 'MM')",
     "months_between": "months_between(o_orderdate, date_add(o_orderdate, 45))",
+    "date_format": "date_format(o_orderdate, 'yyyy-MM')",
+    "get_json_object": 'get_json_object(concat(\'{"k":\', '
+                       "CAST(o_orderkey AS STRING), '}'), '$.k')",
     # math
     "abs": "abs(o_totalprice - 100000)",
     "floor": "floor(o_totalprice)",

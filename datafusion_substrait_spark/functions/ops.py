@@ -85,6 +85,13 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     # DateFormatClass' optional timezone rides session state, not a child)
     "GetJsonObject": "get_json_object",
     "DateFormatClass": "date_format",
+    # r9 part 3 (found by the expression-gap sweep)
+    "ElementAt": "element_at",    # 1-based arrays / map keys; the
+                                  # split_part default-value form is fenced
+    "FormatNumber": "format_number",
+    # epoch seconds; like timestamp literals, tz-sensitive parsing rides
+    # the SESSION zone (UTC-pinned by register_testdata), not the plan
+    "UnixTimestamp": "unix_timestamp",
 }
 
 # Not(inner-class) → negated substrait name (producer's NotEq/NotLike/… forms)
@@ -157,6 +164,15 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "Bin": "bin",
     "Crc32": "crc32",
     "Sha1": "sha1",
+    # r9 part 3
+    "OctetLength": "octet_length",
+    "BitLength": "bit_length",
+    "ArrayDistinct": "array_distinct",
+    "ArrayMax": "array_max",
+    "ArrayMin": "array_min",
+    "BitwiseCount": "bit_count",
+    "IsNaN": "is_nan",
+    "SoundEx": "soundex",
 }
 
 CATALYST_NARY_TO_NAME: dict[str, str] = {
@@ -184,6 +200,16 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "SubstringIndex": "substring_index",
     "Conv": "conv",                    # (num-string, from-base, to-base)
     "MonthsBetween": "months_between",  # (d1, d2, roundOff-literal)
+    # r9 part 3: regex family (Java regex both directions — the produce
+    # side is the same engine, so patterns need no dialect mapping),
+    # locate/slice/overlay/width_bucket positional forms
+    "RegExpExtract": "regexp_extract",
+    "RegExpExtractAll": "regexp_extract_all",
+    "RegExpReplace": "regexp_replace",   # (str, pattern, rep, pos)
+    "StringLocate": "locate",            # (substr, str, start)
+    "Slice": "slice",                    # (array, 1-based start, length)
+    "Overlay": "overlay",                # (str, replace, pos, len)
+    "WidthBucket": "width_bucket",
 }
 
 # ---------------------------------------------------------------------------
@@ -304,6 +330,34 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "trunc_date": lambda a, b: F.call_function("trunc", a, b),
     "get_json_object": lambda a, b: F.call_function("get_json_object", a, b),
     "date_format": lambda a, b: F.call_function("date_format", a, b),
+    "element_at": lambda a, b: F.call_function("element_at", a, b),
+    "format_number": lambda a, b: F.call_function("format_number", a, b),
+    "unix_timestamp": lambda a, b: F.call_function("unix_timestamp", a, b),
+    "octet_length": lambda a: F.octet_length(a),
+    "bit_length": lambda a: F.bit_length(a),
+    "array_distinct": lambda a: F.array_distinct(a),
+    "array_max": lambda a: F.array_max(a),
+    "array_min": lambda a: F.array_min(a),
+    "bit_count": lambda a: F.bit_count(a),
+    "is_nan": lambda a: F.isnan(a),
+    "soundex": lambda a: F.soundex(a),
+    "regexp_extract": lambda a, b, c: F.call_function("regexp_extract", a, b, c),
+    "regexp_extract_all": lambda a, b, c:
+        F.call_function("regexp_extract_all", a, b, c),
+    "regexp_replace": lambda a, b, c, d:
+        F.call_function("regexp_replace", a, b, c, d),
+    "locate": lambda a, b, c: F.call_function("locate", a, b, c),
+    "slice": lambda a, b, c: F.call_function("slice", a, b, c),
+    "overlay": lambda a, b, c, d: F.call_function("overlay", a, b, c, d),
+    "width_bucket": lambda a, b, c, d:
+        F.call_function("width_bucket", a, b, c, d),
+    "try_add": lambda a, b: F.try_add(a, b),
+    "try_subtract": lambda a, b: F.try_subtract(a, b),
+    "try_multiply": lambda a, b: F.try_multiply(a, b),
+    "try_divide": lambda a, b: F.try_divide(a, b),
+    "try_mod": lambda a, b: F.try_mod(a, b),
+    "murmur3_hash": lambda *args: F.hash(*args),
+    "xxhash64": lambda *args: F.xxhash64(*args),
     "repeat": lambda a, b: F.call_function("repeat", a, b),
     "instr": lambda a, b: F.call_function("instr", a, b),
     "levenshtein": lambda a, b: F.levenshtein(a, b),
@@ -346,7 +400,8 @@ SCALAR_CONSUME["substract"] = SCALAR_CONSUME["subtract"]
 
 # concat_ws is NOT here: the consumer special-cases it (separator must be
 # a python str for F.concat_ws) before apply_scalar is ever reached
-_VARARG = {"str_concat", "coalesce", "greatest", "least", "named_struct", "map"}
+_VARARG = {"str_concat", "coalesce", "greatest", "least", "named_struct",
+           "map", "murmur3_hash", "xxhash64"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

@@ -1027,6 +1027,18 @@ class _Producer:
             return proto.nested_list(
                 [self.rex(c, input_ids) for c in _seq(e.children())]
             )
+        if kind in ("Murmur3Hash", "XxHash64"):
+            # seed is a node FIELD; SQL hash()/xxhash64() always use 42 —
+            # any other seed (internal shuffle-hash shapes) cannot ride
+            if int(e.seed()) != 42:
+                raise SubstraitError(
+                    f"{kind} with non-default seed {e.seed()} has no "
+                    "encoding (SQL hash functions pin seed 42)")
+            return proto.scalar_function(
+                self.registry.register(
+                    "murmur3_hash" if kind == "Murmur3Hash" else "xxhash64"),
+                [self.rex(c, input_ids) for c in _seq(e.children())],
+            )
         if kind == "In":
             return proto.singular_or_list(
                 self.rex(e.value(), input_ids),
@@ -1092,7 +1104,32 @@ class _Producer:
             self._override = prev
         return proto.scalar_subquery(sub_rel)
 
+    _TRY_ARITH = {"add": "try_add", "subtract": "try_subtract",
+                  "multiply": "try_multiply", "divide": "try_divide",
+                  "mod": "try_mod"}
+
     def _binary(self, name: str, e, input_ids) -> dict:
+        if name in ("add", "subtract", "multiply", "divide", "mod", "div"):
+            # Spark 4 arithmetic carries evalMode (LEGACY/ANSI/TRY) as a
+            # node FIELD, not a child: try_divide(a, b) is Divide with
+            # evalMode=TRY. Producing it as plain "divide" would silently
+            # swap NULL-on-error for throw-on-error — translate to the
+            # try_* name (or error for the one form with no builder).
+            mode = e.evalMode().toString()
+            if mode == "TRY":
+                tname = self._TRY_ARITH.get(name)
+                if tname is None:
+                    raise SubstraitError(
+                        "TRY-mode integral divide has no try_div builder "
+                        "to consume with; rewrite without try semantics")
+                name = tname
+        if name == "element_at" and _opt(e.defaultValueOutOfBound()) is not None:
+            # split_part desugars to ElementAt with a '' out-of-bound
+            # DEFAULT — a field with no encoding; consuming as plain
+            # element_at would silently change OOB behavior
+            raise SubstraitError(
+                "element_at with a defaultValueOutOfBound (split_part "
+                "desugaring) has no Substrait encoding")
         if name in ("regex_match", "regex_not_match"):
             # Spark has no case-insensitive RLike operator class; a literal
             # "(?i)"-prefixed pattern IS the case-insensitive form, so strip
@@ -1134,6 +1171,25 @@ class _Producer:
         v = e.value()
         if v is None:
             return proto.null_literal(spark_type_to_substrait(dt))
+        if dt.startswith("array<") and dt.endswith(">"):
+            # constant-folded array literal (e.g. array('x') under concat)
+            # → Expression.Nested.List of element literals; ArrayData
+            # implements the same SpecializedGetters as InternalRow, so
+            # the LocalRelation getter table is reused
+            inner = dt[6:-1]
+            getter = self._ROW_GETTERS.get(inner)
+            if getter is None:
+                raise SubstraitError(
+                    f"unsupported array-literal element type {inner!r}")
+            if v.numElements() == 0:
+                raise SubstraitError(
+                    "empty array literal has no element to carry its type "
+                    "through Nested.List; rewrite without the fold")
+            return proto.nested_list([
+                proto.null_literal(spark_type_to_substrait(inner))
+                if v.isNullAt(i) else self._literal_value(getter(v, i), inner)
+                for i in range(v.numElements())
+            ])
         return self._literal_value(v, dt)
 
     def _literal_value(self, v, dt: str) -> dict:

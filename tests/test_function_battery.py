@@ -166,6 +166,36 @@ SNIPPETS: dict[str, str] = {
     # in test_interchange_edges)
     "named_struct": "struct(o_orderstatus AS s, o_totalprice AS p)",
     "map": "map('k', o_totalprice, 'j', o_totalprice * 2)",
+    # r9 part 3 (expression-gap sweep)
+    "element_at": "element_at(split(o_orderpriority, '-'), 1)",
+    "format_number": "format_number(o_totalprice, 2)",
+    "unix_timestamp": "unix_timestamp(CAST(o_orderdate AS TIMESTAMP))",
+    "octet_length": "octet_length(o_orderpriority)",
+    "bit_length": "bit_length(o_orderstatus)",
+    "array_distinct": "array_distinct(split(o_orderpriority, '-'))",
+    "array_max": "array_max(split(o_orderpriority, '-'))",
+    "array_min": "array_min(split(o_orderpriority, '-'))",
+    "bit_count": "bit_count(o_orderkey)",
+    "is_nan": "isnan(acos(o_totalprice + 2))",
+    "soundex": "soundex(o_orderpriority)",
+    "regexp_extract": "regexp_extract(o_orderpriority, '([A-Z]+)', 1)",
+    # regexp_count desugars to size(regexp_extract_all(...)) — two names
+    "regexp_extract_all": "regexp_count(o_orderpriority, '[A-Z]')",
+    "regexp_replace": "regexp_replace(o_orderpriority, '[aeiou]', '*')",
+    "locate": "position('-' IN o_orderpriority)",
+    "slice": "slice(split(o_orderpriority, '-'), 1, 1)",
+    "overlay": "overlay(o_orderpriority PLACING 'ZZ' FROM 2)",
+    "width_bucket": "width_bucket(o_totalprice, 0, 500000, 10)",
+    # TRY-mode arithmetic: evalMode rides as the try_* names; the
+    # overflow/zero rows make the NULL-on-error semantics value-checked
+    "try_add": "try_add(o_orderkey, 9223372036854775807)",
+    "try_subtract": "try_subtract(o_orderkey, -9223372036854775808)",
+    "try_multiply": "try_multiply(o_orderkey, 9223372036854775807)",
+    "try_divide": "try_divide(o_totalprice, o_custkey - o_custkey)",
+    "try_mod": "try_mod(o_orderkey, o_custkey - o_custkey)",
+    # SQL hash functions (seed pinned to 42 by the producer fence)
+    "murmur3_hash": "hash(o_orderstatus, o_orderkey)",
+    "xxhash64": "xxhash64(o_orderstatus)",
 }
 
 

@@ -389,6 +389,25 @@ def test_window_ranking_and_aggregates(spark):
     """)
 
 
+def test_array_literal_produces_as_nested_list(spark):
+    """A constant-folded ARRAY LITERAL (Catalyst folds array('x','y')
+    into one Literal of ArrayType) produces as Expression.Nested.List of
+    element literals (r9) — NULL elements included; the empty-array fold
+    stays a named fence (no element to carry the type)."""
+    check(spark, """
+        SELECT o_orderkey,
+               concat(split(o_orderpriority, '-'), array('x', 'y')) AS c,
+               array_contains(concat(split(o_orderpriority, '-'),
+                              array(CAST(NULL AS STRING))), 'LOW') AS has
+        FROM orders
+    """)
+    from datafusion_substrait_spark.plans.proto import SubstraitError
+    with pytest.raises(SubstraitError, match="empty array literal"):
+        to_substrait_plan(spark.sql(
+            "SELECT concat(split(o_orderpriority, '-'), "
+            "array()) FROM orders"))
+
+
 def test_window_first_last_value(spark):
     # the SQL window spellings present prettyName "first_value"/
     # "last_value" (the aggregate-call form aliases to "first"/"last") —

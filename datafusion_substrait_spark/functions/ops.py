@@ -81,6 +81,13 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     # try_element_at reproduces exactly on consume
     "GetMapValue": "map_get",
     "ArrayContains": "array_contains",
+    "ArrayPosition": "array_position",
+    "ArrayRemove": "array_remove",
+    "ArraysOverlap": "arrays_overlap",
+    "ArrayUnion": "array_union",
+    "ArrayIntersect": "array_intersect",
+    "ArrayExcept": "array_except",
+    "ArrayRepeat": "array_repeat",
     # raw-crawl JSON extraction + timestamp formatting (2-child forms;
     # DateFormatClass' optional timezone rides session state, not a child)
     "GetJsonObject": "get_json_object",
@@ -166,6 +173,12 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "Sha1": "sha1",
     # r9 part 3
     "OctetLength": "octet_length",
+    # collection battery (r9 part 4)
+    "MapKeys": "map_keys",
+    "MapValues": "map_values",
+    "Flatten": "flatten",
+    # NO ArrayCompact: the optimizer rewrites it to ArrayFilter with an
+    # isnotnull LAMBDA pre-produce — lambdas have no encoding (catch-all)
     "BitLength": "bit_length",
     "ArrayDistinct": "array_distinct",
     "ArrayMax": "array_max",
@@ -198,6 +211,7 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "StringRPad": "rpad",
     "StringTranslate": "translate",
     "SubstringIndex": "substring_index",
+    "Sequence": "sequence",            # (start, stop[, step])
     "Conv": "conv",                    # (num-string, from-base, to-base)
     "MonthsBetween": "months_between",  # (d1, d2, roundOff-literal)
     # r9 part 3: regex family (Java regex both directions — the produce
@@ -358,6 +372,17 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "try_mod": lambda a, b: F.try_mod(a, b),
     "murmur3_hash": lambda *args: F.hash(*args),
     "xxhash64": lambda *args: F.xxhash64(*args),
+    "map_keys": lambda a: F.map_keys(a),
+    "map_values": lambda a: F.map_values(a),
+    "flatten": lambda a: F.flatten(a),
+    "array_position": lambda a, b: F.array_position(a, b),
+    "array_remove": lambda a, b: F.array_remove(a, b),
+    "arrays_overlap": lambda a, b: F.arrays_overlap(a, b),
+    "array_union": lambda a, b: F.array_union(a, b),
+    "array_intersect": lambda a, b: F.array_intersect(a, b),
+    "array_except": lambda a, b: F.array_except(a, b),
+    "array_repeat": lambda a, b: F.array_repeat(a, b),
+    "sequence": lambda *args: F.sequence(*args),  # 2- or 3-arg (step)
     "repeat": lambda a, b: F.call_function("repeat", a, b),
     "instr": lambda a, b: F.call_function("instr", a, b),
     "levenshtein": lambda a, b: F.levenshtein(a, b),
@@ -401,7 +426,7 @@ SCALAR_CONSUME["substract"] = SCALAR_CONSUME["subtract"]
 # concat_ws is NOT here: the consumer special-cases it (separator must be
 # a python str for F.concat_ws) before apply_scalar is ever reached
 _VARARG = {"str_concat", "coalesce", "greatest", "least", "named_struct",
-           "map", "murmur3_hash", "xxhash64"}
+           "map", "murmur3_hash", "xxhash64", "sequence"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

@@ -991,7 +991,8 @@ class _Producer:
                 spark_type_to_substrait(e.dataType().simpleString()),
             )
         if kind in ("KnownFloatingPointNormalized", "NormalizeNaNAndZero",
-                    "PromotePrecision", "KnownNotNull"):
+                    "PromotePrecision", "KnownNotNull",
+                    "KnownNotContainsNull"):
             return self.rex(e.child(), input_ids)
         if kind == "CaseWhen":
             ifs = [

@@ -196,6 +196,26 @@ SNIPPETS: dict[str, str] = {
     # SQL hash functions (seed pinned to 42 by the producer fence)
     "murmur3_hash": "hash(o_orderstatus, o_orderkey)",
     "xxhash64": "xxhash64(o_orderstatus)",
+    # collection battery (r9 part 4); map_keys/map_values need the CASE
+    # barrier or SimplifyExtractValueOps folds them over the CreateMap
+    "map_keys": "map_keys(CASE WHEN o_orderkey > 0 THEN "
+                "map(o_orderstatus, o_orderkey) END)",
+    "map_values": "map_values(CASE WHEN o_orderkey > 0 THEN "
+                  "map(o_orderstatus, o_orderkey) END)",
+    "flatten": "flatten(array(split(o_orderpriority, '-'), "
+               "split(o_orderstatus, '-')))",
+    "array_position": "array_position(split(o_orderpriority, '-'), 'LOW')",
+    "array_remove": "array_remove(split(o_orderpriority, '-'), 'LOW')",
+    "arrays_overlap": "arrays_overlap(split(o_orderpriority, '-'), "
+                      "split(o_orderstatus, '-'))",
+    "array_union": "array_union(split(o_orderpriority, '-'), "
+                   "split(o_orderstatus, '-'))",
+    "array_intersect": "array_intersect(split(o_orderpriority, '-'), "
+                       "split(o_orderstatus, '-'))",
+    "array_except": "array_except(split(o_orderpriority, '-'), "
+                    "split(o_orderstatus, '-'))",
+    "array_repeat": "array_repeat(o_orderstatus, 2)",
+    "sequence": "sequence(1, CAST(o_orderkey % 5 + 1 AS INT))",
 }
 
 

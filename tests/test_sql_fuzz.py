@@ -81,7 +81,7 @@ class Gen:
         if depth <= 0 or self.r.random() < 0.35:
             return self.pick(cols + [str(self.r.randint(0, 1000))])
         form = self.pick(["add", "sub", "mul", "round", "abs", "case", "mod",
-                          "bitand", "shift", "xor", "strnum"])
+                          "bitand", "shift", "xor", "strnum", "trynum"])
         a = self.num_expr(cols, depth - 1)
         b = self.num_expr(cols, depth - 1)
         if form == "add":
@@ -108,6 +108,15 @@ class Gen:
         if form == "xor":
             return (f"(CAST({self.pick(cols)} AS BIGINT) ^ "
                     f"CAST({self.pick(cols)} AS BIGINT))")
+        if form == "trynum":
+            # TRY-mode arithmetic + width_bucket (r9 part 3) in nests
+            a2 = self.pick(cols)
+            return self.pick([
+                f"try_divide({a2}, ({a2} % {self.r.randint(2, 5)}))",
+                f"try_add({a2}, 9223372036854775807)",
+                f"try_multiply({a2}, {self.r.randint(2, 99)})",
+                f"width_bucket({a2}, 0, 100000, {self.r.randint(2, 16)})",
+            ])
         if form == "strnum":
             # numeric-valued string functions (r9 battery: ascii/instr/
             # levenshtein through arbitrary expression nests)
@@ -125,7 +134,8 @@ class Gen:
         if depth <= 0 or self.r.random() < 0.4:
             return c
         form = self.pick(["upper", "lower", "substr", "concat", "case_base",
-                          "lpad", "translate", "reverse", "subidx"])
+                          "lpad", "translate", "reverse", "subidx",
+                          "rere", "overlay"])
         if form == "upper":
             return f"upper({c})"
         if form == "lower":
@@ -143,6 +153,10 @@ class Gen:
             return f"reverse({c})"
         if form == "subidx":
             return f"substring_index({c}, '{self.pick('-# ')}', {self.r.randint(1, 2)})"
+        if form == "rere":
+            return f"regexp_replace({c}, '[aeiouAEIOU]', '{self.r.randint(0, 9)}')"
+        if form == "overlay":
+            return f"overlay({c} PLACING 'ZZ' FROM {self.r.randint(1, 4)})"
         # base-expression CASE form (E5's second shape)
         v = self.pick(POOLS.get(c, ["A"]))
         return f"(CASE {c} WHEN '{v}' THEN 'hit' ELSE 'miss' END)"

@@ -345,6 +345,7 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "get_json_object": lambda a, b: F.call_function("get_json_object", a, b),
     "date_format": lambda a, b: F.call_function("date_format", a, b),
     "element_at": lambda a, b: F.call_function("element_at", a, b),
+    "try_element_at": lambda a, b: F.try_element_at(a, b),
     "format_number": lambda a, b: F.call_function("format_number", a, b),
     "unix_timestamp": lambda a, b: F.call_function("unix_timestamp", a, b),
     "octet_length": lambda a: F.octet_length(a),

@@ -984,8 +984,14 @@ def hash_embedding(df: DataFrame, text_col: str = "text",
     # both normalize branches below reference it, and each reference
     # would re-run the full fold otherwise
     mid = pre.select(F.col(key_col), raw.alias("_raw"))
-    nrm = F.sqrt(F.aggregate(F.col("_raw"), F.lit(0.0),
-                             lambda a, v: a + v * v))
-    emb = F.when(nrm > 0, F.transform(F.col("_raw"), lambda v: v / nrm)) \
+    # ... and the norm too: a non-column expression inside the normalize
+    # lambda is re-evaluated PER ELEMENT (no CSE across the HOF
+    # boundary), which would make the divide pass O(dim²) per row
+    mid = mid.select(
+        F.col(key_col), "_raw",
+        F.sqrt(F.aggregate(F.col("_raw"), F.lit(0.0),
+                           lambda a, v: a + v * v)).alias("_nrm"))
+    emb = F.when(F.col("_nrm") > 0,
+                 F.transform(F.col("_raw"), lambda v: v / F.col("_nrm"))) \
         .otherwise(F.transform(F.col("_raw"), lambda v: v * 0.0))
     return mid.select(F.col(key_col), emb.alias("embedding"))

@@ -1124,13 +1124,20 @@ class _Producer:
                         "TRY-mode integral divide has no try_div builder "
                         "to consume with; rewrite without try semantics")
                 name = tname
-        if name == "element_at" and _opt(e.defaultValueOutOfBound()) is not None:
-            # split_part desugars to ElementAt with a '' out-of-bound
-            # DEFAULT — a field with no encoding; consuming as plain
-            # element_at would silently change OOB behavior
-            raise SubstraitError(
-                "element_at with a defaultValueOutOfBound (split_part "
-                "desugaring) has no Substrait encoding")
+        if name == "element_at":
+            if _opt(e.defaultValueOutOfBound()) is not None:
+                # split_part desugars to ElementAt with a '' out-of-bound
+                # DEFAULT — a field with no encoding; consuming as plain
+                # element_at would silently change OOB behavior
+                raise SubstraitError(
+                    "element_at with a defaultValueOutOfBound (split_part "
+                    "desugaring) has no Substrait encoding")
+            if not bool(e.failOnError()):
+                # try_element_at: NULL-on-OOB rides the failOnError FIELD;
+                # producing as plain element_at would rebuild the strict
+                # ANSI form (throw-on-OOB) — the same silent
+                # NULL→throw swap the TRY-arithmetic fence prevents
+                name = "try_element_at"
         if name in ("regex_match", "regex_not_match"):
             # Spark has no case-insensitive RLike operator class; a literal
             # "(?i)"-prefixed pattern IS the case-insensitive form, so strip
@@ -1179,6 +1186,12 @@ class _Producer:
             # the LocalRelation getter table is reused
             inner = dt[6:-1]
             getter = self._ROW_GETTERS.get(inner)
+            dm = _DECIMAL_RE.match(inner)
+            if getter is None and dm:
+                # same decimal fallback as the LocalRelation rows above
+                getter = lambda a, i, _dm=dm: a.getDecimal(  # noqa: E731
+                    i, int(_dm.group(1)), int(_dm.group(2))
+                ).toJavaBigDecimal()
             if getter is None:
                 raise SubstraitError(
                     f"unsupported array-literal element type {inner!r}")

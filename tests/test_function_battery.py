@@ -168,6 +168,9 @@ SNIPPETS: dict[str, str] = {
     "map": "map('k', o_totalprice, 'j', o_totalprice * 2)",
     # r9 part 3 (expression-gap sweep)
     "element_at": "element_at(split(o_orderpriority, '-'), 1)",
+    # failOnError=false rides the try_ name (NULL on OOB, value-checked
+    # by the out-of-range index)
+    "try_element_at": "try_element_at(split(o_orderpriority, '-'), 9)",
     "format_number": "format_number(o_totalprice, 2)",
     "unix_timestamp": "unix_timestamp(CAST(o_orderdate AS TIMESTAMP))",
     "octet_length": "octet_length(o_orderpriority)",

@@ -402,6 +402,12 @@ def test_array_literal_produces_as_nested_list(spark):
         FROM orders
     """)
     from datafusion_substrait_spark.plans.proto import SubstraitError
+    # decimal elements ride the same LocalRelation getDecimal fallback
+    check(spark, """
+        SELECT o_orderkey, element_at(array(1.5BD, 2.5BD),
+               CAST(o_orderkey % 2 + 1 AS INT)) AS c
+        FROM orders LIMIT 50
+    """)
     with pytest.raises(SubstraitError, match="empty array literal"):
         to_substrait_plan(spark.sql(
             "SELECT concat(split(o_orderpriority, '-'), "

@@ -1276,6 +1276,12 @@ ORACLES: dict[str, str] = {
                                    AND a.vec_id < b.vec_id
             JOIN hbst s ON s.bucket = a.bucket
             WHERE (s.n <= 500 OR a.vec_id = s.hub)
+              -- zero-norm guard (r10, ADVICE): zero-token docs hash to the
+              -- zero vector; cosine 0/0 is NaN in DuckDB, which orders NaN
+              -- ABOVE all doubles, so 'round(NaN,6) >= 0.9' would emit
+              -- phantom pairs where Spark's try_divide yields NULL+drop
+              AND sqrt(list_dot_product(a.v, a.v)) > 0
+              AND sqrt(list_dot_product(b.v, b.v)) > 0
               AND round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9

@@ -72,10 +72,12 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "Levenshtein": "levenshtein",   # 2-arg form (threshold form is 3-child
                                     # and fails arity cleanly)
     "Sha2": "sha2",                 # (binary, numBits-literal)
-    # 0-based array indexing (arr[i]); also emitted by the PIVOT
-    # auto-lowering's slot-array extraction (producer._rel_Aggregate).
-    # Consumed as F.get (NULL on out-of-bounds) — under ANSI mode Spark's
-    # own GetArrayItem errors on OOB instead, a documented asymmetry.
+    # 0-based array indexing. Consumed as F.get (NULL on out-of-bounds),
+    # so only the LENIENT form (failOnError=false, i.e. get()) produces
+    # this name; the strict ANSI arr[i] form is rewritten by the producer
+    # to strict element_at(arr, i+1) when the ordinal is a non-negative
+    # literal (value-identical incl. throw-on-OOB) and fenced otherwise
+    # — see producer._binary (r10, ADVICE).
     "GetArrayItem": "array_get",
     # m[k]: NULL on missing key in BOTH ANSI modes (SPARK-40066), which
     # try_element_at reproduces exactly on consume

@@ -782,6 +782,17 @@ class _Producer:
         identical either way."""
         rows = [_seq(r) for r in _seq(node.projections())]
         out_ids = [a.exprId().id() for a in _seq(node.output())]
+        if needed is not None:
+            # push the parent's pruning through every branch (r10, ADVICE):
+            # positions are aligned across projection rows, so dropping an
+            # unneeded output drops one expression from each branch — and
+            # with it any column the dropped expressions alone referenced,
+            # shrinking every consumed branch scan. Keep position 0 if the
+            # parent somehow needs nothing (an empty projection is invalid).
+            keep = [i for i, oid in enumerate(out_ids) if oid in needed] \
+                or [0]
+            rows = [[r[i] for i in keep] for r in rows]
+            out_ids = [out_ids[i] for i in keep]
         used = {a.exprId().id() for r in rows for e in r
                 for a in _seq(e.references().toSeq())}
         crel, cids = self.rel(node.child(), used or None)
@@ -1124,6 +1135,29 @@ class _Producer:
                         "TRY-mode integral divide has no try_div builder "
                         "to consume with; rewrite without try semantics")
                 name = tname
+        if name == "array_get" and bool(e.failOnError()):
+            # GetArrayItem carries failOnError as a node FIELD (true by
+            # default under Spark 4 ANSI mode). We consume array_get as
+            # F.get (NULL on out-of-bounds), so producing the strict form
+            # as array_get would silently swap throw-on-OOB for NULL — the
+            # same silent-semantics swap the ElementAt/TRY fences prevent.
+            # For a literal non-negative ordinal (every ``arr[i]`` in SQL,
+            # incl. the PIVOT slot extraction) the strict 0-based form is
+            # EXACTLY strict 1-based element_at(arr, i+1) — both throw on
+            # OOB and on NULL-free in-bounds agree — so produce that;
+            # anything else (dynamic ordinal) has no faithful encoding.
+            right = e.right()
+            if _cls(right) == "Literal" and right.value() is not None \
+                    and int(str(right.value())) >= 0:
+                return proto.scalar_function(
+                    self.registry.register("element_at"),
+                    [self.rex(e.left(), input_ids),
+                     proto.literal("i32", int(str(right.value())) + 1)],
+                )
+            raise SubstraitError(
+                "ANSI-mode arr[i] (GetArrayItem failOnError=true) with a "
+                "non-literal ordinal has no faithful Substrait encoding; "
+                "use get()/try_element_at for NULL-on-OOB semantics")
         if name == "element_at":
             if _opt(e.defaultValueOutOfBound()) is not None:
                 # split_part desugars to ElementAt with a '' out-of-bound

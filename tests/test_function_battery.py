@@ -149,9 +149,10 @@ SNIPPETS: dict[str, str] = {
     "least": "least(o_orderkey, o_custkey, 5)",
     # arrays (via split)
     "regexp_split": "split(o_orderpriority, '-')",
-    # 0-based indexing; non-foldable array so SimplifyExtractValueOps
-    # cannot constant-fold GetArrayItem away pre-produce
-    "array_get": "split(o_orderpriority, '-')[1]",
+    # 0-based lenient indexing (get() = GetArrayItem failOnError=false);
+    # the ANSI arr[i] strict form produces as element_at(arr, i+1) instead
+    # (pinned in test_interchange_edges), so only get() rides array_get
+    "array_get": "get(split(o_orderpriority, '-'), 1)",
     "array_contains": "array_contains(split(o_orderpriority, '-'), 'LOW')",
     "size": "size(split(o_orderpriority, '-'))",
     # the CASE barrier keeps SimplifyExtractValueOps from folding the

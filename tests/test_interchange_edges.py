@@ -478,9 +478,30 @@ def test_unpivot_auto_lowers_and_lateral_scalar_roundtrip(spark):
         UNPIVOT (amt FOR kind IN (o_totalprice AS price, o_ck AS cust))
         GROUP BY kind
     """)
-    aback = from_substrait_plan(spark, to_substrait_plan(agg))
+    aplan = to_substrait_plan(agg)
+    aback = from_substrait_plan(spark, aplan)
     assert sorted(map(tuple, agg.collect()), key=key) \
         == sorted(map(tuple, aback.collect()), key=key)
+
+    # upstream pruning must push through the lowered branches (r10,
+    # ADVICE): the aggregate needs only (kind, amt), so each UNION-ALL
+    # branch projects 2 expressions, not the Expand's full 3-wide row
+    def _sets(d, out):
+        if isinstance(d, dict):
+            if "set" in d:
+                out.append(d["set"])
+            for v in d.values():
+                _sets(v, out)
+        elif isinstance(d, list):
+            for v in d:
+                _sets(v, out)
+    found = []
+    _sets(aplan, found)
+    assert found, "lowered UNPIVOT lost its SetRel"
+    for s in found:
+        for branch in s["inputs"]:
+            assert len(branch["project"]["expressions"]) == 2, (
+                "parent pruning did not reach the lowered Expand branches")
 
     # a USER column literally named spark_grouping_id must not misroute
     # the Expand into the grouping-sets reconstruction (detection checks
@@ -624,3 +645,39 @@ def test_recursive_union_helper_matches_native_recursion(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         recursive_union(seed, lambda f: f.select((F.col("n") + 1).alias("n")),
                         max_iter=3, distinct=False)
+
+
+def test_ansi_array_index_rewrites_to_strict_element_at(spark):
+    """Under Spark 4's default ANSI mode, ``arr[i]`` is GetArrayItem with
+    failOnError=true (throw on OOB). Producing it as ``array_get`` would
+    consume back as F.get (NULL on OOB) — a silent semantics swap — so the
+    producer rewrites the literal-ordinal form to strict 1-based
+    ``element_at(arr, i+1)``, which is value-identical including the
+    throw-on-OOB behavior. Dynamic ordinals have no faithful encoding and
+    fence (ADVICE r9)."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.sql(
+        "SELECT o_orderkey, split(o_orderpriority, '-')[1] AS w "
+        "FROM orders WHERE o_orderkey % 7 = 0")
+    plan = to_substrait_plan(df)
+    names = {d["extensionFunction"]["name"]
+             for d in plan.get("extensions", [])}
+    assert "element_at" in names and "array_get" not in names
+    from tests.conftest import assert_same_result
+    assert_same_result(df, from_substrait_plan(spark, plan))
+
+    # lenient get() still rides array_get
+    lenient = spark.sql(
+        "SELECT get(split(o_orderpriority, '-'), 9) AS w FROM orders")
+    lplan = to_substrait_plan(lenient)
+    lnames = {d["extensionFunction"]["name"]
+              for d in lplan.get("extensions", [])}
+    assert "array_get" in lnames
+    assert_same_result(lenient, from_substrait_plan(spark, lplan))
+
+    # strict + non-literal ordinal: translate-or-error
+    dyn = spark.sql(
+        "SELECT split(o_orderpriority, '-')"
+        "[CAST(o_orderkey % 2 AS INT)] AS w FROM orders")
+    with pytest.raises(SubstraitError, match="non-literal ordinal"):
+        to_substrait_plan(dyn)

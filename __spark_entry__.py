@@ -294,10 +294,23 @@ _SQL: dict[str, str] = {
                CAST(grouping(o_orderpriority) AS INT) AS g_pri
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
-    # Generate/explode via the ExtensionSingleRel GenerateRel escape hatch
+    # Generate/explode via the ExtensionSingleRel GenerateRel escape hatch.
+    # r10: widened in place with the lambda surface — transform feeds the
+    # explode, filter+size and an aggregate fold ride as sibling columns,
+    # so the lambda(n, body)/lambda_var(depth, index) encoding gets a
+    # driver-level correctness row (DuckDB list_transform/list_filter/
+    # list_sum replay the same op sequence)
     "q28_explode": """
-        SELECT part, count(*) AS n
-        FROM (SELECT explode(split(o_orderpriority, '-')) AS part FROM orders)
+        SELECT part, count(*) AS n,
+               CAST(sum(n_long) AS BIGINT) AS sum_long,
+               CAST(max(fold_len) AS BIGINT) AS max_fold
+        FROM (SELECT explode(transform(split(o_orderpriority, '-'),
+                                       x -> lower(x))) AS part,
+                     size(filter(split(o_orderpriority, '-'),
+                                 x -> length(x) > 2)) AS n_long,
+                     aggregate(split(o_orderpriority, '-'), 0,
+                               (acc, x) -> acc + length(x)) AS fold_len
+              FROM orders)
         GROUP BY part
     """,
     # window functions (ConsistentPartitionWindowRel extension; every ORDER BY
@@ -1152,10 +1165,20 @@ ORACLES: dict[str, str] = {
     """,
     "q27_rollup": _SQL["q27_rollup"],
     # DuckDB's split is not regex-based, so the oracle uses string_split +
-    # unnest; '-' has no regex metacharacters, so the two agree exactly
+    # unnest; '-' has no regex metacharacters, so the two agree exactly.
+    # r10 lambda columns replay as list_transform/list_filter/list_sum —
+    # the same op sequence, element for element
     "q28_explode": """
-        SELECT part, count(*) AS n
-        FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS part FROM orders)
+        SELECT part, count(*) AS n,
+               CAST(sum(n_long) AS BIGINT) AS sum_long,
+               CAST(max(fold_len) AS BIGINT) AS max_fold
+        FROM (SELECT unnest(list_transform(string_split(o_orderpriority, '-'),
+                                           x -> lower(x))) AS part,
+                     len(list_filter(string_split(o_orderpriority, '-'),
+                                     x -> length(x) > 2)) AS n_long,
+                     list_sum(list_transform(string_split(o_orderpriority, '-'),
+                                             x -> length(x))) AS fold_len
+              FROM orders)
         GROUP BY part
     """,
     "d1_exact_dedup": f"""

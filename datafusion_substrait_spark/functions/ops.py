@@ -180,7 +180,8 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "MapValues": "map_values",
     "Flatten": "flatten",
     # NO ArrayCompact: the optimizer rewrites it to ArrayFilter with an
-    # isnotnull LAMBDA pre-produce — lambdas have no encoding (catch-all)
+    # isnotnull LAMBDA pre-produce — which now rides the lambda encoding
+    # (CATALYST_HOF_TO_NAME below), un-fencing array_compact (r10)
     "BitLength": "bit_length",
     "ArrayDistinct": "array_distinct",
     "ArrayMax": "array_max",
@@ -226,6 +227,47 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "Slice": "slice",                    # (array, 1-based start, length)
     "Overlay": "overlay",                # (str, replace, pos, len)
     "WidthBucket": "width_bucket",
+}
+
+# ---------------------------------------------------------------------------
+# higher-order functions (r10): Catalyst class → extension scalar name.
+# A Catalyst LambdaFunction child rides as the extension call
+# ``lambda(n_params: i32, body)``; a NamedLambdaVariable in the body rides
+# as ``lambda_var(depth: i32, index: i32)`` — de-Bruijn-style (depth 0 =
+# innermost enclosing lambda), so NESTED lambdas roundtrip without carrying
+# Catalyst exprIds across the plan boundary. Both helper names are plain
+# extension scalar functions, so the binary wire codec handles them for
+# free. The reference has no lambda surface (catch-all, consumer.rs:69);
+# this closes the r9 verdict's top capability gap.
+# ---------------------------------------------------------------------------
+
+CATALYST_HOF_TO_NAME: dict[str, str] = {
+    "ArrayTransform": "transform",
+    "ArrayFilter": "filter",           # also array_compact's optimized form
+    "ArrayExists": "exists",           # followThreeValuedLogic fence (producer)
+    "ArrayForAll": "forall",
+    "ArrayAggregate": "aggregate",     # SQL aggregate() AND reduce()
+    "ZipWith": "zip_with",
+    "MapFilter": "map_filter",
+    "TransformKeys": "transform_keys",
+    "TransformValues": "transform_values",
+    "MapZipWith": "map_zip_with",
+    "ArraySort": "array_sort",         # comparator lambda (default or custom)
+}
+
+# consume: positional (Columns and rebuilt python lambdas, in child order)
+HOF_CONSUME: dict[str, Callable[..., Column]] = {
+    "transform": F.transform,
+    "filter": F.filter,
+    "exists": F.exists,
+    "forall": F.forall,
+    "aggregate": F.aggregate,
+    "zip_with": F.zip_with,
+    "map_filter": F.map_filter,
+    "transform_keys": F.transform_keys,
+    "transform_values": F.transform_values,
+    "map_zip_with": F.map_zip_with,
+    "array_sort": F.array_sort,
 }
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,10 @@ class _Consumer:
         # canonical-JSON of a scalar-subquery expr → attached column name,
         # scoped to the project/filter currently being consumed
         self._sq_map: dict[str, str] = {}
+        # lambda frames (r10): the bound Columns of the lambda currently
+        # being consumed, innermost last — lambda_var(depth, index) resolves
+        # against this stack
+        self._lambda_stack: list[list[Column]] = []
 
     def _fn_name(self, anchor: int) -> str:
         name = self.extensions.get(int(anchor))
@@ -657,6 +661,14 @@ class _Consumer:
         if kind == "scalarFunction":
             name = self._fn_name(body["functionReference"])
             raw = [a["value"] for a in body.get("arguments", [])]
+            if name in ops.HOF_CONSUME:
+                return self._hof(name, raw, resolver)
+            if name == "lambda_var":
+                return self._lambda_var(raw)
+            if name == "lambda":
+                raise SubstraitError(
+                    "lambda is only consumable as a direct argument of a "
+                    "higher-order function")
             if name == "round" and len(raw) == 2:
                 # F.round needs a python-int scale; pull it from the literal
                 lit = raw[1].get("literal", {})
@@ -711,6 +723,76 @@ class _Consumer:
                                  for v in body["list"].get("values", [])])
             raise SubstraitError("only Nested.List is supported")
         raise SubstraitError(f"unsupported expression {kind} (consumer.rs:611-613)")
+
+    def _hof(self, name: str, raw: list[dict], resolver) -> Column:
+        """Higher-order function consume (r10): args are positional —
+        Columns for data arguments, and for each ``lambda(n, body)``
+        argument a rebuilt fixed-arity python function, handed to the
+        matching pyspark.sql.functions builder (ops.HOF_CONSUME). The
+        builder invokes the function immediately with its bound lambda-
+        variable Columns, so the body is consumed inside the frame it
+        closes over — nested lambdas stack naturally."""
+        args = []
+        for a in raw:
+            fn = a.get("scalarFunction")
+            if fn is not None and \
+                    self._fn_name(fn["functionReference"]) == "lambda":
+                args.append(self._consume_lambda(fn, resolver))
+            else:
+                args.append(self.rex(a, resolver))
+        try:
+            return ops.HOF_CONSUME[name](*args)
+        except TypeError as ex:
+            raise SubstraitError(
+                f"higher-order function {name!r}: bad call shape "
+                f"({ex})") from None
+
+    def _consume_lambda(self, fn: dict, resolver):
+        args = [a["value"] for a in fn.get("arguments", [])]
+        if len(args) != 2:
+            raise SubstraitError(
+                "lambda encoding is lambda(n_params: i32, body)")
+        n = args[0].get("literal", {}).get("i32")
+        if n is None:
+            raise SubstraitError("lambda n_params must be an i32 literal")
+        n, bexpr = int(n), args[1]
+
+        def run(cols):
+            self._lambda_stack.append(list(cols))
+            try:
+                return self.rex(bexpr, resolver)
+            finally:
+                self._lambda_stack.pop()
+
+        # pyspark's _create_lambda inspects the signature, so the arity
+        # must be structural, not *args
+        if n == 1:
+            return lambda a: run([a])
+        if n == 2:
+            return lambda a, b: run([a, b])
+        if n == 3:
+            return lambda a, b, c: run([a, b, c])
+        raise SubstraitError(
+            f"lambda with {n} parameters (Spark lambdas take 1-3)")
+
+    def _lambda_var(self, raw: list[dict]) -> Column:
+        if len(raw) != 2:
+            raise SubstraitError(
+                "lambda_var encoding is lambda_var(depth: i32, index: i32)")
+        vals = []
+        for a in raw:
+            v = a.get("literal", {}).get("i32")
+            if v is None:
+                raise SubstraitError(
+                    "lambda_var args must be i32 literals")
+            vals.append(int(v))
+        depth, idx = vals
+        if not (0 <= depth < len(self._lambda_stack)) or \
+                not (0 <= idx < len(self._lambda_stack[-1 - depth])):
+            raise SubstraitError(
+                f"lambda_var({depth}, {idx}) is out of scope "
+                f"({len(self._lambda_stack)} frame(s) open)")
+        return self._lambda_stack[-1 - depth][idx]
 
     def _if_then(self, body: dict, resolver) -> Column:
         ifs = list(body.get("ifs", []))

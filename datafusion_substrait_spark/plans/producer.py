@@ -109,6 +109,10 @@ class _Producer:
         # None); used by _rel_Aggregate to splice measure/grouping field refs
         # into post-aggregation scalar expressions
         self._override = None
+        # lambda frames (r10): exprIds of the LambdaFunction currently being
+        # produced, innermost last — NamedLambdaVariable refs encode as
+        # (depth, index) against this stack
+        self._lambda_stack: list[list[int]] = []
 
     def _fresh_id(self) -> int:
         self._sentinel -= 1
@@ -1058,6 +1062,21 @@ class _Producer:
             )
         if kind == "InSet":
             return self._inset(e, input_ids)
+        if kind == "NamedLambdaVariable":
+            eid = e.exprId().id()
+            for depth, frame in enumerate(reversed(self._lambda_stack)):
+                if eid in frame:
+                    return proto.scalar_function(
+                        self.registry.register("lambda_var"),
+                        [proto.literal("i32", depth),
+                         proto.literal("i32", frame.index(eid))],
+                    )
+            raise SubstraitError(
+                f"lambda variable {e.name()}#{eid} referenced outside its "
+                "enclosing lambda")
+        name = ops.CATALYST_HOF_TO_NAME.get(kind)
+        if name is not None:
+            return self._hof(name, e, input_ids)
         name = ops.CATALYST_BINARY_TO_NAME.get(kind)
         if name is not None:
             return self._binary(name, e, input_ids)
@@ -1119,6 +1138,45 @@ class _Producer:
     _TRY_ARITH = {"add": "try_add", "subtract": "try_subtract",
                   "multiply": "try_multiply", "divide": "try_divide",
                   "mod": "try_mod"}
+
+    def _hof(self, name: str, e, input_ids) -> dict:
+        """Higher-order function call (r10): children in Catalyst order —
+        data arguments produce normally, each LambdaFunction child rides as
+        the ``lambda(n_params, body)`` extension call (see
+        ops.CATALYST_HOF_TO_NAME). The consumer rebuilds via the matching
+        pyspark.sql.functions builder, so the consumed plan is the SAME
+        codegen HOF — no interpreted path is introduced."""
+        if name == "exists" and not bool(e.followThreeValuedLogic()):
+            # the flag is a node FIELD tied to a legacy session conf; the
+            # consumer rebuilds F.exists with the session default (3VL on),
+            # so the legacy two-valued form would silently change NULL
+            # handling — translate-or-error, like the other field fences
+            raise SubstraitError(
+                "exists() with followThreeValuedLogic=false (legacy conf) "
+                "has no Substrait encoding")
+        args = []
+        for c in _seq(e.children()):
+            if _cls(c) == "LambdaFunction":
+                args.append(self._lambda(c, input_ids))
+            else:
+                args.append(self.rex(c, input_ids))
+        return proto.scalar_function(self.registry.register(name), args)
+
+    def _lambda(self, lf, input_ids) -> dict:
+        if bool(lf.hidden()):
+            # `hidden` marks analyzer-internal variables not bound to a
+            # declared parameter slot; consuming positionally would bind
+            # the wrong columns
+            raise SubstraitError("hidden LambdaFunction has no encoding")
+        params = [v.exprId().id() for v in _seq(lf.arguments())]
+        self._lambda_stack.append(params)
+        try:
+            body = self.rex(lf.function(), input_ids)
+        finally:
+            self._lambda_stack.pop()
+        return proto.scalar_function(
+            self.registry.register("lambda"),
+            [proto.literal("i32", len(params)), body])
 
     def _binary(self, name: str, e, input_ids) -> dict:
         if name in ("add", "subtract", "multiply", "divide", "mod", "div"):

@@ -220,6 +220,28 @@ SNIPPETS: dict[str, str] = {
                     "split(o_orderstatus, '-'))",
     "array_repeat": "array_repeat(o_orderstatus, 2)",
     "sequence": "sequence(1, CAST(o_orderkey % 5 + 1 AS INT))",
+    # higher-order functions (r10): lambdas ride the lambda(n, body) /
+    # lambda_var(depth, index) extension encoding; deeper shapes (nesting,
+    # outer-column capture, index-aware transform) are pinned in
+    # tests/test_hof.py
+    "transform": "transform(split(o_orderpriority, '-'), x -> upper(x))",
+    "filter": "filter(split(o_orderpriority, '-'), x -> length(x) > 2)",
+    "exists": "exists(split(o_orderpriority, '-'), x -> x = 'LOW')",
+    "forall": "forall(split(o_orderpriority, '-'), x -> length(x) > 0)",
+    "aggregate": "aggregate(sequence(1, CAST(o_orderkey % 5 + 1 AS INT)), "
+                 "0, (acc, v) -> acc + v)",
+    "zip_with": "zip_with(split(o_orderpriority, '-'), "
+                "split(o_orderpriority, '-'), (a, b) -> concat(a, b))",
+    "map_filter": "map_filter(map('a', o_orderkey, 'b', o_custkey), "
+                  "(k, v) -> v > 100)",
+    "transform_keys": "transform_keys(map('a', o_orderkey), "
+                      "(k, v) -> upper(k))",
+    "transform_values": "transform_values(map('a', o_orderkey), "
+                        "(k, v) -> v * 2)",
+    "map_zip_with": "map_zip_with(map('a', o_orderkey), map('a', o_custkey), "
+                    "(k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0))",
+    "array_sort": "array_sort(split(o_orderpriority, '-'), (l, r) -> "
+                  "CASE WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END)",
 }
 
 
@@ -229,6 +251,7 @@ def test_every_produce_table_name_has_a_snippet():
         | set(ops.CATALYST_NOT_TO_NAME.values())
         | set(ops.CATALYST_UNARY_TO_NAME.values())
         | set(ops.CATALYST_NARY_TO_NAME.values())
+        | set(ops.CATALYST_HOF_TO_NAME.values())
         # literal-"(?i)" RLike patterns produce the imatch pair
         | {"regex_imatch", "regex_not_imatch"}
     )

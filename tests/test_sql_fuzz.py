@@ -421,6 +421,37 @@ class Gen:
             f"GROUP BY part"
         )
 
+    def hof_query(self) -> str:
+        # higher-order functions (r10): lambda bodies over split() arrays —
+        # array-valued and scalar-valued forms, incl. nesting and the
+        # index-aware 2-param transform
+        t, c, sep = self.pick([("orders", "o_orderpriority", "-"),
+                               ("customer", "c_name", "#"),
+                               ("part", "p_type", " ")])
+        key = TABLES[t][2][0]
+        arr = f"split({c}, '{sep}')"
+        inner = self.pick([
+            f"transform({arr}, x -> upper(x))",
+            f"transform({arr}, (x, i) -> concat(x, '#', i))",
+            f"filter({arr}, x -> length(x) > {self.r.randint(1, 4)})",
+            f"transform({arr}, x -> transform({arr}, y -> concat(x, y)))",
+            f"array_sort({arr}, (l, r) -> CASE WHEN length(l) < length(r) "
+            f"THEN -1 WHEN length(l) > length(r) THEN 1 ELSE 0 END)",
+            f"zip_with({arr}, {arr}, (a, b) -> concat(a, '.', b))",
+            f"array_compact(transform({arr}, "
+            f"x -> nullif(x, '{self.r.randint(0, 9)}')))",
+        ])
+        scalar = self.pick([
+            f"aggregate({arr}, 0, (acc, x) -> acc + length(x))",
+            f"reduce({arr}, '', (acc, x) -> concat(acc, x), "
+            f"acc -> length(acc))",
+            f"exists({arr}, x -> length(x) = {self.r.randint(1, 6)})",
+            f"forall({arr}, x -> length(x) > {self.r.randint(0, 2)})",
+            f"size(filter({arr}, x -> length(x) >= {self.r.randint(1, 3)}))",
+        ])
+        return (f"SELECT {key}, {inner} AS arr_c, {scalar} AS sc_c "
+                f"FROM {t} WHERE ({key} % {self.r.randint(2, 7)}) = 0")
+
     def cte_query(self) -> str:
         t = self.pick(list(TABLES))
         ncols, scols, _ = TABLES[t]
@@ -556,9 +587,9 @@ class Gen:
             ["select", "agg", "join", "semi", "setop", "window", "distinct",
              "scalar_sub", "rollup", "explode", "cte", "cross", "date",
              "values", "join_agg", "window_derived", "nested_setop",
-             "window_frames", "pivot", "unpivot"],
+             "window_frames", "pivot", "unpivot", "hof"],
             weights=[15, 15, 12, 5, 7, 6, 4, 5, 6, 4, 5, 2, 3, 4, 7, 5, 4,
-                     7, 4, 4],
+                     7, 4, 4, 6],
         )[0]
         return getattr(self, {
             "select": "select_query", "agg": "agg_query",
@@ -574,6 +605,7 @@ class Gen:
             "nested_setop": "nested_setop_query",
             "window_frames": "window_frames_query",
             "pivot": "pivot_query", "unpivot": "unpivot_query",
+            "hof": "hof_query",
         }[shape])()
 
 

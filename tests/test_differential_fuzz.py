@@ -1,0 +1,288 @@
+"""Differential-VALUE fuzz tier (r10 directive): the roundtrip fuzz in
+test_sql_fuzz.py checks produce→consume identity, which is blind to
+translation bugs that are symmetric in both directions. This tier closes
+that: for a deterministic integer/string sub-grammar written in the exact
+ANSI intersection of Spark SQL and DuckDB, the SAME SQL string runs on
+both engines over the same parquet — the roundtripped Spark result must
+equal DuckDB's rows value-for-value.
+
+Grammar constraints that make the values portable:
+- integers only in arithmetic (no IEEE doubles, no division, no avg);
+  sums stay far inside int64 (multipliers <= 9)
+- string fns from the shared dialect: upper/lower/substring/replace/
+  length/reverse/trim/lpad/instr; LIKE only (no regex — Java vs RE2)
+- date parts year/month/day over the timestamp columns (both engines
+  return identical integers)
+- joins on real FK pairs, EXISTS/NOT EXISTS, set ops (both engines'
+  UNION/INTERSECT/EXCEPT are distinct-by-default), GROUP BY + HAVING,
+  uncorrelated scalar subqueries; no LIMIT (no total order needed —
+  rows compare as sorted multisets)
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from datafusion_substrait_spark import roundtrip
+from tests.conftest import SF_DIR, rows_set
+
+TABLES = {
+    "orders": (["o_orderkey", "o_custkey"],
+               ["o_orderstatus", "o_orderpriority"], "o_orderdate"),
+    "customer": (["c_custkey", "c_nationkey"],
+                 ["c_name", "c_mktsegment"], None),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+                 ["l_returnflag", "l_linestatus"], "l_shipdate"),
+    "nation": (["n_nationkey", "n_regionkey"], ["n_name"], None),
+    "supplier": (["s_suppkey", "s_nationkey"], ["s_name"], None),
+    "part": (["p_partkey", "p_size"], ["p_name", "p_brand", "p_type"], None),
+}
+
+POOLS = {
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                        "5-LOW"],
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                     "MACHINERY"],
+    "p_type": ["ECONOMY", "LARGE", "STANDARD", "MEDIUM", "SMALL", "PROMO"],
+}
+
+JOINS = [
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+]
+
+
+class DiffGen:
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    def pick(self, xs):
+        return self.r.choice(xs)
+
+    def int_expr(self, cols, depth=2) -> str:
+        if depth <= 0 or self.r.random() < 0.4:
+            return self.pick(cols + [str(self.r.randint(0, 99))])
+        a = self.int_expr(cols, depth - 1)
+        b = self.int_expr(cols, depth - 1)
+        form = self.pick(["add", "sub", "mulc", "mod", "case", "strlen",
+                          "abs", "instr"])
+        if form == "add":
+            return f"({a} + {b})"
+        if form == "sub":
+            return f"({a} - {b})"
+        if form == "mulc":
+            return f"({a} * {self.r.randint(2, 9)})"
+        if form == "mod":
+            return f"({self.pick(cols)} % {self.r.randint(2, 97)})"
+        if form == "abs":
+            return f"abs({a} - {b})"
+        if form == "strlen":
+            return f"length(CAST({self.pick(cols)} AS STRING))"
+        if form == "instr":
+            return (f"instr(CAST({self.pick(cols)} AS STRING), "
+                    f"'{self.r.randint(0, 9)}')")
+        return (f"(CASE WHEN {a} > {b} THEN {a} "
+                f"WHEN {a} = {b} THEN 0 ELSE {b} END)")
+
+    def str_expr(self, scols, depth=1) -> str:
+        c = self.pick(scols)
+        if depth <= 0 or self.r.random() < 0.35:
+            return c
+        form = self.pick(["upper", "lower", "sub", "replace", "reverse",
+                          "trim", "lpad", "concat2"])
+        if form == "upper":
+            return f"upper({self.str_expr(scols, depth - 1)})"
+        if form == "lower":
+            return f"lower({self.str_expr(scols, depth - 1)})"
+        if form == "sub":
+            return (f"substring({c}, {self.r.randint(1, 3)}, "
+                    f"{self.r.randint(1, 6)})")
+        if form == "replace":
+            return f"replace({c}, '{self.pick('AEIOU_')}', '*')"
+        if form == "reverse":
+            return f"reverse({c})"
+        if form == "trim":
+            return f"trim({c})"
+        if form == "lpad":
+            return f"lpad({c}, {self.r.randint(8, 14)}, '.')"
+        return f"(({c}) || '#' || ({self.pick(scols)}))"
+
+    def bool_expr(self, icols, scols, dcol, depth=2) -> str:
+        if depth <= 0:
+            return self.cmp(icols, scols, dcol)
+        form = self.pick(["and", "or", "not", "cmp", "cmp"])
+        a = self.bool_expr(icols, scols, dcol, depth - 1)
+        b = self.bool_expr(icols, scols, dcol, depth - 1)
+        if form == "and":
+            return f"({a} AND {b})"
+        if form == "or":
+            return f"({a} OR {b})"
+        if form == "not":
+            return f"(NOT {a})"
+        return self.cmp(icols, scols, dcol)
+
+    def cmp(self, icols, scols, dcol) -> str:
+        kind = self.pick(["num", "num", "in", "like", "between", "str"]
+                         + (["date"] if dcol else []))
+        if kind == "num":
+            op = self.pick(["<", "<=", ">", ">=", "=", "<>"])
+            return f"({self.int_expr(icols, 1)} {op} {self.int_expr(icols, 1)})"
+        if kind == "in":
+            c = self.pick(scols)
+            pool = POOLS.get(c)
+            if pool:
+                vals = ", ".join(f"'{v}'" for v in
+                                 self.r.sample(pool, k=min(2, len(pool))))
+                return f"({c} IN ({vals}))"
+            return f"({self.pick(icols)} IN (1, 2, 3, 5, 8, 13))"
+        if kind == "like":
+            c = self.pick(scols)
+            pool = POOLS.get(c)
+            pre = pool[0][:1] if pool else self.pick("ABCN")
+            return f"({c} LIKE '{pre}%')"
+        if kind == "between":
+            lo = self.r.randint(0, 500)
+            return f"({self.pick(icols)} BETWEEN {lo} AND {lo + 500})"
+        if kind == "date":
+            part = self.pick(["year", "month", "day"])
+            hi = {"year": (1995, 2000), "month": (2, 11), "day": (5, 25)}[part]
+            return f"({part}({dcol}) <= {self.r.randint(*hi)})"
+        c = self.pick(scols)
+        pool = POOLS.get(c)
+        if pool:
+            return f"({c} {self.pick(['=', '<>'])} '{self.pick(pool)}')"
+        return f"(length({c}) > {self.r.randint(3, 12)})"
+
+    # --- query shapes --------------------------------------------------
+
+    def select_query(self) -> str:
+        t = self.pick(list(TABLES))
+        icols, scols, dcol = TABLES[t]
+        items = [f"{self.int_expr(icols)} AS i{j}" for j in range(2)]
+        items += [f"{self.str_expr(scols)} AS s0"]
+        if dcol and self.r.random() < 0.5:
+            items.append(f"year({dcol}) AS y0")
+        return (f"SELECT {', '.join(items)} FROM {t} "
+                f"WHERE {self.bool_expr(icols, scols, dcol)}")
+
+    def agg_query(self) -> str:
+        t = self.pick(list(TABLES))
+        icols, scols, dcol = TABLES[t]
+        g = self.str_expr(scols, 1)
+        measures = [
+            f"count(*) AS n",
+            f"sum({self.int_expr(icols, 1)}) AS s1",
+            f"min({self.pick(icols)}) AS mn",
+            f"max({self.int_expr(icols, 1)}) AS mx",
+            f"count(DISTINCT {self.pick(icols)}) AS nd",
+        ]
+        self.r.shuffle(measures)
+        measures = measures[:3]
+        if self.r.random() < 0.4:
+            measures.append(
+                f"sum({self.pick(icols)}) FILTER "
+                f"(WHERE {self.cmp(icols, scols, dcol)}) AS sf")
+        having = (f" HAVING count(*) > {self.r.randint(0, 3)}"
+                  if self.r.random() < 0.4 else "")
+        return (f"SELECT {g} AS grp, {', '.join(measures)} FROM {t} "
+                f"WHERE {self.bool_expr(icols, scols, dcol, 1)} "
+                f"GROUP BY {g}{having}")
+
+    def join_query(self) -> str:
+        lt, rt, lk, rk = self.pick(JOINS)
+        li, ls, ld = TABLES[lt]
+        ri, rs, _ = TABLES[rt]
+        jt = self.pick(["JOIN", "LEFT JOIN"])
+        return (f"SELECT {self.pick(li)} AS a, {self.pick(ri)} AS b, "
+                f"{self.str_expr(ls, 1)} AS s1, {self.str_expr(rs, 1)} AS s2 "
+                f"FROM {lt} {jt} {rt} ON {lk} = {rk} "
+                f"WHERE {self.bool_expr(li, ls, ld, 1)}")
+
+    def join_agg_query(self) -> str:
+        lt, rt, lk, rk = self.pick(JOINS)
+        li, ls, ld = TABLES[lt]
+        ri, rs, _ = TABLES[rt]
+        g = self.pick(rs)
+        return (f"SELECT {g} AS grp, count(*) AS n, "
+                f"sum({self.int_expr(li, 1)}) AS s "
+                f"FROM {lt} JOIN {rt} ON {lk} = {rk} "
+                f"WHERE {self.bool_expr(li, ls, ld, 1)} GROUP BY {g}")
+
+    def exists_query(self) -> str:
+        lt, rt, lk, rk = self.pick(JOINS)
+        li, ls, ld = TABLES[lt]
+        neg = self.pick(["EXISTS", "NOT EXISTS"])
+        return (f"SELECT {self.pick(li)} AS a, {self.pick(ls)} AS s "
+                f"FROM {lt} WHERE {neg} "
+                f"(SELECT 1 FROM {rt} WHERE {rk} = {lk}) "
+                f"AND {self.bool_expr(li, ls, ld, 1)}")
+
+    def setop_query(self) -> str:
+        t = self.pick(list(TABLES))
+        icols, scols, dcol = TABLES[t]
+        op = self.pick(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        c = self.pick(icols)
+
+        def leg():
+            return (f"SELECT ({c} % {self.r.randint(2, 50)}) AS k FROM {t} "
+                    f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
+
+        return f"{leg()} {op} {leg()}"
+
+    def scalar_sub_query(self) -> str:
+        t = self.pick(list(TABLES))
+        icols, scols, dcol = TABLES[t]
+        c = self.pick(icols)
+        fn = self.pick(["min", "max"])
+        return (f"SELECT {self.pick(icols)} AS a, {self.pick(scols)} AS s "
+                f"FROM {t} WHERE {c} > "
+                f"(SELECT {fn}({c}) - {self.r.randint(1, 200)} FROM {t})")
+
+    def distinct_query(self) -> str:
+        t = self.pick(list(TABLES))
+        icols, scols, dcol = TABLES[t]
+        return (f"SELECT DISTINCT {self.str_expr(scols, 1)} AS s, "
+                f"({self.pick(icols)} % {self.r.randint(2, 9)}) AS m FROM {t} "
+                f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
+
+    def query(self) -> str:
+        shape = self.r.choices(
+            ["select", "agg", "join", "join_agg", "exists", "setop",
+             "scalar_sub", "distinct"],
+            weights=[20, 22, 14, 12, 10, 8, 7, 7],
+        )[0]
+        return getattr(self, f"{shape}_query")()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+N_SEEDS = 200
+_BATCH = 10
+
+
+@pytest.mark.parametrize("start", range(0, N_SEEDS, _BATCH))
+def test_differential_values_vs_duckdb(spark, duck, start):
+    for seed in range(start, start + _BATCH):
+        sql = DiffGen(seed).query()
+        got = rows_set(roundtrip(spark.sql(sql)))
+        want = sorted((tuple(r) for r in duck.sql(sql).fetchall()), key=repr)
+        assert got == want, (
+            f"value divergence vs DuckDB for seed {seed}:\n{sql}\n"
+            f"spark {len(got)} rows vs duckdb {len(want)} rows")

@@ -10,8 +10,10 @@ ones; adaptations are noted per query. Aggregate doubles are rounded
 in-query (the fuzz suite's convention — the property under test is plan
 fidelity, not IEEE summation order).
 
-Q2/Q11 are inherently partsupp-centric and have no faithful adaptation;
-every other query of the 22 is here.
+Q2/Q11 are partsupp-centric; the driver testdata lacks the table, so a
+module fixture synthesizes it as a deterministic FK-consistent temp view
+derived from part x supplier (see `partsupp` below) — all 22 queries
+roundtrip.
 """
 
 from __future__ import annotations
@@ -364,4 +366,80 @@ def test_q22_global_sales_opportunity(spark):
                           WHERE o_custkey = custsale.c_custkey
                             AND o_totalprice > 400000)
         GROUP BY cntrycode ORDER BY cntrycode
+    """)
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def partsupp(spark):
+    """Synthesized partsupp (r10): the driver testdata omits the table, so
+    Q2/Q11 derive one from the REAL part x supplier tables — each part gets
+    the deterministic ~2/5 slice of suppliers where (p_partkey + s_suppkey)
+    % 5 < 2, with availqty/supplycost as arithmetic of the two keys.
+    FK-consistent at every SF by construction, and because Catalyst inlines
+    the temp view pre-optimization, the produced plan contains only
+    registered NamedTable scans (no virtual-table blob grows with SF)."""
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW partsupp AS
+        SELECT p_partkey AS ps_partkey,
+               s_suppkey AS ps_suppkey,
+               CAST((p_partkey * 31 + s_suppkey * 17) % 9999 + 1 AS INT)
+                   AS ps_availqty,
+               round(((p_partkey * 13 + s_suppkey * 101) % 89900) / 100.0
+                     + 1.0, 2) AS ps_supplycost
+        FROM part JOIN supplier ON (p_partkey + s_suppkey) % 5 < 2
+    """)
+    yield
+    spark.catalog.dropTempView("partsupp")
+
+
+def test_q02_minimum_cost_supplier(spark, partsupp):
+    # canonical correlated min-cost scalar subquery over partsupp; p_mfgr /
+    # s_address/phone/comment absent -> p_brand / s_acctbal columns only;
+    # p_type LIKE '%BRASS' -> = 'PROMO' (single-word synthetic pool)
+    check(spark, """
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        FROM part
+        JOIN partsupp ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size <= 25 AND p_type = 'PROMO' AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+              SELECT min(ps_supplycost)
+              FROM partsupp
+              JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE p_partkey = ps_partkey AND r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """)
+
+
+def test_q11_important_stock(spark, partsupp):
+    # canonical GROUP BY + HAVING > (uncorrelated scalar subquery * frac);
+    # single-nation filter -> region filter (synthetic nations don't repeat
+    # across SFs); the fraction is half the average share so the result is
+    # non-empty at every SF by construction
+    check(spark, """
+        SELECT ps_partkey,
+               round(sum(ps_supplycost * ps_availqty), 2) AS value
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY ps_partkey
+        HAVING sum(ps_supplycost * ps_availqty) > (
+            SELECT sum(ps_supplycost * ps_availqty) * 0.5
+                   / count(DISTINCT ps_partkey)
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+        ORDER BY value DESC, ps_partkey
     """)

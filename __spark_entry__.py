@@ -709,11 +709,29 @@ def _e4_stream_dedup(spark, sf_dir):
 
 
 def _m1_multimodal_meta(spark, sf_dir):
+    # r10 widening: the REAL pixel stack gets driver-visible columns.
+    # attach_synthetic_image_payload builds an actual grayscale PNG whose
+    # 8x8 blocks are constant sha256(text) digest bytes, so decode → gray
+    # → nearest-neighbor resize → 8x8 mean-pool all RUN for real while the
+    # outputs stay closed-form in the digest: resized pixels == the
+    # block-expanded digest (sha256-of-hex replayed by DuckDB), and the
+    # pooled feature argmax == the digest's integer argmax (constant
+    # blocks → bit-equal float32 features for equal bytes, no tie hazard).
     from datafusion_substrait_spark.operators import multimodal
 
     _prep(spark, sf_dir)
-    payloads = multimodal.attach_binary_payload(spark.table("documents"))
-    return multimodal.extract_image_metadata(payloads)
+    docs = spark.table("documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    meta = multimodal.extract_image_metadata(payloads)
+    imgs = multimodal.attach_synthetic_image_payload(docs)
+    pix = multimodal.resize_images(imgs, 64, 64).select(
+        "key",
+        F.sha2(F.lower(F.hex(F.col("pixels"))), 256).alias("resized_sha256"))
+    feats = multimodal.extract_features(imgs, dim=64).select(
+        "key",
+        F.expr("CAST(array_position(features, array_max(features)) "
+               "AS BIGINT)").alias("feat_argmax"))
+    return meta.join(pix, "key").join(feats, "key")
 
 
 def _av1_media_meta(spark, sf_dir):
@@ -1763,20 +1781,39 @@ ORACLES: dict[str, str] = {
     """,
     # m1: the deterministic fake decoder is sha256-based, which DuckDB CAN
     # replay (hex-pair byte extraction ≡ digest[i])
+    # r10 pixel legs: resized_sha256 replays the block-expanded digest
+    # (the 64x64 resize is the identity on the synthetic PNGs, so the
+    # pixel buffer is digest byte (R*8+C)%32 expanded to 8x8 blocks; both
+    # sides hash the lowercase HEX of the buffer — DuckDB's sha256 is
+    # VARCHAR-only); feat_argmax replays the 8x8 mean-pool argmax as the
+    # digest's integer argmax (first-wins on both sides)
     "m1_multimodal_meta": """
         WITH h AS (
             SELECT doc_id AS key,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS hex  -- VARCHAR overload hashes the same UTF-8 bytes
             FROM documents
+        ), px AS (
+            SELECT key, n_bytes, hex,
+                   array_to_string(list_transform(range(0, 8), R ->
+                       repeat(array_to_string(list_transform(range(0, 8), C ->
+                           repeat(substr(hex, ((R*8 + C) % 32) * 2 + 1, 2), 8)),
+                           ''), 8)), '') AS pixels_hex,
+                   list_transform(range(0, 64), i ->
+                       CAST(concat('0x', substr(hex, (i % 32) * 2 + 1, 2))
+                            AS INT)) AS bytes64
+            FROM h
         )
         SELECT key, n_bytes,
                ['jpeg','png','webp'][CAST(concat('0x', substr(hex, 1, 2)) AS INT) % 3 + 1]
                    AS format,
                CAST(64 + CAST(concat('0x', substr(hex, 3, 2)) AS INT) * 4 AS INT) AS width,
                CAST(64 + CAST(concat('0x', substr(hex, 5, 2)) AS INT) * 4 AS INT) AS height,
-               hex AS payload_sha256
-        FROM h
+               hex AS payload_sha256,
+               sha256(pixels_hex) AS resized_sha256,
+               CAST(list_position(bytes64, list_max(bytes64)) AS BIGINT)
+                   AS feat_argmax
+        FROM px
     """,
     # av1: like m1, every UTF-8 text payload takes the deterministic
     # sha256-keyed fakes (_fake_audio_meta + _fake_video_meta) — byte i of

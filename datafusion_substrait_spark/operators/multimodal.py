@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+BINARY_PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("key", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
@@ -372,6 +377,65 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
         F.col(key_col).alias("key"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )
+
+
+def _encode_gray_png(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal REAL 8-bit grayscale PNG encoder (filter 0 scanlines,
+    one IDAT). Counterpart of ``decode_png`` for synthesizing decodable
+    test/driver payloads; kept independent of the decoder's internals so
+    an encoder bug cannot mask a decoder bug (the codec-fixture lesson,
+    see tests/test_jpeg.py)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return struct.pack(">I", len(data)) + c \
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r * width:(r + 1) * width]
+                   for r in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def attach_synthetic_image_payload(df: DataFrame, text_col: str = "text",
+                                   key_col: str = "doc_id") -> DataFrame:
+    """DETERMINISTIC, driver-replayable image payloads: a real 64×64
+    grayscale PNG per row whose 8×8 block (R, C) is the constant byte
+    sha256(text)[(R*8 + C) % 32]. Decoding exercises the REAL
+    PNG→gray→nearest-neighbor stack (``decode_image``/``_default_resize``/
+    ``image_features``), while the outputs stay closed-form in the digest:
+    the 64×64 resize is the identity on these payloads, so the pixel
+    buffer is the block-expanded digest (DuckDB replays its sha256 from
+    ``repeat``/``substr`` over the hex), and each pooled 8×8 feature cell
+    is the exact float32 of one digest byte / 255 — equal bytes give
+    bit-equal features, so the feature ARGMAX (first-wins) equals the
+    digest's integer argmax with no float-tie hazard. Arrow-batched like
+    the other codec stages."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(text) -> bytes:
+            digest = hashlib.sha256(str(text).encode("utf-8")).digest()
+            img = bytearray(64 * 64)
+            pos = 0
+            for r in range(64):
+                base = (r // 8) * 8
+                for c in range(64):
+                    img[pos] = digest[(base + c // 8) % 32]
+                    pos += 1
+            return _encode_gray_png(bytes(img), 64, 64)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "payload": [build(t) for t in pdf[text_col]],
+            })
+
+    return df.mapInPandas(run, BINARY_PAYLOAD_SCHEMA)
 
 
 def extract_image_metadata(df: DataFrame, payload_col: str = "payload",

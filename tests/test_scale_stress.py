@@ -144,3 +144,79 @@ def test_dedup_clusters_10k_chain_pointer_doubling(spark):
     n = got.count()
     print(f"\n10k chain: {time.perf_counter()-t0:.1f}s")
     assert bad == 0 and n == 10_001
+
+
+def test_hamming_store_10k_multi_generation_cycle(spark):
+    """r10 directive: a 10k-signature store lifecycle — write 4k, then
+    three 2k generations of increment → append, with a compaction mid-
+    cycle — asserting at every step that increment == the new-touching
+    subset of the batch hamming_pairs over the cumulative corpus, and
+    that the post-compaction probe keeps the shuffle-free store side."""
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import dedup, incremental
+
+    rng = np.random.default_rng(1009)
+    n_base, clones = 2500, 3          # 2500 * (1+3) = 10k signatures
+    base = rng.integers(0, 2**63, n_base, dtype=np.int64)
+    rows = []
+    k = 0
+    for b in base:
+        rows.append((k, int(b)))
+        k += 1
+        for _ in range(clones):       # plant near-dups: flip <= 3 bits
+            v = int(b)
+            for bit in rng.integers(0, 64, rng.integers(1, 4)):
+                v ^= 1 << int(bit)
+            v = v - (1 << 64) if v >= (1 << 63) else v
+            rows.append((k, v))
+            k += 1
+    sigs = spark.createDataFrame(rows, "key bigint, phash bigint")
+    gens = [sigs.filter(F.col("key") % 10 < 4)] + [
+        sigs.filter((F.col("key") % 10 >= 4 + 2 * g)
+                    & (F.col("key") % 10 < 6 + 2 * g)) for g in range(3)]
+
+    for t in ("hstress_hbuckets", "hstress_h_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    incremental.write_hamming_store(gens[0], "hstress", key_col="key",
+                                    sig_col="phash", n_buckets=8)
+
+    t0 = time.time()
+    cumulative = gens[0]
+    for g, batch in enumerate(gens[1:], start=1):
+        if g == 3:                    # compact mid-cycle (after 2 appends)
+            before = spark.table("hstress_hbuckets").count()
+            incremental.compact_hamming_store(spark, "hstress")
+            after = spark.table("hstress_hbuckets")
+            assert after.count() < before
+            assert after.count() \
+                == after.select("band", "val").distinct().count()
+        both = cumulative.unionByName(batch)
+        keys = {r.key for r in batch.select("key").collect()}
+        want = {(r.key_a, r.key_b, r.hamming)
+                for r in dedup.hamming_pairs(
+                    both, key_col="key", sig_col="phash", max_hamming=6,
+                    out_prefix="key").collect()
+                if r.key_a in keys or r.key_b in keys}
+        got = {(r.key_a, r.key_b, r.hamming)
+               for r in incremental.hamming_pairs_increment(
+                   batch, "hstress", max_hamming=6).collect()}
+        assert got == want and got, f"generation {g}: {len(got)} vs {len(want)}"
+        incremental.append_to_hamming_store(batch, "hstress")
+        cumulative = both
+    print(f"hamming 10k 3-generation cycle: {time.time() - t0:.1f}s, "
+          f"{len(want)} final-generation pairs")
+
+    # post-compaction probe: the store scan must not sit under a shuffle
+    # Exchange (shared structural gate; a BroadcastExchange of the small
+    # test-scale store is fine — the gate targets shuffles specifically)
+    from datafusion_substrait_spark.operators.dedup import _banded_sigs
+    from tests.test_incremental import _assert_scan_not_under_exchange
+    new_arrays = (_banded_sigs(gens[3], "key", "phash")
+                  .groupBy("band", "val")
+                  .agg(F.collect_list(F.struct("_k", "_sig")).alias("_new")))
+    probe = new_arrays.join(spark.table("hstress_hbuckets"),
+                            ["band", "val"], "left")
+    _assert_scan_not_under_exchange(probe, "hstress_hbuckets")
+    for t in ("hstress_hbuckets", "hstress_h_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

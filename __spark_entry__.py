@@ -723,7 +723,15 @@ def _m1_multimodal_meta(spark, sf_dir):
     docs = spark.table("documents")
     payloads = multimodal.attach_binary_payload(docs)
     meta = multimodal.extract_image_metadata(payloads)
-    imgs = multimodal.attach_synthetic_image_payload(docs)
+    # the pixel stages are CPU-bound python codecs; a real 100 TB corpus
+    # arrives in thousands of splits, but the local single-file parquet is
+    # ONE partition — serializing all decode work on one core. Gate the
+    # repartition on the degenerate few-split case only (where the shuffle
+    # is small by construction), so corpus-scale inputs never pay it.
+    target = spark.sparkContext.defaultParallelism
+    src = docs.repartition(target) \
+        if docs.rdd.getNumPartitions() < target else docs
+    imgs = multimodal.attach_synthetic_image_payload(src)
     pix = multimodal.resize_images(imgs, 64, 64).select(
         "key",
         F.sha2(F.lower(F.hex(F.col("pixels"))), 256).alias("resized_sha256"))

@@ -85,7 +85,10 @@ BUDGETS: dict[str, float] = {
     "e2_sessionize": 0.51,
     "e6_asof_join": 0.58,
     "e7_asof_salted": 0.72,
-    "m1_multimodal_meta": 0.46,
+    # r10 re-derived (same formula): m1 grew the real pixel legs —
+    # synthetic-PNG encode + decode/resize + decode/pool-features joined
+    # onto the metadata row (best-of-3 1.62s idle)
+    "m1_multimodal_meta": 2.45,
 }
 
 

@@ -416,18 +416,17 @@ def attach_synthetic_image_payload(df: DataFrame, text_col: str = "text",
     the other codec stages."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         def build(text) -> bytes:
             digest = hashlib.sha256(str(text).encode("utf-8")).digest()
-            img = bytearray(64 * 64)
-            pos = 0
-            for r in range(64):
-                base = (r // 8) * 8
-                for c in range(64):
-                    img[pos] = digest[(base + c // 8) % 32]
-                    pos += 1
-            return _encode_gray_png(bytes(img), 64, 64)
+            # 64 block values (digest repeated) -> 8x8 grid -> expand each
+            # cell to an 8x8 constant block (vectorized: the python-loop
+            # version cost 4096 iterations/doc, the m1 bench bottleneck)
+            grid = np.frombuffer(digest * 2, np.uint8).reshape(8, 8)
+            img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+            return _encode_gray_png(img.tobytes(), 64, 64)
 
         for pdf in batches:
             yield pd.DataFrame({

@@ -229,3 +229,30 @@ def test_consumed_hof_keeps_catalyst_form(spark):
     assert "pythonUDF" not in phys and "BatchEvalPython" not in phys
     assert "aggregate(" in phys or "lambdafunction" in phys.lower()
     assert_same_result(df, back)
+
+
+def test_hof_in_window_join_condition_and_measure_filter(spark):
+    """Lambdas must ride wherever rex() is reachable: window-function
+    arguments, join conditions, and per-measure FILTER predicates."""
+    # window: aggregate-fold as the windowed measure's argument
+    check(spark, """
+        SELECT o_orderkey,
+               sum(aggregate(split(o_orderpriority, '-'), 0,
+                             (acc, x) -> acc + length(x)))
+                   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w
+        FROM orders WHERE o_custkey < 300""")
+    # join condition: non-equi exists() over the left side's array
+    check(spark, """
+        SELECT o_orderkey, c_custkey
+        FROM orders JOIN customer
+          ON o_custkey = c_custkey
+         AND exists(split(o_orderpriority, '-'),
+                    x -> length(x) = length(c_mktsegment) - 5)
+        WHERE o_orderkey % 17 = 0""")
+    # aggregate measure FILTER with a forall() predicate
+    check(spark, """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE forall(split(o_orderpriority, '-'),
+                                             x -> length(x) >= 1)) AS n
+        FROM orders GROUP BY o_orderstatus""")

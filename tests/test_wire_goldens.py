@@ -576,7 +576,63 @@ def test_golden_setop_sort_fetch(spark, tables):
     assert rows == [3, 2, 1]
 
 # ---------------------------------------------------------------------------
-# Fixture pack: the six goldens as committed .bin files + manifest, so any
+# G7: higher-order function with the lambda encoding (r10) — transform over
+# an Expression.Nested.List, the lambda riding as extension call
+# lambda(n_params, body) with lambda_var(depth, index) bound refs. Pins the
+# lambda surface's WIRE bytes independently of the codec's own table.
+# ---------------------------------------------------------------------------
+
+
+def build_g7_lambda_transform():
+    names, types_b, types_ir = NATION
+    read_b = read_rel(names, types_b, [1], "nation")
+    read_d = read_ir(names, types_ir, [1], "nation")
+
+    # transform([f0, f0], x -> upper(x)); anchors: 0=transform, 1=lambda,
+    # 2=lambda_var, 3=upper. Explicit presence: zero-valued i32 literals
+    # (depth 0, index 0) ARE written (the codec encodes fields present in
+    # the IR even at proto3 defaults, plans/wire.py header).
+    lit0_b, lit0_d = LD(1, VI(5, 0)), {"literal": {"i32": 0}}
+    lit1_b, lit1_d = LD(1, VI(5, 1)), {"literal": {"i32": 1}}
+    lvar_b = call(2, lit0_b, lit0_b)
+    lvar_d = call_ir(2, lit0_d, lit0_d)
+    lam_b = call(1, lit1_b, call(3, lvar_b))
+    lam_d = call_ir(1, lit1_d, call_ir(3, lvar_d))
+    # Expression{nested=13: Nested{list=4: NestedList{values=1 rep}}}
+    arr_b = LD(13, LD(4, LD(1, sel(0)), LD(1, sel(0))))
+    arr_d = {"nested": {"list": {"values": [sel_ir(0), sel_ir(0)]}}}
+    expr_b = call(0, arr_b, lam_b)
+    expr_d = call_ir(0, arr_d, lam_d)
+
+    # Rel{project=7: ProjectRel{common=1, input=2, expressions=3}} —
+    # output is exactly the expression list (reference convention)
+    proj_b = LD(7, COMMON, LD(2, read_b), LD(3, sel(0)), LD(3, expr_b))
+    proj_d = {"project": {"common": COMMON_IR, "input": read_d,
+                          "expressions": [sel_ir(0), expr_d]}}
+
+    golden = (ext_fn(0, "transform") + ext_fn(1, "lambda")
+              + ext_fn(2, "lambda_var") + ext_fn(3, "upper")
+              + root(proj_b, ["name", "arr"]) + VERSION)
+    ir = {"version": VERSION_IR,
+          "relations": [{"root": {"input": proj_d,
+                                  "names": ["name", "arr"]}}],
+          "extensions": [ext_fn_ir(0, "transform"), ext_fn_ir(1, "lambda"),
+                         ext_fn_ir(2, "lambda_var"), ext_fn_ir(3, "upper")]}
+    return golden, ir
+
+
+def test_golden_lambda_transform(spark, tables):
+    golden, ir = build_g7_lambda_transform()
+    df = check(golden, ir, spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # transform([name, name], x -> upper(x)) == [UPPER, UPPER]
+        assert r[1] == [r[0].upper(), r[0].upper()]
+
+
+# ---------------------------------------------------------------------------
+# Fixture pack: the goldens as committed .bin files + manifest, so any
 # EXTERNAL Substrait implementation can be pointed at real plan bytes
 # without reading this test module (tests/wire_fixtures/README.md has the
 # contract). Regenerate with `python -m tests.test_wire_goldens`.
@@ -610,6 +666,11 @@ GOLDENS = {
         build_g6_setop_sort_fetch,
         "SetRel UNION_DISTINCT of two reads -> SortRel DESC_NULLS_LAST "
         "-> FetchRel offset 1 count 3"),
+    "g7_lambda_transform": (
+        build_g7_lambda_transform,
+        "ProjectRel with transform(Nested.List[f0, f0], lambda(1, "
+        "upper(lambda_var(0, 0)))) — the r10 higher-order-function "
+        "encoding: lambdas as extension calls, de-Bruijn bound refs"),
 }
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "wire_fixtures")

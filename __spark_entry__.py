@@ -731,7 +731,14 @@ def _m1_multimodal_meta(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     src = docs.repartition(target) \
         if docs.rdd.getNumPartitions() < target else docs
-    imgs = multimodal.attach_synthetic_image_payload(src)
+    # persist: the resize and features branches are two independent
+    # lineages over imgs — without this the sha256+PNG-encode stage runs
+    # TWICE per document (review catch r10). The cached column is one
+    # ~4.2 KB PNG per doc; at corpus scale MEMORY_AND_DISK spills, and
+    # the two decode passes remain the dominant cost either way.
+    from pyspark import StorageLevel
+    imgs = multimodal.attach_synthetic_image_payload(src) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     pix = multimodal.resize_images(imgs, 64, 64).select(
         "key",
         F.sha2(F.lower(F.hex(F.col("pixels"))), 256).alias("resized_sha256"))

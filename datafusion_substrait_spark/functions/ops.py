@@ -255,6 +255,24 @@ CATALYST_HOF_TO_NAME: dict[str, str] = {
     "ArraySort": "array_sort",         # comparator lambda (default or custom)
 }
 
+# lambda argument shape per HOF: {arg position: allowed n_params}. The
+# consumer validates against this BEFORE building, so a corrupted plan
+# (lambda at a data position, or an arity the builder would only reject
+# later as a JVM AnalysisException) fails as a clean SubstraitError.
+HOF_LAMBDA_SHAPE: dict[str, dict[int, set[int]]] = {
+    "transform": {1: {1, 2}},        # (x) or (x, i)
+    "filter": {1: {1, 2}},
+    "exists": {1: {1}},
+    "forall": {1: {1}},
+    "aggregate": {2: {2}, 3: {1}},   # merge(acc, x), finish(acc)
+    "zip_with": {2: {2}},
+    "map_filter": {1: {2}},          # (k, v)
+    "transform_keys": {1: {2}},
+    "transform_values": {1: {2}},
+    "map_zip_with": {2: {3}},        # (k, v1, v2)
+    "array_sort": {1: {2}},          # comparator(l, r)
+}
+
 # consume: positional (Columns and rebuilt python lambdas, in child order)
 HOF_CONSUME: dict[str, Callable[..., Column]] = {
     "transform": F.transform,

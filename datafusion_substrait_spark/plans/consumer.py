@@ -732,22 +732,30 @@ class _Consumer:
         builder invokes the function immediately with its bound lambda-
         variable Columns, so the body is consumed inside the frame it
         closes over — nested lambdas stack naturally."""
+        shape = ops.HOF_LAMBDA_SHAPE[name]
         args = []
-        for a in raw:
+        for i, a in enumerate(raw):
             fn = a.get("scalarFunction")
             if fn is not None and \
                     self._fn_name(fn["functionReference"]) == "lambda":
-                args.append(self._consume_lambda(fn, resolver))
+                allowed = shape.get(i)
+                if allowed is None:
+                    raise SubstraitError(
+                        f"{name!r} takes no lambda at argument {i} "
+                        f"(lambda positions: {sorted(shape)})")
+                args.append(self._consume_lambda(fn, resolver, allowed))
             else:
                 args.append(self.rex(a, resolver))
         try:
             return ops.HOF_CONSUME[name](*args)
         except TypeError as ex:
+            # arity/shape is pre-validated above, so a TypeError here is
+            # most likely an internal bug — keep the original chain
             raise SubstraitError(
                 f"higher-order function {name!r}: bad call shape "
-                f"({ex})") from None
+                f"({ex})") from ex
 
-    def _consume_lambda(self, fn: dict, resolver):
+    def _consume_lambda(self, fn: dict, resolver, allowed: set[int]):
         args = [a["value"] for a in fn.get("arguments", [])]
         if len(args) != 2:
             raise SubstraitError(
@@ -756,6 +764,11 @@ class _Consumer:
         if n is None:
             raise SubstraitError("lambda n_params must be an i32 literal")
         n, bexpr = int(n), args[1]
+        if n not in allowed:
+            # fail here, not later as a JVM AnalysisException mid-build
+            raise SubstraitError(
+                f"lambda with {n} parameter(s) where this position "
+                f"allows {sorted(allowed)}")
 
         def run(cols):
             self._lambda_stack.append(list(cols))

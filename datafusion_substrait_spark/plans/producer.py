@@ -1205,13 +1205,19 @@ class _Producer:
             # OOB and on NULL-free in-bounds agree — so produce that;
             # anything else (dynamic ordinal) has no faithful encoding.
             right = e.right()
-            if _cls(right) == "Literal" and right.value() is not None \
-                    and int(str(right.value())) >= 0:
-                return proto.scalar_function(
-                    self.registry.register("element_at"),
-                    [self.rex(e.left(), input_ids),
-                     proto.literal("i32", int(str(right.value())) + 1)],
-                )
+            if _cls(right) == "Literal" and right.value() is not None:
+                ordinal = int(str(right.value()))
+                if ordinal >= 0:
+                    return proto.scalar_function(
+                        self.registry.register("element_at"),
+                        [self.rex(e.left(), input_ids),
+                         proto.literal("i32", ordinal + 1)],
+                    )
+                raise SubstraitError(
+                    f"ANSI-mode arr[{ordinal}] (GetArrayItem "
+                    "failOnError=true, negative literal ordinal — always "
+                    "out of bounds) has no faithful Substrait encoding; "
+                    "strict element_at counts negatives from the END")
             raise SubstraitError(
                 "ANSI-mode arr[i] (GetArrayItem failOnError=true) with a "
                 "non-literal ordinal has no faithful Substrait encoding; "

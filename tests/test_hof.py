@@ -113,11 +113,13 @@ def test_hof_composes_with_relations(spark):
         ORDER BY seg""")
 
 
-def test_lambda_vs_duckdb_values(spark, duckdb_conn=None):
+def test_lambda_vs_duckdb_values(spark):
     """Differential value check: the same lambda pipeline in DuckDB's
     list_transform/list_filter must produce identical rows (the model for
     the driver-visible q28 widening)."""
     import duckdb
+
+    from tests.conftest import SF_DIR
 
     df = spark.sql("""
         SELECT o_orderkey,
@@ -138,8 +140,8 @@ def test_lambda_vs_duckdb_values(spark, duckdb_conn=None):
                    list_transform(string_split(o_orderpriority, '-'),
                                   x -> length(x))),
                    (acc, x) -> acc + x) AS tot
-        FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
-        WHERE o_orderkey % 13 = 0""").fetchall()
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        WHERE o_orderkey % 13 = 0""".replace("{SF_DIR}", SF_DIR)).fetchall()
     want = sorted((tuple(r) for r in want_rows), key=repr)
     assert got == want and len(got) > 0
 
@@ -207,14 +209,28 @@ def test_malformed_lambda_encodings_error_cleanly(spark):
     with pytest.raises(SubstraitError, match="out of scope"):
         from_substrait_plan(spark, p)
 
-    # (c) lambda arity outside Spark's 1-3
+    # (c) lambda arity the host HOF does not allow — caught by the
+    # position-shape validation BEFORE pyspark could raise a raw JVM
+    # AnalysisException mid-build
     p = copy.deepcopy(plan)
     fns = []
     _walk_fns(p, fns)
     for f in fns:
         if f["functionReference"] == anchors["lambda"]:
             f["arguments"][0]["value"]["literal"]["i32"] = 4
-    with pytest.raises(SubstraitError, match="1-3"):
+    with pytest.raises(SubstraitError, match=r"allows \[1, 2\]"):
+        from_substrait_plan(spark, p)
+
+    # (d) a lambda sitting at a DATA argument position
+    p = copy.deepcopy(plan)
+    fns = []
+    _walk_fns(p, fns)
+    hof = next(f for f in fns if f["functionReference"] == anchors["transform"])
+    lam = next(a["value"] for a in hof["arguments"]
+               if a["value"].get("scalarFunction", {}).get(
+                   "functionReference") == anchors["lambda"])
+    hof["arguments"][0] = {"value": lam}
+    with pytest.raises(SubstraitError, match="no lambda at argument 0"):
         from_substrait_plan(spark, p)
 
 
@@ -256,3 +272,17 @@ def test_hof_in_window_join_condition_and_measure_filter(spark):
                count(*) FILTER (WHERE forall(split(o_orderpriority, '-'),
                                              x -> length(x) >= 1)) AS n
         FROM orders GROUP BY o_orderstatus""")
+    # HOF as the grouping key itself
+    check(spark, """
+        SELECT aggregate(split(o_orderpriority, '-'), 0,
+                         (a, x) -> a + length(x)) AS k, count(*) AS n
+        FROM orders GROUP BY 1""")
+    # HOF in the sort key + CASE nested inside a lambda body
+    check(spark, """
+        SELECT o_orderkey,
+               transform(split(o_orderpriority, '-'), x ->
+                   CASE WHEN length(x) > 2 THEN upper(x) ELSE x END) AS c
+        FROM orders
+        ORDER BY exists(split(o_orderpriority, '-'), x -> x = 'LOW'),
+                 o_orderkey
+        LIMIT 20""")

@@ -18,6 +18,8 @@ roundtrip.
 
 from __future__ import annotations
 
+import pytest
+
 from datafusion_substrait_spark import roundtrip
 from tests.conftest import assert_same_result
 
@@ -367,9 +369,6 @@ def test_q22_global_sales_opportunity(spark):
                             AND o_totalprice > 400000)
         GROUP BY cntrycode ORDER BY cntrycode
     """)
-
-
-import pytest
 
 
 @pytest.fixture(scope="module")

@@ -261,3 +261,21 @@ def test_rolling_fingerprints_single_shuffle(spark, tables):
 
     plan = _phys(text.rolling_fingerprints(tables["documents"]))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q28_hof_widening_keeps_plan_shape(spark):
+    """The r10 lambda columns in q28 (transform-fed explode, filter+size,
+    aggregate fold) must stay JVM-side expressions inside the SAME
+    single-shuffle explode→groupBy plan — no python eval, no extra
+    Exchange bought by the HOF roundtrip."""
+    import __spark_entry__ as e
+
+    from tests.conftest import SF_DIR
+
+    df = e.queries()["q28_explode"](spark, SF_DIR)
+    plan = _phys(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one shuffle for the groupBy (AQE may add a read-side coalesce of
+    # the same exchange, never a second hashpartitioning)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate explode" in plan, plan

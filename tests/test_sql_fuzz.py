@@ -441,6 +441,7 @@ class Gen:
             f"array_compact(transform({arr}, "
             f"x -> nullif(x, '{self.r.randint(0, 9)}')))",
         ])
+        m = f"map('a', length({c}), 'b', length({c}) * 2)"
         scalar = self.pick([
             f"aggregate({arr}, 0, (acc, x) -> acc + length(x))",
             f"reduce({arr}, '', (acc, x) -> concat(acc, x), "
@@ -448,6 +449,11 @@ class Gen:
             f"exists({arr}, x -> length(x) = {self.r.randint(1, 6)})",
             f"forall({arr}, x -> length(x) > {self.r.randint(0, 2)})",
             f"size(filter({arr}, x -> length(x) >= {self.r.randint(1, 3)}))",
+            # map lambdas: filter/transform keys+values, 3-param zip
+            f"size(map_filter({m}, (k, v) -> v > {self.r.randint(0, 9)}))",
+            f"size(transform_values({m}, (k, v) -> v + 1))",
+            f"size(map_zip_with({m}, {m}, (k, v1, v2) -> "
+            f"coalesce(v1, 0) + coalesce(v2, 0)))",
         ])
         return (f"SELECT {key}, {inner} AS arr_c, {scalar} AS sc_c "
                 f"FROM {t} WHERE ({key} % {self.r.randint(2, 7)}) = 0")

@@ -281,3 +281,75 @@ def test_spec_valid_unsupported_fields_fail_loudly():
             wire.decode_message("Expression", buf)
     with pytest.raises(proto.SubstraitError, match="masked_reference"):
         wire.decode_message("FieldReference", bytes([(2 << 3) | 2, 0]))
+
+
+def _foreign_encode(schema_name: str, msg: dict) -> bytes:
+    """A SECOND conformant proto3 serializer with different legal choices
+    than plans/wire.py: fields emitted in DESCENDING field-number order
+    (field order is not significant in proto3) and repeated varint
+    scalars written UNPACKED (one tag per element). A foreign Substrait
+    implementation is free to make exactly these choices, so our decoder
+    must consume them — this is the strongest foreign-decode check
+    available without external Substrait bindings (the documented r7+
+    external blocker)."""
+    schema = wire.MESSAGES[schema_name]
+    out = bytearray()
+    extra = set(msg) - set(schema)
+    assert not extra, f"{schema_name}: unmapped fields {extra}"
+    for name, spec in sorted(schema.items(), key=lambda kv: -kv[1][0]):
+        if name not in msg:
+            continue
+        num, kind = spec[0], spec[1]
+        repeated = len(spec) > 2
+        values = msg[name] if repeated else [msg[name]]
+        for v in values:
+            if kind.startswith("m:"):
+                body = _foreign_encode(kind[2:], v)
+                out += (wire._tag(num, wire._WT_LEN)
+                        + wire.encode_uvarint(len(body)) + body)
+            elif kind == "any":
+                body = wire._encode_any(v)
+                out += (wire._tag(num, wire._WT_LEN)
+                        + wire.encode_uvarint(len(body)) + body)
+            elif kind.startswith("e:"):
+                out += (wire._tag(num, wire._WT_VARINT)
+                        + wire.encode_uvarint(wire.ENUMS[kind[2:]][v]))
+            else:
+                # unpacked even when repeated (legal; wire.py writes packed)
+                out += (wire._tag(num, wire._wire_type(kind))
+                        + wire._encode_scalar(kind, v))
+    return bytes(out)
+
+
+def test_foreign_encoding_choices_decode_and_execute(spark, tables):
+    """decode_plan must accept byte streams from serializers that made
+    different (conformant) choices: reversed field order + unpacked
+    repeated scalars, over real produced plans covering reads, filters,
+    aggregates, joins, windows, generate, set ops, and the r10 lambda
+    encoding."""
+    sqls = [
+        "SELECT o_orderstatus, round(sum(o_totalprice), 2) AS s, "
+        "count(DISTINCT o_custkey) AS n FROM orders "
+        "WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus",
+        "SELECT c_mktsegment, n_name, count(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY c_mktsegment, n_name",
+        "SELECT o_custkey, row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice, o_orderkey) AS rn FROM orders",
+        "SELECT part, count(*) AS n FROM (SELECT "
+        "explode(transform(split(o_orderpriority, '-'), x -> lower(x))) "
+        "AS part FROM orders) GROUP BY part",
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' "
+        "UNION SELECT o_orderkey FROM orders WHERE o_custkey < 50",
+        "SELECT aggregate(split(o_orderpriority, '-'), 0, "
+        "(a, x) -> a + length(x)) AS k FROM orders "
+        "ORDER BY k, o_orderkey LIMIT 25",
+    ]
+    for sql in sqls:
+        df = spark.sql(sql)
+        ir = to_substrait_plan(df)
+        foreign = _foreign_encode("Plan", ir)
+        assert foreign != wire.encode_plan(ir), "variant must differ"
+        decoded = wire.decode_plan(foreign)
+        assert wire.canonical(decoded) == wire.canonical(ir), sql
+        assert_same_result(df, from_substrait_plan(spark, decoded))

@@ -476,7 +476,16 @@ def _t12_boilerplate(spark, sf_dir):
         "doc_id", F.col("text").alias("rl_text"),
         F.col("n_lines_kept").alias("rl_n_kept"),
         F.col("n_lines_dropped").alias("rl_n_dropped"))
-    return cleaned.join(stripped, "doc_id").join(repeats, "doc_id")
+    # r10 leg: ExactSubstr span excision (Lee et al. 2022) — duplicated
+    # 8-token grams keep only their globally-first occurrence; portable
+    # md5 gram keys so the oracle replays keeper choice bit-for-bit
+    excised = text.excise_duplicate_spans(docs, k=8, portable=True).select(
+        "doc_id", F.col("text").alias("ex_text"),
+        F.col("n_tokens_kept").alias("ex_n_kept"),
+        F.col("n_tokens_excised").alias("ex_n_excised"),
+        F.col("n_excised_grams").alias("ex_n_grams"))
+    return (cleaned.join(stripped, "doc_id").join(repeats, "doc_id")
+            .join(excised, "doc_id"))
 
 
 def _s1_bruteforce_topk(spark, sf_dir):
@@ -1963,10 +1972,60 @@ ORACLES: dict[str, str] = {
                        AS rl_n_dropped
             FROM rlk GROUP BY doc_id
         )
+        ,
+        -- r10 ExactSubstr excision leg: duplicated 8-token grams keep
+        -- only their globally-first (doc, pos) occurrence; md5-top-60-bit
+        -- gram keys == the Spark portable path bit-for-bit. DuckDB
+        -- lambdas cannot hold subqueries, so coverage expands to a flat
+        -- position list first; coalesce('') because a fully-excised doc
+        -- is '' in Spark's array_join, NULL in array_to_string
+        exb AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t != '') AS t
+            FROM documents
+        ),
+        exocc AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CAST(concat('0x', substr(md5(array_to_string(
+                       t[i:i+7], chr(31))), 1, 15)) AS BIGINT) AS h
+            FROM exb, unnest(range(1, len(t) - 6)) AS u(i)
+            WHERE len(t) >= 8
+        ),
+        exdup AS (
+            SELECT h, min(doc_id * 4294967296 + pos) AS first_key
+            FROM exocc GROUP BY h HAVING count(*) >= 2
+        ),
+        exstarts AS (
+            SELECT doc_id, list_sort(list(pos)) AS ex
+            FROM exocc JOIN exdup USING (h)
+            WHERE doc_id * 4294967296 + pos <> first_key
+            GROUP BY doc_id
+        ),
+        exj AS (
+            SELECT b.doc_id, b.t, coalesce(e.ex, []) AS ex,
+                   flatten(list_transform(coalesce(e.ex, []),
+                                          s -> range(s, s + 8))) AS cov
+            FROM exb b LEFT JOIN exstarts e USING (doc_id)
+        ),
+        exf AS (
+            SELECT doc_id,
+                   coalesce(array_to_string(list_filter(t, (tok, p) ->
+                       NOT list_contains(cov, p - 1)), ' '), '') AS ex_text,
+                   CAST(len(list_filter(t, (tok, p) ->
+                       NOT list_contains(cov, p - 1))) AS BIGINT) AS ex_n_kept,
+                   CAST(len(t) - len(list_filter(t, (tok, p) ->
+                       NOT list_contains(cov, p - 1))) AS BIGINT)
+                       AS ex_n_excised,
+                   CAST(len(ex) AS BIGINT) AS ex_n_grams
+            FROM exj
+        )
         SELECT final.doc_id, final.text, final.n_lines_kept,
                final.n_lines_dropped, sm.markup_stripped, sm.n_tags,
-               rl.rl_text, rl.rl_n_kept, rl.rl_n_dropped
+               rl.rl_text, rl.rl_n_kept, rl.rl_n_dropped,
+               exf.ex_text, exf.ex_n_kept, exf.ex_n_excised, exf.ex_n_grams
         FROM final JOIN sm USING (doc_id) JOIN rl USING (doc_id)
+        JOIN exf USING (doc_id)
     """,
     # d7: two mirror-shaped incremental-store legs. 'minhash' = the
     # new-touching subset of the d2 all-pairs graph (store = doc_id % 5

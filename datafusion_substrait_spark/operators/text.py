@@ -607,6 +607,91 @@ def shared_span_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def excise_duplicate_spans(df: DataFrame, k: int = 8,
+                           text_col: str = "text",
+                           key_col: str = "doc_id",
+                           portable: bool = False) -> DataFrame:
+    """Corpus-level EXACT-substring dedup with span EXCISION — the
+    ExactSubstr step of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): any ``k``-token gram occurring more
+    than once in the corpus (across documents OR repeated inside one) is
+    removed wherever it occurs EXCEPT its globally-first occurrence
+    (minimum (doc, position)), by dropping every token its non-keeper
+    occurrences cover. This is the removal counterpart of
+    :func:`shared_span_pairs` (which only DETECTS shared passages) and
+    the cross-document analogue of :func:`remove_repeated_lines`.
+
+    Token-granularity: the reference suffix-array tool excises byte
+    ranges; this operates on the alphanumeric token stream (what packing
+    and training consume) and returns the surviving tokens space-joined.
+    Documents shorter than ``k`` tokens pass through untouched.
+
+    Output: (key, text [survivors space-joined], n_tokens_kept,
+    n_tokens_excised, n_excised_grams).
+
+    Scale shape at 100 TB: gram hashes come from a codegen ``transform``
+    over ``slice``s of the token array (no per-gram string rows until the
+    explode); the corpus-wide duplicate detection shuffles 8-byte
+    ``xxhash64`` values with a map-side-combined (count, min-occurrence)
+    aggregate; non-keeper occurrences join back on the hash (the
+    duplicated-gram side is a small fraction of the corpus, AQE
+    broadcast-eligible); ONE shuffle on the document key collects each
+    doc's excised gram starts; coverage is an ``exists`` HOF per token —
+    O(tokens x excised-starts), and excised-starts is ~0 for clean docs.
+    Nothing corpus-scale ever reaches the driver.
+
+    ``portable=True`` swaps xxhash64 for the md5-top-60-bit key (the
+    selection.py pattern) so a DuckDB oracle replays the hash — and the
+    keeper choice — bit-for-bit; xxhash64 stays the production default
+    (same collision argument as the dedup family).
+    """
+    if portable:
+        gram_hash = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+    else:
+        gram_hash = F.xxhash64
+    key = F.col(key_col)
+    base = df.select(key, tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    # gram start positions are 0-based; slice() is 1-based
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: gram_hash(F.concat_ws("\x1f", F.slice("_t", i + 1, k))))
+    occ = (base.filter(n >= k)
+           .select(key, F.posexplode(hashes).alias("_pos", "_h")))
+    dup = (occ.groupBy("_h")
+           .agg(F.count(F.lit(1)).alias("_c"),
+                F.min(F.struct(key.alias("k"),
+                               F.col("_pos").alias("p"))).alias("_first"))
+           .filter(F.col("_c") >= 2)
+           .select("_h", "_first"))
+    excised = (occ.join(dup, "_h")
+               .filter(~((key == F.col("_first.k"))
+                         & (F.col("_pos") == F.col("_first.p"))))
+               .groupBy(key_col)
+               .agg(F.sort_array(F.collect_list("_pos")).alias("_ex")))
+    marked = (base.join(excised, key_col, "left")
+              .select(key, "_t",
+                      F.coalesce("_ex", F.array().cast("array<int>"))
+                      .alias("_ex")))
+    covered = lambda t, p: F.exists(  # noqa: E731
+        "_ex", lambda s: (s <= p) & (p < s + k))
+    kept = F.filter("_t", lambda t, p: ~covered(t, p))
+    # two projections: output text aliases the INPUT column name (the
+    # remove_repeated_lines lateral-alias hazard)
+    staged = marked.select(key, F.size("_t").alias("_n"),
+                           kept.alias("_kept"),
+                           F.size("_ex").alias("n_excised_grams"))
+    return staged.select(
+        key,
+        F.array_join("_kept", " ").alias(text_col),
+        F.size("_kept").cast("bigint").alias("n_tokens_kept"),
+        (F.col("_n") - F.size("_kept")).cast("bigint")
+        .alias("n_tokens_excised"),
+        F.col("n_excised_grams").cast("bigint"),
+    )
+
+
 def tfidf_topk_terms(df: DataFrame, k: int = 10, text_col: str = "text",
                      key_col: str = "doc_id", min_df: int = 1) -> DataFrame:
     """Top-``k`` TF-IDF terms per document — the classic corpus-analysis

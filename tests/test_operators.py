@@ -2793,3 +2793,99 @@ def test_hash_embedding_signal_replay_and_composition(spark, tables):
 
     with __import__("pytest").raises(ValueError, match="dim"):
         T.hash_embedding(docs, dim=0)
+
+
+def test_excise_duplicate_spans_planted_semantics(spark):
+    """ExactSubstr excision: the globally-first occurrence of a
+    duplicated k-gram survives, every other occurrence (cross-doc AND
+    within-doc) loses its covered tokens; unique text and short docs
+    pass through."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame([
+        (1, f"unique one two three {passage} tail1 tail2"),
+        (2, f"other words here {passage} and trailing stuff"),
+        (3, "entirely unrelated content without repeats at all"),
+        (4, f"{passage} {passage} again"),
+        (5, "short doc"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           text.excise_duplicate_spans(docs, k=8).collect()}
+    assert passage in out[1].text and out[1].n_tokens_excised == 0
+    assert passage not in out[2].text
+    assert out[2].text == "other words here and trailing stuff"
+    assert out[2].n_tokens_excised == 8 and out[2].n_excised_grams == 1
+    assert out[3].n_tokens_excised == 0
+    # doc 4: both its occurrences are non-keepers (doc 1 is first) —
+    # both 8-token spans go, the bridging grams are unique and stay
+    assert out[4].text == "again" and out[4].n_tokens_excised == 16
+    assert out[5].text == "short doc" and out[5].n_tokens_excised == 0
+    # global invariant: every duplicated gram keeps exactly one occurrence
+    assert out[1].n_excised_grams == 0
+
+
+def test_excise_duplicate_spans_matches_duckdb_replay(spark, tables):
+    """Full DuckDB replay of the portable path on the real corpus: same
+    tokenizer, same md5-top-60-bit gram keys, same global (doc, pos)
+    keeper, same coverage rule. The synthetic documents table contains
+    exact clones, so the excision is non-trivial."""
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    K = 8
+    out = text.excise_duplicate_spans(tables["documents"], k=K,
+                                      portable=True).collect()
+    got = {r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_excised,
+                      r.n_excised_grams) for r in out}
+    docs_pq = os.path.join(SF_DIR, "documents.parquet")
+    rows = duckdb.sql(f"""
+        WITH base AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t != '') AS t
+            FROM '{docs_pq}'
+        ),
+        occ AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CAST(concat('0x', substr(md5(array_to_string(
+                       t[i:i+{K}-1], chr(31))), 1, 15)) AS BIGINT) AS h
+            FROM base, unnest(range(1, len(t) - {K} + 2)) AS u(i)
+            WHERE len(t) >= {K}
+        ),
+        dup AS (
+            SELECT h, min(doc_id * 4294967296 + pos) AS first_key
+            FROM occ GROUP BY h HAVING count(*) >= 2
+        ),
+        ex AS (
+            SELECT doc_id, list_sort(list(pos)) AS ex
+            FROM occ JOIN dup USING (h)
+            WHERE doc_id * 4294967296 + pos <> first_key
+            GROUP BY doc_id
+        ),
+        joined AS (
+            -- DuckDB lambdas cannot contain subqueries: expand each
+            -- excised start to its covered range up front, then the
+            -- filter lambda is a plain list_contains
+            SELECT b.doc_id, b.t, coalesce(e.ex, []) AS ex,
+                   flatten(list_transform(coalesce(e.ex, []),
+                                          s -> range(s, s + {K}))) AS cov
+            FROM base b LEFT JOIN ex e USING (doc_id)
+        )
+        SELECT doc_id,
+               -- coalesce: a fully-excised doc is '' in Spark's
+               -- array_join, NULL in DuckDB's array_to_string
+               coalesce(array_to_string(list_filter(t, (tok, p) ->
+                   NOT list_contains(cov, p - 1)), ' '), '') AS text,
+               len(list_filter(t, (tok, p) ->
+                   NOT list_contains(cov, p - 1))) AS kept,
+               len(t) - len(list_filter(t, (tok, p) ->
+                   NOT list_contains(cov, p - 1))) AS exc,
+               len(ex) AS grams
+        FROM joined
+    """).fetchall()
+    expect = {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}
+    assert got == expect and len(got) > 0
+    # clones exist in the corpus, so SOME excision must have happened
+    assert any(v[2] > 0 for v in got.values())

@@ -279,3 +279,15 @@ def test_q28_hof_widening_keeps_plan_shape(spark):
     # the same exchange, never a second hashpartitioning)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Generate explode" in plan, plan
+
+
+def test_excise_duplicate_spans_stays_jvm_side(spark, tables):
+    """ExactSubstr excision is pure codegen/HOF + hash shuffles: no
+    python eval anywhere, and the shuffle count is the fixed pipeline
+    structure (gram-hash aggregate, dup join-back, per-doc regroup +
+    reassembly join) — independent of corpus size."""
+    from datafusion_substrait_spark.operators import text
+
+    plan = _phys(text.excise_duplicate_spans(tables["documents"], k=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan

@@ -222,3 +222,41 @@ def test_text_only_semantic_dedup_composition(spark):
         assert len(f & kept) < 4 and (f & kept), (f, kept)
     assert {12, 13} <= kept     # singletons always survive
     assert dropped and dropped <= set(range(12))
+
+
+def test_excision_then_pack_pipeline(spark, tables):
+    """r10 stage chained end-to-end: ExactSubstr span excision feeds the
+    packer — excised documents shrink their token budget, so the packed
+    assignment reflects the CLEANED corpus; the stage contract
+    (DataFrame-in/out, same key space, budget never grows) holds."""
+    from datafusion_substrait_spark.operators import packing
+
+    docs = tables["documents"].select("doc_id", "text")
+    before = text.token_count(F.col("text"))
+    excised = text.excise_duplicate_spans(docs, k=8)
+
+    # key space preserved exactly; budget shrinks only where grams fired
+    assert excised.count() == docs.count()
+    joined = (docs.select("doc_id", before.alias("n_before"))
+              .join(excised, "doc_id"))
+    bad = joined.filter(
+        (F.col("n_tokens_kept") + F.col("n_tokens_excised")
+         != F.col("n_before"))
+        | ((F.col("n_excised_grams") == 0)
+           & (F.col("n_tokens_excised") != 0)))
+    assert bad.count() == 0
+    total_excised = joined.agg(
+        F.sum("n_tokens_excised")).collect()[0][0]
+    assert total_excised > 0  # the corpus contains clones
+
+    # pack on the post-excision counts (concat-then-chunk: documents may
+    # STRADDLE bins, so the invariant is on start offsets, and the bin a
+    # doc starts in is exactly its within-shard cumulative position)
+    packed = packing.pack_sequences(
+        excised.select("doc_id", "text", "n_tokens_kept"),
+        max_tokens=512, n_shards=4, token_col="n_tokens_kept")
+    bad_offset = packed.filter(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= 512)
+        | (F.col("bin_id") < 0))
+    assert bad_offset.count() == 0
+    assert packed.count() == docs.count()

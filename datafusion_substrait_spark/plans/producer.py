@@ -249,6 +249,16 @@ class _Producer:
         return proto.filter_rel(crel, cond), cids
 
     def _rel_Sort(self, node, needed=None):
+        if not bool(getattr(node, "global")()):
+            # sortWithinPartitions / SORT BY: Catalyst Sort with
+            # global=false. SortRel is a TOTAL order — consuming would
+            # rebuild orderBy, silently buying a full range-partition
+            # shuffle the user explicitly avoided (r10; the same
+            # silent-plan-change class as the repartition fences)
+            raise SubstraitError(
+                "partition-local sort (sortWithinPartitions / SORT BY) "
+                "has no SortRel encoding — SortRel is a total order; "
+                "use orderBy for a global sort")
         crel, cids = self.rel(
             node.child(), needed | _refs(node) if needed is not None else None
         )

@@ -681,3 +681,18 @@ def test_ansi_array_index_rewrites_to_strict_element_at(spark):
         "[CAST(o_orderkey % 2 AS INT)] AS w FROM orders")
     with pytest.raises(SubstraitError, match="non-literal ordinal"):
         to_substrait_plan(dyn)
+
+
+def test_partition_local_sort_is_fenced(spark):
+    """sortWithinPartitions / SORT BY is Catalyst Sort with global=false;
+    SortRel is a TOTAL order, so consuming would silently rebuild a
+    global orderBy — a full range-partition shuffle the user explicitly
+    avoided. Translate-or-error (r10); global sorts still produce."""
+    local = spark.table("orders").sortWithinPartitions("o_orderkey")
+    with pytest.raises(SubstraitError, match="partition-local sort"):
+        to_substrait_plan(local)
+    sql_local = spark.sql("SELECT * FROM orders SORT BY o_orderkey")
+    with pytest.raises(SubstraitError, match="partition-local sort"):
+        to_substrait_plan(sql_local)
+    ok = spark.table("orders").orderBy("o_orderkey").limit(5)
+    assert from_substrait_plan(spark, to_substrait_plan(ok)).count() == 5

@@ -404,9 +404,32 @@ class _Consumer:
         proto.JOIN_TYPE_ANTI: "left_anti",
     }
 
+    _JOIN_HINT_NAMES = frozenset(
+        ("broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"))
+
     def _rel_join(self, body: dict) -> DataFrame:
-        left = self.rel(body["left"]).alias("__sl")
-        right = self.rel(body["right"]).alias("__sr")
+        left = self.rel(body["left"])
+        right = self.rel(body["right"])
+        # r10: re-apply per-side strategy hints (Any-wrapped JoinHintInfo
+        # in the spec advanced_extension slot) BEFORE aliasing, so the
+        # rebuilt plan keeps the user's join-strategy decision
+        for opt in body.get("advancedExtension", {}).get("optimization", []):
+            if opt.get("@type", "").endswith("JoinHintInfo"):
+                for key, side in (("leftStrategy", "left"),
+                                  ("rightStrategy", "right")):
+                    name = opt.get(key)
+                    if name is None:
+                        continue
+                    if name not in self._JOIN_HINT_NAMES:
+                        raise SubstraitError(
+                            f"unknown join-strategy hint {name!r} "
+                            f"(supported: {sorted(self._JOIN_HINT_NAMES)})")
+                    if side == "left":
+                        left = left.hint(name)
+                    else:
+                        right = right.hint(name)
+        left = left.alias("__sl")
+        right = right.alias("__sr")
         n_left = len(left.columns)
         how = self._JOIN_HOW.get(body.get("type"))
         if how is None:

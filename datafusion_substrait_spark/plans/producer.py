@@ -764,7 +764,26 @@ class _Producer:
         )
         out_ids = lids if join_type in (proto.JOIN_TYPE_SEMI, proto.JOIN_TYPE_ANTI) \
             else lids + rids
-        return proto.join_rel(l_rel, r_rel, expr, join_type), out_ids
+        return proto.join_rel(l_rel, r_rel, expr, join_type,
+                              hints=self._join_hints(node)), out_ids
+
+    @staticmethod
+    def _join_hints(node) -> tuple[str | None, str | None]:
+        """Per-side join-strategy hints (r10): an explicit broadcast /
+        merge / shuffle_hash / shuffle_replicate_nl hint is a plan
+        decision the user made — dropping it silently rebuilt a shuffle
+        join where a broadcast was demanded. Strategy.toString() IS the
+        DataFrame.hint() name on rebuild."""
+        out = []
+        jh = node.hint()
+        for side in (jh.leftHint(), jh.rightHint()):
+            name = None
+            if side.isDefined():
+                st = side.get().strategy()
+                if st.isDefined():
+                    name = str(st.get().toString())
+            out.append(name)
+        return out[0], out[1]
 
     def _rel_Deduplicate(self, node, needed=None):
         # df.distinct() → AggregateRel grouping on all columns, zero measures

@@ -338,14 +338,31 @@ def measure(function_anchor: int, arguments: list[dict], distinct: bool = False,
     return m
 
 
-def join_rel(left: dict, right: dict, expression: dict, join_type: str) -> dict:
+def join_rel(left: dict, right: dict, expression: dict, join_type: str,
+             hints: tuple[str | None, str | None] = (None, None)) -> dict:
     """JoinRel (producer.rs:223-275). The reference accepts only AND-chains of
     column equalities (consumer.rs:289-313); we accept any boolean expression
-    (superset — Spark executes arbitrary join conditions)."""
+    (superset — Spark executes arbitrary join conditions).
+
+    ``hints`` carries Catalyst's per-side join-strategy hints ('broadcast',
+    'merge', 'shuffle_hash', 'shuffle_replicate_nl') through the spec
+    ``advanced_extension`` slot as an Any-wrapped JoinHintInfo (r10) —
+    dropping an explicit broadcast hint silently rebuilt a shuffle join
+    when autoBroadcastJoinThreshold was off."""
     if join_type not in JOIN_TYPES:
         raise SubstraitError(f"bad join type {join_type}")
-    return {"join": {"common": {"direct": {}}, "left": left, "right": right,
-                     "expression": expression, "type": join_type}}
+    rel = {"join": {"common": {"direct": {}}, "left": left, "right": right,
+                    "expression": expression, "type": join_type}}
+    lh, rh = hints
+    if lh or rh:
+        info = {"@type": "type.googleapis.com/"
+                         "spark.substrait_spark.JoinHintInfo"}
+        if lh:
+            info["leftStrategy"] = lh
+        if rh:
+            info["rightStrategy"] = rh
+        rel["join"]["advancedExtension"] = {"optimization": [info]}
+    return rel
 
 
 def set_rel(inputs: list[dict], op: str) -> dict:

@@ -334,6 +334,21 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "expression": (4, "m:Expression"),
         "postJoinFilter": (5, "m:Expression"),
         "type": (6, "e:JoinType"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
+    },
+    # extensions/extensions.proto AdvancedExtension (optimization is
+    # repeated Any in v0.53; enhancement unused here). Carries the r10
+    # JoinHintInfo so user join-strategy hints survive the plan boundary.
+    "AdvancedExtension": {
+        "optimization": (1, "any", "rep"),
+        "enhancement": (2, "any"),
+    },
+    # spark.substrait_spark.JoinHintInfo (Any-wrapped, like SampleRel):
+    # Catalyst JoinHint strategies per side ('broadcast', 'merge',
+    # 'shuffle_hash', 'shuffle_replicate_nl')
+    "JoinHintInfo": {
+        "leftStrategy": (1, "str"),
+        "rightStrategy": (2, "str"),
     },
     # algebra.proto CrossRel (produced as inner-join-on-true today; decodable)
     "CrossRel": {
@@ -608,6 +623,7 @@ MESSAGES: dict[str, dict[str, tuple]] = {
 ANY_TYPES: dict[str, str] = {
     "type.googleapis.com/spark.substrait_spark.GenerateRel": "GenerateRel",
     "type.googleapis.com/spark.substrait_spark.SampleRel": "SampleRel",
+    "type.googleapis.com/spark.substrait_spark.JoinHintInfo": "JoinHintInfo",
 }
 
 _SCALAR_KINDS = {"u32", "u64", "i32", "i64", "bool", "f32", "f64",

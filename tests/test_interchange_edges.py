@@ -696,3 +696,62 @@ def test_partition_local_sort_is_fenced(spark):
         to_substrait_plan(sql_local)
     ok = spark.table("orders").orderBy("o_orderkey").limit(5)
     assert from_substrait_plan(spark, to_substrait_plan(ok)).count() == 5
+
+
+def test_join_strategy_hints_survive_the_plan_boundary(spark):
+    """An explicit broadcast/merge/shuffle_hash hint is a plan decision
+    the user made; before r10 the roundtrip silently dropped it, so with
+    autoBroadcastJoinThreshold off the consumed plan fell back to a
+    shuffle join. The hint rides JoinRel.advanced_extension as an
+    Any-wrapped JoinHintInfo (both wire formats); un-hinted joins carry
+    no extension; unknown hint names fence."""
+    import json
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = (spark.table("orders")
+              .join(F.broadcast(spark.table("customer")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "c_name"))
+        plan = to_substrait_plan(df)
+        back = from_substrait_plan(spark, plan)
+        assert "Broadcast" in back._jdf.queryExecution() \
+            .executedPlan().toString()
+        from tests.conftest import assert_same_result
+        assert_same_result(df, back)
+        wired = from_substrait_plan(
+            spark, wire.decode_plan(wire.encode_plan(plan)))
+        assert "Broadcast" in wired._jdf.queryExecution() \
+            .executedPlan().toString()
+
+        sh = (spark.table("orders")
+              .join(spark.table("customer").hint("shuffle_hash"),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey"))
+        shb = from_substrait_plan(spark, to_substrait_plan(sh))
+        assert "ShuffledHashJoin" in shb._jdf.queryExecution() \
+            .executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # plain joins stay extension-free
+    plain = to_substrait_plan(
+        spark.table("orders").join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey")).select("o_orderkey"))
+    assert "advancedExtension" not in json.dumps(plain)
+
+    # tampered hint name → named error
+    bad = copy.deepcopy(plan)
+
+    def poison(rel):
+        if "join" in rel:
+            rel["join"]["advancedExtension"]["optimization"][0][
+                "rightStrategy"] = "hash_everything"
+            return True
+        return any(poison(v) for v in rel.values() if isinstance(v, dict))
+
+    assert poison(bad["relations"][0]["root"]["input"])
+    with pytest.raises(SubstraitError, match="unknown join-strategy"):
+        from_substrait_plan(spark, bad)

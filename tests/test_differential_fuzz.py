@@ -29,16 +29,26 @@ import pytest
 from datafusion_substrait_spark import roundtrip
 from tests.conftest import SF_DIR, rows_set
 
+# table -> (int cols, string cols, date col, UNIQUE order-by key tuple —
+# window ties are resolved differently per engine, so every window ORDER
+# BY must end in a total order)
 TABLES = {
     "orders": (["o_orderkey", "o_custkey"],
-               ["o_orderstatus", "o_orderpriority"], "o_orderdate"),
+               ["o_orderstatus", "o_orderpriority"], "o_orderdate",
+               ("o_orderkey",)),
     "customer": (["c_custkey", "c_nationkey"],
-                 ["c_name", "c_mktsegment"], None),
+                 ["c_name", "c_mktsegment"], None, ("c_custkey",)),
+    # lineitem has NO usable total order: the synthetic generator emits
+    # duplicate (l_orderkey, l_linenumber) pairs (1161 at sf0.001), so it
+    # is excluded from the window shape (ties resolve per-engine)
     "lineitem": (["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
-                 ["l_returnflag", "l_linestatus"], "l_shipdate"),
-    "nation": (["n_nationkey", "n_regionkey"], ["n_name"], None),
-    "supplier": (["s_suppkey", "s_nationkey"], ["s_name"], None),
-    "part": (["p_partkey", "p_size"], ["p_name", "p_brand", "p_type"], None),
+                 ["l_returnflag", "l_linestatus"], "l_shipdate", None),
+    "nation": (["n_nationkey", "n_regionkey"], ["n_name"], None,
+               ("n_nationkey",)),
+    "supplier": (["s_suppkey", "s_nationkey"], ["s_name"], None,
+                 ("s_suppkey",)),
+    "part": (["p_partkey", "p_size"], ["p_name", "p_brand", "p_type"], None,
+             ("p_partkey",)),
 }
 
 POOLS = {
@@ -166,7 +176,7 @@ class DiffGen:
 
     def select_query(self) -> str:
         t = self.pick(list(TABLES))
-        icols, scols, dcol = TABLES[t]
+        icols, scols, dcol, uniq = TABLES[t]
         items = [f"{self.int_expr(icols)} AS i{j}" for j in range(2)]
         items += [f"{self.str_expr(scols)} AS s0"]
         if dcol and self.r.random() < 0.5:
@@ -176,7 +186,7 @@ class DiffGen:
 
     def agg_query(self) -> str:
         t = self.pick(list(TABLES))
-        icols, scols, dcol = TABLES[t]
+        icols, scols, dcol, uniq = TABLES[t]
         g = self.str_expr(scols, 1)
         measures = [
             f"count(*) AS n",
@@ -199,8 +209,8 @@ class DiffGen:
 
     def join_query(self) -> str:
         lt, rt, lk, rk = self.pick(JOINS)
-        li, ls, ld = TABLES[lt]
-        ri, rs, _ = TABLES[rt]
+        li, ls, ld, _lu = TABLES[lt]
+        ri, rs, _rd, _ru = TABLES[rt]
         jt = self.pick(["JOIN", "LEFT JOIN"])
         return (f"SELECT {self.pick(li)} AS a, {self.pick(ri)} AS b, "
                 f"{self.str_expr(ls, 1)} AS s1, {self.str_expr(rs, 1)} AS s2 "
@@ -209,8 +219,8 @@ class DiffGen:
 
     def join_agg_query(self) -> str:
         lt, rt, lk, rk = self.pick(JOINS)
-        li, ls, ld = TABLES[lt]
-        ri, rs, _ = TABLES[rt]
+        li, ls, ld, _lu = TABLES[lt]
+        ri, rs, _rd, _ru = TABLES[rt]
         g = self.pick(rs)
         return (f"SELECT {g} AS grp, count(*) AS n, "
                 f"sum({self.int_expr(li, 1)}) AS s "
@@ -219,7 +229,7 @@ class DiffGen:
 
     def exists_query(self) -> str:
         lt, rt, lk, rk = self.pick(JOINS)
-        li, ls, ld = TABLES[lt]
+        li, ls, ld, _lu = TABLES[lt]
         neg = self.pick(["EXISTS", "NOT EXISTS"])
         return (f"SELECT {self.pick(li)} AS a, {self.pick(ls)} AS s "
                 f"FROM {lt} WHERE {neg} "
@@ -228,7 +238,7 @@ class DiffGen:
 
     def setop_query(self) -> str:
         t = self.pick(list(TABLES))
-        icols, scols, dcol = TABLES[t]
+        icols, scols, dcol, uniq = TABLES[t]
         op = self.pick(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
         c = self.pick(icols)
 
@@ -240,7 +250,7 @@ class DiffGen:
 
     def scalar_sub_query(self) -> str:
         t = self.pick(list(TABLES))
-        icols, scols, dcol = TABLES[t]
+        icols, scols, dcol, uniq = TABLES[t]
         c = self.pick(icols)
         fn = self.pick(["min", "max"])
         return (f"SELECT {self.pick(icols)} AS a, {self.pick(scols)} AS s "
@@ -249,16 +259,53 @@ class DiffGen:
 
     def distinct_query(self) -> str:
         t = self.pick(list(TABLES))
-        icols, scols, dcol = TABLES[t]
+        icols, scols, dcol, uniq = TABLES[t]
         return (f"SELECT DISTINCT {self.str_expr(scols, 1)} AS s, "
                 f"({self.pick(icols)} % {self.r.randint(2, 9)}) AS m FROM {t} "
                 f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
 
+    def window_query(self) -> str:
+        # window SQL is dialect-shared; every ORDER BY carries the unique
+        # key tie-break so ranks and frames are deterministic
+        t = self.pick([t for t in TABLES if TABLES[t][3]])
+        icols, scols, dcol, uniq = TABLES[t]
+        part = self.pick(scols)
+        ob = ", ".join(uniq)  # a genuine TOTAL order (see lineitem note)
+        fn = self.pick([
+            f"row_number() OVER (PARTITION BY {part} ORDER BY {ob})",
+            f"rank() OVER (PARTITION BY {part} "
+            f"ORDER BY ({self.pick(icols)} % {self.r.randint(2, 9)}), {ob})",
+            f"sum({self.pick(icols)}) OVER (PARTITION BY {part} "
+            f"ORDER BY {ob} ROWS BETWEEN {self.r.randint(1, 3)} PRECEDING "
+            f"AND CURRENT ROW)",
+            f"lag({self.pick(icols)}, 1) OVER (PARTITION BY {part} "
+            f"ORDER BY {ob})",
+            f"min({self.pick(icols)}) OVER (PARTITION BY {part})",
+        ])
+        keys = ", ".join(f"{c} AS k{i}" for i, c in enumerate(uniq))
+        return (f"SELECT {keys}, {fn} AS w FROM {t} "
+                f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
+
+    def rollup_query(self) -> str:
+        # needs two DISTINCT grouping columns (ROLLUP(x, x) carries
+        # duplicate grouping sets, a legitimate producer fence)
+        t = self.pick([t for t in TABLES if len(TABLES[t][1]) >= 2])
+        icols, scols, dcol, uniq = TABLES[t]
+        g1, g2 = self.r.sample(scols, k=2)
+        kind = self.pick(["ROLLUP", "CUBE"])
+        # no WHERE: on an EMPTY input Spark's ROLLUP yields no rows while
+        # DuckDB emits the grand-total row (verified native, not a
+        # roundtrip artifact) — outside the portable intersection
+        return (f"SELECT {g1} AS a, {g2} AS b, count(*) AS n, "
+                f"sum({self.pick(icols)}) AS s, "
+                f"grouping({g1}) AS ga, grouping({g2}) AS gb "
+                f"FROM {t} GROUP BY {kind}({g1}, {g2})")
+
     def query(self) -> str:
         shape = self.r.choices(
             ["select", "agg", "join", "join_agg", "exists", "setop",
-             "scalar_sub", "distinct"],
-            weights=[20, 22, 14, 12, 10, 8, 7, 7],
+             "scalar_sub", "distinct", "window", "rollup"],
+            weights=[18, 20, 12, 10, 9, 7, 6, 6, 7, 5],
         )[0]
         return getattr(self, f"{shape}_query")()
 

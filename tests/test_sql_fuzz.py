@@ -37,7 +37,13 @@ TABLES = {
     "lineitem": (["l_orderkey", "l_partkey", "l_quantity",
                   "l_extendedprice", "l_discount"],
                  ["l_returnflag", "l_linestatus"],
-                 ["l_orderkey", "l_linenumber"]),
+                 # (l_orderkey, l_linenumber) is NOT unique in the
+                 # synthetic data (1401 dup pairs at sf0.001!) — a tied
+                 # ORDER BY ... LIMIT boundary may legally pick different
+                 # rows in the direct vs consumed plans. 5 keys make a
+                 # genuine total order (verified distinct at all 3 SFs).
+                 ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                  "l_quantity"]),
     "nation": (["n_nationkey", "n_regionkey"], ["n_name"], ["n_nationkey"]),
     "region": (["r_regionkey"], ["r_name"], ["r_regionkey"]),
     "supplier": (["s_suppkey", "s_nationkey", "s_acctbal"], ["s_name"],

@@ -574,6 +574,20 @@ class _Consumer:
             "broadcast/single/multi-target have no DataFrame equivalent)"
         )
 
+    def _rel_extensionLeaf(self, body: dict) -> DataFrame:
+        """ExtensionLeafRel dispatch by the detail's Any @type."""
+        t = body.get("detail", {}).get("@type", "")
+        if t.endswith("RangeRel"):
+            d = body["detail"]
+            kwargs = {}
+            if "numSlices" in d:
+                kwargs["numPartitions"] = int(d["numSlices"])
+            df = self.spark.range(int(d.get("start", 0)),
+                                  int(d.get("end", 0)),
+                                  int(d.get("step", 1)), **kwargs)
+            return df.toDF("f0")
+        raise SubstraitError(f"unknown leaf extension relation type {t!r}")
+
     def _rel_extensionSingle(self, body: dict) -> DataFrame:
         """ExtensionSingleRel dispatch by the detail's Any @type."""
         t = body.get("detail", {}).get("@type", "")

@@ -785,6 +785,17 @@ class _Producer:
             out.append(name)
         return out[0], out[1]
 
+    def _rel_Range(self, node, needed=None):
+        """``spark.range`` / SQL range() → ExtensionLeafRel RangeRel (r10):
+        four integers through the plan, zero inline data — the virtual-
+        table alternative would inline end-start literal rows. numSlices
+        rides only when the user pinned it."""
+        slices = _opt(node.numSlices())
+        rel = proto.range_rel(
+            int(node.start()), int(node.end()), int(node.step()),
+            None if slices is None else int(slices))
+        return rel, [a.exprId().id() for a in _seq(node.output())]
+
     def _rel_Deduplicate(self, node, needed=None):
         # df.distinct() → AggregateRel grouping on all columns, zero measures
         # (≡ producer.rs:203-222). Optimizer usually rewrites this to

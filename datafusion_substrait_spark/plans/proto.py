@@ -69,7 +69,7 @@ AGG_ALL = "AGGREGATION_INVOCATION_ALL"
 AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
 
 REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set",
-             "window", "extensionSingle", "exchange")
+             "window", "extensionSingle", "extensionLeaf", "exchange")
 
 BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
 BOUNDS_RANGE = "BOUNDS_TYPE_RANGE"
@@ -321,6 +321,25 @@ def sample_rel(input_rel: dict, lower: float, upper: float,
     }
 
 
+def range_rel(start: int, end: int, step: int,
+              num_slices: int | None = None) -> dict:
+    """``spark.range`` / Catalyst Range as an ExtensionLeafRel RangeRel
+    (r10; the SampleRel escape hatch for a LEAF — core Substrait has no
+    range source, and inlining as a virtual table would put end-start
+    literal rows in the plan). Four integers, zero inline data; numSlices
+    is carried only when the user pinned it (the default rides session
+    parallelism like other session-state)."""
+    detail: dict[str, Any] = {
+        "@type": "type.googleapis.com/spark.substrait_spark.RangeRel",
+        "start": int(start),
+        "end": int(end),
+        "step": int(step),
+    }
+    if num_slices is not None:
+        detail["numSlices"] = int(num_slices)
+    return {"extensionLeaf": {"common": {"direct": {}}, "detail": detail}}
+
+
 def measure(function_anchor: int, arguments: list[dict], distinct: bool = False,
             filter_expr: dict | None = None) -> dict:
     """AggregateRel.Measure: fn + DISTINCT invocation + optional FILTER
@@ -520,7 +539,7 @@ def loads(b: bytes) -> dict:
 
 # spec rel kinds this engine does not consume (wire-decodable so richer
 # plans fail with a targeted message, not a structural one)
-_UNSUPPORTED_REL_KINDS = ("cross", "extensionMulti", "extensionLeaf")
+_UNSUPPORTED_REL_KINDS = ("cross", "extensionMulti")
 
 
 def rel_kind(rel: dict) -> str:

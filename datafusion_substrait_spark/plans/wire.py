@@ -350,6 +350,14 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "leftStrategy": (1, "str"),
         "rightStrategy": (2, "str"),
     },
+    # spark.substrait_spark.RangeRel (Any-wrapped in ExtensionLeafRel):
+    # spark.range(start, end, step[, numSlices]) — r10 leaf source
+    "RangeRel": {
+        "start": (1, "i64"),
+        "end": (2, "i64"),
+        "step": (3, "i64"),
+        "numSlices": (4, "i32"),
+    },
     # algebra.proto CrossRel (produced as inner-join-on-true today; decodable)
     "CrossRel": {
         "common": (1, "m:RelCommon"),
@@ -624,6 +632,7 @@ ANY_TYPES: dict[str, str] = {
     "type.googleapis.com/spark.substrait_spark.GenerateRel": "GenerateRel",
     "type.googleapis.com/spark.substrait_spark.SampleRel": "SampleRel",
     "type.googleapis.com/spark.substrait_spark.JoinHintInfo": "JoinHintInfo",
+    "type.googleapis.com/spark.substrait_spark.RangeRel": "RangeRel",
 }
 
 _SCALAR_KINDS = {"u32", "u64", "i32", "i64", "bool", "f32", "f64",

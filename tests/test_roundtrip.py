@@ -844,3 +844,50 @@ def test_integral_divide_boundaries(spark):
                o_orderkey div 7 AS f
         FROM orders
     """)
+
+
+def test_range_source_roundtrips(spark):
+    """spark.range / SQL range() rides an ExtensionLeafRel RangeRel (r10):
+    four integers, zero inline data (the virtual-table alternative would
+    inline end-start rows). numSlices is carried only when pinned;
+    unknown leaf extensions still fail loudly."""
+    from datafusion_substrait_spark import from_substrait_plan
+    from datafusion_substrait_spark.plans import wire
+
+    for df in (
+        spark.range(10),
+        spark.range(5, 50, 3),
+        spark.sql("SELECT id * 2 AS d FROM range(20) WHERE id % 3 = 0"),
+        spark.range(1, 30).join(
+            spark.table("nation"),
+            __import__("pyspark.sql.functions", fromlist=["col"])
+            .col("id") == __import__("pyspark.sql.functions",
+                                     fromlist=["col"]).col("n_nationkey"))
+        .select("id", "n_name"),
+    ):
+        plan = to_substrait_plan(df)
+        assert_same_result(df, roundtrip(df))
+        wired = wire.decode_plan(wire.encode_plan(plan))
+        assert_same_result(df, from_substrait_plan(spark, wired))
+
+    # explicit numSlices survives (partitioning is part of the plan)
+    sliced = from_substrait_plan(
+        spark, to_substrait_plan(spark.range(0, 100, 7, 4)))
+    assert sliced.rdd.getNumPartitions() == 4
+
+    # unknown leaf detail keeps the targeted error
+    import pytest
+
+    from datafusion_substrait_spark import SubstraitError
+    bad = to_substrait_plan(spark.range(3))
+
+    def poison(rel):
+        if "extensionLeaf" in rel:
+            rel["extensionLeaf"]["detail"]["@type"] = \
+                "type.googleapis.com/something.Else"
+            return True
+        return any(poison(v) for v in rel.values() if isinstance(v, dict))
+
+    assert poison(bad["relations"][0]["root"]["input"])
+    with pytest.raises(SubstraitError, match="leaf extension|Any type"):
+        from_substrait_plan(spark, bad)

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q09_outer_joins",       # shuffle joins: LEFT+RIGHT+FULL (abs. q11, r7)
     "q20_top_revenue",       # TPC-H Q3 shape: join+agg+topk (+ OFFSET leg, r7)
     "q24_window",            # window functions through the interchange
+    "q28_explode",           # lambda/HOF surface through the interchange (r10)
     "d1_exact_dedup",
     "d2_minhash_pairs",
     "d3_simhash_pairs",
@@ -68,6 +69,9 @@ BUDGETS: dict[str, float] = {
     "q09_outer_joins": 0.72,
     "q20_top_revenue": 1.33,
     "q24_window": 0.55,
+    # r10: the lambda surface gets a benched plan (transform-fed explode +
+    # filter/size + aggregate fold; best-of-3 0.62s idle)
+    "q28_explode": 0.93,
     "d1_exact_dedup": 0.41,
     "d2_minhash_pairs": 1.16,
     "d3_simhash_pairs": 2.24,

@@ -595,7 +595,26 @@ class _Consumer:
             return self._generate(body)
         if t.endswith("SampleRel"):
             return self._sample(body)
+        if t.endswith("LocalSortRel"):
+            return self._local_sort(body)
         raise SubstraitError(f"unknown extension relation type {t!r}")
+
+    def _local_sort(self, body: dict) -> DataFrame:
+        """LocalSortRel → ``sortWithinPartitions`` (r10): the partition-
+        local sort Catalyst emits for sortWithinPartitions / SORT BY and
+        under randomSplit — consuming as a global orderBy would change
+        both the plan (range shuffle) and, under sampling, the rows."""
+        df = self.rel(body["input"])
+        keys = []
+        for sf in body["detail"].get("sorts", []):
+            method = self._SORT_METHODS.get(sf.get("direction"))
+            if method is None:
+                raise SubstraitError(f"unsupported sort kind {sf}")
+            col = self.rex(sf["expr"], lambda i, d=df: d[f"f{i}"])
+            keys.append(getattr(col, method)())
+        if not keys:
+            raise SubstraitError("LocalSortRel requires at least one key")
+        return df.sortWithinPartitions(*keys)
 
     def _sample(self, body: dict) -> DataFrame:
         """SampleRel → ``DataFrame.sample`` (see proto.sample_rel). Columns

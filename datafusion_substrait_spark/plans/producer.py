@@ -249,16 +249,6 @@ class _Producer:
         return proto.filter_rel(crel, cond), cids
 
     def _rel_Sort(self, node, needed=None):
-        if not bool(getattr(node, "global")()):
-            # sortWithinPartitions / SORT BY: Catalyst Sort with
-            # global=false. SortRel is a TOTAL order — consuming would
-            # rebuild orderBy, silently buying a full range-partition
-            # shuffle the user explicitly avoided (r10; the same
-            # silent-plan-change class as the repartition fences)
-            raise SubstraitError(
-                "partition-local sort (sortWithinPartitions / SORT BY) "
-                "has no SortRel encoding — SortRel is a total order; "
-                "use orderBy for a global sort")
         crel, cids = self.rel(
             node.child(), needed | _refs(node) if needed is not None else None
         )
@@ -267,6 +257,13 @@ class _Producer:
             direction = _SORT_DIRECTIONS[
                 (so.direction().toString(), so.nullOrdering().toString())]
             sorts.append(proto.sort_field(self.rex(so.child(), cids), direction))
+        if not bool(getattr(node, "global")()):
+            # sortWithinPartitions / SORT BY (and randomSplit's internal
+            # deterministic-split sort): SortRel is a TOTAL order, so
+            # producing it there silently rebuilt a global orderBy — a
+            # range-partition shuffle the user avoided, and a row-set
+            # CHANGE under sampling. Rides the extension rel instead (r10).
+            return proto.local_sort_rel(crel, sorts), cids
         return proto.sort_rel(crel, sorts), cids
 
     def _rel_GlobalLimit(self, node, needed=None):

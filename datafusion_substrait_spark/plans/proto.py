@@ -199,6 +199,26 @@ def sort_field(expr: dict, direction: str) -> dict:
     return {"expr": expr, "direction": direction}
 
 
+def local_sort_rel(input_rel: dict, sorts: list[dict]) -> dict:
+    """Partition-LOCAL sort (sortWithinPartitions / SORT BY — Catalyst
+    Sort with global=false) as an ExtensionSingleRel LocalSortRel (r10).
+    SortRel is a total order, so producing local sorts there silently
+    converted them to a global orderBy on consume — a full range-partition
+    shuffle the user avoided, and a value CHANGE under sampling
+    (randomSplit sorts partitions locally for deterministic splits)."""
+    return {
+        "extensionSingle": {
+            "common": {"direct": {}},
+            "input": input_rel,
+            "detail": {
+                "@type": "type.googleapis.com/"
+                         "spark.substrait_spark.LocalSortRel",
+                "sorts": sorts,
+            },
+        }
+    }
+
+
 def aggregate_rel(input_rel: dict, grouping_expressions: list[dict],
                   measures: list[dict]) -> dict:
     """AggregateRel with exactly ONE grouping set (producer.rs:177-202;

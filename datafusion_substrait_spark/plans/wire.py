@@ -350,6 +350,12 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "leftStrategy": (1, "str"),
         "rightStrategy": (2, "str"),
     },
+    # spark.substrait_spark.LocalSortRel (Any-wrapped in
+    # ExtensionSingleRel): partition-local sort — sortWithinPartitions /
+    # SORT BY / randomSplit's deterministic-split sort (r10)
+    "LocalSortRel": {
+        "sorts": (1, "m:SortField", "rep"),
+    },
     # spark.substrait_spark.RangeRel (Any-wrapped in ExtensionLeafRel):
     # spark.range(start, end, step[, numSlices]) — r10 leaf source
     "RangeRel": {
@@ -633,6 +639,7 @@ ANY_TYPES: dict[str, str] = {
     "type.googleapis.com/spark.substrait_spark.SampleRel": "SampleRel",
     "type.googleapis.com/spark.substrait_spark.JoinHintInfo": "JoinHintInfo",
     "type.googleapis.com/spark.substrait_spark.RangeRel": "RangeRel",
+    "type.googleapis.com/spark.substrait_spark.LocalSortRel": "LocalSortRel",
 }
 
 _SCALAR_KINDS = {"u32", "u64", "i32", "i64", "bool", "f32", "f64",

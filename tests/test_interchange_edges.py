@@ -683,19 +683,38 @@ def test_ansi_array_index_rewrites_to_strict_element_at(spark):
         to_substrait_plan(dyn)
 
 
-def test_partition_local_sort_is_fenced(spark):
+def test_partition_local_sort_rides_local_sort_rel(spark):
     """sortWithinPartitions / SORT BY is Catalyst Sort with global=false;
-    SortRel is a TOTAL order, so consuming would silently rebuild a
-    global orderBy — a full range-partition shuffle the user explicitly
-    avoided. Translate-or-error (r10); global sorts still produce."""
-    local = spark.table("orders").sortWithinPartitions("o_orderkey")
-    with pytest.raises(SubstraitError, match="partition-local sort"):
-        to_substrait_plan(local)
-    sql_local = spark.sql("SELECT * FROM orders SORT BY o_orderkey")
-    with pytest.raises(SubstraitError, match="partition-local sort"):
-        to_substrait_plan(sql_local)
-    ok = spark.table("orders").orderBy("o_orderkey").limit(5)
-    assert from_substrait_plan(spark, to_substrait_plan(ok)).count() == 5
+    SortRel is a TOTAL order, so producing it there silently rebuilt a
+    global orderBy — a range-partition shuffle the user avoided, and a
+    row-set CHANGE under sampling (randomSplit sorts partitions locally
+    for deterministic splits). It now rides an ExtensionSingleRel
+    LocalSortRel consumed as sortWithinPartitions (r10): no global sort
+    in the consumed plan, values preserved, both wire formats."""
+    import json
+
+    from tests.conftest import assert_same_result
+
+    for df in (
+        spark.table("orders").sortWithinPartitions("o_orderkey")
+             .select("o_orderkey", "o_custkey"),
+        spark.sql("SELECT o_orderkey FROM orders SORT BY o_orderkey DESC"),
+    ):
+        plan = to_substrait_plan(df)
+        assert "LocalSortRel" in json.dumps(plan)
+        back = from_substrait_plan(spark, plan)
+        phys = back._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in phys.lower(), phys
+        assert_same_result(df, back)
+        wired = from_substrait_plan(
+            spark, wire.decode_plan(wire.encode_plan(plan)))
+        assert_same_result(df, wired)
+
+    # randomSplit's internal local sort now produces AND its row set is
+    # preserved through the roundtrip (it silently globalized before)
+    a, _ = spark.table("orders").randomSplit([0.5, 0.5], seed=7)
+    sl = a.select("o_orderkey")
+    assert_same_result(sl, from_substrait_plan(spark, to_substrait_plan(sl)))
 
 
 def test_join_strategy_hints_survive_the_plan_boundary(spark):

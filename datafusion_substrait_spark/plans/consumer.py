@@ -272,18 +272,22 @@ class _Consumer:
         proto.SORT_DESC_NULLS_LAST: "desc_nulls_last",
     }
 
-    def _rel_sort(self, body: dict) -> DataFrame:
-        df = self.rel(body["input"])
+    def _sort_keys(self, df: DataFrame, sorts: list[dict]) -> list[Column]:
+        """SortField list → direction-applied Columns (shared by global
+        sort, LocalSortRel, and window order specs). Clustered /
+        comparison-function sorts rejected, like consumer.rs:187-203."""
         keys = []
-        for sf in body.get("sorts", []):
+        for sf in sorts:
             method = self._SORT_METHODS.get(sf.get("direction"))
             if method is None:
-                # Clustered / comparison-function sorts rejected, like
-                # consumer.rs:187-203
                 raise SubstraitError(f"unsupported sort kind {sf}")
             col = self.rex(sf["expr"], lambda i, d=df: d[f"f{i}"])
             keys.append(getattr(col, method)())
-        return df.orderBy(*keys)
+        return keys
+
+    def _rel_sort(self, body: dict) -> DataFrame:
+        df = self.rel(body["input"])
+        return df.orderBy(*self._sort_keys(df, body.get("sorts", [])))
 
     def _rel_aggregate(self, body: dict) -> DataFrame:
         df = self.rel(body["input"])
@@ -481,12 +485,7 @@ class _Consumer:
         df = self.rel(body["input"])
         resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
         part = [self.rex(p, resolver) for p in body.get("partitionExpressions", [])]
-        order = []
-        for sf in body.get("sorts", []):
-            method = self._SORT_METHODS.get(sf.get("direction"))
-            if method is None:
-                raise SubstraitError(f"unsupported window sort {sf}")
-            order.append(getattr(self.rex(sf["expr"], resolver), method)())
+        order = self._sort_keys(df, body.get("sorts", []))
 
         n = len(df.columns)
         outs = []
@@ -605,13 +604,7 @@ class _Consumer:
         under randomSplit — consuming as a global orderBy would change
         both the plan (range shuffle) and, under sampling, the rows."""
         df = self.rel(body["input"])
-        keys = []
-        for sf in body["detail"].get("sorts", []):
-            method = self._SORT_METHODS.get(sf.get("direction"))
-            if method is None:
-                raise SubstraitError(f"unsupported sort kind {sf}")
-            col = self.rex(sf["expr"], lambda i, d=df: d[f"f{i}"])
-            keys.append(getattr(col, method)())
+        keys = self._sort_keys(df, body["detail"].get("sorts", []))
         if not keys:
             raise SubstraitError("LocalSortRel requires at least one key")
         return df.sortWithinPartitions(*keys)

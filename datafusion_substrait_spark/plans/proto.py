@@ -648,6 +648,9 @@ def _validate_rel(rel: dict) -> None:
         _validate_rel(body["input"])
         if "@type" not in body.get("detail", {}):
             raise SubstraitError("extensionSingle detail must carry an Any @type")
+    elif kind == "extensionLeaf":
+        if "@type" not in body.get("detail", {}):
+            raise SubstraitError("extensionLeaf detail must carry an Any @type")
     elif kind == "exchange":
         _validate_rel(body["input"])
         kinds = [k for k in ("scatterByFields", "singleTarget", "multiTarget",

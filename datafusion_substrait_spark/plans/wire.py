@@ -340,8 +340,13 @@ MESSAGES: dict[str, dict[str, tuple]] = {
     # repeated Any in v0.53; enhancement unused here). Carries the r10
     # JoinHintInfo so user join-strategy hints survive the plan boundary.
     "AdvancedExtension": {
-        "optimization": (1, "any", "rep"),
-        "enhancement": (2, "any"),
+        # optimization is kind any_opt: the spec says a consumer MAY
+        # ignore optimizations, so an unregistered third-party Any here
+        # decodes to an opaque passthrough instead of failing the plan
+        # (extension-rel `detail` Anys stay strict — the rel is
+        # meaningless without a consumable detail)
+        "optimization": (1, "any_opt", "rep"),
+        "enhancement": (2, "any_opt"),
     },
     # spark.substrait_spark.JoinHintInfo (Any-wrapped, like SampleRel):
     # Catalyst JoinHint strategies per side ('broadcast', 'merge',
@@ -786,9 +791,9 @@ def encode_message(schema_name: str, msg: dict) -> bytes:
             if kind.startswith("m:"):
                 body = encode_message(kind[2:], v)
                 out += _tag(num, _WT_LEN) + encode_uvarint(len(body)) + body
-            elif kind == "any":
+            elif kind in ("any", "any_opt"):
                 out += _tag(num, _WT_LEN)
-                body = _encode_any(v)
+                body = _encode_any(v, tolerant=kind == "any_opt")
                 out += encode_uvarint(len(body)) + body
             elif kind.startswith("e:"):
                 enum = ENUMS[kind[2:]]
@@ -804,8 +809,14 @@ def encode_message(schema_name: str, msg: dict) -> bytes:
     return bytes(out)
 
 
-def _encode_any(detail: dict) -> bytes:
+def _encode_any(detail: dict, tolerant: bool = False) -> bytes:
     url = detail.get("@type")
+    if "@opaqueValue" in detail:
+        # passthrough of a foreign Any we decoded opaquely (see
+        # _decode_any tolerant path) — re-emit the original bytes
+        return encode_message("Any", {
+            "typeUrl": url,
+            "value": base64.b64decode(detail["@opaqueValue"])})
     if url not in ANY_TYPES:
         raise SubstraitError(f"unregistered Any type {url!r}")
     inner = {k: v for k, v in detail.items() if k != "@type"}
@@ -898,7 +909,7 @@ def decode_message(schema_name: str, buf: bytes) -> dict:
             if vals:  # zero-length packed ≡ absent (canonical() invariant)
                 msg.setdefault(name, []).extend(vals)
             continue
-        if kind.startswith("m:") or kind == "any":
+        if kind.startswith("m:") or kind in ("any", "any_opt"):
             if wt != _WT_LEN:
                 raise SubstraitError(f"wire type {wt} for message field {name}")
             ln, pos = decode_uvarint(buf, pos)
@@ -906,7 +917,8 @@ def decode_message(schema_name: str, buf: bytes) -> dict:
             if len(raw) != ln:
                 raise SubstraitError("truncated message field")
             pos += ln
-            v = (_decode_any(raw) if kind == "any"
+            v = (_decode_any(raw, tolerant=kind == "any_opt")
+                 if kind in ("any", "any_opt")
                  else decode_message(kind[2:], raw))
         elif kind.startswith("e:"):
             n, pos = decode_uvarint(buf, pos)
@@ -924,10 +936,17 @@ def decode_message(schema_name: str, buf: bytes) -> dict:
     return msg
 
 
-def _decode_any(raw: bytes) -> dict:
+def _decode_any(raw: bytes, tolerant: bool = False) -> dict:
     envelope = decode_message("Any", raw)
     url = envelope.get("typeUrl")
     if url not in ANY_TYPES:
+        if tolerant:
+            # spec: optimizations "may be ignored by a consumer" — keep
+            # the foreign bytes opaquely so decode(encode(p)) == p and
+            # the JSON consumer can skip by @type
+            return {"@type": url,
+                    "@opaqueValue": base64.b64encode(
+                        envelope.get("value", b"")).decode("ascii")}
         raise SubstraitError(f"unregistered Any type {url!r}")
     inner = decode_message(ANY_TYPES[url], envelope.get("value", b""))
     return {"@type": url, **inner}

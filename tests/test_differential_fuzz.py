@@ -39,7 +39,7 @@ TABLES = {
     "customer": (["c_custkey", "c_nationkey"],
                  ["c_name", "c_mktsegment"], None, ("c_custkey",)),
     # lineitem has NO usable total order: the synthetic generator emits
-    # duplicate (l_orderkey, l_linenumber) pairs (1161 at sf0.001), so it
+    # duplicate (l_orderkey, l_linenumber) pairs (1161 duplicated pairs at sf0.001), so it
     # is excluded from the window shape (ties resolve per-engine)
     "lineitem": (["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
                  ["l_returnflag", "l_linestatus"], "l_shipdate", None),

@@ -851,7 +851,10 @@ def test_range_source_roundtrips(spark):
     four integers, zero inline data (the virtual-table alternative would
     inline end-start rows). numSlices is carried only when pinned;
     unknown leaf extensions still fail loudly."""
-    from datafusion_substrait_spark import from_substrait_plan
+    from pyspark.sql import functions as F
+
+    from datafusion_substrait_spark import (SubstraitError,
+                                            from_substrait_plan)
     from datafusion_substrait_spark.plans import wire
 
     for df in (
@@ -860,10 +863,7 @@ def test_range_source_roundtrips(spark):
         spark.sql("SELECT id * 2 AS d FROM range(20) WHERE id % 3 = 0"),
         spark.range(1, 30).join(
             spark.table("nation"),
-            __import__("pyspark.sql.functions", fromlist=["col"])
-            .col("id") == __import__("pyspark.sql.functions",
-                                     fromlist=["col"]).col("n_nationkey"))
-        .select("id", "n_name"),
+            F.col("id") == F.col("n_nationkey")).select("id", "n_name"),
     ):
         plan = to_substrait_plan(df)
         assert_same_result(df, roundtrip(df))
@@ -876,9 +876,6 @@ def test_range_source_roundtrips(spark):
     assert sliced.rdd.getNumPartitions() == 4
 
     # unknown leaf detail keeps the targeted error
-    import pytest
-
-    from datafusion_substrait_spark import SubstraitError
     bad = to_substrait_plan(spark.range(3))
 
     def poison(rel):

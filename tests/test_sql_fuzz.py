@@ -38,7 +38,7 @@ TABLES = {
                   "l_extendedprice", "l_discount"],
                  ["l_returnflag", "l_linestatus"],
                  # (l_orderkey, l_linenumber) is NOT unique in the
-                 # synthetic data (1401 dup pairs at sf0.001!) — a tied
+                 # synthetic data (1161 duplicated pairs / 1401 excess rows at sf0.001!) — a tied
                  # ORDER BY ... LIMIT boundary may legally pick different
                  # rows in the direct vs consumed plans. 5 keys make a
                  # genuine total order (verified distinct at all 3 SFs).

@@ -353,3 +353,59 @@ def test_foreign_encoding_choices_decode_and_execute(spark, tables):
         decoded = wire.decode_plan(foreign)
         assert wire.canonical(decoded) == wire.canonical(ir), sql
         assert_same_result(df, from_substrait_plan(spark, decoded))
+
+
+def test_foreign_optimization_any_is_opaque_not_fatal(spark, tables):
+    """Spec: an AdvancedExtension *optimization* 'may be ignored by a
+    consumer' — so a third-party Any there must decode opaquely (and
+    re-encode byte-faithfully), not kill the plan. Extension-rel `detail`
+    Anys stay strict: the rel is meaningless without a consumable detail."""
+    import base64
+
+    df = (spark.table("orders")
+          .join(F.broadcast(spark.table("customer")),
+                F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderkey", "c_name"))
+    ir = to_substrait_plan(df)
+
+    def find_join(rel):
+        if "join" in rel:
+            return rel["join"]
+        for v in rel.values():
+            if isinstance(v, dict):
+                r = find_join(v)
+                if r is not None:
+                    return r
+        return None
+
+    j = find_join(ir["relations"][0]["root"]["input"])
+    foreign = {"@type": "type.googleapis.com/io.foreign.JoinOpt",
+               "@opaqueValue": base64.b64encode(b"\x08\x2a").decode()}
+    j["advancedExtension"]["optimization"].insert(0, foreign)
+
+    blob = wire.encode_plan(ir)
+    back = wire.decode_plan(blob)
+    assert back == ir  # opaque entry roundtrips byte-faithfully
+    # JSON consume ignores the foreign optimization, keeps OUR hint
+    out = from_substrait_plan(spark, back)
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+    # strict contract unchanged where the Any IS the semantics: an
+    # extensionSingle detail with an unregistered type still fails loudly
+    sampled = to_substrait_plan(
+        spark.table("orders").sample(0.5, seed=3).select("o_orderkey"))
+
+    def find_single(rel):
+        if "extensionSingle" in rel:
+            return rel["extensionSingle"]
+        for v in rel.values():
+            if isinstance(v, dict):
+                r = find_single(v)
+                if r is not None:
+                    return r
+        return None
+
+    es = find_single(sampled["relations"][0]["root"]["input"])
+    es["detail"] = {"@type": "type.googleapis.com/io.foreign.Rel"}
+    with pytest.raises(wire.SubstraitError, match="unregistered Any type"):
+        wire.encode_plan(sampled)

@@ -576,6 +576,37 @@ def rel_kind(rel: dict) -> str:
     return kinds[0]
 
 
+def emit_mapping(body: dict) -> list[int] | None:
+    """``RelCommon.emit.output_mapping`` ordinals of a rel body, or None for
+    direct emit (the reference's only convention — its RelCommon is always
+    ``direct``, consumer.rs never reads emit). Spec-conformant foreign
+    producers (DuckDB's substrait extension, Isthmus, newer DataFusion) DO
+    emit output mappings, so ignoring this field silently returns wrong
+    columns — the r11 consume path honors it instead.
+
+    Fences (translate-or-error):
+    - ``direct`` and ``emit`` together: proto3 ``oneof emit_kind`` makes this
+      unrepresentable on the wire, so a JSON plan carrying both is malformed.
+    - empty ``outputMapping``: a zero-column relation; far more likely a
+      producer bug than intent, and proto3 cannot distinguish an explicitly
+      empty list from an omitted one on re-encode — refuse rather than guess.
+    """
+    common = body.get("common") or {}
+    if "emit" not in common:
+        return None
+    if "direct" in common:
+        raise SubstraitError(
+            "RelCommon carries both direct and emit (oneof emit_kind)")
+    mapping = [int(i) for i in common["emit"].get("outputMapping", [])]
+    if not mapping:
+        raise SubstraitError(
+            "RelCommon.emit with empty outputMapping: a zero-column output "
+            "is unrepresentable on re-encode (proto3 empty repeated has no "
+            "presence) — refusing rather than guessing direct emit"
+        )
+    return mapping
+
+
 def expr_kind(expr: dict) -> str:
     kinds = [k for k in expr if k in EXPR_KINDS]
     if len(kinds) != 1:

@@ -755,7 +755,17 @@ def _m1_multimodal_meta(spark, sf_dir):
         "key",
         F.expr("CAST(array_position(features, array_max(features)) "
                "AS BIGINT)").alias("feat_argmax"))
-    return meta.join(pix, "key").join(feats, "key")
+    out = meta.join(pix, "key").join(feats, "key")
+    # r11 (ADVICE): don't leak the cached PNG column for the rest of the
+    # session — materialize the joined result (per-doc metadata rows,
+    # orders of magnitude smaller than the ~4.2 KB/doc image cache) with
+    # an eager localCheckpoint, then release the image cache. At true
+    # corpus scale this operator writes to a sink instead of returning a
+    # DataFrame, so the checkpoint stand-in is the driver-contract shape
+    # only.
+    out = out.localCheckpoint(eager=True)
+    imgs.unpersist()
+    return out
 
 
 def _av1_media_meta(spark, sf_dir):
@@ -1992,14 +2002,18 @@ ORACLES: dict[str, str] = {
             FROM exb, unnest(range(1, len(t) - 6)) AS u(i)
             WHERE len(t) >= 8
         ),
+        -- keeper = lexicographic min over (doc_id, pos) via struct min:
+        -- the SAME ordering the Spark side uses (min(struct(doc_id,pos))),
+        -- not a packed doc_id*2^32+pos integer, which diverges if doc_id
+        -- is negative or either component exceeds 32 bits (r11, ADVICE)
         exdup AS (
-            SELECT h, min(doc_id * 4294967296 + pos) AS first_key
+            SELECT h, min(struct_pack(d := doc_id, p := pos)) AS first_key
             FROM exocc GROUP BY h HAVING count(*) >= 2
         ),
         exstarts AS (
             SELECT doc_id, list_sort(list(pos)) AS ex
             FROM exocc JOIN exdup USING (h)
-            WHERE doc_id * 4294967296 + pos <> first_key
+            WHERE struct_pack(d := doc_id, p := pos) <> first_key
             GROUP BY doc_id
         ),
         exj AS (

@@ -8,12 +8,13 @@ descriptor, BMP info header), so ``parse_image_header`` reads them with no
 codec library at all. Pixel decoding is REAL for PNG (``decode_png``:
 stdlib zlib + numpy unfiltering, CRC-checked), GIF (``decode_gif``:
 pure-Python LZW + palette, interlace-aware) and uncompressed BMP
-(``decode_bmp``: 8/24/32-bit, padded rows, both row orders). JPEG pixel
-decode remains the stubbed seam (its entropy coder genuinely needs a
-codec library): payloads that aren't a decodable image fall back to a
-clearly-marked deterministic fake so the pipeline shape can be exercised
-end-to-end on synthetic text-derived blobs; pass ``decode_fn``/
-``resize_fn`` (e.g. PIL/librosa based) to replace the seam wholesale.
+(``decode_bmp``: 8/24/32-bit, padded rows, both row orders) and baseline
+JPEG (``jpeg.decode_jpeg``: pure-Python Huffman + IDCT, wired in via
+``decode_image``) — no codec library anywhere. Payloads that aren't a
+decodable image fall back to a clearly-marked deterministic fake so the
+pipeline shape can be exercised end-to-end on synthetic text-derived
+blobs; pass ``decode_fn``/``resize_fn`` (e.g. PIL/librosa based) to
+replace the whole decode seam with a native library.
 
 Scale notes baked into the design:
 * payloads stay in executor-side Arrow batches — never collected;

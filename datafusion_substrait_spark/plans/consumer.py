@@ -24,6 +24,7 @@ from __future__ import annotations
 import base64
 import datetime
 import decimal
+import warnings
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -470,9 +471,17 @@ class _Consumer:
                     if name is None:
                         continue
                     if name not in self._JOIN_HINT_NAMES:
-                        raise SubstraitError(
-                            f"unknown join-strategy hint {name!r} "
-                            f"(supported: {sorted(self._JOIN_HINT_NAMES)})")
+                        # spec: advanced_extension.optimization "can be
+                        # ignored by a consumer" — a hint is physical and
+                        # semantics-neutral, so an unknown strategy name
+                        # (e.g. a future producer's 5th Spark hint) must not
+                        # fail the plan (r11, ADVICE). Warn and skip, same
+                        # tolerance the wire layer gives unregistered Anys.
+                        warnings.warn(
+                            f"ignoring unknown join-strategy hint {name!r} "
+                            f"(supported: {sorted(self._JOIN_HINT_NAMES)})",
+                            stacklevel=2)
+                        continue
                     if side == "left":
                         left = left.hint(name)
                     else:

@@ -772,5 +772,15 @@ def test_join_strategy_hints_survive_the_plan_boundary(spark):
         return any(poison(v) for v in rel.values() if isinstance(v, dict))
 
     assert poison(bad["relations"][0]["root"]["input"])
-    with pytest.raises(SubstraitError, match="unknown join-strategy"):
-        from_substrait_plan(spark, bad)
+    # r11 (ADVICE): an unknown strategy name inside a registered
+    # JoinHintInfo warns and is skipped rather than failing the plan —
+    # advanced_extension.optimization is spec-ignorable and a hint is
+    # physical/semantics-neutral; the known hint on the other side and
+    # the join itself still apply
+    import warnings as _w
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = from_substrait_plan(spark, bad)
+    assert any("unknown join-strategy hint 'hash_everything'" in str(c.message)
+               for c in caught)
+    assert out.count() > 0

@@ -95,8 +95,14 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "GetJsonObject": "get_json_object",
     "DateFormatClass": "date_format",
     # r9 part 3 (found by the expression-gap sweep)
+    # Substrait functions_string.yaml string_split: LITERAL-delimiter
+    # split (split_part's array source). Produce fences a non-literal /
+    # empty delimiter; consume rebuilds via regex split over the
+    # \Q..\E-quoted delimiter (r11)
+    "StringSplitSQL": "string_split",
     "ElementAt": "element_at",    # 1-based arrays / map keys; the
-                                  # split_part default-value form is fenced
+                                  # split_part default-value form encodes
+                                  # as a guarded CASE (producer, r11)
     "FormatNumber": "format_number",
     # epoch seconds; like timestamp literals, tz-sensitive parsing rides
     # the SESSION zone (UTC-pinned by register_testdata), not the plan

@@ -782,6 +782,23 @@ class _Consumer:
                 if scale is None:
                     raise SubstraitError("round scale must be an integer literal")
                 return F.round(self.rex(raw[0], resolver), scale)
+            if name == "string_split" and len(raw) == 2:
+                # LITERAL-delimiter split (functions_string.yaml; Catalyst
+                # StringSplitSQL, split_part's array source). Spark has no
+                # public literal-split builder, so rebuild as regex split
+                # over the \Q..\E-quoted delimiter — value-identical for
+                # every delimiter that cannot close the quote itself.
+                sep = raw[1].get("literal", {}).get("string")
+                if not sep:
+                    raise SubstraitError(
+                        "string_split delimiter must be a non-empty string "
+                        "literal (Spark errors on the empty delimiter)")
+                if "\\E" in sep:
+                    raise SubstraitError(
+                        r"string_split delimiter containing \E cannot be "
+                        "regex-quoted for the rebuild")
+                return F.split(self.rex(raw[0], resolver),
+                               "\\Q" + sep + "\\E", -1)
             if name == "concat_ws" and raw:
                 # F.concat_ws takes the separator as a python str
                 sep = raw[0].get("literal", {}).get("string")

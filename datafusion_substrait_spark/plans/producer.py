@@ -1260,19 +1260,73 @@ class _Producer:
                 "non-literal ordinal has no faithful Substrait encoding; "
                 "use get()/try_element_at for NULL-on-OOB semantics")
         if name == "element_at":
-            if _opt(e.defaultValueOutOfBound()) is not None:
-                # split_part desugars to ElementAt with a '' out-of-bound
-                # DEFAULT — a field with no encoding; consuming as plain
-                # element_at would silently change OOB behavior
-                raise SubstraitError(
-                    "element_at with a defaultValueOutOfBound (split_part "
-                    "desugaring) has no Substrait encoding")
+            default = _opt(e.defaultValueOutOfBound())
+            if default is not None:
+                # split_part desugars to ElementAt(split(s, d, -1), n, '')
+                # — the OOB default is a node FIELD with no Substrait slot.
+                # r11 (surfaced by the widened differential fuzzer): for a
+                # literal non-zero ordinal over an ARRAY the node is
+                # exactly expressible with existing spec ops:
+                #   CASE WHEN arr IS NULL THEN NULL
+                #        WHEN size(arr) >= |n| THEN element_at(arr, n)
+                #        ELSE default END
+                # First arm: a NULL input propagates NULL (ElementAt is
+                # null-intolerant), never the default — without it,
+                # size(NULL) is NULL and the CASE would fall through to
+                # the default, silently rewriting split_part(NULL,..)=''.
+                # Second arm is guaranteed in-bounds, where strict and
+                # lenient element_at agree (negative n counts from the
+                # end on both sides of the boundary).
+                right = e.right()
+                if not e.left().dataType().simpleString().startswith("array"):
+                    raise SubstraitError(
+                        "element_at with an out-of-bounds default is only "
+                        "encodable over arrays")
+                if _cls(right) != "Literal" or right.value() is None:
+                    raise SubstraitError(
+                        "element_at with an out-of-bounds default needs a "
+                        "literal non-null ordinal to encode (the in-bounds "
+                        "guard must be computable)")
+                ordinal = int(str(right.value()))
+                if ordinal == 0:
+                    raise SubstraitError(
+                        "element_at(arr, 0, default) always errors in "
+                        "Spark (index 0); refusing to encode the default "
+                        "as its value")
+                arr = self.rex(e.left(), input_ids)
+                reg = self.registry.register
+                return proto.if_then(
+                    [
+                        (proto.scalar_function(reg("is_null"), [arr]),
+                         proto.null_literal(spark_type_to_substrait(
+                             e.dataType().simpleString()))),
+                        (proto.scalar_function(reg("gte"), [
+                            proto.scalar_function(reg("size"), [arr]),
+                            proto.literal("i32", abs(ordinal))]),
+                         proto.scalar_function(reg("element_at"), [
+                             arr, self.rex(right, input_ids)])),
+                    ],
+                    self.rex(default, input_ids),
+                )
             if not bool(e.failOnError()):
                 # try_element_at: NULL-on-OOB rides the failOnError FIELD;
                 # producing as plain element_at would rebuild the strict
                 # ANSI form (throw-on-OOB) — the same silent
                 # NULL→throw swap the TRY-arithmetic fence prevents
                 name = "try_element_at"
+        if name == "string_split":
+            # literal-delimiter split (StringSplitSQL): the consumer
+            # rebuilds it as a \Q..\E-quoted regex split, which needs the
+            # delimiter as a plan-time string — fence what can't rebuild
+            right = e.right()
+            if _cls(right) != "Literal" or right.value() is None:
+                raise SubstraitError(
+                    "string_split (split_part) requires a literal non-null "
+                    "delimiter to encode")
+            if str(right.value()) == "" or "\\E" in str(right.value()):
+                raise SubstraitError(
+                    "string_split delimiter is empty or contains \\E — "
+                    "not regex-quotable for the consume-side rebuild")
         if name in ("regex_match", "regex_not_match"):
             # Spark has no case-insensitive RLike operator class; a literal
             # "(?i)"-prefixed pattern IS the case-insensitive form, so strip

@@ -7,10 +7,25 @@ both engines over the same parquet — the roundtripped Spark result must
 equal DuckDB's rows value-for-value.
 
 Grammar constraints that make the values portable:
-- integers only in arithmetic (no IEEE doubles, no division, no avg);
+- integers only in bare arithmetic (no IEEE doubles, no division, no avg);
   sums stay far inside int64 (multipliers <= 9)
+- decimals (r11 directive): every double column is touched ONLY through
+  CAST(col AS DECIMAL(18,2)) — exact fixed-point values both engines
+  agree on bit-for-bit (parity of the cast itself pre-checked per column
+  over the full table). Combiners keep the result scale engine-identical:
+  +/- (scale 2), * small-int constant (scale 2), sum/min/max/count
+  DISTINCT (scale 2); round(x, 1) only as an outermost projection (it
+  changes scale); never decimal*decimal, never division
 - string fns from the shared dialect: upper/lower/substring/replace/
-  length/reverse/trim/lpad/instr; LIKE only (no regex — Java vs RE2)
+  length/reverse/trim/ltrim/rtrim/lpad/instr/ascii + (r11) md5/repeat/
+  translate/left/right/split_part/contains/concat_ws; LIKE only (no
+  regex — Java vs RE2)
+- HOF/lambda (r11): ``filter(split(c, sep), x -> pred)`` is the one
+  lambda spelling both engines parse (DuckDB lacks ``transform``, Spark
+  lacks ``list_transform``); plus array_sort / array_contains over
+  split. Split separators are literal single chars (Spark split is
+  regex-based, DuckDB's is literal). No index-lambdas (DuckDB's i is
+  1-based, Spark's 0-based).
 - date parts year/month/day over the timestamp columns (both engines
   return identical integers)
 - joins on real FK pairs, EXISTS/NOT EXISTS, set ops (both engines'
@@ -62,6 +77,26 @@ POOLS = {
     "p_type": ["ECONOMY", "LARGE", "STANDARD", "MEDIUM", "SMALL", "PROMO"],
 }
 
+# table → double columns safe under CAST(... AS DECIMAL(18,2)) — parity of
+# the cast itself was pre-checked per column over the full table (sum +
+# count DISTINCT equality at sf0.001); doubles NEVER appear uncast
+DEC_COLS = {
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "part": ["p_retailprice"],
+    "supplier": ["s_acctbal"],
+}
+
+# (table, string col, literal split separator) — separators are single
+# literal chars so Spark's regex split == DuckDB's literal split
+SPLITS = [
+    ("orders", "o_orderpriority", "-"),
+    ("part", "p_type", " "),
+    ("part", "p_name", " "),
+    ("customer", "c_name", "#"),
+]
+
 JOINS = [
     ("customer", "nation", "c_nationkey", "n_nationkey"),
     ("orders", "customer", "o_custkey", "c_custkey"),
@@ -84,7 +119,7 @@ class DiffGen:
         a = self.int_expr(cols, depth - 1)
         b = self.int_expr(cols, depth - 1)
         form = self.pick(["add", "sub", "mulc", "mod", "case", "strlen",
-                          "abs", "instr"])
+                          "abs", "instr", "ascii"])
         if form == "add":
             return f"({a} + {b})"
         if form == "sub":
@@ -95,6 +130,8 @@ class DiffGen:
             return f"({self.pick(cols)} % {self.r.randint(2, 97)})"
         if form == "abs":
             return f"abs({a} - {b})"
+        if form == "ascii":
+            return f"ascii(CAST({self.pick(cols)} AS STRING))"
         if form == "strlen":
             return f"length(CAST({self.pick(cols)} AS STRING))"
         if form == "instr":
@@ -108,7 +145,9 @@ class DiffGen:
         if depth <= 0 or self.r.random() < 0.35:
             return c
         form = self.pick(["upper", "lower", "sub", "replace", "reverse",
-                          "trim", "lpad", "concat2"])
+                          "trim", "lpad", "concat2", "md5", "repeat",
+                          "translate", "left", "right", "split_part",
+                          "concat_ws", "ltrim_rtrim"])
         if form == "upper":
             return f"upper({self.str_expr(scols, depth - 1)})"
         if form == "lower":
@@ -124,7 +163,47 @@ class DiffGen:
             return f"trim({c})"
         if form == "lpad":
             return f"lpad({c}, {self.r.randint(8, 14)}, '.')"
+        if form == "md5":
+            return f"md5({self.str_expr(scols, depth - 1)})"
+        if form == "repeat":
+            return f"repeat({c}, {self.r.randint(2, 3)})"
+        if form == "translate":
+            return f"translate({c}, 'AEIOU', '{self.pick('aeiou')}****')"
+        if form == "left":
+            return f"left({c}, {self.r.randint(1, 5)})"
+        if form == "right":
+            return f"right({c}, {self.r.randint(1, 5)})"
+        if form == "split_part":
+            # both engines: 1-indexed, '' when the part is absent
+            return (f"split_part({c}, '{self.pick('- #')}', "
+                    f"{self.r.randint(1, 3)})")
+        if form == "concat_ws":
+            return f"concat_ws('|', {c}, {self.pick(scols)})"
+        if form == "ltrim_rtrim":
+            return f"ltrim(rtrim({self.str_expr(scols, depth - 1)}))"
         return f"(({c}) || '#' || ({self.pick(scols)}))"
+
+    def dec_expr(self, t: str, depth=2) -> str:
+        """Exact DECIMAL(18,2) expression — see module docstring for the
+        scale discipline that keeps both engines' result scale identical."""
+        dcols = DEC_COLS[t]
+        if depth <= 0 or self.r.random() < 0.4:
+            if self.r.random() < 0.25:
+                return (f"CAST({self.r.randint(0, 999)}."
+                        f"{self.r.randint(0, 99):02d} AS DECIMAL(18,2))")
+            return f"CAST({self.pick(dcols)} AS DECIMAL(18,2))"
+        a = self.dec_expr(t, depth - 1)
+        b = self.dec_expr(t, depth - 1)
+        form = self.pick(["add", "sub", "mulc", "case"])
+        if form == "add":
+            return f"({a} + {b})"
+        if form == "sub":
+            return f"({a} - {b})"
+        if form == "mulc":
+            return f"({a} * {self.r.randint(2, 9)})"
+        icols, scols, dcol, _ = TABLES[t]
+        return (f"(CASE WHEN {self.cmp(icols, scols, dcol)} "
+                f"THEN {a} ELSE {b} END)")
 
     def bool_expr(self, icols, scols, dcol, depth=2) -> str:
         if depth <= 0:
@@ -301,11 +380,62 @@ class DiffGen:
                 f"grouping({g1}) AS ga, grouping({g2}) AS gb "
                 f"FROM {t} GROUP BY {kind}({g1}, {g2})")
 
+    def dec_query(self) -> str:
+        """Fixed-scale decimal tier (r11): grouped exact-decimal aggregates
+        with a decimal WHERE; round(x, 1) only at the outermost layer."""
+        t = self.pick(list(DEC_COLS))
+        icols, scols, dcol, uniq = TABLES[t]
+        d = self.pick(DEC_COLS[t])
+        g = self.pick(scols)
+        measures = [
+            f"sum({self.dec_expr(t)}) AS ds",
+            f"min(CAST({d} AS DECIMAL(18,2))) AS dmn",
+            f"max({self.dec_expr(t, 1)}) AS dmx",
+            f"count(DISTINCT CAST({d} AS DECIMAL(18,2))) AS dn",
+            f"round(sum({self.dec_expr(t, 1)}), 1) AS dr",
+        ]
+        self.r.shuffle(measures)
+        measures = measures[:3]
+        if self.r.random() < 0.4:
+            measures.append(
+                f"sum(CAST({d} AS DECIMAL(18,2))) FILTER "
+                f"(WHERE {self.cmp(icols, scols, dcol)}) AS df")
+        lo = self.r.randint(0, 5000)
+        where = self.pick([
+            f"CAST({d} AS DECIMAL(18,2)) BETWEEN {lo}.25 AND {lo + 4000}.75",
+            f"CAST({d} AS DECIMAL(18,2)) > {lo}.{self.r.randint(0, 99):02d}",
+            self.bool_expr(icols, scols, dcol, 1),
+        ])
+        return (f"SELECT {g} AS grp, {', '.join(measures)} FROM {t} "
+                f"WHERE {where} GROUP BY {g}")
+
+    def array_query(self) -> str:
+        """HOF/array tier (r11): filter-lambda, array_sort, array_contains
+        over literal-separator splits — the portable array dialect."""
+        t, c, sep = self.pick(SPLITS)
+        icols, scols, dcol, uniq = TABLES[t]
+        arr = f"split({c}, '{sep}')"
+        pred = self.pick([
+            f"length(x) > {self.r.randint(1, 5)}",
+            f"x LIKE '{self.pick('ABCMPSE')}%'",
+            f"upper(x) <> x",
+        ])
+        items = [
+            f"filter({arr}, x -> {pred}) AS fa",
+            f"array_sort({arr}) AS sa",
+            f"array_contains({arr}, '{self.pick(['URGENT', 'STANDARD', 'PROMO', 'HIGH'])}') AS ac",
+        ]
+        self.r.shuffle(items)
+        items = items[:2]
+        items.append(f"{self.pick(icols)} AS k")
+        return (f"SELECT {', '.join(items)} FROM {t} "
+                f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
+
     def query(self) -> str:
         shape = self.r.choices(
             ["select", "agg", "join", "join_agg", "exists", "setop",
-             "scalar_sub", "distinct", "window", "rollup"],
-            weights=[18, 20, 12, 10, 9, 7, 6, 6, 7, 5],
+             "scalar_sub", "distinct", "window", "rollup", "dec", "array"],
+            weights=[15, 16, 10, 9, 8, 6, 5, 5, 6, 5, 9, 6],
         )[0]
         return getattr(self, f"{shape}_query")()
 
@@ -320,7 +450,7 @@ def duck():
     con.close()
 
 
-N_SEEDS = 200
+N_SEEDS = 400  # 200 → 400 r11: the widened grammar gets its own 200 seeds
 _BATCH = 10
 
 

@@ -149,6 +149,9 @@ SNIPPETS: dict[str, str] = {
     "least": "least(o_orderkey, o_custkey, 5)",
     # arrays (via split)
     "regexp_split": "split(o_orderpriority, '-')",
+    # literal-delimiter split + the guarded-CASE default encoding (r11):
+    # split_part desugars to ElementAt(StringSplitSQL(..), n, '')
+    "string_split": "split_part(o_orderpriority, '-', 2)",
     # 0-based lenient indexing (get() = GetArrayItem failOnError=false);
     # the ANSI arr[i] strict form produces as element_at(arr, i+1) instead
     # (pinned in test_interchange_edges), so only get() rides array_get

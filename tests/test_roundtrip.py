@@ -888,3 +888,30 @@ def test_range_source_roundtrips(spark):
     assert poison(bad["relations"][0]["root"]["input"])
     with pytest.raises(SubstraitError, match="leaf extension|Any type"):
         from_substrait_plan(spark, bad)
+
+
+def test_split_part_default_encoding_edges(spark):
+    """split_part desugars to ElementAt(StringSplitSQL(s, d), n, '') — the
+    OOB default is a Catalyst node FIELD with no Substrait slot. r11
+    encodes it as a guarded CASE (producer._binary element_at branch);
+    these edges pin the three semantics the rewrite must not bend:
+    NULL input → NULL (never the default), out-of-bounds → '' (the
+    default), negative part counts from the end."""
+    check(spark, "SELECT o_orderkey AS k, "
+                 "split_part(o_orderpriority, '-', 2) AS p2, "      # in-bounds
+                 "split_part(o_orderpriority, '-', 5) AS oob, "     # '' default
+                 "split_part(o_orderpriority, '-', -1) AS tail, "   # from end
+                 "split_part(nullif(o_orderstatus, o_orderstatus), "
+                 "'-', 1) AS nl "                                   # NULL in
+                 "FROM orders WHERE o_orderkey < 50")
+    # regex metachars in the delimiter must be treated literally by the
+    # consume-side \Q..\E rebuild
+    check(spark, "SELECT split_part(o_orderpriority || '.X.Y', '.', 2) AS p "
+                 "FROM orders WHERE o_orderkey < 20")
+
+    # the values really are the defaults, not nulls (guard against a
+    # rewrite that collapses the ELSE arm)
+    row = roundtrip(spark.sql(
+        "SELECT split_part('a-b', '-', 7) AS oob, "
+        "split_part(CAST(NULL AS STRING), '-', 1) AS nl")).collect()[0]
+    assert row.oob == "" and row.nl is None

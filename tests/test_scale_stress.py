@@ -220,3 +220,68 @@ def test_hamming_store_10k_multi_generation_cycle(spark):
     _assert_scan_not_under_exchange(probe, "hstress_hbuckets")
     for t in ("hstress_hbuckets", "hstress_h_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_excision_10x_replication_exact_kept_tokens(spark, tables):
+    """r11 directive: scale evidence for excise_duplicate_spans, whose
+    per-gram occurrence explode is the largest intermediate in the repo.
+
+    Each doc gains 9 IDENTICAL copies (doc_id*10+rep) — maximally
+    adversarial for ExactSubstr: EVERY gram of every >=k-token doc
+    becomes corpus-duplicated. The output is then provable exactly:
+
+    - the global keeper of a gram in the 10x corpus is the rep-0 copy of
+      its 1x keeper (doc_id*10+0 preserves the (doc, pos) order), so a
+      rep-0 copy's covered-token set is IDENTICAL to its 1x set: per-doc
+      n_tokens_kept(rep 0) == n_tokens_kept(1x), doc by doc;
+    - every gram occurrence in a rep>0 copy is a non-keeper, and any
+      token of a >=k-token doc is covered by some gram start, so rep>0
+      copies keep EXACTLY 0 tokens;
+    - docs shorter than k tokens pass through untouched, all 10 copies.
+
+    Total kept tokens is therefore CONSTANT in the replication factor
+    (plus the short-doc passthrough) — sub-linear in the strongest sense.
+    Wall-clock is printed, not asserted (sandbox noise; see header)."""
+    from datafusion_substrait_spark.operators import text as T
+
+    k = 8
+    docs = tables["documents"].select("doc_id", "text")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"), "text")
+
+    # no-corpus-to-driver: plan CONSTRUCTION must not collect anything
+    from pyspark.sql import DataFrame as _DF
+    real_collect, real_topandas = _DF.collect, _DF.toPandas
+    def _boom(self, *a, **kw):  # noqa: ANN001
+        raise AssertionError("excise_duplicate_spans pulled data to the "
+                             "driver while BUILDING the plan")
+    _DF.collect, _DF.toPandas = _boom, _boom
+    try:
+        ex1 = T.excise_duplicate_spans(docs, k=k)
+        ex10 = T.excise_duplicate_spans(docs10, k=k)
+    finally:
+        _DF.collect, _DF.toPandas = real_collect, real_topandas
+
+    t0 = time.perf_counter()
+    base = ex1.select("doc_id", "n_tokens_kept")
+    n_docs = docs.count()
+    base_rows = {r.doc_id: r.n_tokens_kept for r in base.collect()}
+    t1 = time.perf_counter()
+    got = ex10.select("doc_id", "n_tokens_kept").collect()
+    t2 = time.perf_counter()
+    print(f"\nexcision 1x: {t1-t0:.1f}s; 10x: {t2-t1:.1f}s "
+          f"({len(got)} rows)")
+
+    lengths = {r.doc_id: r.n for r in docs.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n")).collect()}
+
+    assert len(got) == 10 * n_docs
+    for r in got:
+        b, rep = divmod(r.doc_id, 10)
+        if rep == 0:
+            assert r.n_tokens_kept == base_rows[b], f"rep-0 of doc {b}"
+        elif lengths[b] >= k:
+            assert r.n_tokens_kept == 0, f"rep {rep} of long doc {b}"
+        else:
+            assert r.n_tokens_kept == lengths[b], f"short doc {b}"

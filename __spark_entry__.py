@@ -64,6 +64,49 @@ def _rt(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return roundtrip(spark.sql(sql))
 
 
+def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2 scan/project, widened r11 (in-place, no new driver slot) with
+    a RelCommon.emit leg: leg (a) is the original SQL through the
+    produce→consume roundtrip; leg (b) CONSUMES a hand-authored
+    spec-conformant foreign plan — ReadRel with a projection mask, then a
+    ProjectRel in the SPEC convention (ordinal space input++expressions,
+    emit.outputMapping reordering [0,1,4,3] to splice the doubled-quantity
+    expression between the passthroughs). Before r11 the mapping was
+    silently ignored (VERDICT r10 top directive); this leg puts the honor
+    path under the driver's DuckDB oracle."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    _prep(spark, sf_dir)
+    leg_a = roundtrip(spark.sql(_SQL["q02_scan_project"]))
+    names = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"]
+    fld = lambda i: {"selection": {"directReference":  # noqa: E731
+                                   {"structField": {"field": i}},
+                                   "rootReference": {}}}
+    plan = {
+        "relations": [{"root": {"input": {"project": {
+            "common": {"emit": {"outputMapping": [0, 1, 4, 3]}},
+            "input": {"read": {
+                "common": {"direct": {}},
+                "baseSchema": {"names": names},
+                "projection": {"select": {"structItems": [
+                    {"field": 0}, {"field": 3}, {"field": 4}, {"field": 5}]}},
+                "namedTable": {"names": ["lineitem"]},
+            }},
+            "expressions": [{"scalarFunction": {
+                "functionReference": 1,
+                "arguments": [{"value": fld(2)},
+                              {"value": {"literal": {"fp64": 2.0}}}],
+            }}],
+        }}, "names": ["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice"]}}],
+        "extensions": [{"extensionFunction":
+                        {"functionAnchor": 1, "name": "multiply"}}],
+    }
+    return leg_a.unionAll(from_substrait_plan(spark, plan))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-style pricing summary through produce→consume.
 
@@ -887,6 +930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: (lambda spark, sf, s=sql: _rt(spark, sf, s))
         for name, sql in _SQL.items()
     },
+    "q02_scan_project": _q02_scan_project,  # r11 emit-leg widening
     "e1_windowed_counts": _e1_windowed_counts,
     "e2_sessionize": _e2_sessionize,
     "e3_user_stats": _e3_user_stats,
@@ -1145,7 +1189,14 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    "q02_scan_project": _SQL["q02_scan_project"],
+    # leg (b) replays the emit-bearing foreign plan: the SAME masked scan
+    # with the doubled quantity spliced by emit [0,1,4,3]
+    "q02_scan_project": _SQL["q02_scan_project"] + """
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity * 2 AS l_quantity,
+               l_extendedprice
+        FROM lineitem
+    """,
     "q03_filter_arith": _SQL["q03_filter_arith"],
     "q05_group_agg": _SQL["q05_group_agg"],
     "q06_agg_distinct_filter": _SQL["q06_agg_distinct_filter"],

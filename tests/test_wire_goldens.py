@@ -10,10 +10,12 @@ number written out literally from the spec message definitions — a second,
 separate transcription. For a wrong byte to pass, the same slip would have
 to be made twice, in two differently-structured encodings.
 
-Six representative plans (the shapes the producer emits in practice):
-  G1 read + filter + aggregate      G4 virtual table with literal rows
-  G2 inner join of two reads        G5 sample over scatter exchange
-  G3 window (running sum)           G6 set op + sort + fetch
+Eight representative plans (the shapes the producer emits in practice,
+plus the foreign-producer conventions the consumer honors):
+  G1 read + filter + aggregate      G5 sample over scatter exchange
+  G2 inner join of two reads        G6 set op + sort + fetch
+  G3 window (running sum)           G7 higher-order fn + lambda (r10)
+  G4 virtual table, literal rows    G8 RelCommon.emit remap (r11)
 
 Each golden asserts three ways: encode_plan(ir) == bytes (encoder),
 decode_plan(bytes) == ir (decoder), and from_substrait_plan(ir) executes
@@ -632,6 +634,55 @@ def test_golden_lambda_transform(spark, tables):
 
 
 # ---------------------------------------------------------------------------
+# G8: RelCommon.emit output remapping (r11) — a ProjectRel in the SPEC
+# convention (ordinal space input++expressions) whose emit.outputMapping is
+# a PACKED repeated int32. Pins the emit bytes independently of the codec
+# table AND the consume-side honor path (before r11 the mapping was
+# silently ignored).
+# ---------------------------------------------------------------------------
+
+
+def emit_common(mapping: list[int]) -> bytes:
+    """RelCommon{emit=2: Emit{output_mapping=1 repeated int32, PACKED}}
+    (algebra.proto RelCommon; packed is proto3's default scalar encoding,
+    matching plans/wire.py's writer)."""
+    payload = b"".join(uv(v) for v in mapping)
+    return LD(1, LD(2, tag(1, 2) + uv(len(payload)) + payload))
+
+
+def build_g8_emit_project():
+    names, types_b, types_ir = NATION
+    read_b = read_rel(names, types_b, [2, 1], "nation")
+    read_d = read_ir(names, types_ir, [2, 1], "nation")
+
+    # add(f0, i32 100) appended to the 2-col input → spec ordinal space
+    # (f0=n_regionkey, f1=n_name, f2=f0+100); emit [2, 0] reorders the
+    # expression before the passthrough
+    expr_b = call(0, sel(0), LD(1, VI(5, 100)))
+    expr_d = call_ir(0, sel_ir(0), {"literal": {"i32": 100}})
+    proj_b = LD(7, emit_common([2, 0]), LD(2, read_b), LD(3, expr_b))
+    proj_d = {"project": {"common": {"emit": {"outputMapping": [2, 0]}},
+                          "input": read_d, "expressions": [expr_d]}}
+
+    golden = ext_fn(0, "add") + root(proj_b, ["rk100", "rk"]) + VERSION
+    ir = {"version": VERSION_IR,
+          "relations": [{"root": {"input": proj_d,
+                                  "names": ["rk100", "rk"]}}],
+          "extensions": [ext_fn_ir(0, "add")]}
+    return golden, ir
+
+
+def test_golden_emit_project(spark, tables):
+    golden, ir = build_g8_emit_project()
+    df = check(golden, ir, spark)
+    rows = df.collect()
+    assert df.columns == ["rk100", "rk"]
+    assert len(rows) > 0
+    for r in rows:
+        assert r.rk100 == r.rk + 100
+
+
+# ---------------------------------------------------------------------------
 # Fixture pack: the goldens as committed .bin files + manifest, so any
 # EXTERNAL Substrait implementation can be pointed at real plan bytes
 # without reading this test module (tests/wire_fixtures/README.md has the
@@ -671,6 +722,11 @@ GOLDENS = {
         "ProjectRel with transform(Nested.List[f0, f0], lambda(1, "
         "upper(lambda_var(0, 0)))) — the r10 higher-order-function "
         "encoding: lambdas as extension calls, de-Bruijn bound refs"),
+    "g8_emit_project": (
+        build_g8_emit_project,
+        "ProjectRel in the spec input++expressions convention with "
+        "RelCommon.emit{output_mapping=[2, 0] packed int32} reordering "
+        "the appended add(f0, 100) before the passthrough column"),
 }
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "wire_fixtures")

@@ -172,12 +172,28 @@ class _Consumer:
                     f"{missing} no longer exist (live schema: {df.columns})"
                 )
         source = base or df.columns
+        # ReadRel.filter / best_effort_filter (r11): spec-conformant foreign
+        # producers (DuckDB's substrait extension pushes scan predicates
+        # here) express both against the BASE schema, before the projection
+        # mask. `filter` is mandatory — ignoring it returns wrong rows
+        # silently (the same failure class as the pre-r11 emit gap);
+        # `best_effort_filter` may be applied partially or fully, and
+        # applying it fully is always sound (the plan's exact FilterRel
+        # above re-checks) and lets Catalyst push it into the scan.
+        df = self._read_filters(body, df, lambda i: df[source[int(i)]])
         mask = _mask_ordinals(body, len(source), f"table {'.'.join(names)}")
         picked = [source[i] for i in mask] if mask is not None else list(source)
         # alias to the ordinal names in the SAME select: classic Dataset ops
         # analyze eagerly, so a separate toDF rename would cost one extra
         # Catalyst analysis pass over the subtree per plan node
         return df.select(*[df[c].alias(f"f{j}") for j, c in enumerate(picked)])
+
+    def _read_filters(self, body: dict, df: DataFrame, resolver) -> DataFrame:
+        for key in ("filter", "bestEffortFilter"):
+            cond = body.get(key)
+            if cond is not None:
+                df = df.filter(self.rex(cond, resolver))
+        return df
 
     def _read_virtual(self, body: dict) -> DataFrame:
         """ReadRel{virtualTable} → ``spark.createDataFrame`` over the inline
@@ -219,6 +235,7 @@ class _Consumer:
                 )
             rows.append(tuple(_literal_py(f) for f in fields))
         df = self.spark.createDataFrame(rows, schema)
+        df = self._read_filters(body, df, lambda i: df[f"f{int(i)}"])
         mask = _mask_ordinals(body, n_cols, "virtual table")
         if mask is not None:
             df = df.select(*[df[f"f{i}"].alias(f"f{j}")

@@ -784,3 +784,98 @@ def test_join_strategy_hints_survive_the_plan_boundary(spark):
     assert any("unknown join-strategy hint 'hash_everything'" in str(c.message)
                for c in caught)
     assert out.count() > 0
+
+
+# --- ReadRel.filter / best_effort_filter (r11) ------------------------------
+# Foreign producers (DuckDB's substrait extension) push scan predicates into
+# ReadRel.filter — a MANDATORY filter expressed against the BASE schema,
+# before the projection mask. Before r11 both fields were wire-decoded but
+# silently dropped on consume: wrong rows, no error (the same class as the
+# pre-r11 emit gap).
+
+def _read_with_filter(emit=None, best_effort=False, mask=None):
+    from tests.test_emit import (NATION_NAMES, NATION_TYPES, field,
+                                 read_rel)
+    body = read_rel("nation", NATION_NAMES, NATION_TYPES, emit=emit)
+    # n_nationkey < 10 against the BASE ordinal space
+    cond = {"scalarFunction": {
+        "functionReference": 1,
+        "arguments": [{"value": field(0)},
+                      {"value": {"literal": {"i64": 10}}}],
+    }}
+    body["read"]["bestEffortFilter" if best_effort else "filter"] = cond
+    if mask is not None:
+        body["read"]["projection"] = {"select": {"structItems": [
+            {"field": i} for i in mask]}}
+    return body
+
+
+def test_read_rel_filter_is_mandatory_and_applied(spark):
+    from tests.test_emit import plan_of, rows_set
+    plan = plan_of(_read_with_filter(),
+                   ["n_nationkey", "n_name", "n_regionkey"], {1: "lt"})
+    got = from_substrait_plan(spark, plan)
+    want = spark.sql("SELECT * FROM nation WHERE n_nationkey < 10")
+    assert rows_set(got) == rows_set(want)
+    # and it reaches the parquet scan as a pushed filter (the point of a
+    # ReadRel-level predicate at 100 TB)
+    phys = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in phys and "LessThan(n_nationkey,10" in phys
+
+
+def test_read_rel_filter_base_space_survives_mask_and_emit(spark):
+    """The filter references n_nationkey (base ordinal 0) while the mask
+    DROPS that column ([1, 2]) and emit reorders what's left — proving
+    the filter binds to the base schema, not the masked output."""
+    from tests.test_emit import plan_of, rows_set
+    plan = plan_of(_read_with_filter(emit=[1, 0], mask=[1, 2]),
+                   ["rk", "nm"], {1: "lt"})
+    got = from_substrait_plan(spark, plan)
+    want = spark.sql("SELECT n_regionkey AS rk, n_name AS nm FROM nation "
+                     "WHERE n_nationkey < 10")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_read_rel_best_effort_filter_applied_fully(spark):
+    """best_effort_filter may be applied partially or fully; applying it
+    fully is always sound and is what this consumer does."""
+    from tests.test_emit import plan_of, rows_set
+    plan = plan_of(_read_with_filter(best_effort=True),
+                   ["n_nationkey", "n_name", "n_regionkey"], {1: "lt"})
+    got = from_substrait_plan(spark, plan)
+    want = spark.sql("SELECT * FROM nation WHERE n_nationkey < 10")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_read_rel_filter_survives_both_wires(spark):
+    from tests.test_emit import plan_of, rows_set
+    from tests.test_wire import _foreign_encode
+    plan = plan_of(_read_with_filter(emit=[1, 0], mask=[1, 2]),
+                   ["rk", "nm"], {1: "lt"})
+    want = spark.sql("SELECT n_regionkey AS rk, n_name AS nm FROM nation "
+                     "WHERE n_nationkey < 10")
+    for blob in (wire.encode_plan(plan), _foreign_encode("Plan", plan)):
+        got = from_substrait_plan(spark, wire.decode_plan(blob))
+        assert rows_set(got) == rows_set(want)
+
+
+def test_virtual_table_read_filter(spark):
+    from tests.test_emit import I64, rows_set
+    body = {"read": {
+        "common": {"direct": {}},
+        "baseSchema": {"names": ["v"], "struct": {"types": [I64]}},
+        "virtualTable": {"values": [
+            {"fields": [{"i64": str(x)}]} for x in (1, 5, 9, 13)]},
+        "filter": {"scalarFunction": {
+            "functionReference": 1,
+            "arguments": [{"value": {"selection": {
+                "directReference": {"structField": {"field": 0}},
+                "rootReference": {}}}},
+                {"value": {"literal": {"i64": 9}}}],
+        }},
+    }}
+    plan = {"relations": [{"root": {"input": body, "names": ["v"]}}],
+            "extensions": [{"extensionFunction":
+                            {"functionAnchor": 1, "name": "gte"}}]}
+    got = from_substrait_plan(spark, plan)
+    assert sorted(r.v for r in got.collect()) == [9, 13]

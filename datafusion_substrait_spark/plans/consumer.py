@@ -519,6 +519,21 @@ class _Consumer:
 
         cond = self.rex(body["expression"], resolver)
         joined = left.join(right, on=cond, how=how)
+        post = body.get("postJoinFilter")
+        if post is not None:
+            # JoinRel.post_join_filter (r11, same silent-drop class as the
+            # emit/ReadRel.filter gaps): applied AFTER the join over the
+            # combined left++right space — for outer joins this is NOT
+            # foldable into the join condition (it must also see the
+            # null-extended rows). Semi/anti outputs carry only the left
+            # side, so a post filter over the combined space cannot be
+            # applied post-hoc — fence, don't guess.
+            if how in ("left_semi", "left_anti"):
+                raise SubstraitError(
+                    f"postJoinFilter on a {how} join is not consumable: "
+                    "the output no longer carries the right side the "
+                    "filter may reference")
+            joined = joined.filter(self.rex(post, resolver))
         return joined.toDF(*_fnames(len(joined.columns)))
 
     def _rel_set(self, body: dict) -> DataFrame:

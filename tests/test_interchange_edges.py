@@ -879,3 +879,71 @@ def test_virtual_table_read_filter(spark):
                             {"functionAnchor": 1, "name": "gte"}}]}
     got = from_substrait_plan(spark, plan)
     assert sorted(r.v for r in got.collect()) == [9, 13]
+
+
+# --- JoinRel.post_join_filter (r11) -----------------------------------------
+
+def _join_with_post(jt, post_is_null_name=False):
+    from tests.test_emit import NATION_NAMES, NATION_TYPES, field, read_rel
+    on = {"scalarFunction": {"functionReference": 1,
+          "arguments": [{"value": field(2)}, {"value": field(3)}]}}
+    # post filter over the COMBINED space: right-side r_name (ordinal 4)
+    post = ({"scalarFunction": {"functionReference": 3,
+             "arguments": [{"value": field(4)}]}}
+            if post_is_null_name else
+            {"scalarFunction": {"functionReference": 2,
+             "arguments": [{"value": field(4)},
+                           {"value": {"literal": {"string": "REGION_0"}}}]}})
+    return {"join": {
+        "common": {"direct": {}},
+        "left": read_rel("nation", NATION_NAMES, NATION_TYPES),
+        "right": read_rel("region", ["r_regionkey", "r_name"],
+                          [{"i64": {"nullability": "NULLABILITY_NULLABLE"}},
+                           {"string": {"nullability": "NULLABILITY_NULLABLE"}}]),
+        "type": jt,
+        "expression": on,
+        "postJoinFilter": post,
+    }}
+
+
+def test_post_join_filter_inner(spark):
+    from tests.test_emit import plan_of, rows_set
+    plan = plan_of(_join_with_post("JOIN_TYPE_INNER"),
+                   ["k", "nm", "rk", "rrk", "rn"],
+                   {1: "equal", 2: "not_equal"})
+    got = from_substrait_plan(spark, plan)
+    want = spark.sql(
+        "SELECT n_nationkey k, n_name nm, n_regionkey rk, r_regionkey rrk, "
+        "r_name rn FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name <> 'REGION_0'")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_post_join_filter_left_outer_sees_null_extended_rows(spark):
+    """For outer joins the post filter is NOT foldable into the join
+    condition: it must also apply to null-extended rows. IS NULL on a
+    right-side column keeps exactly the unmatched left rows — folding it
+    into ON would instead null-extend EVERY left row and keep them all."""
+    from tests.test_emit import plan_of, rows_set
+    # left side: nation with keys shifted so some rows don't match
+    spark.sql("SELECT n_nationkey, n_name, n_regionkey + 3 AS n_regionkey "
+              "FROM nation").createOrReplaceTempView("nation_shift")
+    plan = _join_with_post("JOIN_TYPE_LEFT", post_is_null_name=True)
+    plan["join"]["left"]["read"]["namedTable"]["names"] = ["nation_shift"]
+    p = plan_of(plan, ["k", "nm", "rk", "rrk", "rn"],
+                {1: "equal", 3: "is_null"})
+    got = from_substrait_plan(spark, p)
+    want = spark.sql(
+        "SELECT n_nationkey k, n_name nm, n_regionkey rk, r_regionkey rrk, "
+        "r_name rn FROM nation_shift LEFT JOIN region "
+        "ON n_regionkey = r_regionkey WHERE r_name IS NULL")
+    assert rows_set(got) == rows_set(want)
+    assert got.count() > 0, "fixture must actually have unmatched rows"
+
+
+def test_post_join_filter_fenced_on_semi(spark):
+    from tests.test_emit import plan_of
+    plan = plan_of(_join_with_post("JOIN_TYPE_SEMI"), ["k", "nm", "rk"],
+                   {1: "equal", 2: "not_equal"})
+    with pytest.raises(SubstraitError, match="postJoinFilter.*semi"):
+        from_substrait_plan(spark, plan)

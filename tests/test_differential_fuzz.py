@@ -119,7 +119,8 @@ class DiffGen:
         a = self.int_expr(cols, depth - 1)
         b = self.int_expr(cols, depth - 1)
         form = self.pick(["add", "sub", "mulc", "mod", "case", "strlen",
-                          "abs", "instr", "ascii"])
+                          "abs", "instr", "ascii", "greatest", "least",
+                          "coalesce_nullif"])
         if form == "add":
             return f"({a} + {b})"
         if form == "sub":
@@ -132,6 +133,15 @@ class DiffGen:
             return f"abs({a} - {b})"
         if form == "ascii":
             return f"ascii(CAST({self.pick(cols)} AS STRING))"
+        if form == "greatest":
+            return f"greatest({a}, {b})"
+        if form == "least":
+            return f"least({a}, {b})"
+        if form == "coalesce_nullif":
+            # nullif plants genuine NULLs; coalesce takes them back out —
+            # exercises both engines' null propagation through arithmetic
+            return (f"coalesce(nullif({a}, {b}), "
+                    f"{self.r.randint(0, 9)})")
         if form == "strlen":
             return f"length(CAST({self.pick(cols)} AS STRING))"
         if form == "instr":
@@ -309,7 +319,18 @@ class DiffGen:
     def exists_query(self) -> str:
         lt, rt, lk, rk = self.pick(JOINS)
         li, ls, ld, _lu = TABLES[lt]
-        neg = self.pick(["EXISTS", "NOT EXISTS"])
+        ri, rs, rd, _ru = TABLES[rt]
+        shape = self.pick(["exists", "not_exists", "in", "not_in"])
+        if shape in ("in", "not_in"):
+            # IN-subquery (r11): FK columns are non-null, so NOT IN's
+            # NULL-poisoning semantics can't fire — both engines agree
+            neg = "NOT IN" if shape == "not_in" else "IN"
+            return (f"SELECT {self.pick(li)} AS a, {self.pick(ls)} AS s "
+                    f"FROM {lt} WHERE {lk} {neg} "
+                    f"(SELECT {rk} FROM {rt} "
+                    f"WHERE {self.bool_expr(ri, rs, rd, 1)}) "
+                    f"AND {self.bool_expr(li, ls, ld, 1)}")
+        neg = "NOT EXISTS" if shape == "not_exists" else "EXISTS"
         return (f"SELECT {self.pick(li)} AS a, {self.pick(ls)} AS s "
                 f"FROM {lt} WHERE {neg} "
                 f"(SELECT 1 FROM {rt} WHERE {rk} = {lk}) "

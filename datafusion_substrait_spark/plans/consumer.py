@@ -341,6 +341,12 @@ class _Consumer:
         comparison-function sorts rejected, like consumer.rs:187-203."""
         keys = []
         for sf in sorts:
+            if "comparisonFunctionReference" in sf:
+                # oneof sort_kind: a custom comparator cannot be rebuilt as
+                # asc/desc; silently sorting ascending would reorder rows
+                raise SubstraitError(
+                    "SortField with a comparison function is not "
+                    "consumable (≡ consumer.rs:187-203 clustered sorts)")
             method = self._SORT_METHODS.get(sf.get("direction"))
             if method is None:
                 raise SubstraitError(f"unsupported sort kind {sf}")
@@ -426,9 +432,27 @@ class _Consumer:
             set_idx.cast("int").alias(f"f{n_g + len(m_cols)}"),
         )
 
+    _CONSUMABLE_PHASES = (None, "AGGREGATION_PHASE_UNSPECIFIED",
+                          "AGGREGATION_PHASE_INITIAL_TO_RESULT")
+
     def _measure(self, m: dict, k: int, resolver, extra: list[Column]) -> Column:
         body = m["measure"]
         name = self._fn_name(body["functionReference"])
+        # r11 foreign-field fences (same silent-wrong-value class as emit):
+        # a partial phase means the input rows are pre-aggregated states —
+        # consuming as a full aggregate double-counts; `sorts` makes the
+        # aggregate order-sensitive (array_agg(x ORDER BY y)) and dropping
+        # it silently reorders the result.
+        if body.get("phase") not in self._CONSUMABLE_PHASES:
+            raise SubstraitError(
+                f"aggregate phase {body['phase']!r} is not consumable: "
+                "this engine rebuilds full aggregations only "
+                "(INITIAL_TO_RESULT)")
+        if body.get("sorts"):
+            raise SubstraitError(
+                f"ordered aggregate {name!r} (AggregateFunction.sorts) has "
+                "no Spark rebuild; dropping the sort would silently "
+                "reorder the result")
         args = [self.rex(a["value"], resolver) for a in body.get("arguments", [])]
         distinct = body.get("invocation") == proto.AGG_DISTINCT
         filt = m.get("filter")
@@ -577,6 +601,16 @@ class _Consumer:
         outs = []
         for j, wf in enumerate(body.get("windowFunctions", [])):
             name = self._fn_name(wf["functionReference"])
+            if wf.get("phase") not in self._CONSUMABLE_PHASES:
+                raise SubstraitError(
+                    f"window function phase {wf['phase']!r} is not "
+                    "consumable (full computation only)")
+            if wf.get("invocation") == proto.AGG_DISTINCT:
+                # Spark has no DISTINCT window aggregates; consuming as
+                # plain would silently change every windowed value
+                raise SubstraitError(
+                    f"DISTINCT window aggregate {name!r} has no Spark "
+                    "rebuild")
             raw = [a["value"] for a in wf.get("arguments", [])]
             spec = W.partitionBy(*part)
             if order:

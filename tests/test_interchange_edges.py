@@ -947,3 +947,101 @@ def test_post_join_filter_fenced_on_semi(spark):
                    {1: "equal", 2: "not_equal"})
     with pytest.raises(SubstraitError, match="postJoinFilter.*semi"):
         from_substrait_plan(spark, plan)
+
+
+# --- foreign-field fences on aggregate/window/sort (r11) ---------------------
+# AggregateFunction.phase/sorts, WindowRelFunction.invocation, and
+# SortField.comparison_function_reference are all wire-decodable spec fields
+# this engine cannot rebuild; each previously consumed with the field
+# silently dropped (wrong values / wrong order), now a named error.
+
+def test_partial_aggregation_phase_is_fenced(spark):
+    plan = to_substrait_plan(spark.table("orders").groupBy("o_orderstatus")
+                             .agg(F.count("*").alias("n")))
+    bad = copy.deepcopy(plan)
+
+    def poison(node):
+        if isinstance(node, dict):
+            if "phase" in node:
+                node["phase"] = "AGGREGATION_PHASE_INTERMEDIATE_TO_RESULT"
+                return True
+            return any(poison(v) for v in node.values()
+                       if isinstance(v, (dict, list)))
+        if isinstance(node, list):
+            return any(poison(v) for v in node)
+        return False
+
+    assert poison(bad)
+    with pytest.raises(SubstraitError, match="phase.*not consumable"):
+        from_substrait_plan(spark, bad)
+
+
+def test_ordered_aggregate_sorts_is_fenced(spark):
+    plan = to_substrait_plan(spark.table("orders").groupBy("o_orderstatus")
+                             .agg(F.count("*").alias("n")))
+    bad = copy.deepcopy(plan)
+
+    def poison(node):
+        if isinstance(node, dict):
+            if "measure" in node and isinstance(node["measure"], dict):
+                node["measure"]["sorts"] = [
+                    {"expr": {"selection": {"directReference":
+                     {"structField": {"field": 0}}, "rootReference": {}}},
+                     "direction": "SORT_DIRECTION_ASC_NULLS_FIRST"}]
+                return True
+            return any(poison(v) for v in node.values()
+                       if isinstance(v, (dict, list)))
+        if isinstance(node, list):
+            return any(poison(v) for v in node)
+        return False
+
+    assert poison(bad)
+    with pytest.raises(SubstraitError, match="ordered aggregate"):
+        from_substrait_plan(spark, bad)
+
+
+def test_distinct_window_aggregate_is_fenced(spark):
+    plan = to_substrait_plan(spark.sql(
+        "SELECT sum(o_totalprice) OVER (PARTITION BY o_orderstatus) AS s "
+        "FROM orders"))
+    bad = copy.deepcopy(plan)
+
+    def poison(node):
+        if isinstance(node, dict):
+            if "windowFunctions" in node:
+                node["windowFunctions"][0]["invocation"] = \
+                    "AGGREGATION_INVOCATION_DISTINCT"
+                return True
+            return any(poison(v) for v in node.values()
+                       if isinstance(v, (dict, list)))
+        if isinstance(node, list):
+            return any(poison(v) for v in node)
+        return False
+
+    assert poison(bad)
+    with pytest.raises(SubstraitError, match="DISTINCT window"):
+        from_substrait_plan(spark, bad)
+
+
+def test_comparison_function_sort_is_fenced(spark):
+    plan = to_substrait_plan(
+        spark.table("orders").orderBy("o_orderkey").select("o_orderkey"))
+    bad = copy.deepcopy(plan)
+
+    def poison(node):
+        if isinstance(node, dict):
+            if "sorts" in node and isinstance(node["sorts"], list) \
+                    and node["sorts"]:
+                sf = node["sorts"][0]
+                sf.pop("direction", None)
+                sf["comparisonFunctionReference"] = 99
+                return True
+            return any(poison(v) for v in node.values()
+                       if isinstance(v, (dict, list)))
+        if isinstance(node, list):
+            return any(poison(v) for v in node)
+        return False
+
+    assert poison(bad)
+    with pytest.raises(SubstraitError, match="comparison function"):
+        from_substrait_plan(spark, bad)

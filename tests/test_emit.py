@@ -309,3 +309,42 @@ def test_own_producer_never_emits_emit(spark, tables):
 
     root, _ = proto.root_of(plan)
     walk(root)
+
+
+def test_window_emit(spark, tables):
+    """Window rel space = input ++ window columns; emit=[3, 0] keeps only
+    the window value and the key."""
+    rel = {"window": {
+        "common": _common([3, 0]),
+        "input": read_rel("nation", NATION_NAMES, NATION_TYPES),
+        "partitionExpressions": [field(2)],
+        "windowFunctions": [{
+            "functionReference": 1,
+            "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+            "invocation": "AGGREGATION_INVOCATION_ALL",
+            "arguments": [{"value": field(0)}],
+            "boundsType": "BOUNDS_TYPE_ROWS",
+            "lowerBound": {"unbounded": {}},
+            "upperBound": {"unbounded": {}},
+        }],
+    }}
+    got = from_substrait_plan(spark, plan_of(rel, ["s", "k"], {1: "sum"}))
+    want = spark.sql(
+        "SELECT sum(n_nationkey) OVER (PARTITION BY n_regionkey) AS s, "
+        "n_nationkey AS k FROM nation")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_extension_single_emit(spark, tables):
+    """Emit applies uniformly to extension rels: a LocalSortRel (an
+    ExtensionSingleRel) under emit=[1] projects to one column."""
+    from datafusion_substrait_spark.plans import proto as P
+    inner = read_rel("nation", NATION_NAMES, NATION_TYPES)
+    rel = P.local_sort_rel(
+        inner, [{"expr": field(0),
+                 "direction": "SORT_DIRECTION_ASC_NULLS_FIRST"}])
+    kind = P.rel_kind(rel)
+    rel[kind]["common"] = _common([1])
+    got = from_substrait_plan(spark, plan_of(rel, ["nm"]))
+    want = spark.sql("SELECT n_name AS nm FROM nation")
+    assert rows_set(got) == rows_set(want)

@@ -504,6 +504,15 @@ class _Consumer:
         # r10: re-apply per-side strategy hints (Any-wrapped JoinHintInfo
         # in the spec advanced_extension slot) BEFORE aliasing, so the
         # rebuilt plan keeps the user's join-strategy decision
+        if body.get("advancedExtension", {}).get("enhancement") is not None:
+            # spec asymmetry (r11): optimization "can be ignored by a
+            # consumer", enhancement "MUST be understood or the plan is
+            # invalid" — this engine defines no enhancements, so any
+            # present one is a semantic requirement it cannot honor
+            raise SubstraitError(
+                "advanced_extension.enhancement is not understood by this "
+                "consumer (spec: enhancements alter semantics and must "
+                "not be ignored)")
         for opt in body.get("advancedExtension", {}).get("optimization", []):
             if opt.get("@type", "").endswith("JoinHintInfo"):
                 for key, side in (("leftStrategy", "left"),

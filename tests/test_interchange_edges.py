@@ -1045,3 +1045,27 @@ def test_comparison_function_sort_is_fenced(spark):
     assert poison(bad)
     with pytest.raises(SubstraitError, match="comparison function"):
         from_substrait_plan(spark, bad)
+
+
+def test_advanced_extension_enhancement_is_fenced(spark):
+    """Spec asymmetry: optimization 'can be ignored', enhancement 'MUST be
+    understood or the plan is invalid'. This engine defines none, so a
+    present enhancement must reject the plan — ignoring it (the pre-r11
+    behavior) breaks whatever semantics the producer attached."""
+    from tests.test_emit import NATION_NAMES, NATION_TYPES, field, plan_of, read_rel
+    rel = {"join": {
+        "common": {"direct": {}},
+        "left": read_rel("nation", NATION_NAMES, NATION_TYPES),
+        "right": read_rel("region", ["r_regionkey", "r_name"],
+                          [{"i64": {"nullability": "NULLABILITY_NULLABLE"}},
+                           {"string": {"nullability": "NULLABILITY_NULLABLE"}}]),
+        "type": "JOIN_TYPE_INNER",
+        "expression": {"scalarFunction": {"functionReference": 1,
+            "arguments": [{"value": field(2)}, {"value": field(3)}]}},
+        "advancedExtension": {"enhancement": {
+            "@type": "type.googleapis.com/some.producer.MustHave",
+            "value": "AA=="}},
+    }}
+    plan = plan_of(rel, ["a", "b", "c", "d", "e"], {1: "equal"})
+    with pytest.raises(SubstraitError, match="enhancement"):
+        from_substrait_plan(spark, plan)

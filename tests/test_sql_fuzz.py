@@ -449,6 +449,10 @@ class Gen:
         ])
         m = f"map('a', length({c}), 'b', length({c}) * 2)"
         scalar = self.pick([
+            # split_part (r11): ElementAt with an OOB default, encoded as
+            # the guarded CASE over string_split
+            f"split_part({c}, '{sep}', {self.r.randint(1, 4)})",
+            f"split_part({c}, '{sep}', -{self.r.randint(1, 2)})",
             f"aggregate({arr}, 0, (acc, x) -> acc + length(x))",
             f"reduce({arr}, '', (acc, x) -> concat(acc, x), "
             f"acc -> length(acc))",

@@ -346,13 +346,17 @@ _SQL: dict[str, str] = {
     "q28_explode": """
         SELECT part, count(*) AS n,
                CAST(sum(n_long) AS BIGINT) AS sum_long,
-               CAST(max(fold_len) AS BIGINT) AS max_fold
+               CAST(max(fold_len) AS BIGINT) AS max_fold,
+               max(sp2) AS max_sp2,
+               min(sp_oob) AS min_sp_oob
         FROM (SELECT explode(transform(split(o_orderpriority, '-'),
                                        x -> lower(x))) AS part,
                      size(filter(split(o_orderpriority, '-'),
                                  x -> length(x) > 2)) AS n_long,
                      aggregate(split(o_orderpriority, '-'), 0,
-                               (acc, x) -> acc + length(x)) AS fold_len
+                               (acc, x) -> acc + length(x)) AS fold_len,
+                     split_part(o_orderpriority, '-', 2) AS sp2,
+                     split_part(o_orderpriority, '-', 5) AS sp_oob
               FROM orders)
         GROUP BY part
     """,
@@ -1274,13 +1278,19 @@ ORACLES: dict[str, str] = {
     "q28_explode": """
         SELECT part, count(*) AS n,
                CAST(sum(n_long) AS BIGINT) AS sum_long,
-               CAST(max(fold_len) AS BIGINT) AS max_fold
+               CAST(max(fold_len) AS BIGINT) AS max_fold,
+               max(sp2) AS max_sp2,
+               min(sp_oob) AS min_sp_oob
         FROM (SELECT unnest(list_transform(string_split(o_orderpriority, '-'),
                                            x -> lower(x))) AS part,
                      len(list_filter(string_split(o_orderpriority, '-'),
                                      x -> length(x) > 2)) AS n_long,
                      list_sum(list_transform(string_split(o_orderpriority, '-'),
-                                             x -> length(x))) AS fold_len
+                                             x -> length(x))) AS fold_len,
+                     -- split_part: same 1-indexed, ''-on-OOB contract as
+                     -- Spark; part 5 pins the r11 OOB-default encoding
+                     split_part(o_orderpriority, '-', 2) AS sp2,
+                     split_part(o_orderpriority, '-', 5) AS sp_oob
               FROM orders)
         GROUP BY part
     """,

@@ -569,6 +569,21 @@ class _Consumer:
             joined = joined.filter(self.rex(post, resolver))
         return joined.toDF(*_fnames(len(joined.columns)))
 
+    def _rel_cross(self, body: dict) -> DataFrame:
+        """CrossRel → ``DataFrame.crossJoin`` (r11). Foreign producers
+        (DuckDB's substrait extension) emit CrossRel directly; our own
+        producer keeps the reference's inner-on-true encoding for Catalyst
+        Join(Cross) nodes, so this path is consume-only. Output is the
+        spec's left++right ordinal space."""
+        left = self.rel(body["left"]).alias("__cl")
+        right = self.rel(body["right"]).alias("__cr")
+        n_left = len(left.columns)
+        out = left.crossJoin(right)
+        return out.select(
+            *[F.col(f"__cl.f{i}").alias(f"f{i}") for i in range(n_left)],
+            *[F.col(f"__cr.f{i}").alias(f"f{n_left + i}")
+              for i in range(len(right.columns))])
+
     def _rel_set(self, body: dict) -> DataFrame:
         op = body.get("op")
         dfs = [self.rel(r) for r in body["inputs"]]

@@ -68,7 +68,7 @@ JOIN_TYPES = {
 AGG_ALL = "AGGREGATION_INVOCATION_ALL"
 AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
 
-REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set",
+REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set", "cross",
              "window", "extensionSingle", "extensionLeaf", "exchange")
 
 BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
@@ -558,8 +558,11 @@ def loads(b: bytes) -> dict:
 
 
 # spec rel kinds this engine does not consume (wire-decodable so richer
-# plans fail with a targeted message, not a structural one)
-_UNSUPPORTED_REL_KINDS = ("cross", "extensionMulti")
+# plans fail with a targeted message, not a structural one). `cross`
+# moved to REL_KINDS in r11: foreign producers (DuckDB substrait) emit
+# CrossRel directly; our own producer still encodes cross joins as
+# inner-on-true.
+_UNSUPPORTED_REL_KINDS = ("extensionMulti",)
 
 
 def rel_kind(rel: dict) -> str:
@@ -570,7 +573,7 @@ def rel_kind(rel: dict) -> str:
             raise SubstraitError(
                 f"unsupported relation kind {known_unsupported[0]!r}: valid "
                 "Substrait, but this engine consumes only "
-                f"{sorted(REL_KINDS)} (cross joins arrive as inner-on-true)"
+                f"{sorted(REL_KINDS)}"
             )
         raise SubstraitError(f"rel must have exactly one kind, got {sorted(rel)}")
     return kinds[0]
@@ -667,6 +670,9 @@ def _validate_rel(rel: dict) -> None:
         _validate_rel(body["right"])
         if body.get("type") not in JOIN_TYPES:
             raise SubstraitError(f"unsupported join type {body.get('type')}")
+    elif kind == "cross":
+        _validate_rel(body["left"])
+        _validate_rel(body["right"])
     elif kind == "set":
         for i in body["inputs"]:
             _validate_rel(i)

@@ -348,3 +348,32 @@ def test_extension_single_emit(spark, tables):
     got = from_substrait_plan(spark, plan_of(rel, ["nm"]))
     want = spark.sql("SELECT n_name AS nm FROM nation")
     assert rows_set(got) == rows_set(want)
+
+
+def test_cross_rel_consumes_and_takes_emit(spark, tables):
+    """CrossRel (r11): foreign producers emit it directly (our producer
+    keeps inner-on-true). Output space is left++right; emit composes."""
+    rel = {"cross": {
+        "common": {"direct": {}},
+        "left": read_rel("nation", NATION_NAMES, NATION_TYPES),
+        "right": read_rel("region", ["r_regionkey", "r_name"], [I64, STR]),
+    }}
+    got = from_substrait_plan(
+        spark, plan_of(rel, ["k", "nm", "rk", "rrk", "rn"]))
+    want = spark.sql("SELECT n_nationkey k, n_name nm, n_regionkey rk, "
+                     "r_regionkey rrk, r_name rn FROM nation CROSS JOIN region")
+    assert rows_set(got) == rows_set(want)
+
+    rel["cross"]["common"] = _common([4, 1])
+    got2 = from_substrait_plan(spark, plan_of(rel, ["rn", "nm"]))
+    want2 = spark.sql("SELECT r_name AS rn, n_name AS nm "
+                      "FROM nation CROSS JOIN region")
+    assert rows_set(got2) == rows_set(want2)
+
+    # and through both wires
+    rel["cross"]["common"] = {"direct": {}}
+    plan = plan_of(rel, ["k", "nm", "rk", "rrk", "rn"])
+    from tests.test_wire import _foreign_encode
+    for blob in (wire.encode_plan(plan), _foreign_encode("Plan", plan)):
+        got3 = from_substrait_plan(spark, wire.decode_plan(blob))
+        assert rows_set(got3) == rows_set(want)

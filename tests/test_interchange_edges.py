@@ -86,8 +86,11 @@ def test_wire_zero_length_packed_field_is_absent():
 
 
 def test_unsupported_rel_kind_gets_targeted_error():
-    with pytest.raises(SubstraitError, match="unsupported relation kind 'cross'"):
-        proto.rel_kind({"cross": {}})
+    # cross moved to the consumable kinds in r11 (foreign producers emit
+    # CrossRel directly); extensionMulti remains the targeted fence
+    with pytest.raises(SubstraitError,
+                       match="unsupported relation kind 'extensionMulti'"):
+        proto.rel_kind({"extensionMulti": {}})
 
 
 def test_virtual_table_timestamptz_survives_nonutc_driver_tz(spark):

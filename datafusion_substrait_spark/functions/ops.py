@@ -67,6 +67,11 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     # date/time + string/hash battery (r9, part 2)
     "AddMonths": "add_months",
     "TruncDate": "trunc_date",      # (date, format-literal)
+    # (format, timestamp) — Catalyst's TruncTimestamp arg order matches
+    # SQL date_trunc(fmt, ts); like UnixTimestamp, the timeZoneId node
+    # field rides the SESSION zone (UTC-pinned by register_testdata),
+    # not the plan (r11, surfaced by the differential date tier)
+    "TruncTimestamp": "date_trunc",
     "StringRepeat": "repeat",
     "StringInstr": "instr",         # (str, substr) → 1-based position
     "Levenshtein": "levenshtein",   # 2-arg form (threshold form is 3-child
@@ -410,6 +415,7 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     # consumed plans carry them as literal Columns — JVM-side SQL name
     # resolution binds either
     "trunc_date": lambda a, b: F.call_function("trunc", a, b),
+    "date_trunc": lambda a, b: F.call_function("date_trunc", a, b),
     "get_json_object": lambda a, b: F.call_function("get_json_object", a, b),
     "date_format": lambda a, b: F.call_function("date_format", a, b),
     "element_at": lambda a, b: F.call_function("element_at", a, b),

@@ -1151,6 +1151,26 @@ def _literal_column(body: dict) -> Column:
         return F.lit(bytearray(base64.b64decode(v)))
     if kind == "date":  # epoch days (consumer.rs:579-581)
         return F.lit(_EPOCH_DATE + datetime.timedelta(days=int(v)))
+    if kind == "intervalYearToMonth":
+        # calendar-shift interval (r11): native make_ym_interval rebuild
+        return F.make_ym_interval(F.lit(int(v.get("years", 0))),
+                                  F.lit(int(v.get("months", 0))))
+    if kind == "intervalDayToSecond":
+        # day-time interval (r11): rebuilt via make_dt_interval so
+        # timestamp ± interval re-resolves natively. The spec's
+        # precision/subseconds mode is a newer alternative to the
+        # deprecated-but-ubiquitous microseconds field; fence it rather
+        # than guess a scale.
+        if v.get("precision") is not None or v.get("subseconds") is not None:
+            raise SubstraitError(
+                "intervalDayToSecond precision/subseconds mode is not "
+                "consumable (microseconds form only)")
+        secs = (decimal.Decimal(int(v.get("seconds", 0)))
+                + decimal.Decimal(int(v.get("microseconds", 0)))
+                .scaleb(-6))
+        return F.make_dt_interval(
+            F.lit(int(v.get("days", 0))), F.lit(0), F.lit(0),
+            F.lit(secs).cast("decimal(18,6)"))
     if kind == "timestampTz":  # epoch micros, UTC instant
         return F.timestamp_micros(F.lit(int(v)))
     if kind == "timestamp":  # wall-clock micros (session tz pinned to UTC)

@@ -1111,6 +1111,50 @@ class _Producer:
             raise SubstraitError(
                 f"lambda variable {e.name()}#{eid} referenced outside its "
                 "enclosing lambda")
+        if kind == "TimestampAddYMInterval":
+            # ts ± year-month INTERVAL (r11): Catalyst value is TOTAL
+            # MONTHS; rides as Literal.intervalYearToMonth on the spec
+            # datetime "add" (calendar-shift semantics are rebuilt
+            # natively by make_ym_interval on consume).
+            right = e.right()
+            if _cls(right) != "Literal" or right.value() is None:
+                raise SubstraitError(
+                    "timestamp + year-month interval requires a literal "
+                    "interval to encode")
+            months = int(str(right.value()))
+            sign = -1 if months < 0 else 1
+            y, m = divmod(abs(months), 12)
+            return proto.scalar_function(
+                self.registry.register("add"),
+                [self.rex(e.left(), input_ids),
+                 {"literal": {"intervalYearToMonth": {
+                     "years": sign * y, "months": sign * m}}}])
+        if kind == "TimestampAddInterval":
+            # ts ± INTERVAL (r11, surfaced by the differential date tier):
+            # Catalyst holds the interval as a Literal of
+            # DayTimeIntervalType whose value is TOTAL MICROSECONDS
+            # (negative for minus). Rides as the spec datetime "add" with
+            # a Literal.intervalDayToSecond — sign-consistent
+            # (days, seconds, microseconds) decomposition.
+            right = e.right()
+            if _cls(right) != "Literal" or right.value() is None or \
+                    not right.dataType().simpleString().startswith(
+                        "interval day"):
+                raise SubstraitError(
+                    "timestamp + interval requires a literal day-time "
+                    "interval to encode (year-month intervals shift by "
+                    "calendar months and have no fixed-microsecond form)")
+            total_us = int(str(right.value()))
+            sign = -1 if total_us < 0 else 1
+            a_us = abs(total_us)
+            days, rem = divmod(a_us, 86_400_000_000)
+            secs, us = divmod(rem, 1_000_000)
+            return proto.scalar_function(
+                self.registry.register("add"),
+                [self.rex(e.left(), input_ids),
+                 {"literal": {"intervalDayToSecond": {
+                     "days": sign * days, "seconds": sign * secs,
+                     "microseconds": sign * us}}}])
         name = ops.CATALYST_HOF_TO_NAME.get(kind)
         if name is not None:
             return self._hof(name, e, input_ids)

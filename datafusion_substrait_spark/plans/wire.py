@@ -556,6 +556,8 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "timestamp": (14, "i64"),
         "date": (16, "i32"),
         "time": (17, "i64"),
+        "intervalYearToMonth": (19, "m:IntervalYearToMonth"),
+        "intervalDayToSecond": (20, "m:IntervalDayToSecond"),
         "fixedChar": (21, "str"),
         "decimal": (24, "m:LiteralDecimal"),
         "struct": (25, "m:LiteralStruct"),
@@ -563,6 +565,22 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "null": (29, "m:Type"),
         "nullable": (50, "bool"),
         "typeVariationReference": (51, "u32"),
+    },
+    # algebra.proto Expression.Literal.IntervalYearToMonth: years=1, months=2
+    "IntervalYearToMonth": {
+        "years": (1, "i32"),
+        "months": (2, "i32"),
+    },
+    # algebra.proto Expression.Literal.IntervalDayToSecond: days=1,
+    # seconds=2, then oneof precision_mode { microseconds=3 (deprecated,
+    # ubiquitous), precision=4 } and subseconds=5 — this codec emits the
+    # microseconds form; the consumer fences precision/subseconds
+    "IntervalDayToSecond": {
+        "days": (1, "i32"),
+        "seconds": (2, "i32"),
+        "microseconds": (3, "i32"),
+        "precision": (4, "i32"),
+        "subseconds": (5, "i64"),
     },
     "LiteralDecimal": {
         "value": (1, "bytes"),

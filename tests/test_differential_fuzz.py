@@ -452,11 +452,37 @@ class DiffGen:
         return (f"SELECT {', '.join(items)} FROM {t} "
                 f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
 
+    def date_query(self) -> str:
+        """Date tier (r11) — pre-probed portable forms only: date_trunc /
+        date_part / extract / + INTERVAL (CAST AS DATE pins the type on
+        both engines) / last_day / quarter. NOT portable: dayofweek
+        (Sunday=1 Spark vs 0 DuckDB), date subtraction (timedelta vs
+        int), week() (absent in Spark)."""
+        t = self.pick([t for t in TABLES if TABLES[t][2]])
+        icols, scols, dcol, _ = TABLES[t]
+        part = self.pick(["year", "month", "day"])
+        unit = self.pick(["month", "year", "quarter", "week"])
+        items = [
+            f"CAST(date_trunc('{unit}', {dcol}) AS DATE) AS dt",
+            f"date_part('{part}', {dcol}) AS dp",
+            f"extract({self.pick(['year', 'month', 'day'])} "
+            f"FROM {dcol}) AS ex",
+            f"CAST({dcol} + INTERVAL {self.r.randint(1, 45)} DAY "
+            f"AS DATE) AS shifted",
+            f"last_day({dcol}) AS ld",
+            f"quarter({dcol}) AS q",
+        ]
+        self.r.shuffle(items)
+        items = items[:3] + [f"{self.pick(icols)} AS k"]
+        return (f"SELECT {', '.join(items)} FROM {t} "
+                f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
+
     def query(self) -> str:
         shape = self.r.choices(
             ["select", "agg", "join", "join_agg", "exists", "setop",
-             "scalar_sub", "distinct", "window", "rollup", "dec", "array"],
-            weights=[15, 16, 10, 9, 8, 6, 5, 5, 6, 5, 9, 6],
+             "scalar_sub", "distinct", "window", "rollup", "dec", "array",
+             "date"],
+            weights=[14, 15, 10, 9, 8, 6, 5, 5, 6, 5, 8, 5, 4],
         )[0]
         return getattr(self, f"{shape}_query")()
 

@@ -82,6 +82,7 @@ SNIPPETS: dict[str, str] = {
     "last_day": "last_day(o_orderdate)",
     "add_months": "add_months(o_orderdate, 2)",
     "trunc_date": "trunc(o_orderdate, 'MM')",
+    "date_trunc": "date_trunc('month', o_orderdate)",
     "months_between": "months_between(o_orderdate, date_add(o_orderdate, 45))",
     "date_format": "date_format(o_orderdate, 'yyyy-MM')",
     "get_json_object": 'get_json_object(concat(\'{"k":\', '

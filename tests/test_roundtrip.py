@@ -915,3 +915,39 @@ def test_split_part_default_encoding_edges(spark):
         "SELECT split_part('a-b', '-', 7) AS oob, "
         "split_part(CAST(NULL AS STRING), '-', 1) AS nl")).collect()[0]
     assert row.oob == "" and row.nl is None
+
+
+def test_timestamp_interval_arithmetic_roundtrips(spark):
+    """ts ± INTERVAL (r11): the interval rides as
+    Literal.intervalDayToSecond on the spec datetime add; negative
+    intervals (minus desugars to plus-negative) decompose
+    sign-consistently; sub-second components survive via the
+    make_dt_interval rebuild. Both wires."""
+    from datafusion_substrait_spark import (from_substrait_plan,
+                                            to_substrait_plan)
+    from datafusion_substrait_spark.plans import wire
+
+    sql = ("SELECT l_orderkey, l_linenumber, "
+           "l_shipdate + INTERVAL 24 DAY AS plus_d, "
+           "l_shipdate - INTERVAL 3 DAY AS minus_d, "
+           "l_shipdate + INTERVAL '1 02:03:04.5' DAY TO SECOND AS plus_dts, "
+           "CAST(l_shipdate + INTERVAL 7 DAY AS DATE) AS plus_cast "
+           "FROM lineitem WHERE l_orderkey < 40")
+    df = spark.sql(sql)
+    check(spark, sql)
+    plan = to_substrait_plan(df)
+    wired = wire.decode_plan(wire.encode_plan(plan))
+    assert_same_result(df, from_substrait_plan(spark, wired))
+
+    # year-month intervals (separate Catalyst node TimestampAddYMInterval,
+    # total-months value): calendar-shift semantics rebuilt natively via
+    # make_ym_interval — incl. the minus/negative decomposition and the
+    # end-of-month clamp (Jan 31 + 1 MONTH = Feb 28/29 on both sides)
+    ym = ("SELECT l_orderkey, l_linenumber, "
+          "l_shipdate + INTERVAL 2 MONTH AS plus_m, "
+          "l_shipdate - INTERVAL 14 MONTH AS minus_ym "
+          "FROM lineitem WHERE l_orderkey < 40")
+    check(spark, ym)
+    ydf = spark.sql(ym)
+    wired2 = wire.decode_plan(wire.encode_plan(to_substrait_plan(ydf)))
+    assert_same_result(ydf, from_substrait_plan(spark, wired2))

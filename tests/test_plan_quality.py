@@ -291,3 +291,40 @@ def test_excise_duplicate_spans_stays_jvm_side(spark, tables):
     plan = _phys(text.excise_duplicate_spans(tables["documents"], k=8))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_emit_remap_keeps_pruning_and_read_filter_pushes(spark):
+    """Foreign-plan consume paths must keep the scale properties: a
+    RelCommon.emit trailing select must not block column pruning (the
+    unreferenced column stays OUT of ReadSchema), and a ReadRel.filter
+    must reach the scan as a pushed filter."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    plan = {"relations": [{"root": {"input": {"project": {
+        "common": {"emit": {"outputMapping": [0, 11]}},  # key ++ expression
+        "input": {"read": {"common": {"direct": {}},
+            "baseSchema": {"names": ["l_orderkey", "l_partkey", "l_suppkey",
+                                     "l_linenumber", "l_quantity",
+                                     "l_extendedprice", "l_discount",
+                                     "l_tax", "l_returnflag", "l_linestatus",
+                                     "l_shipdate"]},
+            "filter": {"scalarFunction": {"functionReference": 2,
+                "arguments": [{"value": {"selection": {"directReference":
+                    {"structField": {"field": 4}}, "rootReference": {}}}},
+                    {"value": {"literal": {"fp64": 30.0}}}]}},
+            "namedTable": {"names": ["lineitem"]}}},
+        "expressions": [{"scalarFunction": {"functionReference": 1,
+            "arguments": [{"value": {"selection": {"directReference":
+                {"structField": {"field": 0}}, "rootReference": {}}}},
+                {"value": {"literal": {"i64": 7}}}]}}],
+    }}, "names": ["key", "k7"]}}],
+        "extensions": [
+            {"extensionFunction": {"functionAnchor": 1, "name": "multiply"}},
+            {"extensionFunction": {"functionAnchor": 2, "name": "gt"}}]}
+    out = from_substrait_plan(spark, plan)
+    phys = _phys(out)
+    read_schema = phys.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, \
+        "emit remap blocked column pruning"
+    assert "PushedFilters: [" in phys and "GreaterThan(l_quantity,30" in phys

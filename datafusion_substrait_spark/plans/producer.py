@@ -1111,16 +1111,17 @@ class _Producer:
             raise SubstraitError(
                 f"lambda variable {e.name()}#{eid} referenced outside its "
                 "enclosing lambda")
-        if kind == "TimestampAddYMInterval":
-            # ts ± year-month INTERVAL (r11): Catalyst value is TOTAL
+        if kind in ("TimestampAddYMInterval", "DateAddYMInterval"):
+            # ts/date ± year-month INTERVAL (r11): Catalyst value is TOTAL
             # MONTHS; rides as Literal.intervalYearToMonth on the spec
             # datetime "add" (calendar-shift semantics are rebuilt
-            # natively by make_ym_interval on consume).
+            # natively by make_ym_interval on consume; date + ym stays
+            # DATE, timestamp + ym stays timestamp — Spark's own rules).
             right = e.right()
             if _cls(right) != "Literal" or right.value() is None:
                 raise SubstraitError(
-                    "timestamp + year-month interval requires a literal "
-                    "interval to encode")
+                    "timestamp/date + year-month interval requires a "
+                    "literal interval to encode")
             months = int(str(right.value()))
             sign = -1 if months < 0 else 1
             y, m = divmod(abs(months), 12)

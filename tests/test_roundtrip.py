@@ -945,7 +945,8 @@ def test_timestamp_interval_arithmetic_roundtrips(spark):
     # end-of-month clamp (Jan 31 + 1 MONTH = Feb 28/29 on both sides)
     ym = ("SELECT l_orderkey, l_linenumber, "
           "l_shipdate + INTERVAL 2 MONTH AS plus_m, "
-          "l_shipdate - INTERVAL 14 MONTH AS minus_ym "
+          "l_shipdate - INTERVAL 14 MONTH AS minus_ym, "
+          "CAST(l_shipdate AS DATE) + INTERVAL 1 MONTH AS date_ym "
           "FROM lineitem WHERE l_orderkey < 40")
     check(spark, ym)
     ydf = spark.sql(ym)

@@ -134,7 +134,9 @@ _SQL: dict[str, str] = {
     "q03_filter_arith": """
         SELECT l_orderkey, l_linenumber,
                CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 10000 + 0.5) AS BIGINT) AS charged_e4
+                          * 10000 + 0.5) AS BIGINT) AS charged_e4,
+               CAST(l_shipdate + INTERVAL 7 DAY AS DATE) AS ship_plus7,
+               CAST(l_shipdate + INTERVAL 2 MONTH AS DATE) AS ship_plus2m
         FROM lineitem
         WHERE l_quantity > 30 AND l_returnflag = 'R'
     """,

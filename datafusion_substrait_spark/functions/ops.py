@@ -64,6 +64,12 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     "DateDiff": "date_diff",  # (end, start) argument order on both sides
     "Pow": "power",
     "Atan2": "atan2",
+    # r11 produce-sweep additions
+    "Hypot": "hypot",
+    "BRound": "bround",            # half-even rounding (scale rides as arg)
+    # (sec, format); like unix_timestamp, the timeZoneId node field rides
+    # the SESSION zone (UTC-pinned), not the plan
+    "FromUnixTime": "from_unixtime",
     # date/time + string/hash battery (r9, part 2)
     "AddMonths": "add_months",
     "TruncDate": "trunc_date",      # (date, format-literal)
@@ -151,6 +157,11 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     # same-named Spark builders, so values are bit-identical both ways
     "Exp": "exp",
     "Log": "ln",
+    # r11 produce-sweep additions (math unaries every SQL dialect has)
+    "Cbrt": "cbrt",
+    "Expm1": "expm1",
+    "Log1p": "log1p",
+    "Rint": "rint",
     "Log10": "log10",
     "Log2": "log2",
     "Sin": "sin",
@@ -220,6 +231,10 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     # the core Expression.Nested.Struct is positional and would drop them
     "CreateNamedStruct": "named_struct",
     "CreateMap": "map",
+    # r11 produce-sweep additions (variadic / 3-child forms)
+    "FormatString": "format_string",
+    "StringToMap": "str_to_map",
+    "RegExpInStr": "regexp_instr",
     # r9 part 2: 3-child string/date forms
     "StringLPad": "lpad",
     "StringRPad": "rpad",
@@ -416,6 +431,17 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     # resolution binds either
     "trunc_date": lambda a, b: F.call_function("trunc", a, b),
     "date_trunc": lambda a, b: F.call_function("date_trunc", a, b),
+    # r11 produce-sweep additions
+    "cbrt": lambda a: F.cbrt(a),
+    "expm1": lambda a: F.expm1(a),
+    "log1p": lambda a: F.log1p(a),
+    "rint": lambda a: F.call_function("rint", a),
+    "hypot": lambda a, b: F.hypot(a, b),
+    "bround": lambda a, b: F.call_function("bround", a, b),
+    "from_unixtime": lambda a, b: F.call_function("from_unixtime", a, b),
+    "format_string": lambda *a: F.call_function("format_string", *a),
+    "str_to_map": lambda *a: F.call_function("str_to_map", *a),
+    "regexp_instr": lambda *a: F.call_function("regexp_instr", *a),
     "get_json_object": lambda a, b: F.call_function("get_json_object", a, b),
     "date_format": lambda a, b: F.call_function("date_format", a, b),
     "element_at": lambda a, b: F.call_function("element_at", a, b),
@@ -501,7 +527,8 @@ SCALAR_CONSUME["substract"] = SCALAR_CONSUME["subtract"]
 # concat_ws is NOT here: the consumer special-cases it (separator must be
 # a python str for F.concat_ws) before apply_scalar is ever reached
 _VARARG = {"str_concat", "coalesce", "greatest", "least", "named_struct",
-           "map", "murmur3_hash", "xxhash64", "sequence"}
+           "map", "murmur3_hash", "xxhash64", "sequence",
+           "format_string", "str_to_map", "regexp_instr"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

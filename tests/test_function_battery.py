@@ -113,6 +113,17 @@ SNIPPETS: dict[str, str] = {
     "radians": "radians(o_totalprice)",
     "power": "power(o_totalprice, 0.5)",
     "atan2": "atan2(o_totalprice, o_orderkey)",
+    # r11 produce-sweep additions
+    "cbrt": "cbrt(o_totalprice)",
+    "expm1": "expm1(o_custkey % 3)",
+    "log1p": "log1p(o_totalprice)",
+    "rint": "rint(o_totalprice)",
+    "hypot": "hypot(o_totalprice, 2.0)",
+    "bround": "bround(o_totalprice, 1)",
+    "from_unixtime": "from_unixtime(o_orderkey)",
+    "format_string": "format_string('%s-%d', o_orderstatus, o_orderkey)",
+    "str_to_map": "str_to_map(o_orderpriority, '-', ':')",
+    "regexp_instr": "regexp_instr(o_orderpriority, '[A-Z]+')",
     # strings
     "lower": "lower(o_orderpriority)",
     "upper": "upper(o_orderpriority)",

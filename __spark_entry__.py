@@ -64,6 +64,58 @@ def _rt(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return roundtrip(spark.sql(sql))
 
 
+def _q08_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 joins, widened r11 (in-place): legs (a)+(b) are the original SQL
+    through the roundtrip; leg (c) CONSUMES a hand-authored foreign plan
+    exercising three r11 honor paths at once — ReadRel.filter (mandatory
+    scan predicate against the base schema), JoinRel inner-on-TRUE with
+    post_join_filter carrying the real equi-condition (a spec-legal shape
+    some planners emit; NOT foldable semantics for outer joins, here it
+    makes the inner join), and RelCommon.emit reordering the combined
+    left++right space."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    _prep(spark, sf_dir)
+    leg_ab = roundtrip(spark.sql(_SQL["q08_join3"]))
+    fld = lambda i: {"selection": {"directReference":  # noqa: E731
+                                   {"structField": {"field": i}},
+                                   "rootReference": {}}}
+    join = {"join": {
+        "common": {"emit": {"outputMapping": [1, 4]}},
+        "left": {"read": {
+            "common": {"direct": {}},
+            "baseSchema": {"names": ["n_nationkey", "n_name",
+                                     "n_regionkey"]},
+            "filter": {"scalarFunction": {"functionReference": 1,
+                "arguments": [{"value": fld(0)},
+                              {"value": {"literal": {"i64": 10}}}]}},
+            "namedTable": {"names": ["nation"]},
+        }},
+        "right": {"read": {
+            "common": {"direct": {}},
+            "baseSchema": {"names": ["r_regionkey", "r_name"]},
+            "namedTable": {"names": ["region"]},
+        }},
+        "type": "JOIN_TYPE_INNER",
+        "expression": {"literal": {"boolean": True}},
+        "postJoinFilter": {"scalarFunction": {"functionReference": 2,
+            "arguments": [{"value": fld(2)}, {"value": fld(3)}]}},
+    }}
+    plan = {
+        "relations": [{"root": {"input": {"project": {
+            "common": {"direct": {}},
+            "input": join,
+            "expressions": [fld(0), fld(1),
+                            {"literal": {"null": {"fp64": {
+                                "nullability": "NULLABILITY_NULLABLE"}}}}],
+        }}, "names": ["n_name", "r_name", "bal"]}}],
+        "extensions": [
+            {"extensionFunction": {"functionAnchor": 1, "name": "lt"}},
+            {"extensionFunction": {"functionAnchor": 2, "name": "equal"}}],
+    }
+    return leg_ab.unionAll(from_substrait_plan(spark, plan))
+
+
 def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+R2 scan/project, widened r11 (in-place, no new driver slot) with
     a RelCommon.emit leg: leg (a) is the original SQL through the
@@ -937,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         for name, sql in _SQL.items()
     },
     "q02_scan_project": _q02_scan_project,  # r11 emit-leg widening
+    "q08_join3": _q08_join3,  # r11 ReadRel.filter/postJoinFilter/emit leg
     "e1_windowed_counts": _e1_windowed_counts,
     "e2_sessionize": _e2_sessionize,
     "e3_user_stats": _e3_user_stats,
@@ -1206,7 +1259,15 @@ ORACLES: dict[str, str] = {
     "q03_filter_arith": _SQL["q03_filter_arith"],
     "q05_group_agg": _SQL["q05_group_agg"],
     "q06_agg_distinct_filter": _SQL["q06_agg_distinct_filter"],
-    "q08_join3": _SQL["q08_join3"],
+    # leg (c) replays the foreign plan: ReadRel.filter(n_nationkey<10) +
+    # inner-on-true JoinRel whose post_join_filter is the equi-condition
+    # + emit [1,4] → exactly this inner join
+    "q08_join3": _SQL["q08_join3"] + """
+        UNION ALL
+        SELECT n_name, r_name, CAST(NULL AS DOUBLE) AS bal
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE n_nationkey < 10
+    """,
     "q09_outer_joins": _SQL["q09_outer_joins"],
     "q12_semi_anti_join": _SQL["q12_semi_anti_join"],
     "q14_case_between": _SQL["q14_case_between"],

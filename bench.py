@@ -65,7 +65,10 @@ BUDGETS: dict[str, float] = {
     "q03_filter_arith": 0.45,
     "q05_group_agg": 0.58,
     "q06_agg_distinct_filter": 0.63,
-    "q08_join3": 0.64,
+    # r11 re-derived (same formula, new best-of-3 0.63s idle): the query
+    # gained the consumed foreign leg (ReadRel.filter + inner-on-true +
+    # postJoinFilter + emit) — one extra small join; workload change
+    "q08_join3": 0.94,
     "q09_outer_joins": 0.72,
     "q20_top_revenue": 1.33,
     "q24_window": 0.55,

@@ -64,6 +64,13 @@ def _rt(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return roundtrip(spark.sql(sql))
 
 
+def _fld(i: int) -> dict:
+    """Substrait direct struct-field reference (shared by the hand-authored
+    foreign-plan legs below)."""
+    return {"selection": {"directReference": {"structField": {"field": i}},
+                          "rootReference": {}}}
+
+
 def _q08_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R8 joins, widened r11 (in-place): legs (a)+(b) are the original SQL
     through the roundtrip; leg (c) CONSUMES a hand-authored foreign plan
@@ -77,9 +84,6 @@ def _q08_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark, sf_dir)
     leg_ab = roundtrip(spark.sql(_SQL["q08_join3"]))
-    fld = lambda i: {"selection": {"directReference":  # noqa: E731
-                                   {"structField": {"field": i}},
-                                   "rootReference": {}}}
     join = {"join": {
         "common": {"emit": {"outputMapping": [1, 4]}},
         "left": {"read": {
@@ -87,7 +91,7 @@ def _q08_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "baseSchema": {"names": ["n_nationkey", "n_name",
                                      "n_regionkey"]},
             "filter": {"scalarFunction": {"functionReference": 1,
-                "arguments": [{"value": fld(0)},
+                "arguments": [{"value": _fld(0)},
                               {"value": {"literal": {"i64": 10}}}]}},
             "namedTable": {"names": ["nation"]},
         }},
@@ -99,13 +103,13 @@ def _q08_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type": "JOIN_TYPE_INNER",
         "expression": {"literal": {"boolean": True}},
         "postJoinFilter": {"scalarFunction": {"functionReference": 2,
-            "arguments": [{"value": fld(2)}, {"value": fld(3)}]}},
+            "arguments": [{"value": _fld(2)}, {"value": _fld(3)}]}},
     }}
     plan = {
         "relations": [{"root": {"input": {"project": {
             "common": {"direct": {}},
             "input": join,
-            "expressions": [fld(0), fld(1),
+            "expressions": [_fld(0), _fld(1),
                             {"literal": {"null": {"fp64": {
                                 "nullability": "NULLABILITY_NULLABLE"}}}}],
         }}, "names": ["n_name", "r_name", "bal"]}}],
@@ -133,9 +137,6 @@ def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
              "l_quantity", "l_extendedprice", "l_discount", "l_tax",
              "l_returnflag", "l_linestatus", "l_shipdate"]
-    fld = lambda i: {"selection": {"directReference":  # noqa: E731
-                                   {"structField": {"field": i}},
-                                   "rootReference": {}}}
     plan = {
         "relations": [{"root": {"input": {"project": {
             "common": {"emit": {"outputMapping": [0, 1, 4, 3]}},
@@ -148,7 +149,7 @@ def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             }},
             "expressions": [{"scalarFunction": {
                 "functionReference": 1,
-                "arguments": [{"value": fld(2)},
+                "arguments": [{"value": _fld(2)},
                               {"value": {"literal": {"fp64": 2.0}}}],
             }}],
         }}, "names": ["l_orderkey", "l_linenumber", "l_quantity",

@@ -180,7 +180,7 @@ class _Consumer:
         # `best_effort_filter` may be applied partially or fully, and
         # applying it fully is always sound (the plan's exact FilterRel
         # above re-checks) and lets Catalyst push it into the scan.
-        df = self._read_filters(body, df, lambda i: df[source[int(i)]])
+        df = self._read_filters(body, df, source)
         mask = _mask_ordinals(body, len(source), f"table {'.'.join(names)}")
         picked = [source[i] for i in mask] if mask is not None else list(source)
         # alias to the ordinal names in the SAME select: classic Dataset ops
@@ -188,7 +188,20 @@ class _Consumer:
         # Catalyst analysis pass over the subtree per plan node
         return df.select(*[df[c].alias(f"f{j}") for j, c in enumerate(picked)])
 
-    def _read_filters(self, body: dict, df: DataFrame, resolver) -> DataFrame:
+    def _read_filters(self, body: dict, df: DataFrame,
+                      cols: list[str]) -> DataFrame:
+        # bounds-checked resolver (review catch r11): a bare python index
+        # would silently resolve a negative ordinal from the END of the
+        # base schema and die with a raw IndexError past it — the same
+        # hazard _mask_ordinals guards
+        def resolver(i: int) -> Column:
+            i = int(i)
+            if i < 0 or i >= len(cols):
+                raise SubstraitError(
+                    f"ReadRel filter ordinal {i} outside base schema "
+                    f"width {len(cols)}")
+            return df[cols[i]]
+
         for key in ("filter", "bestEffortFilter"):
             cond = body.get(key)
             if cond is not None:
@@ -235,7 +248,7 @@ class _Consumer:
                 )
             rows.append(tuple(_literal_py(f) for f in fields))
         df = self.spark.createDataFrame(rows, schema)
-        df = self._read_filters(body, df, lambda i: df[f"f{int(i)}"])
+        df = self._read_filters(body, df, [f"f{i}" for i in range(n_cols)])
         mask = _mask_ordinals(body, n_cols, "virtual table")
         if mask is not None:
             df = df.select(*[df[f"f{i}"].alias(f"f{j}")

@@ -1138,9 +1138,15 @@ class _Producer:
             # a Literal.intervalDayToSecond — sign-consistent
             # (days, seconds, microseconds) decomposition.
             right = e.right()
+            # any DayTimeIntervalType start field qualifies: simpleString
+            # is "interval day[ to x]" but also "interval hour/minute/
+            # second[ to x]" — all carry a total-microseconds value
+            # (review catch r11: the 'interval day' prefix rejected
+            # INTERVAL 3 HOUR). Year-month prefixes are the other node.
+            rdt = right.dataType().simpleString()
             if _cls(right) != "Literal" or right.value() is None or \
-                    not right.dataType().simpleString().startswith(
-                        "interval day"):
+                    not rdt.startswith("interval") or \
+                    rdt.startswith(("interval year", "interval month")):
                 raise SubstraitError(
                     "timestamp + interval requires a literal day-time "
                     "interval to encode (year-month intervals shift by "

@@ -153,8 +153,9 @@ def test_filter_emit_prunes_columns(spark, tables):
 
 
 def test_join_emit_selects_across_sides(spark, tables):
-    """JoinRel: emit ordinals over left++right — [1, 5] picks n_name from
-    the left and r_name from the right (left width 3)."""
+    """JoinRel: emit ordinals over left++right — [1, 4] picks n_name from
+    the left and r_name (combined ordinal 4) from the right (left width
+    3, right width 2)."""
     rel = {"join": {
         "common": _common([1, 4]),
         "left": read_rel("nation", NATION_NAMES, NATION_TYPES),

@@ -1072,3 +1072,21 @@ def test_advanced_extension_enhancement_is_fenced(spark):
     plan = plan_of(rel, ["a", "b", "c", "d", "e"], {1: "equal"})
     with pytest.raises(SubstraitError, match="enhancement"):
         from_substrait_plan(spark, plan)
+
+
+def test_read_rel_filter_ordinal_bounds_are_fenced(spark):
+    """Review catch r11: the filter resolver must bounds-check — a
+    negative structField.field would otherwise python-index from the END
+    of the base schema (silent wrong column), and past-the-end would die
+    with a raw IndexError instead of a named error."""
+    from tests.test_emit import NATION_NAMES, NATION_TYPES, plan_of, read_rel
+    for ordinal in (-1, 7):
+        body = read_rel("nation", NATION_NAMES, NATION_TYPES)
+        body["read"]["filter"] = {"scalarFunction": {
+            "functionReference": 1,
+            "arguments": [{"value": {"selection": {"directReference":
+                {"structField": {"field": ordinal}}, "rootReference": {}}}},
+                {"value": {"literal": {"i64": 10}}}]}}
+        plan = plan_of(body, ["a", "b", "c"], {1: "lt"})
+        with pytest.raises(SubstraitError, match="outside base schema"):
+            from_substrait_plan(spark, plan)

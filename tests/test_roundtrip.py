@@ -943,6 +943,16 @@ def test_timestamp_interval_arithmetic_roundtrips(spark):
     # total-months value): calendar-shift semantics rebuilt natively via
     # make_ym_interval — incl. the minus/negative decomposition and the
     # end-of-month clamp (Jan 31 + 1 MONTH = Feb 28/29 on both sides)
+    # sub-day start fields (review catch r11: the 'interval day' prefix
+    # check rejected these valid day-time literals — simpleStrings are
+    # 'interval hour', 'interval second', ...)
+    sub = ("SELECT l_orderkey, l_linenumber, "
+           "l_shipdate + INTERVAL 3 HOUR AS plus_h, "
+           "l_shipdate - INTERVAL 90 SECOND AS minus_s, "
+           "l_shipdate + INTERVAL '02:30' HOUR TO MINUTE AS plus_hm "
+           "FROM lineitem WHERE l_orderkey < 40")
+    check(spark, sub)
+
     ym = ("SELECT l_orderkey, l_linenumber, "
           "l_shipdate + INTERVAL 2 MONTH AS plus_m, "
           "l_shipdate - INTERVAL 14 MONTH AS minus_ym, "

@@ -381,6 +381,21 @@ class DiffGen:
             f"lag({self.pick(icols)}, 1) OVER (PARTITION BY {part} "
             f"ORDER BY {ob})",
             f"min({self.pick(icols)}) OVER (PARTITION BY {part})",
+            # r11 additions (all pre-probed portable)
+            f"first_value({self.pick(icols)}) OVER (PARTITION BY {part} "
+            f"ORDER BY {ob})",
+            f"nth_value({self.pick(icols)}, {self.r.randint(2, 4)}) "
+            f"OVER (PARTITION BY {part} ORDER BY {ob} ROWS BETWEEN "
+            f"UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+            f"lead({self.pick(icols)}, {self.r.randint(1, 3)}, -1) "
+            f"OVER (PARTITION BY {part} ORDER BY {ob})",
+            f"count(*) OVER (PARTITION BY {part} ORDER BY {ob} "
+            f"ROWS BETWEEN {self.r.randint(1, 4)} PRECEDING AND "
+            f"CURRENT ROW)",
+            f"dense_rank() OVER (PARTITION BY {part} "
+            f"ORDER BY ({self.pick(icols)} % {self.r.randint(2, 9)}), {ob})",
+            f"ntile({self.r.randint(2, 6)}) OVER (PARTITION BY {part} "
+            f"ORDER BY {ob})",
         ])
         keys = ", ".join(f"{c} AS k{i}" for i, c in enumerate(uniq))
         return (f"SELECT {keys}, {fn} AS w FROM {t} "

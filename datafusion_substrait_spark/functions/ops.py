@@ -70,6 +70,8 @@ CATALYST_BINARY_TO_NAME: dict[str, str] = {
     # (sec, format); like unix_timestamp, the timeZoneId node field rides
     # the SESSION zone (UTC-pinned), not the plan
     "FromUnixTime": "from_unixtime",
+    "ToUnixTimestamp": "to_unix_timestamp",  # same session-zone convention
+    "FindInSet": "find_in_set",
     # date/time + string/hash battery (r9, part 2)
     "AddMonths": "add_months",
     "TruncDate": "trunc_date",      # (date, format-literal)
@@ -162,6 +164,15 @@ CATALYST_UNARY_TO_NAME: dict[str, str] = {
     "Expm1": "expm1",
     "Log1p": "log1p",
     "Rint": "rint",
+    # r11 sweep batch 2: epoch/date conversions (pure integer math — no
+    # session-zone sensitivity except where noted on the binary table)
+    "SecondsToTimestamp": "timestamp_seconds",
+    "MicrosToTimestamp": "timestamp_micros",
+    "UnixDate": "unix_date",
+    "DateFromUnixDate": "date_from_unix_date",
+    "UnixMicros": "unix_micros",
+    "MonthName": "monthname",
+    "DayName": "dayname",
     "Log10": "log10",
     "Log2": "log2",
     "Sin": "sin",
@@ -235,6 +246,8 @@ CATALYST_NARY_TO_NAME: dict[str, str] = {
     "FormatString": "format_string",
     "StringToMap": "str_to_map",
     "RegExpInStr": "regexp_instr",
+    "Mask": "mask",  # (str, upper, lower, digit, other) — defaults ride
+                     # as the literal children Catalyst materializes
     # r9 part 2: 3-child string/date forms
     "StringLPad": "lpad",
     "StringRPad": "rpad",
@@ -442,6 +455,17 @@ SCALAR_CONSUME: dict[str, Callable[..., Column]] = {
     "format_string": lambda *a: F.call_function("format_string", *a),
     "str_to_map": lambda *a: F.call_function("str_to_map", *a),
     "regexp_instr": lambda *a: F.call_function("regexp_instr", *a),
+    "timestamp_seconds": lambda a: F.timestamp_seconds(a),
+    "timestamp_micros": lambda a: F.call_function("timestamp_micros", a),
+    "unix_date": lambda a: F.call_function("unix_date", a),
+    "date_from_unix_date": lambda a: F.call_function("date_from_unix_date", a),
+    "unix_micros": lambda a: F.call_function("unix_micros", a),
+    "monthname": lambda a: F.call_function("monthname", a),
+    "dayname": lambda a: F.call_function("dayname", a),
+    "to_unix_timestamp": lambda a, b: F.call_function("to_unix_timestamp",
+                                                      a, b),
+    "find_in_set": lambda a, b: F.call_function("find_in_set", a, b),
+    "mask": lambda *a: F.call_function("mask", *a),
     "get_json_object": lambda a, b: F.call_function("get_json_object", a, b),
     "date_format": lambda a, b: F.call_function("date_format", a, b),
     "element_at": lambda a, b: F.call_function("element_at", a, b),
@@ -528,7 +552,7 @@ SCALAR_CONSUME["substract"] = SCALAR_CONSUME["subtract"]
 # a python str for F.concat_ws) before apply_scalar is ever reached
 _VARARG = {"str_concat", "coalesce", "greatest", "least", "named_struct",
            "map", "murmur3_hash", "xxhash64", "sequence",
-           "format_string", "str_to_map", "regexp_instr"}
+           "format_string", "str_to_map", "regexp_instr", "mask"}
 
 
 def apply_scalar(name: str, args: list[Column]) -> Column:

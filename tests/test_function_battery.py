@@ -124,6 +124,17 @@ SNIPPETS: dict[str, str] = {
     "format_string": "format_string('%s-%d', o_orderstatus, o_orderkey)",
     "str_to_map": "str_to_map(o_orderpriority, '-', ':')",
     "regexp_instr": "regexp_instr(o_orderpriority, '[A-Z]+')",
+    # r11 sweep batch 2
+    "timestamp_seconds": "timestamp_seconds(o_orderkey)",
+    "timestamp_micros": "timestamp_micros(o_orderkey)",
+    "unix_date": "unix_date(CAST(o_orderdate AS DATE))",
+    "date_from_unix_date": "date_from_unix_date(CAST(o_orderkey % 9999 AS INT))",
+    "unix_micros": "unix_micros(timestamp_micros(o_orderkey))",
+    "monthname": "monthname(o_orderdate)",
+    "dayname": "dayname(o_orderdate)",
+    "to_unix_timestamp": "to_unix_timestamp(o_orderdate)",
+    "find_in_set": "find_in_set(o_orderstatus, 'F,O,P')",
+    "mask": "mask(o_orderpriority)",
     # strings
     "lower": "lower(o_orderpriority)",
     "upper": "upper(o_orderpriority)",

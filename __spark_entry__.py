@@ -842,32 +842,19 @@ def _m1_multimodal_meta(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     src = docs.repartition(target) \
         if docs.rdd.getNumPartitions() < target else docs
-    # persist: the resize and features branches are two independent
-    # lineages over imgs — without this the sha256+PNG-encode stage runs
-    # TWICE per document (review catch r10). The cached column is one
-    # ~4.2 KB PNG per doc; at corpus scale MEMORY_AND_DISK spills, and
-    # the two decode passes remain the dominant cost either way.
-    from pyspark import StorageLevel
-    imgs = multimodal.attach_synthetic_image_payload(src) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    pix = multimodal.resize_images(imgs, 64, 64).select(
+    # r12: the resize and feature branches are FUSED into one
+    # Arrow-batched pass — each PNG is encoded once and decoded once
+    # (previously two independent lineages decoded it twice and needed a
+    # persist/localCheckpoint/unpersist lifecycle to avoid re-encoding;
+    # the persist cached the COMPRESSED bytes, so both decodes still
+    # ran). Single consumer → no cache to manage, half the codec work.
+    imgs = multimodal.attach_synthetic_image_payload(src)
+    rf = multimodal.resize_and_features(imgs, 64, 64, dim=64).select(
         "key",
-        F.sha2(F.lower(F.hex(F.col("pixels"))), 256).alias("resized_sha256"))
-    feats = multimodal.extract_features(imgs, dim=64).select(
-        "key",
+        F.sha2(F.lower(F.hex(F.col("pixels"))), 256).alias("resized_sha256"),
         F.expr("CAST(array_position(features, array_max(features)) "
                "AS BIGINT)").alias("feat_argmax"))
-    out = meta.join(pix, "key").join(feats, "key")
-    # r11 (ADVICE): don't leak the cached PNG column for the rest of the
-    # session — materialize the joined result (per-doc metadata rows,
-    # orders of magnitude smaller than the ~4.2 KB/doc image cache) with
-    # an eager localCheckpoint, then release the image cache. At true
-    # corpus scale this operator writes to a sink instead of returning a
-    # DataFrame, so the checkpoint stand-in is the driver-contract shape
-    # only.
-    out = out.localCheckpoint(eager=True)
-    imgs.unpersist()
-    return out
+    return meta.join(rf, "key")
 
 
 def _av1_media_meta(spark, sf_dir):

@@ -95,14 +95,28 @@ BUDGETS: dict[str, float] = {
     "e2_sessionize": 0.51,
     "e6_asof_join": 0.58,
     "e7_asof_salted": 0.72,
-    # r10 re-derived (same formula): m1 grew the real pixel legs —
-    # synthetic-PNG encode + decode/resize + decode/pool-features joined
-    # onto the metadata row (best-of-3 1.62s idle)
-    "m1_multimodal_meta": 2.45,
+    # r12 re-derived (same formula, best-of-3 1.44s idle at loadavg 0.4):
+    # the resize+features branches are now FUSED into one mapInPandas
+    # pass (one PNG decode per doc instead of two, no persist lifecycle)
+    # — the r11 violation was the honest-measurement unpersist colliding
+    # with the stale warm-cache-era budget under sandbox contention
+    "m1_multimodal_meta": 2.16,
 }
 
 
+def _load_stamp(tag: str) -> None:
+    """Contention stamp (stderr → the driver's recorded tail, never the
+    JSON line): r11's entire bench window ran 30-45% hot on untouched
+    code and the record had no way to show it. One loadavg line at start
+    and end makes noise-vs-regression attributable in minutes; the
+    quiet-run reference column lives in BENCH_NOTES.md."""
+    la = os.getloadavg()
+    print(f"BENCH_LOAD_{tag}: 1m={la[0]:.2f} 5m={la[1]:.2f} 15m={la[2]:.2f}"
+          f" cpus={CPUS}", file=sys.stderr)
+
+
 def main() -> None:
+    _load_stamp("START")
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("datafusion-substrait-spark-bench")
@@ -159,6 +173,7 @@ def main() -> None:
         print(f"BUDGET VIOLATION: {n} took {v['sec']}s "
               f"(budget {v['budget']}s)", file=sys.stderr)
 
+    _load_stamp("END")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",

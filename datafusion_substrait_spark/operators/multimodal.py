@@ -1128,6 +1128,15 @@ def _to_gray(img):
         np.uint8)
 
 
+def _resize_from_gray(gray, width: int, height: int) -> bytes:
+    """Post-decode resize body: (h, w) uint8 luma → width×height
+    nearest-neighbor bytes. Shared by the standalone resize seam and the
+    fused ``resize_and_features`` pass so the two cannot drift."""
+    src_h, src_w = gray.shape
+    return gray[_nn_indices(height, src_h)][:, _nn_indices(width, src_w)] \
+        .tobytes()
+
+
 def _default_resize(payload: bytes, width: int, height: int) -> bytes:
     """Resize seam default: REAL decode + grayscale + nearest-neighbor
     resample for PNG/GIF/BMP payloads; the marked fake for other
@@ -1140,10 +1149,7 @@ def _default_resize(payload: bytes, width: int, height: int) -> bytes:
         img = None
     if img is None:
         return _fake_resize(payload, width, height)
-    gray = _to_gray(img)
-    src_h, src_w = gray.shape
-    return gray[_nn_indices(height, src_h)][:, _nn_indices(width, src_w)] \
-        .tobytes()
+    return _resize_from_gray(_to_gray(img), width, height)
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -1236,7 +1242,17 @@ def image_features(payload: bytes, dim: int = 64) -> list[float] | None:
         img = None
     if img is None:
         return None
-    gray = _to_gray(img).astype(np.float32) / 255.0
+    return _features_from_gray(_to_gray(img), dim)
+
+
+def _features_from_gray(gray8, dim: int) -> list[float]:
+    """Post-decode feature body: (h, w) uint8 luma → ``dim``-dim
+    unit-normalized classical-CV vector (see :func:`image_features`).
+    Shared by the standalone feature seam and the fused
+    ``resize_and_features`` pass so the two cannot drift."""
+    import numpy as np
+
+    gray = gray8.astype(np.float32) / 255.0
     h, w = gray.shape
 
     big = gray[_nn_indices(64, h)][:, _nn_indices(64, w)]
@@ -1458,6 +1474,63 @@ def extract_features(df: DataFrame, dim: int = 64,
             })
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_FEATURES_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def resize_and_features(df: DataFrame, width: int = 64, height: int = 64,
+                        dim: int = 64, payload_col: str = "payload",
+                        key_col: str = "key") -> DataFrame:
+    """Fused resize + feature extraction: ONE image decode per payload.
+
+    ``resize_images`` and ``extract_features`` are independent lineages —
+    composing them over the same image column decodes every payload
+    TWICE (the container inflate dominates; caching the encoded bytes
+    between the two branches does not help, it caches the compressed
+    form). This pass decodes once, grayscales once, and emits the
+    resized pixel buffer and the feature vector together from the shared
+    luma plane — bit-identical to the unfused operators (both reuse the
+    same post-decode bodies, ``_resize_from_gray`` /
+    ``_features_from_gray``), at roughly half the codec cost and with no
+    persist/unpersist lifecycle for the caller to manage.
+
+    Same scale shape as the parents: Arrow-batched ``mapInPandas``
+    narrow map, no shuffle, per-payload error capture (undecodable or
+    corrupt blobs take the marked deterministic fakes — exactly the
+    fallbacks the unfused seams take)."""
+
+    def both(p: bytes):
+        try:
+            img = decode_image(p)
+        except ValueError:
+            img = None
+        if img is None:
+            return _fake_resize(p, width, height), _fake_features(p, dim)
+        gray = _to_gray(img)
+        return (_resize_from_gray(gray, width, height),
+                _features_from_gray(gray, dim))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            pairs = [both(_payload_bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "pixels": [px for px, _ in pairs],
+                "features": [ft for _, ft in pairs],
+            })
+
+    return df.mapInPandas(run, RESIZED_FEATURES_SCHEMA)
 
 
 def video_features(df: DataFrame, dim: int = 64, max_frames: int = 8,

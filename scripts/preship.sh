@@ -23,8 +23,12 @@ python3 -c "import __spark_entry__ as e; assert set(e.ORACLES) == set(e.QUERIES)
 echo "== preship 2/3: pytest =="
 python3 -m pytest tests/ -q
 
-echo "== preship 3/3: bench =="
-out="$(python3 bench.py)"
+echo "== preship 3/3: bench (strict: a budget violation FAILS preship) =="
+# r12 (judge directive 7): strict mode would have blocked r11's m1
+# violation from riding into the round record. If this trips on a loaded
+# machine, check BENCH_LOAD_START in stderr and BENCH_NOTES.md's quiet
+# reference column before touching any budget.
+out="$(SPARK_GRAFT_BENCH_STRICT=1 python3 bench.py)"
 echo "$out" | tail -1 | python3 -c "
 import json, sys
 rec = json.loads(sys.stdin.readline())

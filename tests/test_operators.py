@@ -697,6 +697,33 @@ def test_multimodal_feature_extraction_feeds_similarity(spark, tables):
     assert len(self_hits) == 2  # each query's nearest neighbour is itself
 
 
+def test_fused_resize_and_features_matches_unfused(spark, tables):
+    # the r12 fused pass (one decode per payload) must be BIT-identical
+    # to composing resize_images + extract_features, on every branch:
+    # real decodes (synthetic PNGs), unrecognized containers (raw text
+    # payloads → deterministic fakes), and corrupt-but-recognized blobs
+    # (truncated PNG → per-payload ValueError capture → fakes)
+    docs = tables["documents"].limit(12)
+    real = multimodal.attach_synthetic_image_payload(docs)
+    fake = multimodal.attach_binary_payload(docs)
+    png = bytes(real.orderBy("key").first()["payload"])
+    corrupt = spark.createDataFrame(
+        [(10_001, png[:60]), (10_002, b"\x89PNG\r\n\x1a\nnonsense")],
+        "key bigint, payload binary")
+    for payloads in (real, fake, corrupt):
+        fused = {r.key: r for r in multimodal.resize_and_features(
+            payloads, 16, 8, dim=24).collect()}
+        pix = {r.key: r for r in multimodal.resize_images(
+            payloads, width=16, height=8).collect()}
+        feats = {r.key: r for r in multimodal.extract_features(
+            payloads, dim=24).collect()}
+        assert fused.keys() == pix.keys() == feats.keys()
+        for k, r in fused.items():
+            assert (r.width, r.height) == (16, 8)
+            assert bytes(r.pixels) == bytes(pix[k].pixels)
+            assert r.features == feats[k].features  # float32 bit-equal
+
+
 def test_bpe_token_count_segmentation(spark):
     df = spark.createDataFrame(
         [(1, "Hello world"),            # 2 pre-tokens

@@ -462,10 +462,7 @@ class _Consumer:
                 "this engine rebuilds full aggregations only "
                 "(INITIAL_TO_RESULT)")
         if body.get("sorts"):
-            raise SubstraitError(
-                f"ordered aggregate {name!r} (AggregateFunction.sorts) has "
-                "no Spark rebuild; dropping the sort would silently "
-                "reorder the result")
+            return self._ordered_measure(name, body, m, resolver)
         args = [self.rex(a["value"], resolver) for a in body.get("arguments", [])]
         distinct = body.get("invocation") == proto.AGG_DISTINCT
         filt = m.get("filter")
@@ -498,6 +495,96 @@ class _Consumer:
                 f"unknown aggregate function {name!r} (≡ consumer.rs:401-407)"
             )
         return builder(*args)
+
+    _ORDERED_REBUILDS = frozenset(("array_agg", "first_value", "last_value"))
+
+    def _ordered_measure(self, name: str, body: dict, m: dict,
+                         resolver) -> Column:
+        """``AggregateFunction.sorts`` rebuild (r12; was a fence): the
+        ordered aggregates Spark can express EXACTLY, all JVM codegen —
+
+            array_agg(x ORDER BY k…)  ≡ transform(array_sort(
+                collect_list(struct(k…, x)), cmp), s -> s.v)
+            first_value / last_value  ≡ get(sorted, 0 | size-1).v
+
+        The struct wrapper keeps rows whose value is null (``struct`` is
+        never null even when its fields are), matching DataFusion /
+        DuckDB null-keeping for ordered array_agg; ``cmp`` is a nested
+        CASE honoring each SortField's direction and null placement, so
+        all four direction enums and multi-key sorts rebuild exactly.
+        A per-measure FILTER composes soundly here — unlike the
+        unordered first/last fence — because ``F.when(p, struct)`` nulls
+        the whole struct and ``collect_list`` then drops exactly the
+        non-matching ROWS (row exclusion, not argument-nulling), while
+        the explicit sort defines which surviving row is "first". Groups
+        whose rows are all filtered out yield NULL (SQL
+        aggregate-over-empty, verified against DuckDB). Still fenced,
+        with named errors: DISTINCT + ORDER BY (dropping duplicates
+        keeps an unspecified row's sort key — no exact rebuild), other
+        aggregate names (their results are order-insensitive only if the
+        producer thought otherwise — translate-or-error), and comparator
+        sorts (same as _sort_keys). The reference never writes this
+        field (producer.rs emits plain AggregateFunction); this is
+        foreign-producer surface, consume-only.
+        """
+        if name not in self._ORDERED_REBUILDS:
+            raise SubstraitError(
+                f"ordered aggregate {name!r} (AggregateFunction.sorts) has "
+                "no exact Spark rebuild; dropping the sort would silently "
+                "reorder the result")
+        if body.get("invocation") == proto.AGG_DISTINCT:
+            raise SubstraitError(
+                f"ordered DISTINCT aggregate {name!r} is not consumable: "
+                "deduplication keeps an unspecified row's sort key, so no "
+                "rebuild is exact")
+        args = [self.rex(a["value"], resolver)
+                for a in body.get("arguments", [])]
+        if len(args) != 1:
+            raise SubstraitError(
+                f"ordered aggregate {name!r} expects 1 argument, "
+                f"got {len(args)}")
+        dirs: list[tuple[bool, bool]] = []  # (ascending, nulls_first)
+        keys: list[Column] = []
+        for sf in body["sorts"]:
+            if "comparisonFunctionReference" in sf:
+                raise SubstraitError(
+                    "SortField with a comparison function is not "
+                    "consumable (≡ consumer.rs:187-203 clustered sorts)")
+            d = sf.get("direction")
+            if d not in proto.SORT_DIRECTIONS:
+                raise SubstraitError(f"unsupported sort kind {sf}")
+            dirs.append((
+                d in (proto.SORT_ASC_NULLS_FIRST, proto.SORT_ASC_NULLS_LAST),
+                d in (proto.SORT_ASC_NULLS_FIRST, proto.SORT_DESC_NULLS_FIRST),
+            ))
+            keys.append(self.rex(sf["expr"], resolver))
+        st = F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)],
+                      args[0].alias("v"))
+        filt = m.get("filter")
+        if filt is not None:
+            st = F.when(self.rex(filt, resolver), st)
+        collected = F.collect_list(st)
+
+        def cmp(a: Column, b: Column) -> Column:
+            res: Column = F.lit(0)
+            for i in reversed(range(len(dirs))):
+                asc, nulls_first = dirs[i]
+                ka, kb = a[f"k{i}"], b[f"k{i}"]
+                lt, nf = (-1 if asc else 1), (-1 if nulls_first else 1)
+                res = (F.when(ka.isNull() & kb.isNull(), res)
+                       .when(ka.isNull(), F.lit(nf))
+                       .when(kb.isNull(), F.lit(-nf))
+                       .when(ka < kb, F.lit(lt))
+                       .when(ka > kb, F.lit(-lt))
+                       .otherwise(res))
+            return res
+
+        srt = F.array_sort(collected, cmp)
+        if name == "array_agg":
+            return F.when(F.size(collected) == 0, F.lit(None)) \
+                .otherwise(F.transform(srt, lambda s: s["v"]))
+        idx = F.lit(0) if name == "first_value" else F.size(collected) - 1
+        return F.get(srt, idx)["v"]
 
     _JOIN_HOW = {
         proto.JOIN_TYPE_INNER: "inner",

@@ -416,7 +416,11 @@ _SQL: dict[str, str] = {
         GROUP BY part
     """,
     # window functions (ConsistentPartitionWindowRel extension; every ORDER BY
-    # carries a unique tie-break so results are deterministic for the oracle)
+    # carries a unique tie-break so results are deterministic for the oracle —
+    # except the r12 interval-RANGE legs, which are peer-inclusive value-
+    # distance frames and therefore tie-safe by construction: the producer
+    # lowers the DATE sort key to unix_date and INTERVAL 30 DAY to an i64
+    # distance of 30 (VERDICT r11 #4), DuckDB evaluates the frame natively)
     "q24_window": """
         SELECT o_custkey, o_orderkey,
                row_number() OVER (PARTITION BY o_custkey
@@ -425,7 +429,15 @@ _SQL: dict[str, str] = {
                lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
                                           ORDER BY o_orderkey) AS prev_price,
                round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling3
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling3,
+               count(*) OVER (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                               AND CURRENT ROW) AS n30d,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                               AND CURRENT ROW), 2) AS r30d
         FROM orders WHERE o_custkey < 500
     """,
 }

@@ -71,7 +71,12 @@ BUDGETS: dict[str, float] = {
     "q08_join3": 0.94,
     "q09_outer_joins": 0.72,
     "q20_top_revenue": 1.33,
-    "q24_window": 0.55,
+    # r12 re-derived (same formula, best-of-3 0.59s idle): the query
+    # gained the two interval-RANGE legs (count + sum over ORDER BY
+    # CAST(o_orderdate AS DATE) RANGE INTERVAL 30 DAY PRECEDING — a
+    # second window node with the unix_date-lowered frame); workload
+    # change, not drift
+    "q24_window": 0.89,
     # r10: the lambda surface gets a benched plan (transform-fed explode +
     # filter/size + aggregate fold; best-of-3 0.62s idle). r11 re-derived
     # (same formula, new best-of-3 1.12s idle): the query gained two

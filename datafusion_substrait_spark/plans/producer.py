@@ -877,11 +877,25 @@ class _Producer:
             node.child(), needed | _refs(node) if needed is not None else None
         )
         part = [self.rex(p, cids) for p in _seq(node.partitionSpec())]
+        temporal_scale = self._temporal_range_scale(node)
         sorts = []
         for so in _seq(node.orderSpec()):
             direction = _SORT_DIRECTIONS[
                 (so.direction().toString(), so.nullOrdering().toString())]
-            sorts.append(proto.sort_field(self.rex(so.child(), cids), direction))
+            key = self.rex(so.child(), cids)
+            if temporal_scale is not None:
+                # interval RANGE lowering (r12): wrap the temporal sort key
+                # in unix_micros/unix_date so the frame distance becomes an
+                # i64 the spec WindowBound can carry (see
+                # _temporal_range_scale). The transform is monotone, so row
+                # order — and every ROWS/ranking function in the same rel —
+                # is unchanged.
+                key = proto.scalar_function(
+                    self.registry.register(
+                        "unix_micros" if temporal_scale == "us"
+                        else "unix_date"),
+                    [key])
+            sorts.append(proto.sort_field(key, direction))
 
         wfs = []
         out_ids = list(cids)
@@ -942,14 +956,72 @@ class _Producer:
                     args = []
             else:
                 raise SubstraitError(f"unsupported window function {kind}")
-            lb, ub, btype = self._frame(wexpr.windowSpec().frameSpecification())
+            lb, ub, btype = self._frame(
+                wexpr.windowSpec().frameSpecification(), temporal_scale)
             wfs.append(proto.window_function(
                 self.registry.register(name), args, lb, ub, btype
             ))
             out_ids.append(we.exprId().id())
         return proto.window_rel(crel, wfs, part, sorts), out_ids
 
-    def _frame(self, frame) -> tuple[dict, dict, str]:
+    def _temporal_range_scale(self, node) -> str | None:
+        """Interval RANGE frame lowering (r12; was a producer fence).
+
+        ``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW`` over a
+        timestamp order key has no direct encoding — the spec WindowBound
+        carries only an i64 offset. But the semantics ARE losslessly
+        i64-expressible: transform the sort key to epoch micros
+        (``unix_micros``, a registered extension function any consumer can
+        implement) and the bound to total microseconds — ``|unix_micros(a)
+        - unix_micros(b)| <= X_us  ⟺  |a - b| <= INTERVAL X``, and the
+        transform is monotone so row order is identical. DATE order keys
+        use ``unix_date`` with whole-day offsets.
+
+        Returns the bound scale ("us" | "days") when any window function
+        in this rel carries a day-time-interval RANGE bound, else None
+        (sorts stay untransformed). Named fences: multiple order keys
+        (Spark itself rejects value-RANGE frames over them, so an analyzed
+        plan here is malformed), TIMESTAMP_NTZ keys (lowering via a
+        session-timezone cast would silently distort distances across DST
+        transitions — the user must cast explicitly, making the timezone
+        semantics theirs), and non-temporal keys. Year-month interval
+        bounds stay fenced in ``_frame``: calendar months have no fixed
+        microsecond width."""
+        has_interval_range = False
+        for we in _seq(node.windowExpressions()):
+            if _cls(we) != "Alias" or _cls(we.child()) != "WindowExpression":
+                continue  # the main loop raises its named error
+            frame = we.child().windowSpec().frameSpecification()
+            if _cls(frame) != "SpecifiedWindowFrame" or \
+                    _cls(frame.frameType()) == "RowFrame$":
+                continue
+            for b in (frame.lower(), frame.upper()):
+                if _cls(b) == "Literal" and \
+                        _cls(b.dataType()).startswith("DayTimeIntervalType"):
+                    has_interval_range = True
+        if not has_interval_range:
+            return None
+        order = _seq(node.orderSpec())
+        if len(order) != 1:
+            raise SubstraitError(
+                "interval RANGE frames require exactly one order key")
+        kt = _cls(order[0].child().dataType())
+        if kt == "TimestampType$":
+            return "us"
+        if kt == "DateType$":
+            return "days"
+        if kt == "TimestampNTZType$":
+            raise SubstraitError(
+                "interval RANGE frame over a TIMESTAMP_NTZ order key: the "
+                "unix_micros lowering would bind the session timezone into "
+                "the plan; cast the order key to TIMESTAMP explicitly to "
+                "choose the timezone semantics")
+        raise SubstraitError(
+            f"interval RANGE frame over a non-temporal order key "
+            f"({kt}) is not encodable")
+
+    def _frame(self, frame,
+               temporal_scale: str | None = None) -> tuple[dict, dict, str]:
         if _cls(frame) != "SpecifiedWindowFrame":
             raise SubstraitError(f"unsupported window frame {_cls(frame)}")
         btype = proto.BOUNDS_ROWS if _cls(frame.frameType()) == "RowFrame$" \
@@ -969,15 +1041,34 @@ class _Producer:
                 # fractional values (RANGE 2.5 PRECEDING) have no encoding
                 # and must fence, not round to a wrong frame
                 if "Interval" in _cls(b.dataType()):
-                    # date/timestamp RANGE bounds arrive as ANSI interval
-                    # literals (DayTimeIntervalType holds micros as a
-                    # LONG, so a value check alone would encode it and the
-                    # consumer's rangeBetween(long) then fails analysis
-                    # over a temporal order column — translate-or-error)
+                    dt = _cls(b.dataType())
+                    if temporal_scale is not None and \
+                            dt.startswith("DayTimeIntervalType"):
+                        # r12: day-time interval bounds lower to an i64
+                        # distance over the unix_micros/unix_date-wrapped
+                        # sort key (see _temporal_range_scale) — exact,
+                        # spec-conformant, NULL interval impossible post-
+                        # analysis (frame bounds must be foldable non-null)
+                        us = int(str(b.value()))
+                        if temporal_scale == "days":
+                            if us % 86_400_000_000:
+                                raise SubstraitError(
+                                    "sub-day interval RANGE bound over a "
+                                    "DATE order key: the unix_date lowering "
+                                    "carries whole-day distances only; cast "
+                                    "the order key to TIMESTAMP for sub-day "
+                                    "frames")
+                            us //= 86_400_000_000
+                        return proto.bound_preceding(-us) if us < 0 \
+                            else proto.bound_following(us)
+                    # year-month intervals shift by calendar months (no
+                    # fixed-microsecond width); CalendarIntervalType mixes
+                    # both components — neither has an i64 distance form
                     raise SubstraitError(
-                        "interval RANGE bounds (date/timestamp window "
-                        "frames) have no i64 WindowBound encoding; use a "
-                        "ROWS frame or pre-bucket the time column"
+                        "interval RANGE bounds lower to i64 distances only "
+                        "for day-time intervals over timestamp/date order "
+                        f"keys; got {dt} — use a ROWS frame or pre-bucket "
+                        "the time column"
                     )
                 raw = b.value()
                 try:
@@ -1144,6 +1235,18 @@ class _Producer:
             # (review catch r11: the 'interval day' prefix rejected
             # INTERVAL 3 HOUR). Year-month prefixes are the other node.
             rdt = right.dataType().simpleString()
+            if rdt == "interval":
+                # CalendarIntervalType (r12, ADVICE): Spark 4.1's
+                # TimestampAddInterval also accepts it (e.g. a constant-
+                # folded make_interval(...)); its value mixes months AND
+                # microseconds, so it has no fixed-microsecond form and
+                # int(value) would raise a raw ValueError instead of the
+                # named fence below
+                raise SubstraitError(
+                    "timestamp + interval with a CalendarIntervalType "
+                    "literal is not encodable: a calendar interval mixes "
+                    "month and microsecond components (use a day-time "
+                    "interval literal)")
             if _cls(right) != "Literal" or right.value() is None or \
                     not rdt.startswith("interval") or \
                     rdt.startswith(("interval year", "interval month")):

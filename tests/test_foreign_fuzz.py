@@ -10,8 +10,10 @@ shapes only. This tier fuzz-COMPOSES them: each seed builds a random
 plan pipeline the way a foreign producer would —
 
     READ(filter?, emit?) → PROJECT(exprs, spec-space emit)?
-        → JOIN(dim, postJoinFilter?, emit?)? → AGGREGATE(ordered +
-          plain measures, per-measure FILTER?)?
+        → JOIN(dim, postJoinFilter?, emit?)?
+        → WINDOW(count-DISTINCT rebuild / partition aggregate /
+          ordered row_number)?
+        → AGGREGATE(ordered + plain measures, per-measure FILTER?)?
 
 — together with the equivalent DuckDB SQL built stage-by-stage as
 nested subqueries, consumes the plan, and compares values. Every seed
@@ -41,7 +43,7 @@ from tests.conftest import SF_DIR
 ANCHORS = {1: "add", 2: "subtract", 3: "multiply", 4: "mod", 5: "lt",
            6: "gt", 7: "lte", 8: "gte", 9: "equal", 10: "and", 11: "or",
            12: "sum", 13: "count", 14: "array_agg", 15: "first_value",
-           16: "last_value", 17: "min", 18: "max"}
+           16: "last_value", 17: "min", 18: "max", 19: "row_number"}
 REF = {name: a for a, name in ANCHORS.items()}
 SQL_OP = {"add": "+", "subtract": "-", "multiply": "*", "mod": "%",
           "lt": "<", "gt": ">", "lte": "<=", "gte": ">=", "equal": "=",
@@ -251,6 +253,57 @@ class ForeignGen:
                      out.index(prev.uniq) if prev.uniq in out else None,
                      None, n)
 
+    def window_stage(self, n: int, prev: Stage) -> Stage:
+        """ConsistentPartitionWindowRel with the consume-only surfaces:
+        the DISTINCT invocation (r12 count-distinct rebuild via
+        collect_set) and plain partition aggregates. All forms are
+        tie-safe (partition-only frames, or row_number ordered by the
+        unique key)."""
+        names = [prev.name(i) for i in range(prev.n_cols)]
+        ints = [i for i, k in enumerate(prev.kinds) if k == "int"]
+        strs = [i for i, k in enumerate(prev.kinds) if k == "str"]
+        g = self.pick(strs) if strs else self.pick(ints)
+        val = self.pick(ints)
+        unbounded = {"unbounded": {}}
+        kinds = ["count_distinct", "sum", "min"]
+        if prev.uniq is not None:
+            kinds.append("row_number")
+        wkind = self.pick(kinds)
+        sorts: list[dict] = []
+        if wkind == "count_distinct":
+            wf = {"functionReference": REF["count"],
+                  "arguments": [{"value": field(val)}],
+                  "invocation": "AGGREGATION_INVOCATION_DISTINCT",
+                  "lowerBound": unbounded, "upperBound": unbounded,
+                  "boundsType": "BOUNDS_TYPE_ROWS",
+                  "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
+            wsql = (f"count(DISTINCT {names[val]}) OVER "
+                    f"(PARTITION BY {names[g]})")
+        elif wkind == "row_number":
+            wf = {"functionReference": REF["row_number"], "arguments": [],
+                  "lowerBound": unbounded, "upperBound": unbounded,
+                  "boundsType": "BOUNDS_TYPE_ROWS",
+                  "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
+            sorts = [{"expr": field(prev.uniq),
+                      "direction": "SORT_DIRECTION_ASC_NULLS_LAST"}]
+            wsql = (f"row_number() OVER (PARTITION BY {names[g]} "
+                    f"ORDER BY {names[prev.uniq]})")
+        else:
+            wf = {"functionReference": REF[wkind],
+                  "arguments": [{"value": field(val)}],
+                  "lowerBound": unbounded, "upperBound": unbounded,
+                  "boundsType": "BOUNDS_TYPE_ROWS",
+                  "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
+            wsql = f"{wkind}({names[val]}) OVER (PARTITION BY {names[g]})"
+        body = {"common": {"direct": {}}, "input": prev.rel,
+                "windowFunctions": [wf],
+                "partitionExpressions": [field(g)], "sorts": sorts}
+        sel = ", ".join(f"{c} AS o{n}_{i}" for i, c in enumerate(names))
+        sql = (f"SELECT {sel}, {wsql} AS o{n}_{prev.n_cols} "
+               f"FROM ({prev.sql}) AS w{n}")
+        return Stage({"window": body}, sql, prev.n_cols + 1,
+                     prev.kinds + ["int"], prev.uniq, prev.fk, n)
+
     def agg_stage(self, n: int, prev: Stage) -> tuple[Stage, None]:
         names = [prev.name(i) for i in range(prev.n_cols)]
         ints = [i for i, k in enumerate(prev.kinds) if k == "int"]
@@ -307,6 +360,9 @@ class ForeignGen:
             n += 1
         if want_join and st.fk is not None:
             st = self.join_stage(n, st, fkinfo[1], fkinfo[2])
+            n += 1
+        if self.r.random() < 0.4:
+            st = self.window_stage(n, st)
             n += 1
         if self.r.random() < 0.6 and st.uniq is not None:
             st, _ = self.agg_stage(n, st)

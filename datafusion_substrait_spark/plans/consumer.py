@@ -785,6 +785,53 @@ class _Consumer:
             outs.append(over.alias(f"f{n + j}"))
         return df.select("*", *outs)
 
+    def _rel_expand(self, body: dict) -> DataFrame:
+        """ExpandRel (spec §Expand Operation; r12, consume-only): one
+        output row per duplicate index — switching fields take
+        ``duplicates[d]``, consistent fields repeat their expression.
+        Foreign producers (Isthmus, DataFusion) emit this for grouping
+        sets; the reference has no analogue. Rebuilt as the UNION ALL of
+        per-duplicate projections over the shared input — exactly the
+        shape our own producer lowers Catalyst's Expand node TO
+        (producer.py::_rel_Expand), so the consumed plan is the one
+        Spark itself would build: each branch prunes/pushes down
+        independently and no shuffle is introduced."""
+        df = self.rel(body["input"])
+        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        fields = body.get("fields", [])
+        if not fields:
+            raise SubstraitError("ExpandRel requires at least one field")
+        n_dup = None
+        for f in fields:
+            if "switchingField" in f:
+                k = len(f["switchingField"].get("duplicates", []))
+                if n_dup is not None and n_dup != k:
+                    raise SubstraitError(
+                        "ExpandRel switching fields disagree on duplicate "
+                        f"count ({n_dup} vs {k})")
+                n_dup = k
+        if n_dup == 0:
+            raise SubstraitError(
+                "ExpandRel switching field with zero duplicates")
+        branches = []
+        for d in range(n_dup if n_dup is not None else 1):
+            cols = []
+            for j, f in enumerate(fields):
+                if "switchingField" in f:
+                    e = f["switchingField"]["duplicates"][d]
+                elif "consistentField" in f:
+                    e = f["consistentField"]
+                else:
+                    raise SubstraitError(
+                        "ExpandField must carry switchingField or "
+                        "consistentField")
+                cols.append(self.rex(e, resolver).alias(f"f{j}"))
+            branches.append(df.select(*cols))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionAll(b)
+        return out
+
     def _rel_exchange(self, body: dict) -> DataFrame:
         """ExchangeRel → ``DataFrame.repartition`` (see proto.exchange_rel).
         Rows and ordinals pass through unchanged; only the physical

@@ -69,7 +69,7 @@ AGG_ALL = "AGGREGATION_INVOCATION_ALL"
 AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
 
 REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set", "cross",
-             "window", "extensionSingle", "extensionLeaf", "exchange")
+             "window", "extensionSingle", "extensionLeaf", "exchange", "expand")
 
 BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
 BOUNDS_RANGE = "BOUNDS_TYPE_RANGE"
@@ -681,6 +681,15 @@ def _validate_rel(rel: dict) -> None:
         for wf in body.get("windowFunctions", []):
             if wf.get("boundsType") not in (BOUNDS_ROWS, BOUNDS_RANGE):
                 raise SubstraitError(f"bad window bounds type in {wf}")
+    elif kind == "expand":
+        _validate_rel(body["input"])
+        if not body.get("fields"):
+            raise SubstraitError("ExpandRel requires at least one field")
+        for f in body["fields"]:
+            if ("switchingField" in f) == ("consistentField" in f):
+                raise SubstraitError(
+                    "ExpandField must carry exactly one of switchingField/"
+                    "consistentField")
     elif kind == "extensionSingle":
         _validate_rel(body["input"])
         if "@type" not in body.get("detail", {}):

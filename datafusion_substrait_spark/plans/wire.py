@@ -200,7 +200,22 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "extensionLeaf": (11, "m:ExtensionLeafRel"),
         "cross": (12, "m:CrossRel"),
         "exchange": (15, "m:ExchangeRel"),
+        "expand": (16, "m:ExpandRel"),
         "window": (17, "m:ConsistentPartitionWindowRel"),
+    },
+    # algebra.proto ExpandRel (+ nested ExpandField/SwitchingField; the
+    # ExpandField oneof numbering starts at 2 per the spec)
+    "ExpandRel": {
+        "common": (1, "m:RelCommon"),
+        "input": (2, "m:Rel"),
+        "fields": (3, "m:ExpandField", "rep"),
+    },
+    "ExpandField": {
+        "switchingField": (2, "m:SwitchingField"),
+        "consistentField": (3, "m:Expression"),
+    },
+    "SwitchingField": {
+        "duplicates": (1, "m:Expression", "rep"),
     },
     # algebra.proto ExchangeRel (+ nested exchange_kind members)
     "ExchangeRel": {

@@ -1135,3 +1135,93 @@ def test_read_rel_filter_ordinal_bounds_are_fenced(spark):
         plan = plan_of(body, ["a", "b", "c"], {1: "lt"})
         with pytest.raises(SubstraitError, match="outside base schema"):
             from_substrait_plan(spark, plan)
+
+
+# --- ExpandRel consume (r12; spec Rel.expand = 16, consume-only) -------------
+
+NULL_STR = {"literal": {"null": {"string": {"nullability":
+                                            "NULLABILITY_NULLABLE"}}}}
+NULL_I64 = {"literal": {"null": {"i64": {"nullability":
+                                         "NULLABILITY_NULLABLE"}}}}
+
+
+def _expand_plan():
+    """The grouping-set shape foreign producers (Isthmus, DataFusion)
+    emit Expand for: duplicate every nation row once per grouping set,
+    nulling the absent key — switching fields for the two keys, a
+    consistent field for the measure input."""
+    from tests.test_emit import NATION_NAMES, NATION_TYPES, field, plan_of, \
+        read_rel
+
+    rel = {"expand": {
+        "common": {"direct": {}},
+        "input": read_rel("nation", NATION_NAMES, NATION_TYPES),
+        "fields": [
+            {"switchingField": {"duplicates": [field(1), NULL_STR]}},
+            {"switchingField": {"duplicates": [NULL_I64, field(2)]}},
+            {"consistentField": field(0)},
+        ],
+    }}
+    sql = ("SELECT n_name AS a, CAST(NULL AS BIGINT) AS b, n_nationkey AS c "
+           "FROM nation UNION ALL SELECT CAST(NULL AS STRING), n_regionkey, "
+           "n_nationkey FROM nation")
+    return plan_of(rel, ["a", "b", "c"]), sql
+
+
+def test_expand_rel_consumes_as_union_of_projections(spark, tables):
+    from tests.conftest import rows_set
+
+    plan, sql = _expand_plan()
+    got = from_substrait_plan(spark, plan)
+    assert got.columns == ["a", "b", "c"]
+    assert rows_set(got) == rows_set(spark.sql(sql))
+
+
+def test_expand_rel_takes_emit_and_survives_both_wires(spark, tables):
+    from tests.conftest import rows_set
+    from tests.test_wire import _foreign_encode
+
+    plan, sql = _expand_plan()
+    # emit: reorder + duplicate over the expand's 3-column output space
+    plan["relations"][0]["root"]["input"]["expand"]["common"] = \
+        {"emit": {"outputMapping": [2, 0, 2]}}
+    plan["relations"][0]["root"]["names"] = ["c", "a", "c2"]
+    want = spark.sql(f"SELECT c, a, c AS c2 FROM ({sql})")
+    direct = from_substrait_plan(spark, plan)
+    assert rows_set(direct) == rows_set(want)
+    for blob in (wire.encode_plan(plan), _foreign_encode("Plan", plan)):
+        decoded = wire.decode_plan(blob)
+        assert wire.canonical(decoded) == wire.canonical(plan)
+        assert rows_set(from_substrait_plan(spark, decoded)) == rows_set(want)
+
+
+def test_expand_rel_fences(spark, tables):
+    from tests.test_emit import field, plan_of
+
+    plan, _ = _expand_plan()
+    exp = plan["relations"][0]["root"]["input"]["expand"]
+    # mismatched duplicate counts across switching fields
+    bad = copy.deepcopy(plan)
+    bad["relations"][0]["root"]["input"]["expand"]["fields"][1][
+        "switchingField"]["duplicates"].append(field(2))
+    with pytest.raises(SubstraitError, match="disagree on duplicate count"):
+        from_substrait_plan(spark, bad)
+    # zero duplicates (both switching fields, so the counts agree at 0)
+    bad = copy.deepcopy(plan)
+    for i in (0, 1):
+        bad["relations"][0]["root"]["input"]["expand"]["fields"][i][
+            "switchingField"]["duplicates"] = []
+    with pytest.raises(SubstraitError, match="zero duplicates"):
+        from_substrait_plan(spark, bad)
+    # a field with neither arm (validator-level)
+    bad = copy.deepcopy(plan)
+    bad["relations"][0]["root"]["input"]["expand"]["fields"][0] = {}
+    with pytest.raises(SubstraitError,
+                       match="switchingField.*consistentField"):
+        from_substrait_plan(spark, bad)
+    # no fields (validator-level)
+    bad2 = plan_of({"expand": {"common": {"direct": {}},
+                               "input": copy.deepcopy(exp["input"]),
+                               "fields": []}}, ["x"])
+    with pytest.raises(SubstraitError, match="at least one field"):
+        from_substrait_plan(spark, bad2)

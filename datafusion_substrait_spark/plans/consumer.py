@@ -51,7 +51,8 @@ _AGG_SQL_NAME = {
 
 def from_substrait_plan(spark: SparkSession, plan: dict) -> DataFrame:
     root, names = proto.root_of(plan)
-    consumer = _Consumer(spark, proto.extension_map(plan))
+    consumer = _Consumer(spark, proto.extension_map(plan),
+                         relations=plan.get("relations", []))
     df = consumer.rel(root)
     if names:
         if len(names) != len(df.columns):
@@ -84,9 +85,16 @@ def _mask_ordinals(body: dict, width: int, what: str) -> list[int] | None:
 
 
 class _Consumer:
-    def __init__(self, spark: SparkSession, extensions: dict[int, str]) -> None:
+    def __init__(self, spark: SparkSession, extensions: dict[int, str],
+                 relations: list[dict] | None = None) -> None:
         self.spark = spark
         self.extensions = extensions  # anchor → name (consumer.rs:76-91)
+        # ReferenceRel targets (r12): the plan's relation entries, plus a
+        # per-ordinal DataFrame cache (DAG reuse consumes each shared
+        # subtree once) and an in-progress set (cycle fence)
+        self._relations = relations or []
+        self._ref_cache: dict[int, DataFrame] = {}
+        self._ref_in_progress: set[int] = set()
         # canonical-JSON of a scalar-subquery expr → attached column name,
         # scoped to the project/filter currently being consumed
         self._sq_map: dict[str, str] = {}
@@ -784,6 +792,40 @@ class _Consumer:
                 over = post(over)
             outs.append(over.alias(f"f{n + j}"))
         return df.select("*", *outs)
+
+    def _rel_reference(self, body: dict) -> DataFrame:
+        """ReferenceRel (spec §ReferenceRel; r12, consume-only): points at
+        ``Plan.relations[subtree_ordinal]`` so a producer can write a
+        shared subtree ONCE and reference it from several places (DAG
+        reuse). Consumed with per-ordinal memoization — the shared
+        subtree becomes one DataFrame object, which Spark's planner
+        already treats as a reusable subplan (AQE's ReuseExchange/
+        ReuseSubquery dedupes the physical work). Fences: out-of-range
+        ordinals, targeting the ROOT entry (the spec reserves references
+        for plain `rel` entries; a root self-reference is circular by
+        construction), and reference cycles."""
+        i = int(body.get("subtreeOrdinal", 0))
+        if not (0 <= i < len(self._relations)):
+            raise SubstraitError(
+                f"ReferenceRel subtree_ordinal {i} out of range for "
+                f"{len(self._relations)} plan relation(s)")
+        if i in self._ref_cache:
+            return self._ref_cache[i]
+        entry = self._relations[i]
+        if "rel" not in entry:
+            raise SubstraitError(
+                f"ReferenceRel subtree_ordinal {i} targets a root entry; "
+                "references must point at plain `rel` subtrees")
+        if i in self._ref_in_progress:
+            raise SubstraitError(
+                f"ReferenceRel cycle through subtree_ordinal {i}")
+        self._ref_in_progress.add(i)
+        try:
+            df = self.rel(entry["rel"])
+        finally:
+            self._ref_in_progress.discard(i)
+        self._ref_cache[i] = df
+        return df
 
     def _rel_expand(self, body: dict) -> DataFrame:
         """ExpandRel (spec §Expand Operation; r12, consume-only): one

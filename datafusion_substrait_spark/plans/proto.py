@@ -69,7 +69,8 @@ AGG_ALL = "AGGREGATION_INVOCATION_ALL"
 AGG_DISTINCT = "AGGREGATION_INVOCATION_DISTINCT"
 
 REL_KINDS = ("read", "project", "filter", "fetch", "sort", "aggregate", "join", "set", "cross",
-             "window", "extensionSingle", "extensionLeaf", "exchange", "expand")
+             "window", "extensionSingle", "extensionLeaf", "exchange", "expand",
+             "reference")
 
 BOUNDS_ROWS = "BOUNDS_TYPE_ROWS"
 BOUNDS_RANGE = "BOUNDS_TYPE_RANGE"
@@ -628,21 +629,35 @@ def extension_map(p: dict) -> dict[int, str]:
 
 
 def root_of(p: dict) -> tuple[dict, list[str]]:
-    """Single-relation-tree requirement (consumer.rs:93-111)."""
+    """One ROOT tree (consumer.rs:93-111). r12 superset: additional bare
+    `rel` entries are legal alongside the root — they are the subtrees
+    `ReferenceRel.subtree_ordinal` points at (spec DAG reuse); a plan
+    that is nothing but one bare `rel` keeps the reference's tolerant
+    consume (consumer.rs:96-105)."""
     rels = p.get("relations", [])
-    if len(rels) != 1:
-        raise SubstraitError(f"plan must have exactly 1 relation tree, got {len(rels)}")
-    entry = rels[0]
-    if "root" in entry:
-        return entry["root"]["input"], list(entry["root"].get("names", []))
-    if "rel" in entry:  # bare Rel accepted like consumer.rs:96-105
-        return entry["rel"], []
+    roots = [e for e in rels if "root" in e]
+    if len(roots) == 1:
+        return roots[0]["root"]["input"], \
+            list(roots[0]["root"].get("names", []))
+    if len(roots) > 1:
+        raise SubstraitError(
+            f"plan must have exactly 1 ROOT relation tree, got {len(roots)}")
+    if len(rels) == 1 and "rel" in rels[0]:
+        return rels[0]["rel"], []
+    if rels and all("rel" in e for e in rels):
+        raise SubstraitError(
+            "plan has multiple relation trees but no root to consume")
     raise SubstraitError("relation entry must be 'root' or 'rel'")
 
 
 def validate_plan(p: dict) -> None:
     root, _ = root_of(p)
     _validate_rel(root)
+    # referenceable subtrees are part of the executable plan: a malformed
+    # one must fail validation even if nothing references it yet
+    for e in p.get("relations", []):
+        if "rel" in e and e["rel"] is not root:
+            _validate_rel(e["rel"])
 
 
 def _validate_rel(rel: dict) -> None:
@@ -681,6 +696,8 @@ def _validate_rel(rel: dict) -> None:
         for wf in body.get("windowFunctions", []):
             if wf.get("boundsType") not in (BOUNDS_ROWS, BOUNDS_RANGE):
                 raise SubstraitError(f"bad window bounds type in {wf}")
+    elif kind == "reference":
+        pass  # ordinal validity needs plan context — checked at consume
     elif kind == "expand":
         _validate_rel(body["input"])
         if not body.get("fields"):

@@ -202,6 +202,11 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "exchange": (15, "m:ExchangeRel"),
         "expand": (16, "m:ExpandRel"),
         "window": (17, "m:ConsistentPartitionWindowRel"),
+        "reference": (21, "m:ReferenceRel"),
+    },
+    # algebra.proto ReferenceRel (DAG reuse: points at Plan.relations[i])
+    "ReferenceRel": {
+        "subtreeOrdinal": (1, "i32"),
     },
     # algebra.proto ExpandRel (+ nested ExpandField/SwitchingField; the
     # ExpandField oneof numbering starts at 2 per the spec)

@@ -1225,3 +1225,83 @@ def test_expand_rel_fences(spark, tables):
                                "fields": []}}, ["x"])
     with pytest.raises(SubstraitError, match="at least one field"):
         from_substrait_plan(spark, bad2)
+
+
+# --- ReferenceRel consume (r12; spec Rel.reference = 21, DAG reuse) ----------
+
+def _ref_plan():
+    """A shared filtered subtree written once and referenced twice: the
+    root UNION ALLs two references at ordinal 0 — the spec's DAG-reuse
+    shape (a producer deduplicating a common subplan)."""
+    from tests.test_emit import NATION_NAMES, NATION_TYPES, field, read_rel
+
+    shared = {"filter": {
+        "input": read_rel("nation", NATION_NAMES, NATION_TYPES),
+        "condition": {"scalarFunction": {
+            "functionReference": 1,
+            "arguments": [{"value": field(2)},
+                          {"value": {"literal": {"i64": 3}}}]}},
+    }}
+    ref = {"reference": {"subtreeOrdinal": 0}}
+    root_rel = {"set": {"inputs": [ref, copy.deepcopy(ref)],
+                        "op": "SET_OP_UNION_ALL"}}
+    return {
+        "relations": [
+            {"rel": shared},
+            {"root": {"input": root_rel, "names": ["k", "n", "rk"]}},
+        ],
+        "extensions": [{"extensionFunction":
+                        {"functionAnchor": 1, "name": "lt"}}],
+    }
+
+
+def test_reference_rel_consumes_shared_subtree(spark, tables):
+    from tests.conftest import rows_set
+
+    plan = _ref_plan()
+    got = from_substrait_plan(spark, plan)
+    want = spark.sql(
+        "SELECT * FROM (SELECT n_nationkey AS k, n_name AS n, "
+        "n_regionkey AS rk FROM nation WHERE n_regionkey < 3) "
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey "
+        "FROM nation WHERE n_regionkey < 3")
+    assert got.columns == ["k", "n", "rk"]
+    assert rows_set(got) == rows_set(want)
+
+
+def test_reference_rel_survives_both_wires(spark, tables):
+    from tests.conftest import rows_set
+    from tests.test_wire import _foreign_encode
+
+    plan = _ref_plan()
+    want = rows_set(from_substrait_plan(spark, plan))
+    for blob in (wire.encode_plan(plan), _foreign_encode("Plan", plan)):
+        decoded = wire.decode_plan(blob)
+        assert wire.canonical(decoded) == wire.canonical(plan)
+        assert rows_set(from_substrait_plan(spark, decoded)) == want
+
+
+def test_reference_rel_fences(spark, tables):
+    plan = _ref_plan()
+    # out-of-range ordinal
+    bad = copy.deepcopy(plan)
+    bad["relations"][1]["root"]["input"]["set"]["inputs"][0][
+        "reference"]["subtreeOrdinal"] = 5
+    with pytest.raises(SubstraitError, match="out of range"):
+        from_substrait_plan(spark, bad)
+    # targeting the root entry
+    bad = copy.deepcopy(plan)
+    bad["relations"][1]["root"]["input"]["set"]["inputs"][0][
+        "reference"]["subtreeOrdinal"] = 1
+    with pytest.raises(SubstraitError, match="targets a root entry"):
+        from_substrait_plan(spark, bad)
+    # a self-referencing subtree is a cycle
+    bad = copy.deepcopy(plan)
+    bad["relations"][0] = {"rel": {"reference": {"subtreeOrdinal": 0}}}
+    with pytest.raises(SubstraitError, match="cycle"):
+        from_substrait_plan(spark, bad)
+    # multiple roots stay fenced
+    bad = copy.deepcopy(plan)
+    bad["relations"][0] = copy.deepcopy(bad["relations"][1])
+    with pytest.raises(SubstraitError, match="exactly 1 ROOT"):
+        from_substrait_plan(spark, bad)

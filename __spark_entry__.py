@@ -160,6 +160,78 @@ def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg_a.unionAll(from_substrait_plan(spark, plan))
 
 
+def _q05_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 aggregate, widened r12 (in-place, no new driver slot) with an
+    ORDERED-aggregate foreign leg: leg (a) is the original SQL through
+    the roundtrip; leg (b) CONSUMES a hand-authored foreign plan whose
+    measures carry ``AggregateFunction.sorts`` — array_agg(pri ORDER BY
+    key DESC), first_value(pri ORDER BY key), and a FILTERed
+    last_value(cust ORDER BY key) — the r12 rebuild (VERDICT r11 #3,
+    previously a fence). Order fidelity reaches the driver's hash as a
+    '|'-joined string; DuckDB replays with string_agg/first/last
+    ORDER BY."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    _prep(spark, sf_dir)
+    leg_a = roundtrip(spark.sql(_SQL["q05_group_agg"]))
+    names = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    srt = [{"expr": _fld(0), "direction": "SORT_DIRECTION_ASC_NULLS_LAST"}]
+    plan = {
+        "relations": [{"root": {"input": {"aggregate": {
+            "input": {"read": {
+                "common": {"direct": {}},
+                "baseSchema": {"names": names},
+                "namedTable": {"names": ["orders"]},
+            }},
+            "groupings": [{"groupingExpressions": [_fld(2)]}],
+            "measures": [
+                {"measure": {
+                    "functionReference": 1,
+                    "arguments": [{"value": _fld(3)}],
+                    "sorts": [{"expr": _fld(0),
+                               "direction": "SORT_DIRECTION_DESC_NULLS_LAST"}],
+                    "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}},
+                {"measure": {
+                    "functionReference": 2,
+                    "arguments": [{"value": _fld(3)}],
+                    "sorts": srt,
+                    "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}},
+                {"measure": {
+                    "functionReference": 3,
+                    "arguments": [{"value": _fld(1)}],
+                    "sorts": srt,
+                    "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"},
+                 "filter": {"scalarFunction": {
+                     "functionReference": 5,
+                     "arguments": [
+                         {"value": {"scalarFunction": {
+                             "functionReference": 4,
+                             "arguments": [{"value": _fld(0)},
+                                           {"value": {"literal": {"i64": 2}}}],
+                         }}},
+                         {"value": {"literal": {"i64": 0}}}]}}},
+            ],
+        }}, "names": ["g", "pris", "first_pri", "last_even"]}}],
+        "extensions": [
+            {"extensionFunction": {"functionAnchor": 1, "name": "array_agg"}},
+            {"extensionFunction": {"functionAnchor": 2, "name": "first_value"}},
+            {"extensionFunction": {"functionAnchor": 3, "name": "last_value"}},
+            {"extensionFunction": {"functionAnchor": 4, "name": "mod"}},
+            {"extensionFunction": {"functionAnchor": 5, "name": "equal"}},
+        ],
+    }
+    leg_b = from_substrait_plan(spark, plan).select(
+        F.col("g").alias("o_orderstatus"),
+        F.concat(F.concat_ws("|", F.col("pris")), F.lit("#"),
+                 F.col("first_pri")).alias("o_orderpriority"),
+        F.col("last_even").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("sum_price"),
+        F.lit(None).cast("double").alias("avg_price"),
+        F.lit(None).cast("double").alias("min_price"),
+        F.lit(None).cast("double").alias("max_price"))
+    return leg_a.unionAll(leg_b)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-style pricing summary through produce→consume.
 
@@ -989,6 +1061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         for name, sql in _SQL.items()
     },
     "q02_scan_project": _q02_scan_project,  # r11 emit-leg widening
+    "q05_group_agg": _q05_group_agg,  # r12 ordered-aggregate foreign leg
     "q08_join3": _q08_join3,  # r11 ReadRel.filter/postJoinFilter/emit leg
     "e1_windowed_counts": _e1_windowed_counts,
     "e2_sessionize": _e2_sessionize,
@@ -1257,7 +1330,24 @@ ORACLES: dict[str, str] = {
         FROM lineitem
     """,
     "q03_filter_arith": _SQL["q03_filter_arith"],
-    "q05_group_agg": _SQL["q05_group_agg"],
+    # leg (b) replays the ordered-aggregate foreign plan (r12): DuckDB's
+    # native ORDER BY aggregates rebuild the same '|'-joined descending
+    # priority string, ordered first(), and FILTERed ordered last()
+    "q05_group_agg": _SQL["q05_group_agg"] + """
+        UNION ALL
+        SELECT o_orderstatus,
+               string_agg(o_orderpriority, '|' ORDER BY o_orderkey DESC)
+                   || '#' ||
+                   first(o_orderpriority ORDER BY o_orderkey)
+                   AS o_orderpriority,
+               last(o_custkey ORDER BY o_orderkey)
+                   FILTER (WHERE o_orderkey % 2 = 0) AS n,
+               CAST(NULL AS DOUBLE) AS sum_price,
+               CAST(NULL AS DOUBLE) AS avg_price,
+               CAST(NULL AS DOUBLE) AS min_price,
+               CAST(NULL AS DOUBLE) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
     "q06_agg_distinct_filter": _SQL["q06_agg_distinct_filter"],
     # leg (c) replays the foreign plan: ReadRel.filter(n_nationkey<10) +
     # inner-on-true JoinRel whose post_join_filter is the equi-condition

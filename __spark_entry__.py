@@ -232,6 +232,62 @@ def _q05_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg_a.unionAll(leg_b)
 
 
+def _q22_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops, widened r12 (in-place) with an ExpandRel + ReferenceRel
+    foreign leg: a shared filtered-customer subtree is written ONCE as a
+    bare `rel` entry (spec DAG reuse) and referenced twice — once under
+    an ExpandRel (the grouping-set duplication shape foreign producers
+    emit: 2 output rows per input, switching between custkey and
+    nationkey with a switching literal tag) and once under a plain
+    ProjectRel — unioned by a SetRel. Both rels are consume-only
+    surfaces (our producer never writes them); DuckDB replays the
+    equivalent WITH + UNION ALL."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    _prep(spark, sf_dir)
+    leg_a = roundtrip(spark.sql(_SQL["q22_set_ops"]))
+    shared = {"filter": {
+        "input": {"read": {
+            "common": {"direct": {}},
+            "baseSchema": {"names": ["c_custkey", "c_nationkey",
+                                     "c_acctbal"]},
+            "namedTable": {"names": ["customer"]},
+        }},
+        "condition": {"scalarFunction": {
+            "functionReference": 1,
+            "arguments": [{"value": _fld(2)},
+                          {"value": {"literal": {"fp64": 9000.0}}}]}},
+    }}
+    ref = {"reference": {"subtreeOrdinal": 0}}
+    expand_leg = {"expand": {
+        "common": {"direct": {}},
+        "input": ref,
+        "fields": [
+            {"switchingField": {"duplicates": [
+                {"literal": {"string": "exp_cust"}},
+                {"literal": {"string": "exp_nat"}}]}},
+            {"switchingField": {"duplicates": [_fld(0), _fld(1)]}},
+        ],
+    }}
+    project_leg = {"project": {
+        "common": {"emit": {"outputMapping": [3, 4]}},
+        "input": {"reference": {"subtreeOrdinal": 0}},
+        "expressions": [{"literal": {"string": "ref_again"}}, _fld(0)],
+    }}
+    plan = {
+        "relations": [
+            {"rel": shared},
+            {"root": {"input": {"set": {
+                "inputs": [expand_leg, project_leg],
+                "op": "SET_OP_UNION_ALL"}},
+                "names": ["op", "custkey"]}},
+        ],
+        "extensions": [{"extensionFunction":
+                        {"functionAnchor": 1, "name": "gt"}}],
+    }
+    return leg_a.unionAll(from_substrait_plan(spark, plan))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-style pricing summary through produce→consume.
 
@@ -1062,6 +1118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     },
     "q02_scan_project": _q02_scan_project,  # r11 emit-leg widening
     "q05_group_agg": _q05_group_agg,  # r12 ordered-aggregate foreign leg
+    "q22_set_ops": _q22_set_ops,  # r12 ExpandRel + ReferenceRel foreign leg
     "q08_join3": _q08_join3,  # r11 ReadRel.filter/postJoinFilter/emit leg
     "e1_windowed_counts": _e1_windowed_counts,
     "e2_sessionize": _e2_sessionize,
@@ -1389,7 +1446,21 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_orderkey % 7 = 0
     """,
     "q20_top_revenue": _SQL["q20_top_revenue"],
-    "q22_set_ops": _SQL["q22_set_ops"],
+    # leg (d) replays the ExpandRel + ReferenceRel foreign plan (r12):
+    # the shared subtree written once, expanded into two switching rows
+    # per customer, and re-referenced by a plain projection
+    "q22_set_ops": _SQL["q22_set_ops"] + """
+        UNION ALL
+        SELECT op, custkey FROM (
+            WITH shared AS (SELECT c_custkey, c_nationkey FROM customer
+                            WHERE c_acctbal > 9000)
+            SELECT 'exp_cust' AS op, c_custkey AS custkey FROM shared
+            UNION ALL
+            SELECT 'exp_nat' AS op, c_nationkey AS custkey FROM shared
+            UNION ALL
+            SELECT 'ref_again' AS op, c_custkey AS custkey FROM shared
+        )
+    """,
     "q24_window": _SQL["q24_window"],
     "q25_scalar_subquery": _SQL["q25_scalar_subquery"],
     # q26: DuckDB spellings for the merged battery — count(DISTINCT) for the

@@ -285,3 +285,84 @@ def test_excision_10x_replication_exact_kept_tokens(spark, tables):
             assert r.n_tokens_kept == 0, f"rep {rep} of long doc {b}"
         else:
             assert r.n_tokens_kept == lengths[b], f"short doc {b}"
+
+
+def test_ordered_array_agg_200k_closed_form(spark):
+    """r12 ordered-aggregate rebuild at volume: 200k rows, 32 groups
+    (~6.2k-element ordered arrays per group), consumed from a
+    hand-authored foreign plan with sorts on every measure. The planted
+    key/value relation is a closed form, so the per-group DESC arrays,
+    the ordered first/last values, and a FILTERed ordered last are all
+    provable exactly — no reference engine in the loop."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    n, n_groups = 200_000, 32
+    spark.range(n).selectExpr(
+        "CAST(id % 32 AS BIGINT) AS g",
+        "id AS k",
+        "CAST((id * 2654435761) % 1000003 AS BIGINT) AS v",
+    ).createOrReplaceTempView("ordered_stress")
+
+    def fld(i):
+        return {"selection": {"directReference": {"structField": {"field": i}},
+                              "rootReference": {}}}
+
+    measure = {
+        "functionReference": 1, "arguments": [{"value": fld(2)}],
+        "sorts": [{"expr": fld(1),
+                   "direction": "SORT_DIRECTION_DESC_NULLS_LAST"}],
+        "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
+    first_m = {
+        "functionReference": 2, "arguments": [{"value": fld(2)}],
+        "sorts": [{"expr": fld(1),
+                   "direction": "SORT_DIRECTION_ASC_NULLS_LAST"}],
+        "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
+    last_f = {"measure": {
+        "functionReference": 3, "arguments": [{"value": fld(2)}],
+        "sorts": [{"expr": fld(1),
+                   "direction": "SORT_DIRECTION_ASC_NULLS_LAST"}],
+        "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"},
+        "filter": {"scalarFunction": {
+            "functionReference": 5,
+            "arguments": [{"value": {"scalarFunction": {
+                "functionReference": 4,
+                "arguments": [{"value": fld(1)},
+                              {"value": {"literal": {"i64": 3}}}]}}},
+                          {"value": {"literal": {"i64": 0}}}]}}}
+    plan = {
+        "relations": [{"root": {"input": {"aggregate": {
+            "input": {"read": {
+                "common": {"direct": {}},
+                "baseSchema": {"names": ["g", "k", "v"]},
+                "namedTable": {"names": ["ordered_stress"]},
+            }},
+            "groupings": [{"groupingExpressions": [fld(0)]}],
+            "measures": [{"measure": measure}, {"measure": first_m}, last_f],
+        }}, "names": ["g", "vs_desc", "first_v", "last_mul3"]}}],
+        "extensions": [
+            {"extensionFunction": {"functionAnchor": 1, "name": "array_agg"}},
+            {"extensionFunction": {"functionAnchor": 2, "name": "first_value"}},
+            {"extensionFunction": {"functionAnchor": 3, "name": "last_value"}},
+            {"extensionFunction": {"functionAnchor": 4, "name": "mod"}},
+            {"extensionFunction": {"functionAnchor": 5, "name": "equal"}},
+        ],
+    }
+    t0 = time.time()
+    rows = {r.g: r for r in from_substrait_plan(spark, plan).collect()}
+    elapsed = time.time() - t0
+
+    def val(k):
+        return (k * 2654435761) % 1000003
+
+    assert len(rows) == n_groups
+    for g in range(n_groups):
+        keys_desc = list(range(n - n_groups + g, g - 1, -n_groups))
+        want = [val(k) for k in keys_desc]
+        got = rows[g]
+        assert list(got.vs_desc) == want, f"group {g} ordered array diverged"
+        assert got.first_v == val(keys_desc[-1])
+        mul3 = [k for k in reversed(keys_desc) if k % 3 == 0]
+        assert got.last_mul3 == val(mul3[-1])
+    print(f"ordered array_agg 200k rows x {n_groups} groups: "
+          f"{elapsed:.2f}s, arrays of {len(keys_desc)}")
+    spark.catalog.dropTempView("ordered_stress")

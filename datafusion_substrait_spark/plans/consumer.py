@@ -855,8 +855,15 @@ class _Consumer:
         if n_dup == 0:
             raise SubstraitError(
                 "ExpandRel switching field with zero duplicates")
+        if n_dup is None:
+            # review catch r12: the spec defines the per-input-row output
+            # count solely via switching fields — with none, it is
+            # undefined; guessing 1 would be a silent wrong row count
+            raise SubstraitError(
+                "ExpandRel with no switching fields has an undefined "
+                "duplicate count")
         branches = []
-        for d in range(n_dup if n_dup is not None else 1):
+        for d in range(n_dup):
             cols = []
             for j, f in enumerate(fields):
                 if "switchingField" in f:

@@ -635,6 +635,13 @@ def root_of(p: dict) -> tuple[dict, list[str]]:
     that is nothing but one bare `rel` keeps the reference's tolerant
     consume (consumer.rs:96-105)."""
     rels = p.get("relations", [])
+    for e in rels:
+        # review catch r12: an entry with neither key must error loudly —
+        # silently dropping it would hide a producer bug (pre-r12 ANY
+        # multi-entry plan was rejected, so this is the guard that keeps
+        # the relaxation from loosening translate-or-error)
+        if "root" not in e and "rel" not in e:
+            raise SubstraitError("relation entry must be 'root' or 'rel'")
     roots = [e for e in rels if "root" in e]
     if len(roots) == 1:
         return roots[0]["root"]["input"], \

@@ -209,11 +209,15 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "subtreeOrdinal": (1, "i32"),
     },
     # algebra.proto ExpandRel (+ nested ExpandField/SwitchingField; the
-    # ExpandField oneof numbering starts at 2 per the spec)
+    # ExpandField oneof numbering starts at 2 per the spec). The spec
+    # text is transcribed from memory in this offline environment and
+    # `fields` is believed to be tag 4 with 3 unused — a decode alias in
+    # _DECODE_ALIASES accepts tag 3 too, so a producer using either
+    # numbering interoperates (review catch r12).
     "ExpandRel": {
         "common": (1, "m:RelCommon"),
         "input": (2, "m:Rel"),
-        "fields": (3, "m:ExpandField", "rep"),
+        "fields": (4, "m:ExpandField", "rep"),
     },
     "ExpandField": {
         "switchingField": (2, "m:SwitchingField"),
@@ -916,6 +920,15 @@ _POISON_FIELDS: dict[tuple[str, int], str] = {
 }
 
 
+# Decode-side tag aliases: accepted IN ADDITION to the schema-table tag.
+# Used where the offline transcription of algebra.proto leaves a genuine
+# numbering ambiguity — decoding both tags keeps interop with a real
+# producer whichever numbering is right (encode uses the schema table).
+_DECODE_ALIASES: dict[str, dict[int, str]] = {
+    "ExpandRel": {3: "fields"},
+}
+
+
 def decode_message(schema_name: str, buf: bytes) -> dict:
     try:
         schema = MESSAGES[schema_name]
@@ -923,6 +936,9 @@ def decode_message(schema_name: str, buf: bytes) -> dict:
         raise SubstraitError(f"no wire schema for message {schema_name!r}")
     by_num = {spec[0]: (name, spec[1], len(spec) > 2)
               for name, spec in schema.items()}
+    for num, alias in _DECODE_ALIASES.get(schema_name, {}).items():
+        spec = schema[alias]
+        by_num.setdefault(num, (alias, spec[1], len(spec) > 2))
     msg: dict[str, Any] = {}
     pos = 0
     while pos < len(buf):

@@ -1305,3 +1305,54 @@ def test_reference_rel_fences(spark, tables):
     bad["relations"][0] = copy.deepcopy(bad["relations"][1])
     with pytest.raises(SubstraitError, match="exactly 1 ROOT"):
         from_substrait_plan(spark, bad)
+
+
+def test_expand_rel_review_fences(spark, tables):
+    """Review catches r12: (a) all-consistent ExpandRels have an
+    UNDEFINED duplicate count (the spec counts output rows via switching
+    fields only) — guessing 1 would be a silent wrong row count; (b) an
+    ExpandRel whose binary `fields` arrive on tag 3 decodes too (the
+    offline algebra.proto transcription leaves 3-vs-4 ambiguous; the
+    decoder accepts both, encode uses 4)."""
+    from tests.conftest import rows_set
+
+    plan, _ = _expand_plan()
+    bad = copy.deepcopy(plan)
+    bad["relations"][0]["root"]["input"]["expand"]["fields"] = [
+        {"consistentField": {"selection": {"directReference":
+            {"structField": {"field": 0}}, "rootReference": {}}}},
+    ]
+    bad["relations"][0]["root"]["names"] = ["a"]
+    with pytest.raises(SubstraitError, match="undefined"):
+        from_substrait_plan(spark, bad)
+
+    # tag-3 alias decode: re-encode the ExpandField messages under tag 3
+    # by hand and check the decoded plan is canonical-equal
+    plan2, _ = _expand_plan()
+    blob = wire.encode_plan(plan2)
+    canonical = wire.canonical(plan2)
+    fields = plan2["relations"][0]["root"]["input"]["expand"]["fields"]
+    body4 = b"".join(
+        wire._tag(4, wire._WT_LEN)
+        + wire.encode_uvarint(len(f)) + f
+        for f in [wire.encode_message("ExpandField", fl) for fl in fields])
+    body3 = b"".join(
+        wire._tag(3, wire._WT_LEN)
+        + wire.encode_uvarint(len(f)) + f
+        for f in [wire.encode_message("ExpandField", fl) for fl in fields])
+    assert body4 in blob
+    aliased = blob.replace(body4, body3)
+    decoded = wire.decode_plan(aliased)
+    assert wire.canonical(decoded) == canonical
+    got = from_substrait_plan(spark, decoded)
+    assert rows_set(got) == rows_set(from_substrait_plan(spark, plan2))
+
+
+def test_relation_entry_with_unknown_key_is_fenced(spark, tables):
+    """Review catch r12: root_of's multi-relation relaxation must not
+    silently drop an entry that is neither 'root' nor 'rel'."""
+    plan = _ref_plan()
+    bad = copy.deepcopy(plan)
+    bad["relations"].append({"relation": {"oops": True}})
+    with pytest.raises(SubstraitError, match="must be 'root' or 'rel'"):
+        from_substrait_plan(spark, bad)

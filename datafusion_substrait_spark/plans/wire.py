@@ -917,6 +917,35 @@ _POISON_FIELDS: dict[tuple[str, int], str] = {
         "FieldReference field 2 (masked_reference) is not consumable — "
         "only direct struct-field references are supported"
     ),
+    # spec-valid Rel kinds with no consumable mapping (r12): skipping the
+    # unknown tag would decode a HOLLOW Rel that errors later as
+    # 'relation must set exactly one kind' with no hint what was dropped.
+    # The physical join rels carry key lists and their own JoinType enum
+    # whose numbering cannot be verified in this offline environment —
+    # fencing loudly beats transcribing a schema that might misread a
+    # real producer's bytes.
+    ("Rel", 13): (
+        "Rel field 13 (HashJoinRel) is not consumable — re-plan with the "
+        "logical JoinRel (a strategy hint rides "
+        "JoinRel.advanced_extension)"
+    ),
+    ("Rel", 14): (
+        "Rel field 14 (MergeJoinRel) is not consumable — re-plan with "
+        "the logical JoinRel (a strategy hint rides "
+        "JoinRel.advanced_extension)"
+    ),
+    ("Rel", 18): (
+        "Rel field 18 (NestedLoopJoinRel) is not consumable — re-plan "
+        "with the logical JoinRel or CrossRel"
+    ),
+    ("Rel", 19): (
+        "Rel field 19 (WriteRel) is not consumable — this engine's sinks "
+        "are driven from the DataFrame side (sources/sinks), not the plan"
+    ),
+    ("Rel", 20): (
+        "Rel field 20 (DdlRel) is not consumable — DDL is out of scope "
+        "for plan interchange here"
+    ),
 }
 
 

@@ -1356,3 +1356,16 @@ def test_relation_entry_with_unknown_key_is_fenced(spark, tables):
     bad["relations"].append({"relation": {"oops": True}})
     with pytest.raises(SubstraitError, match="must be 'root' or 'rel'"):
         from_substrait_plan(spark, bad)
+
+
+def test_physical_join_and_write_rel_tags_fail_loudly():
+    """r12: spec-valid Rel kinds with no mapping (physical joins, write,
+    ddl) must fail at the byte layer with a named error — skipping the
+    unknown tag would decode a hollow Rel that errors later with no hint
+    what was dropped."""
+    for tag, what in [(13, "HashJoinRel"), (14, "MergeJoinRel"),
+                      (18, "NestedLoopJoinRel"), (19, "WriteRel"),
+                      (20, "DdlRel")]:
+        buf = wire._tag(tag, wire._WT_LEN) + wire.encode_uvarint(0)
+        with pytest.raises(SubstraitError, match=what):
+            wire.decode_message("Rel", buf)

@@ -49,8 +49,7 @@ SQL_OP = {"add": "+", "subtract": "-", "multiply": "*", "mod": "%",
           "lt": "<", "gt": ">", "lte": "<=", "gte": ">=", "equal": "=",
           "and": "AND", "or": "OR"}
 
-I64 = {"i64": {"nullability": "NULLABILITY_NULLABLE"}}
-STR = {"string": {"nullability": "NULLABILITY_NULLABLE"}}
+from tests.test_emit import I64, STR, field  # noqa: E402
 
 # table → (int cols [unique key FIRST], string cols, fk → (dim, dim key))
 BASES = {
@@ -68,11 +67,6 @@ DIMS = {
     "customer": (["c_custkey", "c_nationkey"], ["c_mktsegment"]),
     "nation": (["n_nationkey", "n_regionkey"], ["n_name"]),
 }
-
-
-def field(i: int) -> dict:
-    return {"selection": {"directReference": {"structField": {"field": i}},
-                          "rootReference": {}}}
 
 
 def lit(v: int) -> dict:
@@ -304,7 +298,7 @@ class ForeignGen:
         return Stage({"window": body}, sql, prev.n_cols + 1,
                      prev.kinds + ["int"], prev.uniq, prev.fk, n)
 
-    def agg_stage(self, n: int, prev: Stage) -> tuple[Stage, None]:
+    def agg_stage(self, n: int, prev: Stage) -> Stage:
         names = [prev.name(i) for i in range(prev.n_cols)]
         ints = [i for i, k in enumerate(prev.kinds) if k == "int"]
         strs = [i for i, k in enumerate(prev.kinds) if k == "str"]
@@ -343,7 +337,7 @@ class ForeignGen:
                f"{plain_name}({names[val]}) AS o{n}_2 "
                f"FROM ({prev.sql}) AS a{n} GROUP BY {names[g]}")
         return Stage({"aggregate": body}, sql, 3,
-                     [prev.kinds[g], "arr", "int"], None, None, n), None
+                     [prev.kinds[g], "arr", "int"], None, None, n)
 
     # --- a whole seed ------------------------------------------------------
 
@@ -365,7 +359,7 @@ class ForeignGen:
             st = self.window_stage(n, st)
             n += 1
         if self.r.random() < 0.6 and st.uniq is not None:
-            st, _ = self.agg_stage(n, st)
+            st = self.agg_stage(n, st)
             n += 1
         out_names = [f"c{i}" for i in range(st.n_cols)]
         plan = {

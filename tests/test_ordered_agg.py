@@ -23,25 +23,12 @@ from datafusion_substrait_spark.plans import wire
 from datafusion_substrait_spark.plans.proto import SubstraitError
 from datafusion_substrait_spark.plans.consumer import from_substrait_plan
 
-I64 = {"i64": {"nullability": "NULLABILITY_NULLABLE"}}
-STR = {"string": {"nullability": "NULLABILITY_NULLABLE"}}
+from tests.test_emit import I64, STR, field, read_rel  # noqa: E402
 
 ASC_NF = "SORT_DIRECTION_ASC_NULLS_FIRST"
 ASC_NL = "SORT_DIRECTION_ASC_NULLS_LAST"
 DESC_NF = "SORT_DIRECTION_DESC_NULLS_FIRST"
 DESC_NL = "SORT_DIRECTION_DESC_NULLS_LAST"
-
-
-def field(i: int) -> dict:
-    return {"selection": {"directReference": {"structField": {"field": i}},
-                          "rootReference": {}}}
-
-
-def read_rel(table: str, names: list[str], types: list[dict]) -> dict:
-    return {"read": {"common": {"direct": {}},
-                     "baseSchema": {"names": names,
-                                    "struct": {"types": types}},
-                     "namedTable": {"names": [table]}}}
 
 
 def agg_plan(input_rel: dict, group_fields: list[int], measures: list[dict],

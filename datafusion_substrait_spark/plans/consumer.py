@@ -644,10 +644,19 @@ class _Consumer:
                         left = left.hint(name)
                     else:
                         right = right.hint(name)
+        n_left = len(left.columns)
+        single = body.get("type") == proto.JOIN_TYPE_SINGLE
+        if single:
+            # LEFT SINGLE join (r12; DuckDB's substrait producer emits it
+            # for scalar subqueries): exactly like LEFT, except >1 match
+            # for a left ROW is a runtime error. Tag each physical left
+            # row (monotonically_increasing_id — unique per row, stable
+            # given the upstream partitioning) so the guard below can
+            # count matches per row.
+            left = left.withColumn("__srow", F.monotonically_increasing_id())
         left = left.alias("__sl")
         right = right.alias("__sr")
-        n_left = len(left.columns)
-        how = self._JOIN_HOW.get(body.get("type"))
+        how = "left" if single else self._JOIN_HOW.get(body.get("type"))
         if how is None:
             raise SubstraitError(f"unsupported join type {body.get('type')} "
                                  "(consumer.rs:417-439)")
@@ -660,6 +669,12 @@ class _Consumer:
 
         cond = self.rex(body["expression"], resolver)
         joined = left.join(right, on=cond, how=how)
+        if single:
+            joined = self._single_join_guard(joined, n_left,
+                                             len(right.columns))
+
+            def resolver(i: int, d=joined) -> Column:  # noqa: F811
+                return d[f"f{i}"]  # guard select flattened the space
         post = body.get("postJoinFilter")
         if post is not None:
             # JoinRel.post_join_filter (r11, same silent-drop class as the
@@ -676,6 +691,28 @@ class _Consumer:
                     "filter may reference")
             joined = joined.filter(self.rex(post, resolver))
         return joined.toDF(*_fnames(len(joined.columns)))
+
+    @staticmethod
+    def _single_join_guard(joined: DataFrame, n_left: int,
+                           n_right: int) -> DataFrame:
+        """SINGLE-join multi-match guard: count joined rows per tagged
+        left row (one window shuffle on the unique ``__srow`` key — the
+        verification cost DuckDB pays inside its hash join) and wrap
+        EVERY right column in the same lazy ``assert_true`` pattern the
+        scalar-subquery guard uses, so a plan that keeps any right
+        column keeps the error. A left row with no match counts 1 (its
+        null-extended row) and passes — SINGLE null-extends like LEFT.
+        Output is the flat f0..fN combined space (``__srow`` dropped)."""
+        from pyspark.sql.window import Window as W
+
+        guard = F.assert_true(
+            F.count(F.lit(1)).over(W.partitionBy(F.col("__sl.__srow"))) <= 1,
+            F.lit("single join matched more than one right row for a "
+                  "left row"))
+        return joined.select(
+            *[F.col(f"__sl.f{i}").alias(f"f{i}") for i in range(n_left)],
+            *[F.when(guard.isNull(), F.col(f"__sr.f{j}"))
+              .alias(f"f{n_left + j}") for j in range(n_right)])
 
     def _rel_cross(self, body: dict) -> DataFrame:
         """CrossRel → ``DataFrame.crossJoin`` (r11). Foreign producers

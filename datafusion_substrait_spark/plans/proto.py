@@ -56,7 +56,9 @@ JOIN_TYPE_RIGHT = "JOIN_TYPE_RIGHT"
 JOIN_TYPE_OUTER = "JOIN_TYPE_OUTER"
 JOIN_TYPE_SEMI = "JOIN_TYPE_SEMI"
 JOIN_TYPE_ANTI = "JOIN_TYPE_ANTI"
+JOIN_TYPE_SINGLE = "JOIN_TYPE_SINGLE"
 JOIN_TYPES = {
+    JOIN_TYPE_SINGLE,
     JOIN_TYPE_INNER,
     JOIN_TYPE_LEFT,
     JOIN_TYPE_RIGHT,

@@ -1369,3 +1369,73 @@ def test_physical_join_and_write_rel_tags_fail_loudly():
         buf = wire._tag(tag, wire._WT_LEN) + wire.encode_uvarint(0)
         with pytest.raises(SubstraitError, match=what):
             wire.decode_message("Rel", buf)
+
+
+# --- JOIN_TYPE_SINGLE consume (r12; DuckDB emits it for scalar subqueries) ---
+
+def _single_join_plan(restrict_below=None, flip=False):
+    from tests.test_emit import I64, STR, field, plan_of, read_rel
+
+    cust = read_rel("customer",
+                    ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"], [I64, STR, I64, {"fp64": {}}, STR])
+    nat = read_rel("nation", ["n_nationkey", "n_name", "n_regionkey"],
+                   [I64, STR, I64])
+    if flip:  # nation LEFT-SINGLE customers: 1:N, must raise
+        cond = {"scalarFunction": {"functionReference": 1,
+                "arguments": [{"value": field(0)}, {"value": field(5)}]}}
+        rel = {"join": {"common": {"direct": {}}, "left": nat,
+                        "right": cust, "expression": cond,
+                        "type": "JOIN_TYPE_SINGLE"}}
+        return plan_of(rel, [f"c{i}" for i in range(8)], {1: "equal"})
+    cond = {"scalarFunction": {"functionReference": 1,
+            "arguments": [{"value": field(2)}, {"value": field(5)}]}}
+    if restrict_below is not None:
+        cond = {"scalarFunction": {"functionReference": 2, "arguments": [
+            {"value": cond},
+            {"value": {"scalarFunction": {"functionReference": 3,
+                "arguments": [{"value": field(5)},
+                              {"value": {"literal":
+                                         {"i64": restrict_below}}}]}}}]}}
+    rel = {"join": {"common": {"emit": {"outputMapping": [0, 6]}},
+                    "left": cust, "right": nat, "expression": cond,
+                    "type": "JOIN_TYPE_SINGLE"}}
+    return plan_of(rel, ["ck", "nname"], {1: "equal", 2: "and", 3: "lt"})
+
+
+def test_single_join_consumes_as_guarded_left(spark, tables):
+    """JOIN_TYPE_SINGLE (r12; was an 'unsupported join type' fence):
+    LEFT semantics plus a runtime multi-match error, the same lazy
+    assert_true doctrine as the scalar-subquery guard. FK direction
+    (N:1) equals a plain LEFT join; a restricted condition null-extends
+    the unmatched left rows; emit composes."""
+    from tests.conftest import rows_set
+
+    got = from_substrait_plan(spark, _single_join_plan())
+    want = spark.sql("SELECT c_custkey AS ck, n_name AS nname "
+                     "FROM customer LEFT JOIN nation "
+                     "ON c_nationkey = n_nationkey")
+    assert rows_set(got) == rows_set(want)
+
+    got2 = from_substrait_plan(spark, _single_join_plan(restrict_below=3))
+    want2 = spark.sql("SELECT c_custkey AS ck, n_name AS nname "
+                      "FROM customer LEFT JOIN nation "
+                      "ON c_nationkey = n_nationkey AND n_nationkey < 3")
+    assert rows_set(got2) == rows_set(want2)
+    assert got2.filter("nname IS NULL").count() > 0  # null-extension real
+
+
+def test_single_join_multi_match_raises(spark, tables):
+    got = from_substrait_plan(spark, _single_join_plan(flip=True))
+    with pytest.raises(Exception, match="single join matched more than"):
+        got.collect()
+
+
+def test_single_join_survives_binary_wire(spark, tables):
+    from tests.conftest import rows_set
+
+    plan = _single_join_plan()
+    decoded = wire.decode_plan(wire.encode_plan(plan))
+    assert wire.canonical(decoded) == wire.canonical(plan)
+    assert rows_set(from_substrait_plan(spark, decoded)) == \
+        rows_set(from_substrait_plan(spark, plan))

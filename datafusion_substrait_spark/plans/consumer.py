@@ -343,6 +343,19 @@ class _Consumer:
         df = self.rel(body["input"])
         offset = int(body.get("offset", 0))
         count = int(body.get("count", proto.NO_LIMIT))
+        # newer-spec expression bounds (r12): foreign producers may carry
+        # LIMIT/OFFSET as Expressions — the LITERAL forms (how every SQL
+        # frontend writes them) rebuild exactly; dynamic expressions have
+        # no DataFrame.limit equivalent and fence by name rather than
+        # silently dropping the bound
+        if "offsetExpr" in body:
+            offset = _int_literal(
+                body["offsetExpr"],
+                "FetchRel.offset_expr (dynamic offsets not consumable)")
+        if "countExpr" in body:
+            count = _int_literal(
+                body["countExpr"],
+                "FetchRel.count_expr (dynamic counts not consumable)")
         if offset > 0:
             df = df.offset(offset)
         if count != proto.NO_LIMIT:

@@ -312,6 +312,11 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "input": (2, "m:Rel"),
         "offset": (3, "i64"),
         "count": (4, "i64"),
+        # the newer spec's expression bounds (oneof with the deprecated
+        # i64 forms above); silently skipping them would drop a LIMIT —
+        # wrong rows with no error (r12)
+        "offsetExpr": (5, "m:Expression"),
+        "countExpr": (6, "m:Expression"),
     },
     # algebra.proto SortRel
     "SortRel": {

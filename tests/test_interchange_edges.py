@@ -1439,3 +1439,34 @@ def test_single_join_survives_binary_wire(spark, tables):
     assert wire.canonical(decoded) == wire.canonical(plan)
     assert rows_set(from_substrait_plan(spark, decoded)) == \
         rows_set(from_substrait_plan(spark, plan))
+
+
+def test_fetch_expression_bounds_consume_or_fence(spark, tables):
+    """Newer-spec FetchRel offset_expr/count_expr (r12): literal forms
+    rebuild exactly (silently skipping them would DROP a LIMIT — wrong
+    rows, no error); dynamic expressions fence by name. Both wires."""
+    from tests.conftest import rows_set
+    from tests.test_emit import I64, STR, field, plan_of, read_rel
+
+    nat = read_rel("nation", ["n_nationkey", "n_name", "n_regionkey"],
+                   [I64, STR, I64])
+    sort = {"sort": {"input": nat, "sorts": [
+        {"expr": field(0), "direction": "SORT_DIRECTION_ASC_NULLS_LAST"}]}}
+    rel = {"fetch": {"common": {"direct": {}}, "input": sort,
+                     "offsetExpr": {"literal": {"i64": 5}},
+                     "countExpr": {"literal": {"i64": 7}}}}
+    plan = plan_of(rel, ["k", "n", "rk"])
+    got = from_substrait_plan(spark, plan)
+    want = spark.sql("SELECT n_nationkey AS k, n_name AS n, n_regionkey "
+                     "AS rk FROM nation ORDER BY n_nationkey "
+                     "LIMIT 7 OFFSET 5")
+    assert rows_set(got) == rows_set(want) and got.count() == 7
+
+    decoded = wire.decode_plan(wire.encode_plan(plan))
+    assert wire.canonical(decoded) == wire.canonical(plan)
+    assert rows_set(from_substrait_plan(spark, decoded)) == rows_set(want)
+
+    bad = copy.deepcopy(plan)
+    bad["relations"][0]["root"]["input"]["fetch"]["countExpr"] = field(0)
+    with pytest.raises(SubstraitError, match="count_expr"):
+        from_substrait_plan(spark, bad)

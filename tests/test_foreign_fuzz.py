@@ -152,11 +152,26 @@ class ForeignGen:
         where = ""
         ints = [i for i, k in enumerate(kinds) if k == "int"]
         if self.r.random() < 0.5:
+            # ReadRel.filter is expressed against the BASE schema, before
+            # any projection mask — build it first, over base ordinals
             p, psql = self.pred(ints, names)
             body["filter"] = p
             where = f" WHERE {psql}"
         uniq = names.index(uniq_col) if uniq_col else None
         fk = names.index(fk_col) if fk_col else None
+        if self.r.random() < 0.3:
+            # projection mask: picks base ordinals; the emit below then
+            # applies over the MASKED output — composing all three read
+            # features (filter → mask → emit) in one rel
+            keep = sorted({x for x in (uniq, fk) if x is not None}
+                          | {self.r.randrange(len(names))
+                             for _ in range(self.r.randint(1, 3))})
+            body["projection"] = {"select": {"structItems":
+                                             [{"field": j} for j in keep]}}
+            names = [names[j] for j in keep]
+            kinds = [kinds[j] for j in keep]
+            uniq = keep.index(uniq) if uniq in keep else None
+            fk = keep.index(fk) if fk in keep else None
         out = list(range(len(names)))
         if self.r.random() < 0.4:
             out = self.emit_of(len(names),

@@ -115,6 +115,20 @@ class _Consumer:
     def rel(self, rel: dict) -> DataFrame:
         kind = proto.rel_kind(rel)
         body = rel[kind]
+        # spec asymmetry (r11 for JoinRel, generalized r12 to every rel
+        # now that the wire decodes advanced_extension on all of them):
+        # optimization "can be ignored by a consumer", enhancement "MUST
+        # be understood or the plan is invalid" — this engine defines no
+        # enhancements, so any present one is a semantic requirement it
+        # cannot honor. Optimizations (e.g. the JoinRel strategy hints)
+        # are handled per-rel or legally ignored.
+        if isinstance(body, dict) and \
+                body.get("advancedExtension", {}).get("enhancement") \
+                is not None:
+            raise SubstraitError(
+                f"{kind} advanced_extension.enhancement is not understood "
+                "by this consumer (spec: enhancements alter semantics and "
+                "must not be ignored)")
         mapping = proto.emit_mapping(body)
         if mapping is None:
             return getattr(self, f"_rel_{kind}")(body)
@@ -625,15 +639,8 @@ class _Consumer:
         # r10: re-apply per-side strategy hints (Any-wrapped JoinHintInfo
         # in the spec advanced_extension slot) BEFORE aliasing, so the
         # rebuilt plan keeps the user's join-strategy decision
-        if body.get("advancedExtension", {}).get("enhancement") is not None:
-            # spec asymmetry (r11): optimization "can be ignored by a
-            # consumer", enhancement "MUST be understood or the plan is
-            # invalid" — this engine defines no enhancements, so any
-            # present one is a semantic requirement it cannot honor
-            raise SubstraitError(
-                "advanced_extension.enhancement is not understood by this "
-                "consumer (spec: enhancements alter semantics and must "
-                "not be ignored)")
+        # the enhancement fence runs generically in rel() (r12); only the
+        # optimization hints are join-specific
         for opt in body.get("advancedExtension", {}).get("optimization", []):
             if opt.get("@type", "").endswith("JoinHintInfo"):
                 for key, side in (("leftStrategy", "left"),

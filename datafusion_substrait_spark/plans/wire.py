@@ -237,6 +237,7 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "multiTarget": (7, "m:ExchMultiBucket"),
         "roundRobin": (8, "m:ExchRoundRobin"),
         "broadcast": (9, "m:ExchBroadcast"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     "ExchScatterFields": {"fields": (1, "m:FieldReference", "rep")},
     "ExchSingleBucket": {"expression": (1, "m:Expression")},
@@ -269,6 +270,7 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "virtualTable": (5, "m:VirtualTable"),
         "namedTable": (7, "m:NamedTable"),
         "bestEffortFilter": (11, "m:Expression"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     "NamedTable": {
         "names": (1, "str", "rep"),
@@ -299,12 +301,14 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "common": (1, "m:RelCommon"),
         "input": (2, "m:Rel"),
         "expressions": (3, "m:Expression", "rep"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     # algebra.proto FilterRel
     "FilterRel": {
         "common": (1, "m:RelCommon"),
         "input": (2, "m:Rel"),
         "condition": (3, "m:Expression"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     # algebra.proto FetchRel
     "FetchRel": {
@@ -317,12 +321,14 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         # wrong rows with no error (r12)
         "offsetExpr": (5, "m:Expression"),
         "countExpr": (6, "m:Expression"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     # algebra.proto SortRel
     "SortRel": {
         "common": (1, "m:RelCommon"),
         "input": (2, "m:Rel"),
         "sorts": (3, "m:SortField", "rep"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     # algebra.proto SortField
     "SortField": {
@@ -337,6 +343,7 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "groupings": (3, "m:AggGrouping", "rep"),
         "measures": (4, "m:AggMeasure", "rep"),
         "groupingExpressions": (5, "m:Expression", "rep"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     "AggGrouping": {
         "groupingExpressions": (1, "m:Expression", "rep"),
@@ -403,12 +410,14 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "common": (1, "m:RelCommon"),
         "left": (2, "m:Rel"),
         "right": (3, "m:Rel"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     # algebra.proto SetRel
     "SetRel": {
         "common": (1, "m:RelCommon"),
         "inputs": (2, "m:Rel", "rep"),
         "op": (3, "e:SetOp"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     # algebra.proto ConsistentPartitionWindowRel (+ WindowRelFunction).
     # WindowRelFunction keeps Expression.WindowFunction's field numbering
@@ -420,6 +429,7 @@ MESSAGES: dict[str, dict[str, tuple]] = {
         "windowFunctions": (3, "m:WindowRelFunction", "rep"),
         "partitionExpressions": (4, "m:Expression", "rep"),
         "sorts": (5, "m:SortField", "rep"),
+        "advancedExtension": (10, "m:AdvancedExtension"),
     },
     "WindowRelFunction": {
         "functionReference": (1, "u32"),

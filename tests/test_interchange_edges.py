@@ -1470,3 +1470,50 @@ def test_fetch_expression_bounds_consume_or_fence(spark, tables):
     bad["relations"][0]["root"]["input"]["fetch"]["countExpr"] = field(0)
     with pytest.raises(SubstraitError, match="count_expr"):
         from_substrait_plan(spark, bad)
+
+
+def test_enhancement_fence_covers_every_rel_kind(spark, tables):
+    """r12: the advanced_extension.enhancement fence generalizes from
+    JoinRel to every rel (the wire now decodes the slot on all of them;
+    before, a ReadRel enhancement was silently skipped as an unknown
+    tag). Optimizations stay legally ignorable."""
+    from tests.conftest import rows_set
+    from tests.test_emit import I64, STR, plan_of, read_rel
+
+    nat = read_rel("nation", ["n_nationkey", "n_name", "n_regionkey"],
+                   [I64, STR, I64])
+    import base64
+    # the opaque-Any form (how a foreign enhancement actually arrives off
+    # the wire: unregistered type URL + passthrough bytes)
+    enh = {"enhancement": {"@type": "type.example.com/some.Enhancement",
+                           "@opaqueValue": base64.b64encode(b"x").decode()}}
+
+    # read-level enhancement: named error, wire-roundtrippable
+    bad_read = copy.deepcopy(nat)
+    bad_read["read"]["advancedExtension"] = enh
+    plan = plan_of(bad_read, ["k", "n", "rk"])
+    with pytest.raises(SubstraitError, match="read advanced_extension"):
+        from_substrait_plan(spark, plan)
+    decoded = wire.decode_plan(wire.encode_plan(plan))
+    with pytest.raises(SubstraitError, match="enhancement"):
+        from_substrait_plan(spark, decoded)
+
+    # aggregate-level enhancement
+    agg = {"aggregate": {
+        "input": nat, "common": {"direct": {}},
+        "advancedExtension": copy.deepcopy(enh),
+        "groupings": [{"groupingExpressions": [
+            {"selection": {"directReference": {"structField": {"field": 2}},
+                           "rootReference": {}}}]}],
+        "measures": []}}
+    with pytest.raises(SubstraitError, match="aggregate advanced_extension"):
+        from_substrait_plan(spark, plan_of(agg, ["rk"]))
+
+    # an optimization Any on a read is spec-ignorable: plan still runs
+    ok = copy.deepcopy(nat)
+    ok["read"]["advancedExtension"] = {
+        "optimization": [{"@type": "type.example.com/some.Hint"}]}
+    got = from_substrait_plan(spark, plan_of(ok, ["k", "n", "rk"]))
+    want = spark.sql("SELECT n_nationkey AS k, n_name AS n, "
+                     "n_regionkey AS rk FROM nation")
+    assert rows_set(got) == rows_set(want)

@@ -229,7 +229,13 @@ class ForeignGen:
         combined_kinds = prev.kinds + d_kinds
         combined_sql = ([f"L.{prev.name(i)}" for i in range(n_l)]
                         + [f"R.{c}" for c in d_names])
-        how = self.pick(["JOIN_TYPE_INNER", "JOIN_TYPE_LEFT"])
+        # SINGLE consumes as a guarded LEFT (r12); on these FK joins every
+        # left row matches exactly one right row, so the guard never fires
+        # and DuckDB's oracle is the plain LEFT JOIN — the composition
+        # (guard + postJoinFilter + emit + downstream stages) is what's
+        # under test
+        how = self.pick(["JOIN_TYPE_INNER", "JOIN_TYPE_LEFT",
+                         "JOIN_TYPE_SINGLE"])
         body: dict = {
             "common": {"direct": {}},
             "left": prev.rel, "right": right,

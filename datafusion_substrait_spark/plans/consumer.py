@@ -366,10 +366,22 @@ class _Consumer:
             offset = _int_literal(
                 body["offsetExpr"],
                 "FetchRel.offset_expr (dynamic offsets not consumable)")
+            if offset < 0:
+                raise SubstraitError(
+                    f"FetchRel.offset_expr is negative ({offset}); the "
+                    "expression form has no sentinel values")
         if "countExpr" in body:
             count = _int_literal(
                 body["countExpr"],
                 "FetchRel.count_expr (dynamic counts not consumable)")
+            if count < 0:
+                # review catch r12: -1 would alias the deprecated field's
+                # NO_LIMIT sentinel (silently unlimited rows); other
+                # negatives would surface as a raw Spark limit() error
+                raise SubstraitError(
+                    f"FetchRel.count_expr is negative ({count}); the "
+                    "expression form has no sentinel values (omit "
+                    "count_expr for no limit)")
         if offset > 0:
             df = df.offset(offset)
         if count != proto.NO_LIMIT:
@@ -715,24 +727,41 @@ class _Consumer:
     @staticmethod
     def _single_join_guard(joined: DataFrame, n_left: int,
                            n_right: int) -> DataFrame:
-        """SINGLE-join multi-match guard: count joined rows per tagged
-        left row (one window shuffle on the unique ``__srow`` key — the
-        verification cost DuckDB pays inside its hash join) and wrap
-        EVERY right column in the same lazy ``assert_true`` pattern the
-        scalar-subquery guard uses, so a plan that keeps any right
-        column keeps the error. A left row with no match counts 1 (its
-        null-extended row) and passes — SINGLE null-extends like LEFT.
-        Output is the flat f0..fN combined space (``__srow`` dropped)."""
+        """SINGLE-join multi-match guard, in two layers over one window
+        shuffle on the unique ``__srow`` tag (the verification cost
+        DuckDB pays inside its hash join):
+
+        * **cardinality is structural** — a ``row_number() == 1`` filter
+          keeps exactly one output row per left row. A filter changes
+          the row set, so no downstream projection can optimize it away
+          (review catch r12: the assert alone lived in the right-column
+          expressions, and a plan that pruned every right column — e.g.
+          an emit keeping only left ordinals — silently kept duplicate
+          left rows);
+        * **the error is expressional** — every right column is wrapped
+          in the scalar-subquery ``assert_true`` pattern, raising when a
+          left row matched more than once. If a plan prunes all right
+          columns, the error degrades to the structural dedup above
+          (an arbitrary surviving match) — the same degradation the
+          scalar-subquery guard has, never a wrong row COUNT.
+
+        A left row with no match counts 1 (its null-extended row) and
+        passes — SINGLE null-extends like LEFT. Output is the flat
+        f0..fN combined space (``__srow`` dropped)."""
         from pyspark.sql.window import Window as W
 
+        part = W.partitionBy(F.col("__sl.__srow"))
         guard = F.assert_true(
-            F.count(F.lit(1)).over(W.partitionBy(F.col("__sl.__srow"))) <= 1,
+            F.count(F.lit(1)).over(part) <= 1,
             F.lit("single join matched more than one right row for a "
                   "left row"))
+        rn = F.row_number().over(part.orderBy(F.col("__sl.__srow")))
         return joined.select(
             *[F.col(f"__sl.f{i}").alias(f"f{i}") for i in range(n_left)],
             *[F.when(guard.isNull(), F.col(f"__sr.f{j}"))
-              .alias(f"f{n_left + j}") for j in range(n_right)])
+              .alias(f"f{n_left + j}") for j in range(n_right)],
+            rn.alias("__srn"),
+        ).filter(F.col("__srn") == 1).drop("__srn")
 
     def _rel_cross(self, body: dict) -> DataFrame:
         """CrossRel → ``DataFrame.crossJoin`` (r11). Foreign producers

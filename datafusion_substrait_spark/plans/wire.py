@@ -961,6 +961,10 @@ _POISON_FIELDS: dict[tuple[str, int], str] = {
         "Rel field 20 (DdlRel) is not consumable — DDL is out of scope "
         "for plan interchange here"
     ),
+    ("Rel", 23): (
+        "Rel field 23 (UpdateRel) is not consumable — mutations are out "
+        "of scope for plan interchange here"
+    ),
 }
 
 

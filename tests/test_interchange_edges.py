@@ -1517,3 +1517,38 @@ def test_enhancement_fence_covers_every_rel_kind(spark, tables):
     want = spark.sql("SELECT n_nationkey AS k, n_name AS n, "
                      "n_regionkey AS rk FROM nation")
     assert rows_set(got) == rows_set(want)
+
+
+def test_single_join_cardinality_survives_right_column_pruning(spark, tables):
+    """Review catch r12: a SINGLE join whose emit keeps only LEFT
+    ordinals lets Catalyst prune the assert-wrapped right columns — the
+    structural row_number filter must still keep exactly one output row
+    per left row (degrading the error to an arbitrary-pick, the
+    scalar-subquery precedent), never duplicate left rows."""
+    plan = _single_join_plan(flip=True)  # nation -> customers: 1:N
+    exp = plan["relations"][0]["root"]["input"]["join"]
+    exp["common"] = {"emit": {"outputMapping": [0, 1]}}  # left-only
+    plan["relations"][0]["root"]["names"] = ["k", "n"]
+    got = from_substrait_plan(spark, plan)
+    n_nation = spark.table("nation").count()
+    assert got.count() == n_nation  # one row per left row, no error path
+    assert got.select("k").distinct().count() == n_nation
+
+
+def test_fetch_expression_bounds_reject_negatives(spark, tables):
+    from tests.test_emit import I64, STR, plan_of, read_rel
+
+    nat = read_rel("nation", ["n_nationkey", "n_name", "n_regionkey"],
+                   [I64, STR, I64])
+    for key, val, pat in [("countExpr", -1, "count_expr is negative"),
+                          ("offsetExpr", -3, "offset_expr is negative")]:
+        rel = {"fetch": {"common": {"direct": {}}, "input": nat,
+                         key: {"literal": {"i64": val}}}}
+        with pytest.raises(SubstraitError, match=pat):
+            from_substrait_plan(spark, plan_of(rel, ["k", "n", "rk"]))
+
+
+def test_update_rel_tag_fails_loudly():
+    buf = wire._tag(23, wire._WT_LEN) + wire.encode_uvarint(0)
+    with pytest.raises(SubstraitError, match="UpdateRel"):
+        wire.decode_message("Rel", buf)

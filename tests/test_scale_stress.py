@@ -303,9 +303,7 @@ def test_ordered_array_agg_200k_closed_form(spark):
         "CAST((id * 2654435761) % 1000003 AS BIGINT) AS v",
     ).createOrReplaceTempView("ordered_stress")
 
-    def fld(i):
-        return {"selection": {"directReference": {"structField": {"field": i}},
-                              "rootReference": {}}}
+    from tests.test_emit import field as fld
 
     measure = {
         "functionReference": 1, "arguments": [{"value": fld(2)}],

@@ -750,12 +750,19 @@ class _Consumer:
         f0..fN combined space (``__srow`` dropped)."""
         from pyspark.sql.window import Window as W
 
-        part = W.partitionBy(F.col("__sl.__srow"))
+        # one spec for both functions (same partition AND order) so they
+        # plan into a SINGLE Window stage over one shuffle; the count
+        # takes an explicit full-partition frame (an ordered count would
+        # otherwise default to a running RANGE frame)
+        spec = W.partitionBy(F.col("__sl.__srow")) \
+            .orderBy(F.col("__sl.__srow"))
         guard = F.assert_true(
-            F.count(F.lit(1)).over(part) <= 1,
+            F.count(F.lit(1)).over(
+                spec.rowsBetween(W.unboundedPreceding,
+                                 W.unboundedFollowing)) <= 1,
             F.lit("single join matched more than one right row for a "
                   "left row"))
-        rn = F.row_number().over(part.orderBy(F.col("__sl.__srow")))
+        rn = F.row_number().over(spec)
         return joined.select(
             *[F.col(f"__sl.f{i}").alias(f"f{i}") for i in range(n_left)],
             *[F.when(guard.isNull(), F.col(f"__sr.f{j}"))

@@ -328,3 +328,70 @@ def test_emit_remap_keeps_pruning_and_read_filter_pushes(spark):
     assert "l_extendedprice" not in read_schema, \
         "emit remap blocked column pruning"
     assert "PushedFilters: [" in phys and "GreaterThan(l_quantity,30" in phys
+
+
+def test_ordered_agg_rebuild_is_single_shuffle_objhash(spark):
+    """The r12 ordered-aggregate rebuild must plan as ONE aggregation
+    (ObjectHashAggregate for collect_list) with a map-side partial
+    phase and no window/sort stage — the sort happens inside the
+    array_sort expression, not as a plan operator."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+    from tests.test_emit import I64, STR, field, plan_of, read_rel
+
+    rel = {"aggregate": {
+        "input": read_rel("orders",
+                          ["o_orderkey", "o_custkey", "o_orderstatus"],
+                          [I64, I64, STR]),
+        "groupings": [{"groupingExpressions": [field(2)]}],
+        "measures": [{"measure": {
+            "functionReference": 1, "arguments": [{"value": field(1)}],
+            "sorts": [{"expr": field(0),
+                       "direction": "SORT_DIRECTION_DESC_NULLS_LAST"}],
+            "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}}],
+    }}
+    out = from_substrait_plan(spark, plan_of(rel, ["g", "vs"],
+                                             {1: "array_agg"}))
+    plan = _phys(out)
+    assert "ObjectHashAggregate" in plan
+    assert "partial_collect_list" in plan, "map-side partial phase missing"
+    assert "Window" not in plan and "Sort" not in plan.replace(
+        "array_sort", ""), "ordered agg planned an extra sort/window stage"
+    assert plan.count("Exchange") == 1, "more than the one group-by shuffle"
+
+
+def test_interval_range_window_plan_shape(spark):
+    """The r12 interval-RANGE lowering must keep ONE Window stage with a
+    rangeBetween frame over the unix_date key — no extra Exchange beyond
+    the window partition shuffle, and the frame is a specifiedwindowframe
+    (RangeFrame) with integer bounds, not an interval comparison per row."""
+    out = roundtrip(spark.sql(
+        "SELECT o_custkey, count(*) OVER (PARTITION BY o_custkey "
+        "ORDER BY CAST(o_orderdate AS DATE) RANGE BETWEEN INTERVAL 30 DAY "
+        "PRECEDING AND CURRENT ROW) AS c FROM orders"))
+    plan = _phys(out)
+    assert plan.count("Window") == 1
+    assert "unix_date" in plan and "RangeFrame, -30" in plan
+    assert plan.count("Exchange") == 1, "extra shuffle beyond the window's"
+
+
+def test_single_join_guard_is_one_window_no_extra_shuffle(spark):
+    """The r12 SINGLE-join rebuild: broadcast (or one shuffle) for the
+    join itself plus ONE window shuffle on the per-row tag computing
+    both the structural row_number and the guard count — the two window
+    functions must share a single Window stage."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+    from tests.test_emit import I64, STR, field, plan_of, read_rel
+
+    cust = read_rel("customer", ["c_custkey", "c_nationkey"], [I64, I64])
+    nat = read_rel("nation", ["n_nationkey", "n_name"], [I64, STR])
+    rel = {"join": {"common": {"direct": {}}, "left": cust, "right": nat,
+                    "expression": {"scalarFunction": {
+                        "functionReference": 1,
+                        "arguments": [{"value": field(1)},
+                                      {"value": field(2)}]}},
+                    "type": "JOIN_TYPE_SINGLE"}}
+    out = from_substrait_plan(
+        spark, plan_of(rel, ["ck", "nk", "nk2", "nn"], {1: "equal"}))
+    plan = _phys(out)
+    assert plan.count("Window") == 1, "guard + row_number split into two windows"
+    assert "row_number" in plan and "count(1)" in plan

@@ -1054,7 +1054,25 @@ def _d7_incremental_dedup(spark, sf_dir):
     #     CODE (_banded_sigs/_hamming_expand), which the oracle replays
     #     with the same banding + star cap + bit_count verify as d3;
     #     metric = Hamming distance (≤ 8).
-    from datafusion_substrait_spark.operators import incremental
+    #   'phash' (r13) — the perceptual near-dup family under the driver
+    #     oracle (VERDICT r12 #1): REAL PNG encode → decode_image →
+    #     aHash (multimodal.image_phash) over class-keyed synthetic
+    #     payloads (attach_synthetic_image_payload with text = the
+    #     CAST(doc_id % 100 AS STRING) class label), then the SAME
+    #     dedup.hamming_pairs banding/verify the text legs pin. On the
+    #     constant-block synthetic PNGs the 8×8 aHash grid IS the
+    #     digest grid (block means exact in float32) and grid.mean() =
+    #     sum(digest)/32 exactly, so bit i = digest[i%32]*32 >
+    #     sum(digest) — closed-form in sha256(class), which DuckDB
+    #     replays byte-for-byte (verified: perceptual_hash == the
+    #     closed form on real decode). Same-class docs share a sig
+    #     (hamming 0, every band collides); cross-class survivors would
+    #     need band collision AND hamming ≤ 6 of independent digests —
+    #     the oracle applies the identical predicate either way. Max
+    #     bucket = class size (5 at sf0.01, 50 at sf0.1) ≪ the 500
+    #     star cap, so the uncapped oracle join is exact; metric =
+    #     Hamming distance (≤ 6).
+    from datafusion_substrait_spark.operators import incremental, multimodal
 
     _prep(spark, sf_dir)
     docs = spark.table("documents")
@@ -1070,12 +1088,21 @@ def _d7_incremental_dedup(spark, sf_dir):
     hm = incremental.hamming_pairs_increment(
         sigs.filter(F.col("doc_id") % 5 == 0), "d7_hamm_store",
         max_hamming=8)
+    imgs = multimodal.attach_synthetic_image_payload(
+        docs.withColumn("pcls", (F.col("doc_id") % 100).cast("string")),
+        text_col="pcls", key_col="doc_id")
+    psigs = multimodal.image_phash(imgs, kind="ahash")
+    ph = dedup.hamming_pairs(psigs, key_col="key", sig_col="phash",
+                             max_hamming=6)
     return (mh.select(F.lit("minhash").alias("leg"), "doc_a", "doc_b",
                       F.col("jaccard").cast("double").alias("metric"))
             .unionByName(hm.select(
                 F.lit("hamming").alias("leg"),
                 F.col("key_a").alias("doc_a"),
                 F.col("key_b").alias("doc_b"),
+                F.col("hamming").cast("double").alias("metric")))
+            .unionByName(ph.select(
+                F.lit("phash").alias("leg"), "doc_a", "doc_b",
                 F.col("hamming").cast("double").alias("metric"))))
 
 
@@ -2357,10 +2384,60 @@ ORACLES: dict[str, str] = {
             WHERE (s.n <= 500 OR a.doc_id = s.hub)
               AND bit_count(xor(a.sig, b.sig)) <= 8
               AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        ),
+        -- r13 phash leg: aHash over the class-keyed synthetic PNGs is
+        -- closed-form in sha256(class) — see _d7_incremental_dedup's
+        -- derivation comment. bit i = digest[i%32]*32 > sum(digest);
+        -- the HUGEINT fold wraps to Spark's signed LongType; band
+        -- collision = a zero 16-bit lane of the XOR (≡ _banded_sigs'
+        -- shiftrightunsigned/mask). Buckets ≤ class size ≪ the 500 star
+        -- cap, so the uncapped all-pairs join replays hamming_pairs.
+        pcls AS (
+            SELECT DISTINCT CAST(doc_id % 100 AS VARCHAR) AS cls
+            FROM documents
+        ),
+        pbyt AS (
+            SELECT cls, list_transform(range(0, 32), i ->
+                       CAST(concat('0x', substr(sha256(cls),
+                            CAST(i AS INT) * 2 + 1, 2)) AS INT)) AS bytes
+            FROM pcls
+        ),
+        psum AS (SELECT cls, bytes, list_sum(bytes) AS ssum FROM pbyt),
+        pah AS (
+            SELECT cls,
+                   CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                        THEN u - 18446744073709551616::HUGEINT
+                        ELSE u END AS BIGINT) AS phash
+            FROM (
+                SELECT cls, list_sum(list_transform(range(0, 64), i ->
+                           CASE WHEN bytes[CAST(i % 32 AS INT) + 1] * 32 > ssum
+                                THEN (1::HUGEINT << CAST(i AS INT))
+                                ELSE 0::HUGEINT END)) AS u
+                FROM psum
+            )
+        ),
+        psigs AS (
+            SELECT d.doc_id, p.phash
+            FROM documents d
+            JOIN pah p ON CAST(d.doc_id % 100 AS VARCHAR) = p.cls
+        ),
+        ph AS (
+            SELECT DISTINCT 'phash' AS leg,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS DOUBLE) AS metric
+            FROM psigs a
+            JOIN psigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+              AND ((xor(a.phash, b.phash)      ) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 16) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 32) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 48) & 65535 = 0)
         )
         SELECT leg, doc_a, doc_b, metric FROM mh
         UNION ALL
         SELECT leg, doc_a, doc_b, metric FROM hm
+        UNION ALL
+        SELECT leg, doc_a, doc_b, metric FROM ph
     """,
     # s2/d5: the random-hyperplane signature is integer arithmetic (Fibonacci
     # hash of (plane, dim), identical in BIGINT on both engines) plus one

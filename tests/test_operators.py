@@ -227,6 +227,32 @@ def test_perceptual_hash_against_independent_reference(spark):
         multimodal.perceptual_hash(png, "phash9000")
 
 
+def test_synthetic_payload_ahash_closed_form():
+    """The d7 phash-leg oracle contract: on attach_synthetic_image_payload's
+    constant-block PNGs, the REAL decode→ahash path equals the closed form
+    bit i = digest[i%32]*32 > sum(digest) (block means and grid.mean() are
+    exact in float32 — integer sums < 2^24, /64 and /32 are power-of-two
+    exact), so DuckDB can replay the signature from sha256(text) hex."""
+    import hashlib
+
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import multimodal
+
+    for text in ("0", "17", "99", "hello world", ""):
+        digest = hashlib.sha256(text.encode("utf-8")).digest()
+        grid = np.frombuffer(digest * 2, np.uint8).reshape(8, 8)
+        img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        png = multimodal._encode_gray_png(img.tobytes(), 64, 64)
+        s = sum(digest)
+        v = 0
+        for i in range(64):
+            if digest[i % 32] * 32 > s:
+                v |= 1 << i
+        want = v - (1 << 64) if v >= (1 << 63) else v
+        assert multimodal.perceptual_hash(png, "ahash") == want
+
+
 def test_image_neardup_pairs_finds_planted_copies(spark):
     """A noised re-encode of an image must pair with its original at
     small Hamming; an unrelated image must not; undecodable payloads get

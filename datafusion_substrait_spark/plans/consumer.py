@@ -841,20 +841,25 @@ class _Consumer:
                 # value-set forms rebuild exactly (r12): count(DISTINCT x)
                 # OVER w ≡ size(collect_set(x) OVER w) — collect_set
                 # drops nulls like count DISTINCT and respects the frame;
-                # DISTINCT is a no-op for min/max. sum/avg DISTINCT stay
-                # fenced: a fold over the set would change the result
-                # type (int sum → double), silently, per row.
+                # DISTINCT is a no-op for min/max. sum/avg fold the value
+                # set with an explicit accumulator cast to Spark's native
+                # sum result type (r13; was a fence — the cast closes the
+                # silent result-type drift the fence named).
                 if name == "count" and len(raw) == 1:
                     col = F.collect_set(self.rex(raw[0], resolver))
                     post = F.size
                 elif name in ("min", "max") and len(raw) == 1:
                     col = (F.min if name == "min" else F.max)(
                         self.rex(raw[0], resolver))
+                elif name in ("sum", "avg") and len(raw) == 1:
+                    arg = self.rex(raw[0], resolver)
+                    col = F.collect_set(arg)
+                    post = self._distinct_fold_post(name, df, arg)
                 else:
                     raise SubstraitError(
                         f"DISTINCT window aggregate {name!r} has no exact "
-                        "Spark rebuild (count/min/max rebuild via the "
-                        "frame's value set)")
+                        "Spark rebuild (count/min/max/sum/avg rebuild via "
+                        "the frame's value set)")
             elif name in self._RANKING_FNS:
                 col, framed = self._RANKING_FNS[name](), False
             elif name == "ntile":
@@ -885,6 +890,59 @@ class _Consumer:
                 over = post(over)
             outs.append(over.alias(f"f{n + j}"))
         return df.select("*", *outs)
+
+    @staticmethod
+    def _distinct_fold_post(name: str, df: DataFrame, arg: Column):
+        """sum/avg DISTINCT window rebuild (r13; was a translate-or-error
+        fence): ``sum(DISTINCT x) OVER w`` ≡ an ``aggregate`` fold over
+        ``collect_set(x) OVER w`` with the accumulator EXPLICITLY cast to
+        Spark's native sum result type (long for integral, double for fp,
+        decimal(min(38, p+10), s)) — the cast closes the silent
+        int-sum→double drift that justified the fence. Contracts matched
+        to the native aggregates: collect_set drops nulls (like
+        sum/avg DISTINCT), an empty/all-null frame folds from a NULL zero
+        to NULL (SQL aggregate-over-empty), overflow nulls via the
+        non-ANSI accumulator cast exactly where native decimal/long sum
+        nulls, and the set is array_sort-ed first so the fp fold order is
+        deterministic (stronger than native, whose partial-agg order is
+        not). avg divides by a LONG-cast set size so the decimal division
+        is type-identical to native Average's Divide(sum, count: long),
+        then casts to the native avg result type decimal(min(38, p+4),
+        min(38, s+4)); integral/fp avg divides the exact fold in double.
+        Non-numeric inputs (interval, string) keep a named fence."""
+        from pyspark.sql import types as T
+
+        dt = df.select(arg.alias("_t")).schema[0].dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            sum_t: T.DataType = T.LongType()
+            avg_t: T.DataType = T.DoubleType()
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            sum_t = avg_t = T.DoubleType()
+        elif isinstance(dt, T.DecimalType):
+            sum_t = T.DecimalType(min(38, dt.precision + 10), dt.scale)
+            avg_t = T.DecimalType(min(38, dt.precision + 4),
+                                  min(38, dt.scale + 4))
+        else:
+            raise SubstraitError(
+                f"DISTINCT window {name!r} over {dt.simpleString()} has "
+                "no exact Spark rebuild (numeric value-set folds only)")
+
+        def post(c: Column) -> Column:
+            folded = F.aggregate(
+                F.array_sort(c),
+                F.lit(None).cast(sum_t),
+                lambda a, x: (F.coalesce(a, F.lit(0).cast(sum_t))
+                              + x.cast(sum_t)).cast(sum_t))
+            if name == "sum":
+                return folded
+            if isinstance(avg_t, T.DecimalType):
+                # divide the FULL-precision sum (native divides sum by
+                # count and only then casts to the avg result type)
+                return (folded / F.size(c).cast("long")).cast(avg_t)
+            return folded.cast("double") / F.size(c)
+
+        return post
 
     def _rel_reference(self, body: dict) -> DataFrame:
         """ReferenceRel (spec §ReferenceRel; r12, consume-only): points at
@@ -1003,8 +1061,28 @@ class _Consumer:
                     )
                 return d[f"f{i}"]
 
-            cols = [self.rex({"selection": f}, resolver)
-                    for f in body["scatterByFields"].get("fields", [])]
+            cols = []
+            for f in body["scatterByFields"].get("fields", []):
+                if "expression" in f and "directReference" not in f:
+                    # expression-rooted FieldReference with no segment =
+                    # the computed scatter key itself (r13; was a fence —
+                    # the last structural fence a real foreign producer's
+                    # PARTITION BY <expr> write would hit). DataFrame
+                    # .repartition accepts arbitrary Columns, so the key
+                    # expression distributes directly — no trailing
+                    # projection/trim needed, and rows/ordinals still
+                    # pass through unchanged.
+                    cols.append(self.rex(f["expression"], resolver))
+                elif "expression" in f:
+                    # a segment INTO a computed expression's output needs
+                    # nested-struct navigation — same class as the
+                    # structField.child fence in rex()
+                    raise SubstraitError(
+                        "scatter field with both an expression root and a "
+                        "reference segment is not consumable"
+                    )
+                else:
+                    cols.append(self.rex({"selection": f}, resolver))
             if not cols:
                 # legitimately reachable: an empty repeated field has no
                 # wire presence, so {fields: []} decodes as {}

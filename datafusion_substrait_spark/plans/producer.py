@@ -566,33 +566,40 @@ class _Producer:
 
     def _rel_RepartitionByExpression(self, node, needed=None):
         """DISTRIBUTE BY / ``df.repartition(cols...)`` → ExchangeRel
-        scatter_by_fields. Only attribute-reference partition keys are
-        encodable (ScatterFields carries FieldReferences, per spec)."""
+        scatter_by_fields. Attribute-reference keys encode as plain
+        FieldReferences; computed keys (r13; was a fence) ride the
+        FieldReference ``expression`` root the spec defines for exactly
+        this — no trailing projection/trim round-trip needed.
+        ``repartitionByRange`` keeps a named fence: the spec's exchange
+        kinds have no range-distribution analogue."""
         exprs = _seq(node.partitionExpressions())
-        if any(_cls(e) != "AttributeReference" for e in exprs):
+        if any(_cls(e) == "SortOrder" for e in exprs):
             raise SubstraitError(
-                "repartition by a computed expression is not encodable: "
-                "ExchangeRel.ScatterFields carries field references only — "
-                "project the expression to a column first"
+                "repartitionByRange (range distribution) has no "
+                "ExchangeRel analogue in the spec's exchange kinds"
             )
         wanted = needed | _refs(node) if needed is not None else None
         crel, cids = self.rel(node.child(), wanted)
-        try:
-            ordinals = [cids.index(e.exprId().id()) for e in exprs]
-        except ValueError:
-            # translate-or-error contract: a partition key absent from the
-            # child ordinal space must surface as SubstraitError, not a
-            # bare ValueError (mirrors rex()'s AttributeReference handling)
-            # .toString() — str(e) on a py4j JavaObject is 'JavaObject
-            # id=oNNN', which names no column
-            missing = [e.toString() for e in exprs
-                       if e.exprId().id() not in cids]
-            raise SubstraitError(
-                f"repartition key(s) {missing} not found in child output"
-            ) from None
+        fields: list = []
+        for e in exprs:
+            if _cls(e) == "AttributeReference":
+                eid = e.exprId().id()
+                if eid not in cids:
+                    # translate-or-error contract: a partition key absent
+                    # from the child ordinal space must surface as
+                    # SubstraitError, not a bare ValueError (mirrors
+                    # rex()'s AttributeReference handling); .toString()
+                    # because str(e) on a py4j JavaObject names no column
+                    raise SubstraitError(
+                        f"repartition key {e.toString()} not found in "
+                        "child output"
+                    )
+                fields.append(cids.index(eid))
+            else:
+                fields.append(self.rex(e, cids))
         n = _opt(node.optNumPartitions())
         return proto.exchange_rel(crel, int(n) if n is not None else 0,
-                                  ordinals), cids
+                                  fields), cids
 
     def _rel_Sample(self, node, needed=None):
         """TABLESAMPLE / DataFrame.sample → ExtensionSingleRel SampleRel.

@@ -311,9 +311,13 @@ def exchange_rel(input_rel: dict, partition_count: int,
         "partitionCount": int(partition_count),
     }
     if scatter_field_ordinals is not None:
+        # each entry: an int child ordinal (plain column key) or an
+        # Expression dict (computed key, r13 — FieldReference's
+        # expression root carries it per spec, no trailing projection)
         body["scatterByFields"] = {
-            "fields": [field_ref(i)["selection"]
-                       for i in scatter_field_ordinals]
+            "fields": [field_ref(f)["selection"] if isinstance(f, int)
+                       else {"expression": f}
+                       for f in scatter_field_ordinals]
         }
     else:
         # Spark's round-robin repartition distributes exactly

@@ -1004,9 +1004,12 @@ def test_ordered_aggregate_sorts_is_fenced(spark):
 
 
 def test_distinct_window_aggregate_is_fenced(spark):
+    """DISTINCT window aggregates outside the value-set-rebuildable five
+    (count/min/max/sum/avg) keep the named fence — stddev over a
+    deduplicated frame has no exact Spark rebuild."""
     plan = to_substrait_plan(spark.sql(
-        "SELECT sum(o_totalprice) OVER (PARTITION BY o_orderstatus) AS s "
-        "FROM orders"))
+        "SELECT stddev_samp(o_totalprice) OVER (PARTITION BY "
+        "o_orderstatus) AS s FROM orders"))
     bad = copy.deepcopy(plan)
 
     def poison(node):
@@ -1069,6 +1072,92 @@ def test_distinct_window_count_rebuilds_via_collect_set(spark):
         got = from_substrait_plan(spark, bad)
         want = spark.sql(want_sql if want_sql else sql)
         assert rows_set(got) == rows_set(want), sql
+
+
+def _poison_distinct(plan):
+    bad = copy.deepcopy(plan)
+
+    def poison(node):
+        if isinstance(node, dict):
+            if "windowFunctions" in node:
+                node["windowFunctions"][0]["invocation"] = \
+                    "AGGREGATION_INVOCATION_DISTINCT"
+                return True
+            return any(poison(v) for v in node.values()
+                       if isinstance(v, (dict, list)))
+        if isinstance(node, list):
+            return any(poison(v) for v in node)
+        return False
+
+    assert poison(bad)
+    return bad
+
+
+def test_distinct_window_sum_avg_matches_native_groupby(spark):
+    """sum/avg DISTINCT window rebuild (r13): for a full-partition frame,
+    the fold over collect_set must equal Spark's NATIVE groupBy
+    sum(DISTINCT)/avg(DISTINCT) joined back — values AND result type
+    (long for integral sum, double for fp/integral avg, decimal(p+10,s)
+    / decimal(p+4,s+4) for decimal sum/avg)."""
+    from tests.conftest import rows_set
+
+    for fn, expr in [
+        ("sum", "o_custkey"),                              # integral
+        ("avg", "o_custkey"),
+        ("sum", "CAST(o_totalprice AS DECIMAL(12,2))"),    # exact decimal
+        ("avg", "CAST(o_totalprice AS DECIMAL(12,2))"),
+    ]:
+        plan = to_substrait_plan(spark.sql(
+            f"SELECT o_orderstatus, {fn}({expr}) OVER "
+            "(PARTITION BY o_orderstatus) AS d FROM orders"))
+        got = from_substrait_plan(spark, _poison_distinct(plan))
+        want = spark.sql(
+            f"SELECT o.o_orderstatus, g.d FROM orders o JOIN "
+            f"(SELECT o_orderstatus, {fn}(DISTINCT {expr}) AS d "
+            "FROM orders GROUP BY o_orderstatus) g "
+            "ON o.o_orderstatus = g.o_orderstatus")
+        assert got.schema["d"].dataType == want.schema["d"].dataType, \
+            (fn, expr, got.schema["d"].dataType, want.schema["d"].dataType)
+        assert rows_set(got) == rows_set(want), (fn, expr)
+
+
+def test_distinct_window_sum_avg_framed_matches_duckdb(spark):
+    """Framed sum/avg DISTINCT windows differentially vs DuckDB's NATIVE
+    DISTINCT window aggregates (which Spark lacks) — exact on integral
+    columns (long fold, and both engines divide the exact sum in IEEE
+    double for avg)."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM "
+                f"'{SF_DIR}/orders.parquet'")
+    for fn in ("sum", "avg"):
+        sql = (f"SELECT o_orderkey, {fn}({{d}}o_custkey % 7) OVER "
+               "(ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND "
+               "CURRENT ROW) AS d FROM orders WHERE o_orderkey < 600")
+        plan = to_substrait_plan(spark.sql(sql.format(d="")))
+        got = sorted(map(tuple, from_substrait_plan(
+            spark, _poison_distinct(plan)).collect()))
+        want = sorted(map(tuple,
+                          con.sql(sql.format(d="DISTINCT ")).fetchall()))
+        assert got == want, (fn, got[:3], want[:3])
+
+    # empty-frame / all-null set → NULL (SQL aggregate-over-empty)
+    plan = to_substrait_plan(spark.sql(
+        "SELECT o_orderkey, sum(CASE WHEN o_orderkey < 0 THEN o_custkey "
+        "END) OVER (PARTITION BY o_orderstatus) AS d "
+        "FROM orders WHERE o_orderkey < 300"))
+    got = from_substrait_plan(spark, _poison_distinct(plan))
+    assert all(r.d is None for r in got.collect()) and got.count() > 0
+
+    # non-numeric value set keeps a named fence (unit probe: no Substrait
+    # producer will type-check sum over a string, but a hostile wire can)
+    from datafusion_substrait_spark.plans.consumer import _Consumer
+    df = spark.table("orders").select(F.col("o_orderpriority").alias("f0"))
+    with pytest.raises(SubstraitError, match="no exact Spark rebuild"):
+        _Consumer._distinct_fold_post("sum", df, df["f0"])
 
 
 def test_comparison_function_sort_is_fenced(spark):

@@ -875,14 +875,75 @@ def test_repartition_by_column_roundtrip(spark):
     """)
 
 
-def test_repartition_by_expression_is_fenced(spark):
+def test_repartition_by_expression_roundtrip(spark):
+    """Computed-key scatter (r13; was a fence): the partition expression
+    rides FieldReference's ``expression`` root — produce, wire-roundtrip,
+    consume, and the rebuilt plan repartitions on the same key (rows and
+    ordinals pass through unchanged)."""
+    import json
+
     from pyspark.sql import functions as F
 
+    from datafusion_substrait_spark.plans import wire
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    df = (spark.table("orders").repartition(4, F.col("o_custkey") % 10)
+          .select("o_orderkey", "o_custkey"))
+    plan = to_substrait_plan(df)
+    # the computed key is an expression-rooted FieldReference on the wire
+    flat = json.dumps(plan)
+    assert '"expression"' in flat and '"scatterByFields"' in flat
+    wired = wire.decode_plan(wire.encode_plan(plan))
+    assert wire.canonical(wired) == wire.canonical(plan)
+    out = from_substrait_plan(spark, wired)
+    assert_same_result(df, out)
+    assert out.rdd.getNumPartitions() == 4
+
+    # mixed plain + computed keys, and the SQL surface
+    df2 = (spark.table("orders")
+           .repartition(F.col("o_orderstatus"), F.col("o_orderkey") % 7)
+           .select("o_orderkey", "o_orderstatus"))
+    assert_same_result(df2, roundtrip(df2))
+    check(spark, """
+        SELECT o_orderkey, o_custkey FROM orders
+        DISTRIBUTE BY o_custkey % 3
+    """)
+
+
+def test_repartition_by_range_is_fenced(spark):
     from datafusion_substrait_spark import SubstraitError
 
-    df = spark.table("orders").repartition(4, F.col("o_custkey") % 10)
-    with pytest.raises(SubstraitError, match="field references only"):
+    df = spark.table("orders").repartitionByRange(4, "o_custkey")
+    with pytest.raises(SubstraitError, match="range distribution"):
         to_substrait_plan(df)
+
+
+def test_scatter_expression_with_segment_is_fenced(spark):
+    """A hostile wire can attach BOTH an expression root and a reference
+    segment to a scatter FieldReference — navigation into a computed
+    struct has no rebuild; the consume must name the fence."""
+    from datafusion_substrait_spark import SubstraitError
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    plan = to_substrait_plan(
+        spark.table("orders").repartition(4, "o_custkey")
+        .select("o_orderkey", "o_custkey"))
+
+    def poison(node):
+        if isinstance(node, dict):
+            if "scatterByFields" in node:
+                f = node["scatterByFields"]["fields"][0]
+                f["expression"] = {"literal": {"i64": 1}}
+                return True
+            return any(poison(v) for v in node.values()
+                       if isinstance(v, (dict, list)))
+        if isinstance(node, list):
+            return any(poison(v) for v in node)
+        return False
+
+    assert poison(plan)
+    with pytest.raises(SubstraitError, match="expression root and a"):
+        from_substrait_plan(spark, plan)
 
 
 def test_integral_divide_boundaries(spark):

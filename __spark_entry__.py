@@ -1076,6 +1076,16 @@ def _d7_incremental_dedup(spark, sf_dir):
     #     bucket = class size (5 at sf0.01, 50 at sf0.1) ≪ the 500
     #     star cap, so the uncapped oracle join is exact; metric =
     #     Hamming distance (≤ 6).
+    #   'vphash' / 'aphash' (r13) — same contract for video and audio:
+    #     real AVI/MJPEG walk + baseline-JPEG decode + majority vote
+    #     (attach_synthetic_video_payload: 32/224 block patterns survive
+    #     the flat-q16 quantizer exactly, so aHash == the digest bit
+    #     mask (bit i = (digest[i%32] >> (i//32)) & 1), 0 in the
+    #     all-equal edge), and real WAV→PCM→rFFT fingerprints
+    #     (attach_synthetic_audio_payload: center-bin tones → bit
+    #     8i + digest[i]%8 per segment, exactly 8 bits). Audio buckets
+    #     can merge classes (a 16-bit audio band has only 64 possible
+    #     values), worst observed ~3 classes/bucket — still ≪ 500.
     from datafusion_substrait_spark.operators import incremental, multimodal
 
     _prep(spark, sf_dir)
@@ -1098,6 +1108,29 @@ def _d7_incremental_dedup(spark, sf_dir):
     psigs = multimodal.image_phash(imgs, kind="ahash")
     ph = dedup.hamming_pairs(psigs, key_col="key", sig_col="phash",
                              max_hamming=6)
+    # 'vphash' / 'aphash' (r13): the video and audio halves of the same
+    # contract — real AVI/MJPEG container walk + JPEG decode + majority
+    # vote, and real WAV→PCM→rFFT fingerprinting, over class-keyed
+    # synthetic payloads whose signatures are closed-form in
+    # sha256('v'|cls) / sha256('a'|cls) (derivations on the attach_
+    # synthetic_*_payload docstrings); identical banding/verify.
+    vids = multimodal.attach_synthetic_video_payload(
+        docs.withColumn("vcls",
+                        F.concat(F.lit("v"),
+                                 (F.col("doc_id") % 100).cast("string"))),
+        text_col="vcls", key_col="doc_id")
+    vsigs = multimodal.video_phash(vids, kind="ahash")
+    vph = dedup.hamming_pairs(vsigs, key_col="key", sig_col="phash",
+                              max_hamming=6)
+    from datafusion_substrait_spark.operators import audio
+    wavs = audio.attach_synthetic_audio_payload(
+        docs.withColumn("acls",
+                        F.concat(F.lit("a"),
+                                 (F.col("doc_id") % 100).cast("string"))),
+        text_col="acls", key_col="doc_id")
+    asigs = audio.audio_phash(wavs)
+    aph = dedup.hamming_pairs(asigs, key_col="key", sig_col="phash",
+                              max_hamming=6)
     return (mh.select(F.lit("minhash").alias("leg"), "doc_a", "doc_b",
                       F.col("jaccard").cast("double").alias("metric"))
             .unionByName(hm.select(
@@ -1107,6 +1140,12 @@ def _d7_incremental_dedup(spark, sf_dir):
                 F.col("hamming").cast("double").alias("metric")))
             .unionByName(ph.select(
                 F.lit("phash").alias("leg"), "doc_a", "doc_b",
+                F.col("hamming").cast("double").alias("metric")))
+            .unionByName(vph.select(
+                F.lit("vphash").alias("leg"), "doc_a", "doc_b",
+                F.col("hamming").cast("double").alias("metric")))
+            .unionByName(aph.select(
+                F.lit("aphash").alias("leg"), "doc_a", "doc_b",
                 F.col("hamming").cast("double").alias("metric"))))
 
 
@@ -2436,12 +2475,96 @@ ORACLES: dict[str, str] = {
                 OR (xor(a.phash, b.phash) >> 16) & 65535 = 0
                 OR (xor(a.phash, b.phash) >> 32) & 65535 = 0
                 OR (xor(a.phash, b.phash) >> 48) & 65535 = 0)
+        ),
+        -- r13 video leg: aHash of the 32/224 block-pattern MJPEG frames
+        -- == the digest bit mask (exact quantizer round-trip), 0 in the
+        -- all-equal edge; same banding/verify predicate
+        vbyt AS (
+            SELECT cls, list_transform(range(0, 32), i ->
+                       CAST(concat('0x', substr(sha256('v' || cls),
+                            CAST(i AS INT) * 2 + 1, 2)) AS INT)) AS bytes
+            FROM pcls
+        ),
+        vah AS (
+            SELECT cls,
+                   CAST(CASE
+                        WHEN u = 18446744073709551615::HUGEINT THEN 0
+                        WHEN u >= 9223372036854775808::HUGEINT
+                        THEN u - 18446744073709551616::HUGEINT
+                        ELSE u END AS BIGINT) AS phash
+            FROM (
+                SELECT cls, list_sum(list_transform(range(0, 64), i ->
+                           CASE WHEN (bytes[CAST(i % 32 AS INT) + 1]
+                                      >> CAST(i // 32 AS INT)) & 1 = 1
+                                THEN (1::HUGEINT << CAST(i AS INT))
+                                ELSE 0::HUGEINT END)) AS u
+                FROM vbyt
+            )
+        ),
+        vsigs AS (
+            SELECT d.doc_id, p.phash
+            FROM documents d
+            JOIN vah p ON CAST(d.doc_id % 100 AS VARCHAR) = p.cls
+        ),
+        vph AS (
+            SELECT DISTINCT 'vphash' AS leg,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS DOUBLE) AS metric
+            FROM vsigs a
+            JOIN vsigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+              AND ((xor(a.phash, b.phash)      ) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 16) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 32) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 48) & 65535 = 0)
+        ),
+        -- r13 audio leg: one center-bin tone per 128-sample segment →
+        -- fingerprint bit 8i + digest[i]%8, exactly 8 bits set
+        abyt AS (
+            SELECT cls, list_transform(range(0, 8), i ->
+                       CAST(concat('0x', substr(sha256('a' || cls),
+                            CAST(i AS INT) * 2 + 1, 2)) AS INT)) AS bytes
+            FROM pcls
+        ),
+        aah AS (
+            SELECT cls,
+                   CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                        THEN u - 18446744073709551616::HUGEINT
+                        ELSE u END AS BIGINT) AS phash
+            FROM (
+                SELECT cls, list_sum(list_transform(range(0, 8), i ->
+                           1::HUGEINT << CAST(i * 8
+                                + bytes[CAST(i AS INT) + 1] % 8 AS INT)))
+                       AS u
+                FROM abyt
+            )
+        ),
+        asigs AS (
+            SELECT d.doc_id, p.phash
+            FROM documents d
+            JOIN aah p ON CAST(d.doc_id % 100 AS VARCHAR) = p.cls
+        ),
+        aph AS (
+            SELECT DISTINCT 'aphash' AS leg,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS DOUBLE) AS metric
+            FROM asigs a
+            JOIN asigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+              AND ((xor(a.phash, b.phash)      ) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 16) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 32) & 65535 = 0
+                OR (xor(a.phash, b.phash) >> 48) & 65535 = 0)
         )
         SELECT leg, doc_a, doc_b, metric FROM mh
         UNION ALL
         SELECT leg, doc_a, doc_b, metric FROM hm
         UNION ALL
         SELECT leg, doc_a, doc_b, metric FROM ph
+        UNION ALL
+        SELECT leg, doc_a, doc_b, metric FROM vph
+        UNION ALL
+        SELECT leg, doc_a, doc_b, metric FROM aph
     """,
     # s2/d5: the random-hyperplane signature is integer arithmetic (Fibonacci
     # hash of (plane, dim), identical in BIGINT on both engines) plus one

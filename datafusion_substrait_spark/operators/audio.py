@@ -503,6 +503,55 @@ def audio_fingerprint(payload: bytes, n_time: int = 8, n_bands: int = 8,
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _encode_pcm16_wav(samples, rate: int = 8000) -> bytes:
+    """Minimal REAL 16-bit mono PCM WAV encoder (RIFF/WAVE, fmt + data)
+    for synthesizing decodable driver payloads — counterpart of
+    :func:`decode_wav`, kept independent of the decoder's internals."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_synthetic_audio_payload(df: DataFrame, text_col: str = "text",
+                                   key_col: str = "doc_id") -> DataFrame:
+    """DETERMINISTIC, driver-replayable AUDIO payloads: a real 1024-sample
+    16-bit mono WAV per row — segment i (128 samples) carries one
+    exact-bin tone at rFFT bin ``8·(digest[i] % 8) + 4`` of sha256(text),
+    the CENTER bin of spectral band ``digest[i] % 8``. Decoding runs the
+    REAL WAV→PCM→rFFT fingerprint stack (:func:`audio_fingerprint`)
+    while the output stays closed-form: an integer-cycle tone puts all
+    signal energy in its own band (quantization noise sits ~40 dB down
+    and spreads evenly, so only the tone band outranks the segment's
+    mean log-energy) — fingerprint bit ``8·i + digest[i] % 8`` set,
+    exactly 8 bits total, replayable by DuckDB from the digest hex."""
+    import numpy as np
+
+    t = np.arange(128)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(text) -> bytes:
+            digest = hashlib.sha256(str(text).encode("utf-8")).digest()
+            segs = [np.round(np.sin(2 * np.pi * (8 * (digest[i] % 8) + 4)
+                                    * t / 128) * 16384).astype(np.int64)
+                    for i in range(8)]
+            return _encode_pcm16_wav(np.concatenate(segs))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "payload": [build(x) for x in pdf[text_col]],
+            })
+
+    from datafusion_substrait_spark.operators.multimodal import \
+        BINARY_PAYLOAD_SCHEMA
+
+    return df.mapInPandas(run, BINARY_PAYLOAD_SCHEMA)
+
+
 AUDIO_PHASH_SCHEMA = "key bigint, phash bigint"
 
 

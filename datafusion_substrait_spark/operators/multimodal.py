@@ -438,6 +438,118 @@ def attach_synthetic_image_payload(df: DataFrame, text_col: str = "text",
     return df.mapInPandas(run, BINARY_PAYLOAD_SCHEMA)
 
 
+def _encode_const_block_jpeg(blocks, q: int = 16) -> bytes:
+    """Minimal REAL grayscale baseline JPEG (T.81) of a 64×64 image whose
+    8×8 block (r, c) is the constant byte ``blocks[r][c]`` — the video
+    counterpart of :func:`_encode_gray_png` for synthesizing decodable
+    driver payloads. A constant block's DCT is DC-only (F00 = 8·(v−128),
+    all AC zero), so the scan is one DC diff + EOB per block under flat
+    8-bit Huffman tables and a flat quantization table. Block values
+    with (v−128) divisible by q/8·2 (e.g. 32/224 at q=16) round-trip
+    EXACTLY: quantization round(8Δ/q) is lossless there and the IDCT of
+    a lone DC coefficient is a constant block."""
+    scan = bytearray()
+    acc = [0, 0]  # bit accumulator: value, count
+
+    def emit(val: int, n: int) -> None:
+        acc[0] = (acc[0] << n) | (val & ((1 << n) - 1))
+        acc[1] += n
+        while acc[1] >= 8:
+            b = (acc[0] >> (acc[1] - 8)) & 0xFF
+            scan.append(b)
+            if b == 0xFF:
+                scan.append(0)  # byte stuffing
+            acc[1] -= 8
+
+    pred = 0
+    for r in range(8):
+        for c in range(8):
+            dc = round(8 * (int(blocks[r][c]) - 128) / q)
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            emit(t, 8)  # flat DC table: code of category t is t, 8 bits
+            if t:
+                emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            emit(0, 8)  # flat AC table: EOB is the only symbol
+    if acc[1]:
+        emit((1 << (8 - acc[1])) - 1, 8 - acc[1])  # pad with 1s (F.1.2.3)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([q] * 64))
+            + seg(0xC0, bytes([8]) + struct.pack(">HH", 64, 64)
+                  + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes([0] * 7 + [12] + [0] * 8)
+                  + bytes(range(12)))
+            + seg(0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8)
+                  + bytes([0]))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bytes(scan) + b"\xff\xd9")
+
+
+def _mjpeg_avi_container(jpegs: list[bytes], w: int, h: int) -> bytes:
+    """Minimal REAL RIFF/AVI wrapper around Motion-JPEG frames (hdrl with
+    avih + strl{strh 'vids'/MJPG, strf BITMAPINFOHEADER}, then movi with
+    one 00dc chunk per frame, word-aligned) — the layout
+    :func:`avi_mjpeg_frames` walks."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    avih = (struct.pack("<I", 33333) + b"\x00" * 12
+            + struct.pack("<I", len(jpegs)) + b"\x00" * 12
+            + struct.pack("<II", w, h) + b"\x00" * 16)
+    strh = b"vids" + b"MJPG" + b"\x00" * 48
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_synthetic_video_payload(df: DataFrame, text_col: str = "text",
+                                   key_col: str = "doc_id",
+                                   n_frames: int = 3) -> DataFrame:
+    """DETERMINISTIC, driver-replayable VIDEO payloads: a real AVI/MJPEG
+    clip per row whose frames are 64×64 block-pattern baseline JPEGs —
+    block i (= 8·r + c, the aHash bit layout) is 224 when bit
+    ``(digest[i%32] >> (i//32)) & 1`` of sha256(text) is set, else 32.
+    Decoding exercises the REAL container walk (avi_mjpeg_frames) and
+    JPEG entropy/DCT stack while the aHash stays closed-form: 32/224
+    survive the flat-q16 quantizer exactly, the grid mean sits strictly
+    between them whenever both appear, so aHash == the digest bit mask
+    (0 in the measure-zero all-equal case — both engines replay the
+    CASE). All ``n_frames`` frames are identical, so video_phash's
+    majority vote equals the frame hash while still running the real
+    per-frame sample/decode/vote machinery."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def build(text) -> bytes:
+            digest = hashlib.sha256(str(text).encode("utf-8")).digest()
+            blocks = [[224 if (digest[(r * 8 + c) % 32] >> ((r * 8 + c) // 32)) & 1
+                       else 32 for c in range(8)] for r in range(8)]
+            jpg = _encode_const_block_jpeg(blocks)
+            return _mjpeg_avi_container([jpg] * n_frames, 64, 64)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "payload": [build(t) for t in pdf[text_col]],
+            })
+
+    return df.mapInPandas(run, BINARY_PAYLOAD_SCHEMA)
+
+
 def extract_image_metadata(df: DataFrame, payload_col: str = "payload",
                            key_col: str = "key",
                            decode_fn: Callable[[bytes], tuple[str, int, int]] | None = None,

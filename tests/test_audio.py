@@ -340,6 +340,31 @@ def test_audio_fingerprint_gain_invariance_and_discrimination():
     assert base != 0
 
 
+def test_synthetic_audio_payload_fingerprint_closed_form():
+    """The d7 aphash-leg oracle contract: on attach_synthetic_audio_payload's
+    tone-segment WAVs, the REAL WAV→PCM→rFFT fingerprint equals the
+    closed form (bit 8·i + digest[i] % 8 per segment, exactly 8 bits) —
+    an exact-bin center tone concentrates all signal energy in its own
+    spectral band; quantization noise stays ~40 dB below and spreads
+    evenly, so only the tone band outranks the segment mean."""
+    import hashlib
+
+    import numpy as np
+
+    from datafusion_substrait_spark.operators import audio
+
+    t = np.arange(128)
+    for text in ("a0", "a17", "a99", "hello", ""):
+        digest = hashlib.sha256(text.encode("utf-8")).digest()
+        segs = [np.round(np.sin(2 * np.pi * (8 * (digest[i] % 8) + 4)
+                                * t / 128) * 16384).astype(np.int64)
+                for i in range(8)]
+        wav = audio._encode_pcm16_wav(np.concatenate(segs))
+        v = sum(1 << (i * 8 + digest[i] % 8) for i in range(8))
+        want = v - (1 << 64) if v >= (1 << 63) else v
+        assert audio.audio_fingerprint(wav) == want, text
+
+
 def test_audio_neardup_pairs_planted(spark):
     """Re-leveled + noised copies pair with the original at small
     Hamming; the different-spectrum clip and junk payloads never pair;

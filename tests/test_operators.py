@@ -253,6 +253,33 @@ def test_synthetic_payload_ahash_closed_form():
         assert multimodal.perceptual_hash(png, "ahash") == want
 
 
+def test_synthetic_video_payload_ahash_closed_form():
+    """The d7 vphash-leg oracle contract: on attach_synthetic_video_payload's
+    block-pattern MJPEG frames, the REAL container walk + JPEG decode +
+    aHash equals the digest bit mask (bit i = (digest[i%32] >> (i//32)) & 1;
+    0 when all blocks are equal) — 32/224 survive the flat-q16 quantizer
+    exactly and the grid mean sits strictly between them."""
+    import hashlib
+
+    from datafusion_substrait_spark.operators import multimodal
+
+    for text in ("v0", "v17", "v99", "hello", ""):
+        digest = hashlib.sha256(text.encode("utf-8")).digest()
+        bits = [(digest[i % 32] >> (i // 32)) & 1 for i in range(64)]
+        blocks = [[224 if bits[r * 8 + c] else 32 for c in range(8)]
+                  for r in range(8)]
+        jpg = multimodal._encode_const_block_jpeg(blocks)
+        avi = multimodal._mjpeg_avi_container([jpg] * 3, 64, 64)
+        frames = multimodal.avi_mjpeg_frames(avi)
+        assert frames == [jpg] * 3  # real container walk
+        if all(b == bits[0] for b in bits):
+            want = 0
+        else:
+            v = sum(1 << i for i in range(64) if bits[i])
+            want = v - (1 << 64) if v >= (1 << 63) else v
+        assert multimodal.perceptual_hash(jpg, "ahash") == want, text
+
+
 def test_image_neardup_pairs_finds_planted_copies(spark):
     """A noised re-encode of an image must pair with its original at
     small Hamming; an unrelated image must not; undecodable payloads get

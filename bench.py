@@ -75,12 +75,12 @@ BUDGETS: dict[str, float] = {
     "q08_join3": 0.94,
     "q09_outer_joins": 0.72,
     "q20_top_revenue": 1.33,
-    # r12 re-derived (same formula, best-of-3 0.59s idle): the query
-    # gained the two interval-RANGE legs (count + sum over ORDER BY
-    # CAST(o_orderdate AS DATE) RANGE INTERVAL 30 DAY PRECEDING — a
-    # second window node with the unix_date-lowered frame); workload
-    # change, not drift
-    "q24_window": 0.89,
+    # r13 re-derived (same formula, best-of-3 1.02s idle at loadavg 1.3):
+    # the query gained the sum/avg-DISTINCT window foreign leg (a second
+    # window node whose DISTINCT measures rebuild as array_sort+aggregate
+    # folds over collect_set frames); workload change, not drift.
+    # History: r12 0.89 (interval-RANGE legs, best-of-3 0.59 idle)
+    "q24_window": 1.53,
     # r10: the lambda surface gets a benched plan (transform-fed explode +
     # filter/size + aggregate fold; best-of-3 0.62s idle). r11 re-derived
     # (same formula, new best-of-3 1.12s idle): the query gained two

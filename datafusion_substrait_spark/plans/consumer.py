@@ -1118,9 +1118,15 @@ class _Consumer:
                     "round-robin exchange requires an explicit partitionCount"
                 )
             return df.repartition(n)
+        if "broadcast" in body:
+            # replicate-to-every-partition (r13; was fenced): exactly
+            # Spark's broadcast hint — rows/ordinals unchanged, the
+            # planner replicates the relation for the next join
+            return F.broadcast(df)
         raise SubstraitError(
-            "unsupported exchange kind (scatterByFields/roundRobin only; "
-            "broadcast/single/multi-target have no DataFrame equivalent)"
+            "unsupported exchange kind (scatterByFields/roundRobin/"
+            "broadcast only; single/multi-bucket per-row routing has no "
+            "DataFrame equivalent)"
         )
 
     def _rel_extensionLeaf(self, body: dict) -> DataFrame:

@@ -910,6 +910,52 @@ def test_repartition_by_expression_roundtrip(spark):
     """)
 
 
+def test_broadcast_exchange_consumes_as_broadcast_hint(spark):
+    """ExchangeRel.broadcast (r13; was fenced): replicate-to-every-
+    partition is exactly Spark's broadcast hint — the consumed plan keeps
+    the rows AND the physical join strategy becomes BroadcastHashJoin
+    even below the autoBroadcast threshold's reach."""
+    from datafusion_substrait_spark.plans import wire
+    from datafusion_substrait_spark.plans.consumer import from_substrait_plan
+    from tests.conftest import rows_set
+
+    nat = {"read": {"common": {"direct": {}},
+                    "baseSchema": {"names": ["n_nationkey", "n_name",
+                                             "n_regionkey"]},
+                    "namedTable": {"names": ["nation"]}}}
+    cust = {"read": {"common": {"direct": {}},
+                     "baseSchema": {"names": ["c_custkey", "c_name",
+                                              "c_nationkey"]},
+                     "namedTable": {"names": ["customer"]}}}
+    fld = lambda i: {"selection": {  # noqa: E731
+        "directReference": {"structField": {"field": i}},
+        "rootReference": {}}}
+    plan = {
+        "relations": [{"root": {"input": {"join": {
+            "common": {"direct": {}},
+            "left": cust,
+            "right": {"exchange": {"common": {"direct": {}},
+                                   "input": nat,
+                                   "broadcast": {}}},
+            "expression": {"scalarFunction": {
+                "functionReference": 1,
+                "arguments": [{"value": fld(2)}, {"value": fld(3)}]}},
+            "type": "JOIN_TYPE_INNER",
+        }}, "names": [f"c{i}" for i in range(6)]}}],
+        "extensions": [{"extensionFunction":
+                        {"functionAnchor": 1, "name": "equal"}}],
+    }
+    wired = wire.decode_plan(wire.encode_plan(plan))
+    assert wire.canonical(wired) == wire.canonical(plan)
+    got = from_substrait_plan(spark, wired)
+    want = spark.sql("SELECT c_custkey, c_name, c_nationkey, n_nationkey, "
+                     "n_name, n_regionkey FROM customer JOIN nation "
+                     "ON c_nationkey = n_nationkey")
+    assert rows_set(got) == rows_set(want)
+    phys = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys, phys[:500]
+
+
 def test_repartition_by_range_is_fenced(spark):
     from datafusion_substrait_spark import SubstraitError
 

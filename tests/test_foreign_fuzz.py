@@ -334,18 +334,23 @@ class ForeignGen:
         """ExchangeRel scatter (r13 fuzz stage): pure redistribution —
         rows, ordinals, and the SQL all pass through unchanged; the
         scatter key is a plain column OR a computed expression riding
-        FieldReference's expression root (the r13 consume conversion).
+        FieldReference's expression root (the r13 consume conversion),
+        or the whole exchange is a broadcast (the r13 hint rebuild).
         Keeps prev's stage number so downstream SQL aliases still bind."""
         ints = [i for i, k in enumerate(prev.kinds) if k == "int"]
         names = [prev.name(i) for i in range(prev.n_cols)]
-        if self.r.random() < 0.6:
-            e, _ = self.int_expr(ints, names)
-            fref: dict = {"expression": e}
+        body: dict = {"common": {"direct": {}}, "input": prev.rel}
+        roll = self.r.random()
+        if roll < 0.2:
+            body["broadcast"] = {}
         else:
-            fref = field(self.pick(ints))["selection"]
-        body = {"common": {"direct": {}}, "input": prev.rel,
-                "partitionCount": self.pick([0, 3, 5]),
-                "scatterByFields": {"fields": [fref]}}
+            if roll < 0.6:
+                e, _ = self.int_expr(ints, names)
+                fref: dict = {"expression": e}
+            else:
+                fref = field(self.pick(ints))["selection"]
+            body["partitionCount"] = self.pick([0, 3, 5])
+            body["scatterByFields"] = {"fields": [fref]}
         return Stage({"exchange": body}, prev.sql, prev.n_cols,
                      prev.kinds, prev.uniq, prev.fk, prev.n)
 

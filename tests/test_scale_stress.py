@@ -364,3 +364,58 @@ def test_ordered_array_agg_200k_closed_form(spark):
     print(f"ordered array_agg 200k rows x {n_groups} groups: "
           f"{elapsed:.2f}s, arrays of {len(keys_desc)}")
     spark.catalog.dropTempView("ordered_stress")
+
+
+def test_image_phash_10x_replication_closed_form_pairs(spark, tables):
+    """The r13 perceptual-hash family at 10× volume with an EXACT closed
+    form: class-keyed synthetic PNGs give every doc in class c the
+    signature ahash(sha256(str(c))) — computable in plain Python — so the
+    expected hamming_pairs output size is provable without any engine in
+    the loop: all within-class pairs (hamming 0) plus every cross-class
+    pair whose class signatures band-collide AND sit within the radius.
+    Pins that the banding/cap machinery holds its contract when buckets
+    grow 10× (50-member buckets at sf0.01×10, still under the 500 cap)."""
+    import hashlib
+
+    from datafusion_substrait_spark.operators import multimodal
+
+    docs = tables["documents"]
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select((F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+                "text")
+        .withColumn("pcls", (F.col("doc_id") % 100).cast("string"))
+    )
+
+    def ahash(cls: int) -> int:
+        d = hashlib.sha256(str(cls).encode()).digest()
+        s = sum(d)
+        v = 0
+        for i in range(64):
+            if d[i % 32] * 32 > s:
+                v |= 1 << i
+        return v  # unsigned is fine: hamming/banding are wrap-invariant
+
+    sizes = {c: 0 for c in range(100)}
+    for i in range(n_docs * 10):
+        sizes[i % 100] += 1
+    sig = {c: ahash(c) for c in range(100)}
+    expected = sum(sz * (sz - 1) // 2 for sz in sizes.values())
+    for a in range(100):
+        for b in range(a + 1, 100):
+            x = sig[a] ^ sig[b]
+            if bin(x).count("1") <= 6 and any(
+                    (x >> (16 * j)) & 0xFFFF == 0 for j in range(4)):
+                expected += sizes[a] * sizes[b]
+
+    t0 = time.perf_counter()
+    imgs = multimodal.attach_synthetic_image_payload(
+        docs10, text_col="pcls", key_col="doc_id")
+    sigs = multimodal.image_phash(imgs, kind="ahash")
+    got = dedup.hamming_pairs(sigs, key_col="key", sig_col="phash",
+                              max_hamming=6).count()
+    print(f"\nimage phash 10x: {time.perf_counter()-t0:.1f}s, "
+          f"{got} pairs (expected {expected})")
+    assert got == expected

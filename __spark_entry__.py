@@ -193,14 +193,13 @@ def _q24_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     leg_a = roundtrip(spark.sql(_SQL["q24_window"]))
     unb = {"unbounded": {}}
-    def wf(ref, lo=None, hi=None, sorts=False):
-        w = {"functionReference": ref,
-             "arguments": [{"value": _fld(1)}],
-             "invocation": "AGGREGATION_INVOCATION_DISTINCT",
-             "lowerBound": lo or unb, "upperBound": hi or unb,
-             "boundsType": "BOUNDS_TYPE_ROWS",
-             "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
-        return w
+    def wf(ref, lo=None, hi=None):
+        return {"functionReference": ref,
+                "arguments": [{"value": _fld(1)}],
+                "invocation": "AGGREGATION_INVOCATION_DISTINCT",
+                "lowerBound": lo or unb, "upperBound": hi or unb,
+                "boundsType": "BOUNDS_TYPE_ROWS",
+                "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}
     plan = {
         "relations": [{"root": {"input": {"window": {
             "common": {"direct": {}},

@@ -854,7 +854,10 @@ class _Consumer:
                 # silent result-type drift the fence named).
                 if name == "count" and len(raw) == 1:
                     col = F.collect_set(self.rex(raw[0], resolver))
-                    post = F.size
+                    # cast to count's native LongType (review catch r13:
+                    # F.size returns int32 — the same result-type drift
+                    # the sum/avg fold closes with its accumulator cast)
+                    post = lambda c: F.size(c).cast("long")  # noqa: E731
                 elif name in ("min", "max") and len(raw) == 1:
                     col = (F.min if name == "min" else F.max)(
                         self.rex(raw[0], resolver))
@@ -907,10 +910,12 @@ class _Consumer:
         decimal(min(38, p+10), s)) — the cast closes the silent
         int-sum→double drift that justified the fence. Contracts matched
         to the native aggregates: collect_set drops nulls (like
-        sum/avg DISTINCT), an empty/all-null frame folds from a NULL zero
-        to NULL (SQL aggregate-over-empty), overflow nulls via the
-        non-ANSI accumulator cast exactly where native decimal/long sum
-        nulls, and the set is array_sort-ed first so the fp fold order is
+        sum/avg DISTINCT), an empty/all-null frame yields NULL via a
+        size guard (SQL aggregate-over-empty), a decimal overflow nulls
+        the accumulator via the non-ANSI cast and STAYS null through the
+        rest of the fold (plain null-propagating add from a non-null
+        zero) exactly where native decimal sum nulls, and the set is
+        array_sort-ed first so the fp fold order is
         deterministic (stronger than native, whose partial-agg order is
         not). avg divides by a LONG-cast set size so the decimal division
         is type-identical to native Average's Divide(sum, count: long),
@@ -936,11 +941,19 @@ class _Consumer:
                 "no exact Spark rebuild (numeric value-set folds only)")
 
         def post(c: Column) -> Column:
-            folded = F.aggregate(
-                F.array_sort(c),
-                F.lit(None).cast(sum_t),
-                lambda a, x: (F.coalesce(a, F.lit(0).cast(sum_t))
-                              + x.cast(sum_t)).cast(sum_t))
+            # a non-null zero with a plain null-propagating add keeps a
+            # decimal-overflow NULL STICKY through the rest of the fold
+            # (review catch r13: folding from a NULL zero with
+            # coalesce(a, 0) could not tell the overflow NULL from the
+            # initial one and silently restarted the sum at 0 where
+            # native sum returns NULL); the empty/all-null frame takes
+            # its SQL NULL from the size guard instead
+            folded = F.when(
+                F.size(c) > 0,
+                F.aggregate(
+                    F.array_sort(c),
+                    F.lit(0).cast(sum_t),
+                    lambda a, x: (a + x.cast(sum_t)).cast(sum_t)))
             if name == "sum":
                 return folded
             if isinstance(avg_t, T.DecimalType):
@@ -1034,17 +1047,21 @@ class _Consumer:
                         "consistentField")
                 cols.append(self.rex(e, resolver).alias(f"f{j}"))
             branches.append(df.select(*cols))
+        from pyspark.errors import AnalysisException
+
         out = branches[0]
         for d, b in enumerate(branches[1:], start=1):
             try:
                 out = out.unionAll(b)
-            except Exception as exc:  # AnalysisException
+            except AnalysisException as exc:
                 # ADVICE r12: switching duplicates whose expressions
                 # disagree INCOMPATIBLY on type across branches would
                 # otherwise surface as a raw Spark union
                 # AnalysisException with no Substrait context. Legal
                 # widenings (i32 null vs i64 key in grouping-set shapes)
-                # are Spark's own union coercions and pass through.
+                # are Spark's own union coercions and pass through;
+                # non-analysis failures (py4j bridge errors) keep their
+                # own exception rather than a misdiagnosed type fence.
                 t0 = [f.dataType.simpleString()
                       for f in branches[0].schema.fields]
                 td = [f.dataType.simpleString() for f in b.schema.fields]

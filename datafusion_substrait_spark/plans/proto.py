@@ -657,14 +657,14 @@ def root_of(p: dict) -> tuple[dict, list[str]]:
             f"plan must have exactly 1 ROOT relation tree, got {len(roots)}")
     if len(rels) == 1 and "rel" in rels[0]:
         return rels[0]["rel"], []
-    if rels and all("rel" in e for e in rels):
+    if rels:
+        # every entry passed the shape guard above and there is no root,
+        # so all remaining entries are bare `rel` subtrees
         raise SubstraitError(
             "plan has multiple relation trees but no root to consume")
-    if not rels:
-        # ADVICE r12: the generic entry-shape error is misleading when
-        # there are no entries at all
-        raise SubstraitError("plan has no relation trees")
-    raise SubstraitError("relation entry must be 'root' or 'rel'")
+    # ADVICE r12: the generic entry-shape error is misleading when there
+    # are no entries at all
+    raise SubstraitError("plan has no relation trees")
 
 
 def validate_plan(p: dict) -> None:

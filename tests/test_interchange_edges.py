@@ -1152,6 +1152,44 @@ def test_distinct_window_sum_avg_framed_matches_duckdb(spark):
     got = from_substrait_plan(spark, _poison_distinct(plan))
     assert all(r.d is None for r in got.collect()) and got.count() > 0
 
+    # decimal overflow mid-fold must STICK like native sum (review catch
+    # r13: a coalesce-style fold restarted at 0 after the overflow NULL,
+    # silently returning the post-overflow partial sum) — 6e37 + 7e37
+    # overflows decimal(38,0) at step 2, the 9e37 after it must not
+    # resurrect the accumulator. NULL-stickiness is the non-ANSI
+    # contract (under ANSI both native and the rebuild THROW — verified
+    # by this same query raising ArithmeticException when ANSI is on),
+    # so pin it with ANSI off explicitly.
+    from decimal import Decimal
+    spark.sql("""
+        SELECT * FROM VALUES
+          ('a', CAST('60000000000000000000000000000000000000' AS DECIMAL(38,0))),
+          ('a', CAST('70000000000000000000000000000000000000' AS DECIMAL(38,0))),
+          ('a', CAST('90000000000000000000000000000000000000' AS DECIMAL(38,0))),
+          ('b', CAST(5 AS DECIMAL(38,0)))
+        AS t(g, v)
+    """).createOrReplaceTempView("ovf_d38")
+    plan = to_substrait_plan(spark.sql(
+        "SELECT g, sum(v) OVER (PARTITION BY g) AS d FROM ovf_d38"))
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = {(r.g, r.d)
+               for r in from_substrait_plan(
+                   spark, _poison_distinct(plan)).collect()}
+        want = {(r.g, r.d) for r in spark.sql(
+            "SELECT t.g, x.d FROM ovf_d38 t JOIN (SELECT g, "
+            "sum(DISTINCT v) AS d FROM ovf_d38 GROUP BY g) x "
+            "ON t.g = x.g").collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    assert got == want and ("a", None) in got and \
+        ("b", Decimal(5)) in got, (got, want)
+    # and under the session's ANSI mode the rebuild throws like native
+    if ansi_was == "true":
+        with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+            from_substrait_plan(spark, _poison_distinct(plan)).collect()
+
     # non-numeric value set keeps a named fence (unit probe: no Substrait
     # producer will type-check sum over a string, but a hostile wire can)
     from datafusion_substrait_spark.plans.consumer import _Consumer

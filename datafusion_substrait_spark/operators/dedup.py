@@ -37,6 +37,8 @@ degenerate buckets. Portability isn't worth a broken sketch.)
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -820,11 +822,35 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
     # norms precomputed ONCE PER ROW before the self-join: cosine() at
     # pair level would re-fold both 64-dim norms per PAIR — 3× the
     # arithmetic on an O(cell²) row count (measured 7.5s → 4.5s at sf0.1)
-    with_norm = assigned.withColumn("_nrm", norm(F.col(vec_col)))
-    a, b = with_norm.alias("a"), with_norm.alias("b")
-    pair_cos = F.try_divide(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
-        F.col("a._nrm") * F.col("b._nrm"))
+    dim = len(centroids[0])
+    if dim <= 96:
+        # the pair dot is THE O(cell²) hot path, and the HOF fold
+        # (zip_with+aggregate) is CodegenFallback — interpreted per pair.
+        # Unpacking the vector to scalar columns ONCE PER ROW before the
+        # self-join turns it into flat whole-stage-codegen arithmetic
+        # (left-assoc v0·u0 + v1·u1 + …, the HOF's exact fp fold order —
+        # bit-identical drops; A/B at sf0.1: 4.41s → 2.51s best-of-3).
+        # Distinct from the dot_const lesson (that unrolled get(a,i)
+        # INSIDE the scan projection and fell out of codegen): here the
+        # extraction happens once per row, the pair expression sees only
+        # flat columns. Guarded to dim ≤ 96: past
+        # spark.sql.codegen.maxFields (default 100) the wide row would
+        # disable whole-stage codegen for the join stage and the HOF
+        # fold is the better plan again.
+        flat = assigned.select(
+            key_col, "cell", norm(F.col(vec_col)).alias("_nrm"),
+            *[F.col(vec_col)[i].cast("double").alias(f"_v{i}")
+              for i in range(dim)])
+        a, b = flat.alias("a"), flat.alias("b")
+        pair_dot = reduce(
+            lambda acc, i: acc + F.col(f"a._v{i}") * F.col(f"b._v{i}"),
+            range(1, dim),
+            F.col("a._v0") * F.col("b._v0"))
+    else:
+        flat = assigned.withColumn("_nrm", norm(F.col(vec_col)))
+        a, b = flat.alias("a"), flat.alias("b")
+        pair_dot = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    pair_cos = F.try_divide(pair_dot, F.col("a._nrm") * F.col("b._nrm"))
     drops = (
         a.join(F.broadcast(counts), "cell")
         .join(b, on=[F.col("a.cell") == F.col("b.cell"),

@@ -37,8 +37,6 @@ degenerate buckets. Portability isn't worth a broken sketch.)
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -826,26 +824,24 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
     if dim <= 96:
         # the pair dot is THE O(cell²) hot path, and the HOF fold
         # (zip_with+aggregate) is CodegenFallback — interpreted per pair.
-        # Unpacking the vector to scalar columns ONCE PER ROW before the
-        # self-join turns it into flat whole-stage-codegen arithmetic
+        # Unpacking the STORED vector to scalar columns ONCE PER ROW
+        # before the self-join turns it into flat codegen arithmetic
         # (left-assoc v0·u0 + v1·u1 + …, the HOF's exact fp fold order —
-        # bit-identical drops; A/B at sf0.1: 4.41s → 2.51s best-of-3).
-        # Distinct from the dot_const lesson (that unrolled get(a,i)
-        # INSIDE the scan projection and fell out of codegen): here the
-        # extraction happens once per row, the pair expression sees only
-        # flat columns. Guarded to dim ≤ 96: past
-        # spark.sql.codegen.maxFields (default 100) the wide row would
-        # disable whole-stage codegen for the join stage and the HOF
-        # fold is the better plan again.
-        flat = assigned.select(
-            key_col, "cell", norm(F.col(vec_col)).alias("_nrm"),
-            *[F.col(vec_col)[i].cast("double").alias(f"_v{i}")
-              for i in range(dim)])
+        # bit-identical drops; interleaved A/B at sf0.1: 4.44 → 2.80s).
+        # This is THE _flat_dot site — the self-join's pair count dwarfs
+        # the row count; see similarity.py's module docstring for the
+        # three measured boundaries where the fold stays. Guarded to
+        # dim ≤ 96: past spark.sql.codegen.maxFields (default 100) the
+        # wide row would disable whole-stage codegen for the join stage.
+        from datafusion_substrait_spark.operators.similarity import (
+            _flat_dot, _unpacked)
+
+        flat = _unpacked(
+            assigned, vec_col, "_v", dim,
+            [F.col(key_col), F.col("cell"),
+             norm(F.col(vec_col)).alias("_nrm")])
         a, b = flat.alias("a"), flat.alias("b")
-        pair_dot = reduce(
-            lambda acc, i: acc + F.col(f"a._v{i}") * F.col(f"b._v{i}"),
-            range(1, dim),
-            F.col("a._v0") * F.col("b._v0"))
+        pair_dot = _flat_dot("a._v", "b._v", dim)
     else:
         flat = assigned.withColumn("_nrm", norm(F.col(vec_col)))
         a, b = flat.alias("a"), flat.alias("b")

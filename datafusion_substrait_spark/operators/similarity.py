@@ -3,17 +3,36 @@
 Primitives (``dot``/``cosine``/``rh_signature``) are pure ``F.zip_with``/
 ``F.aggregate`` expressions — JVM-side, no Python in the hot path. They run
 *interpreted* (higher-order functions are outside whole-stage codegen), and
-that is a measured, deliberate choice: unlike the minhash-signature case
-(operators/dedup.py — where the HOF shape re-evaluated an expensive
-shingling subtree K times, 50× slowdown), the input here is an already-
-materialized array column, so there is no shared subtree for CSE to miss.
-Benchmarked on 200k × 64-dim vectors, 16 planes (scratch/bench_sig2.py):
-HOF fold 0.11 s vs 0.16 s for a fully-unrolled ``element_at`` chain (janino
-rejects the giant generated method → interpreted fallback of a much larger
-tree) vs 0.30 s for explode→measures (pays a per-vector shuffle). The HOF
-fold is also the only shape that stays a **zero-shuffle narrow map**, at
-~4–5 µs/vector/core — ~1 core-hour per billion vectors, never the term
-that dominates a 100 TB plan.
+that is a measured, deliberate choice FOR THE PER-VECTOR NARROW MAPS:
+unlike the minhash-signature case (operators/dedup.py — where the HOF
+shape re-evaluated an expensive shingling subtree K times, 50× slowdown),
+the input here is an already-materialized array column, so there is no
+shared subtree for CSE to miss. Benchmarked on 200k × 64-dim vectors, 16
+planes (scratch/bench_sig2.py): HOF fold 0.11 s vs 0.16 s for a
+fully-unrolled ``element_at`` chain (janino rejects the giant generated
+method → interpreted fallback of a much larger tree) vs 0.30 s for
+explode→measures (pays a per-vector shuffle). The HOF fold is also the
+only shape that stays a **zero-shuffle narrow map**, at ~4–5 µs/vector/
+core — ~1 core-hour per billion vectors, never the term that dominates a
+100 TB plan.
+
+The O(pairs) SCORING stages are the opposite trade (r13) — WHEN the
+vector is a plain stored column: there the dot runs once per candidate
+PAIR, not per vector, so the interpreted fold is the dominant term, and
+unpacking each side to scalar columns once per row and scoring with
+:func:`_flat_dot` wins (same fp fold order, bit-identical results;
+semdedup 4.41→2.51 s interleaved A/B at sf0.1). THREE measured
+boundaries keep the fold everywhere else: (a) per-term ``get(a, i)``
+INSIDE the scan projection lost the r8 A/B (codegen blew up);
+(b) unpacking a COMPUTED array column (the dequantize transform, the
+IVF e-side that rides with the 8-centroid assignment) re-evaluates the
+computing subtree per extracted element under projection collapse — the
+r13 attempt regressed s3 1.6→6.3 s before being reverted; (c) broadcast
+nested-loop scoring (brute_force_topk) emits only |queries|·|corpus|
+pairs off an unwidened scan — the 64 extra columns cost more than the
+fold saves (interleaved A/B 0.77 s HOF vs 1.60 s unpacked). _flat_dot
+is applied only to stored-column SELF-JOIN stages whose pair count
+dwarfs the row count (dedup.semdedup).
 
 Three search paths, same output contract (query_id, vec_id, cosine, rank):
 
@@ -39,6 +58,8 @@ of a query through ONE task's sort — fine at sf0.1, a scale-killer on a
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -83,6 +104,35 @@ def cosine(a: Column, b: Column) -> Column:
     every downstream ``cosine >= t`` filter / rank correctly excludes it;
     a direction-less vector matches nothing)."""
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+# past this width the unpacked rows cost more than the interpreted fold
+# saves (and approach spark.sql.codegen.maxFields, where whole-stage
+# codegen gives up on the stage)
+_FLAT_DOT_MAX_DIM = 96
+
+
+def _flat_dot(a_prefix: str, b_prefix: str, dim: int) -> Column:
+    """Σ aᵢ·bᵢ over pre-unpacked scalar columns, left-assoc — the HOF
+    fold's exact fp ORDER (bit-identical results), but flat codegen
+    arithmetic instead of zip_with+aggregate's CodegenFallback eval per
+    pair. Applied ONLY where it measured faster — see the module
+    docstring's three boundaries (semdedup 4.41→2.51s; computed-column
+    and broadcast-nested-loop sites keep the fold). Callers unpack each
+    side ONCE PER ROW before the join via :func:`_unpacked`."""
+    return reduce(
+        lambda acc, i: acc + F.col(f"{a_prefix}{i}") * F.col(f"{b_prefix}{i}"),
+        range(1, dim),
+        F.col(f"{a_prefix}0") * F.col(f"{b_prefix}0"))
+
+
+def _unpacked(df: DataFrame, vec_col: str, prefix: str, dim: int,
+              keep: list) -> DataFrame:
+    """Project ``keep`` plus the vector unpacked to ``{prefix}0..{dim-1}``
+    double columns (once per row, before the scoring join)."""
+    return df.select(*keep, *[
+        F.col(vec_col)[i].cast("double").alias(f"{prefix}{i}")
+        for i in range(dim)])
 
 
 def _plane_weight_py(plane: int, d: int) -> float:
@@ -152,7 +202,13 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """Exact cosine top-k per query. Output (query_id, vec_id, cosine, rank).
 
     ``broadcast(queries)`` keeps the corpus un-shuffled; ties broken by
-    vec_id so results are deterministic for the oracle.
+    vec_id so results are deterministic for the oracle. Deliberately the
+    HOF fold, not _flat_dot (r13 interleaved A/B: 0.77s HOF vs 1.60s
+    unpacked at sf0.1 — the broadcast-nested-loop emits only
+    |queries|·|corpus| pairs off an unwidened corpus scan, so the 64
+    extra double columns cost more than the fold; _flat_dot wins only
+    on self-join stages whose pair count dwarfs the row count, see
+    dedup.semdedup).
     """
     q = queries.select(
         F.col(query_key_col),
@@ -332,15 +388,20 @@ def _score_probed(e: DataFrame, q: DataFrame, vec_col: str, key_col: str,
                   query_key_col: str) -> DataFrame:
     """Join corpus cells to the broadcast probe rows and compute the 6dp
     cosine (same arithmetic as brute_force_topk). Shared scoring block for
-    both IVF paths."""
+    both IVF paths. Deliberately NOT routed through _flat_dot (r13
+    A/B: the e side's vec arrives alongside COMPUTED columns — the
+    8-centroid cell assignment — and the unpack regressed s3 1.6→6.3s:
+    projection collapse re-evaluates computed subtrees per extracted
+    element and the 67-field rows push the probe stage past codegen
+    limits; the HOF fold is the better plan on computed-column sides)."""
+    pair = dot(F.col("__qvec"), F.col(vec_col))
     return e.join(F.broadcast(q), on="__cell", how="inner").select(
         query_key_col,
         key_col,
         F.round(
             # try_divide: NULL (excluded downstream), not an ANSI abort,
             # when a zero-norm vector appears — see cosine()
-            F.try_divide(dot(F.col("__qvec"), F.col(vec_col)),
-                         F.col("__qnorm") * F.col("__enorm")),
+            F.try_divide(pair, F.col("__qnorm") * F.col("__enorm")),
             6,
         ).alias("cosine"),
     )
@@ -525,11 +586,14 @@ def brute_force_topk_quantized(quantized: DataFrame, queries: DataFrame,
         F.col(vec_col).alias("_qv"),
         norm(F.col(vec_col)).alias("_qnorm"),
     )
+    # NOT _flat_dot: _dv is a COMPUTED array (per-row dequantize) — the
+    # unpack re-evaluates the transform per extracted element under
+    # projection collapse (the r13 s3 regression); the fold reads it once
+    pair = dot(F.col("_qv"), F.col("_dv"))
     scored = deq.crossJoin(F.broadcast(q)).select(
         query_key_col, key_col,
         F.round(
-            F.try_divide(dot(F.col("_qv"), F.col("_dv")),
-                         F.col("_qnorm") * F.col("_dnorm")),
+            F.try_divide(pair, F.col("_qnorm") * F.col("_dnorm")),
             6,
         ).alias("cosine"),
     )

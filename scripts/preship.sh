@@ -24,17 +24,11 @@ echo "== preship 2/3: pytest =="
 python3 -m pytest tests/ -q
 
 echo "== preship 3/3: bench (strict: a budget violation FAILS preship) =="
-# settle gate (r13): the pytest phase leaves the 1m load at 2-3 for
-# several minutes, and the strict bench's budgets are derived on an
-# IDLE machine (BENCH_NOTES.md: start 1m load < ~2) — benching into the
-# residue fails the gate on noise, not regressions. Bounded wait.
-for _ in $(seq 1 60); do
-  load1="$(cut -d' ' -f1 /proc/loadavg)"
-  ok="$(python3 -c "print(1 if ${load1} < 1.5 else 0)")"
-  [ "$ok" = "1" ] && break
-  sleep 15
-done
-echo "preship bench settle: 1m load now ${load1}"
+# settle gate (r13→r14): bench.py now settle-waits ITSELF (bounded,
+# stamped — see bench.py _settle), so every run that produces a record
+# is protected, including the driver's; no shell-side loop needed. The
+# strict run below also appends the machine-readable quiet column to
+# BENCH_QUIET.jsonl (commit it with the snapshot).
 # r12 (judge directive 7): strict mode would have blocked r11's m1
 # violation from riding into the round record. If this trips on a loaded
 # machine, check BENCH_LOAD_START in stderr and BENCH_NOTES.md's quiet

@@ -764,21 +764,53 @@ def _t13_chunk(spark, sf_dir):
     # order_col AND as an output column, so the per-epoch shuffled
     # packing composition is value-checked end to end. pack LEFT JOIN
     # chunks keeps zero-token docs (they get a pack slot but no chunk).
+    #
+    # r14 shards leg (VERDICT r13 #4 — the egress family's driver row):
+    # write_training_shards MATERIALIZES the same pack to shard=N
+    # parquet dirs and the leg reads them BACK with the parquet
+    # _metadata.row_index, so the sh_* columns verify the real
+    # write→read-back path — sh_pos is each row's PHYSICAL position in
+    # its shard file (repartition("shard") gives every shard one
+    # writer task, hence one file, so row_index IS the concatenation
+    # position) and sh_bin_id/sh_bin_offset are the values as WRITTEN.
+    # The oracle replays sh_pos as the closed-form within-shard rank
+    # over (epoch_key, doc_id); a wrong file sort order or a dropped
+    # zero-token tie-break would permute sh_pos across doc_ids and
+    # hash-mismatch.
+    import os as _os
+
     from datafusion_substrait_spark.operators import packing
     from datafusion_substrait_spark.operators.sampling import _key_bytes
 
     _prep(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
     chunks = packing.chunk_documents(docs, chunk_tokens=40, stride=30)
+    keyed = docs.withColumn(
+        "epoch_key", F.md5(_key_bytes(F.col("doc_id"), "r9epoch")))
     packed = packing.pack_sequences(
-        docs.withColumn("epoch_key",
-                        F.md5(_key_bytes(F.col("doc_id"), "r9epoch"))),
-        max_tokens=512, n_shards=8, order_col="epoch_key")
+        keyed, max_tokens=512, n_shards=8, order_col="epoch_key")
+    # scratch/ is gitignored; the path is per-sf so the driver's sf0.01
+    # correctness pass and bench's sf0.1 runs never clobber each other.
+    # Overwrite-per-call keeps repeat runs (bench best-of-3) fresh, and
+    # the returned DataFrame reads the files lazily AFTER this call, so
+    # the write must stay on disk — no cleanup here by design.
+    shard_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "scratch",
+        f"t13_shards_{_os.path.basename(sf_dir.rstrip('/'))}")
+    packing.write_training_shards(keyed, shard_path, max_tokens=512,
+                                  n_shards=8, order_col="epoch_key")
+    readback = spark.read.parquet(shard_path).select(
+        "doc_id",
+        F.col("shard").cast("int").alias("sh_shard"),
+        F.col("bin_id").alias("sh_bin_id"),
+        F.col("bin_offset").alias("sh_bin_offset"),
+        F.col("_metadata.row_index").alias("sh_pos"))
     return (packed.select("doc_id",
                           F.col("n_tokens").alias("pk_tokens"),
                           "shard", "bin_id", "bin_offset",
                           F.md5(_key_bytes(F.col("doc_id"), "r9epoch"))
                           .alias("epoch_key"))
+            .join(readback, "doc_id")
             .join(chunks, "doc_id", "left"))
 
 
@@ -2743,10 +2775,24 @@ ORACLES: dict[str, str] = {
                    CAST(floor(start / 512) AS BIGINT) AS bin_id,
                    CAST(start % 512 AS BIGINT) AS bin_offset
             FROM pc
+        ), sh AS (
+            -- r14 shards leg: the Spark side READS the sh_* columns
+            -- back from the written shard=N parquet files (sh_pos =
+            -- _metadata.row_index); the oracle replays them closed-form
+            -- — position = within-shard rank in pack order, bin columns
+            -- identical to the pack assignment. Equality proves the
+            -- sink wrote every row, in concatenation order, with the
+            -- assignment it claimed.
+            SELECT doc_id, shard AS sh_shard,
+                   bin_id AS sh_bin_id, bin_offset AS sh_bin_offset,
+                   CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY epoch_key, doc_id) - 1 AS BIGINT) AS sh_pos
+            FROM pk
         )
         SELECT pk.doc_id, pk.pk_tokens, pk.shard, pk.bin_id, pk.bin_offset,
-               pk.epoch_key, ch.chunk_id, ch.n_tokens, ch.chunk_text
-        FROM pk LEFT JOIN ch USING (doc_id)
+               pk.epoch_key, sh.sh_shard, sh.sh_bin_id, sh.sh_bin_offset,
+               sh.sh_pos, ch.chunk_id, ch.n_tokens, ch.chunk_text
+        FROM pk JOIN sh USING (doc_id) LEFT JOIN ch USING (doc_id)
     """,
     # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid
     # because (a) d2's output is exact-verified Jaccard over LSH candidates,

@@ -153,3 +153,37 @@ def test_write_training_shards_order_col_zero_token_ties(spark, tmp_path):
                                   order_col="ord")
     got = [r.doc_id for r in spark.read.parquet(f"{path}/shard=0").collect()]
     assert got == [3, 2, 1]
+
+
+def test_write_training_shards_readback_row_index_is_pack_position(
+        spark, tmp_path):
+    """The t13 shards-leg contract (r14): each shard=N directory holds
+    exactly ONE parquet file (repartition("shard") gives every shard one
+    writer task), so the parquet ``_metadata.row_index`` read back IS the
+    document's position in pack_sequences' concatenation order — the
+    property that lets the driver oracle replay physical file order as a
+    closed-form within-shard rank."""
+    from pyspark.sql import Window
+
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, f"w {'t ' * (i % 9)}", (i * 37) % 40) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, ord int")
+    path = str(tmp_path / "shards_ri")
+    packing.write_training_shards(df, path, max_tokens=16, n_shards=4,
+                                  order_col="ord")
+    for d in sorted(os.listdir(path)):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, f"{d} has {len(files)} files"
+    rb = spark.read.parquet(path).select(
+        "doc_id", F.col("shard").cast("int").alias("shard"),
+        F.col("_metadata.row_index").alias("pos"))
+    packed = packing.pack_sequences(df, 16, n_shards=4, order_col="ord")
+    w = Window.partitionBy("shard").orderBy("_ord", "doc_id")
+    want = (df.select("doc_id", F.col("ord").alias("_ord"))
+            .join(packed.select("doc_id", "shard"), "doc_id")
+            .select("doc_id", "shard",
+                    (F.row_number().over(w) - 1).cast("bigint").alias("pos")))
+    assert rows_set(rb) == rows_set(want)

@@ -1745,3 +1745,27 @@ def test_update_rel_tag_fails_loudly():
     buf = wire._tag(23, wire._WT_LEN) + wire.encode_uvarint(0)
     with pytest.raises(SubstraitError, match="UpdateRel"):
         wire.decode_message("Rel", buf)
+
+
+def test_distinct_window_avg_integral_folds_in_double_past_int64(spark):
+    """Integral avg(DISTINCT) rebuild accumulates in DOUBLE like native
+    Average (r13 advisory): a distinct set whose sum exceeds int64 must
+    yield the same finite double as native avg(DISTINCT) — not a wrapped
+    long fold (non-ANSI) or an overflow throw (ANSI). Values are all
+    2^62 after the double cast, so the check is fold-order-insensitive."""
+    big = 1 << 62
+    spark.sql(f"""
+        SELECT * FROM VALUES
+          ('a', CAST({big} AS BIGINT)), ('a', CAST({big + 2} AS BIGINT)),
+          ('a', CAST({big + 4} AS BIGINT)), ('b', CAST(7 AS BIGINT))
+        AS t(g, v)
+    """).createOrReplaceTempView("ovf_i64")
+    plan = to_substrait_plan(spark.sql(
+        "SELECT g, avg(v) OVER (PARTITION BY g) AS d FROM ovf_i64"))
+    got = {(r.g, r.d) for r in from_substrait_plan(
+        spark, _poison_distinct(plan)).collect()}
+    want = {(r.g, r.d) for r in spark.sql(
+        "SELECT t.g, x.d FROM ovf_i64 t JOIN (SELECT g, avg(DISTINCT v)"
+        " AS d FROM ovf_i64 GROUP BY g) x ON t.g = x.g").collect()}
+    assert got == want, (got, want)
+    assert all(d is not None and d > 0 for _, d in got), got

@@ -2969,3 +2969,23 @@ def test_excise_duplicate_spans_matches_duckdb_replay(spark, tables):
     assert got == expect and len(got) > 0
     # clones exist in the corpus, so SOME excision must have happened
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_flat_dot_signed_zero_matches_hof_fold(spark):
+    """_flat_dot seeds its reduce with +0.0 (r13 advisory): an
+    all-(-0.0)-terms dot must yield +0.0 exactly like the HOF fold's
+    zero-seeded aggregate, so the two dot implementations stay
+    bit-identical with no exception."""
+    from datafusion_substrait_spark.operators.similarity import (
+        _flat_dot, _unpacked, dot)
+
+    df = spark.createDataFrame(
+        [(1, [-0.0, 0.0, -0.0], [0.0, -0.0, 0.0])],
+        "k bigint, a array<double>, b array<double>")
+    flat = _unpacked(_unpacked(df, "a", "a", 3, ["k", "b"]),
+                     "b", "b", 3, ["k", "a0", "a1", "a2"])
+    got = flat.select(_flat_dot("a", "b", 3).alias("d")).collect()[0].d
+    want = df.select(dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    # both +0.0: equal AND same sign bit (copysign distinguishes -0.0)
+    assert got == want == 0.0
+    assert math.copysign(1.0, got) == math.copysign(1.0, want) == 1.0

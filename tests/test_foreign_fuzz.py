@@ -431,6 +431,50 @@ class ForeignGen:
         return Stage({"aggregate": body}, sql, 3,
                      [prev.kinds[g], "arr", "int"], None, None, n)
 
+    def sort_fetch_stage(self, prev: Stage) -> Stage:
+        """SortRel + FetchRel (r14 fuzz stage): a TOTAL-order sort — an
+        optional non-unique leading key in one of the four null
+        directions, the unique key as the final tie-break — under a
+        FetchRel whose offset/count ride the deprecated int fields OR
+        the r12 expression-bounds form (offset_expr/count_expr literal
+        i64), so both consume paths fuzz. Total order makes the fetched
+        row SET deterministic, so the sorted-rows compare stays exact
+        (TPC-H sort columns are non-null, but the null-direction wire
+        enums still roundtrip). Transparent to ordinals; keeps prev's
+        stage number so downstream SQL aliases still bind."""
+        names = [prev.name(i) for i in range(prev.n_cols)]
+        ints = [i for i, k in enumerate(prev.kinds) if k == "int"]
+        dirs = [("SORT_DIRECTION_ASC_NULLS_FIRST", "ASC NULLS FIRST"),
+                ("SORT_DIRECTION_ASC_NULLS_LAST", "ASC NULLS LAST"),
+                ("SORT_DIRECTION_DESC_NULLS_FIRST", "DESC NULLS FIRST"),
+                ("SORT_DIRECTION_DESC_NULLS_LAST", "DESC NULLS LAST")]
+        sorts, keys_sql = [], []
+        if ints and self.r.random() < 0.6:
+            lead = self.pick(ints)
+            d, dsql = self.pick(dirs)
+            sorts.append({"expr": field(lead), "direction": d})
+            keys_sql.append(f"{names[lead]} {dsql}")
+        d, dsql = self.pick(dirs)
+        sorts.append({"expr": field(prev.uniq), "direction": d})
+        keys_sql.append(f"{names[prev.uniq]} {dsql}")
+        sorted_rel = {"sort": {"common": {"direct": {}},
+                               "input": prev.rel, "sorts": sorts}}
+        count = self.r.randint(1, 60)
+        offset = self.pick([0, 0, self.r.randint(1, 15)])
+        fetch: dict = {"common": {"direct": {}}, "input": sorted_rel}
+        if self.r.random() < 0.5:
+            fetch["countExpr"] = lit(count)
+            if offset:
+                fetch["offsetExpr"] = lit(offset)
+        else:
+            fetch["count"] = count
+            if offset:
+                fetch["offset"] = offset
+        sql = (f"SELECT * FROM ({prev.sql}) AS sf{prev.n} ORDER BY "
+               f"{', '.join(keys_sql)} LIMIT {count} OFFSET {offset}")
+        return Stage({"fetch": fetch}, sql, prev.n_cols, prev.kinds,
+                     prev.uniq, prev.fk, prev.n)
+
     # --- a whole seed ------------------------------------------------------
 
     def build(self) -> tuple[dict, str]:
@@ -454,12 +498,18 @@ class ForeignGen:
             n += 1
         if self.r.random() < 0.2:
             st = self.exchange_stage(st)
+        if self.r.random() < 0.25 and st.uniq is not None:
+            # sort+fetch UNDER the aggregate: GROUP BY over a
+            # deterministically LIMITed subquery
+            st = self.sort_fetch_stage(st)
         if self.r.random() < 0.6 and st.uniq is not None:
             st = self.agg_stage(n, st)
             n += 1
         if self.r.random() < 0.3:
             st = self.expand_stage(n, st)
             n += 1
+        if self.r.random() < 0.3 and st.uniq is not None:
+            st = self.sort_fetch_stage(st)
         out_names = [f"c{i}" for i in range(st.n_cols)]
         extensions = [
             {"extensionFunction": {"functionAnchor": a, "name": nm}}

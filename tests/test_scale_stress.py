@@ -419,3 +419,54 @@ def test_image_phash_10x_replication_closed_form_pairs(spark, tables):
     print(f"\nimage phash 10x: {time.perf_counter()-t0:.1f}s, "
           f"{got} pairs (expected {expected})")
     assert got == expected
+
+
+def test_training_shards_10x_selfconsistent_token_stream(spark, tables,
+                                                         tmp_path):
+    """r14 egress at 10×, no engine in the verification loop: the shard
+    files are SELF-verifying. Reading each shard=N file in physical
+    order (parquet _metadata.row_index), the running token cumsum must
+    equal bin_id*max_tokens + bin_offset row by row — exactly the
+    dataloader's seek arithmetic — with every doc exactly once and
+    shard == key mod n_shards. n_shards=64 exceeds the 32 shuffle
+    partitions, so multi-shard writer tasks are exercised (partitionBy
+    must still give each shard ONE file, or row_index stops being the
+    concatenation position — the t13 oracle leg's load-bearing
+    property)."""
+    from datafusion_substrait_spark.operators import packing
+
+    docs = tables["documents"].select("doc_id", "text")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"), "text")
+    n = docs10.count()
+    path = str(tmp_path / "shards10x")
+    t0 = time.perf_counter()
+    packing.write_training_shards(docs10, path, max_tokens=256,
+                                  n_shards=64)
+    t1 = time.perf_counter()
+    rows = spark.read.parquet(path).select(
+        "doc_id", F.col("shard").cast("int").alias("shard"),
+        "n_tokens", "bin_id", "bin_offset",
+        F.col("_metadata.row_index").alias("pos"),
+        F.col("_metadata.file_path").alias("fp")).collect()
+    print(f"\nshards 10x: write {t1-t0:.1f}s, {n} rows, 64 shards")
+
+    assert len(rows) == n
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.doc_id % 64 == r.shard
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sorted(by_shard) == list(range(64))
+    seen = set()
+    for shard, rs in by_shard.items():
+        assert len({r.fp for r in rs}) == 1, f"shard {shard} split files"
+        rs.sort(key=lambda r: r.pos)
+        cum = 0
+        for i, r in enumerate(rs):
+            assert r.pos == i, f"shard {shard} row_index gap at {i}"
+            assert r.bin_id * 256 + r.bin_offset == cum, \
+                f"shard {shard} pos {i}: seek arithmetic diverged"
+            cum += r.n_tokens
+            assert r.doc_id not in seen
+            seen.add(r.doc_id)

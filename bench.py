@@ -145,8 +145,15 @@ def _load_stamp(tag: str) -> tuple[float, float, float]:
 # protect the driver's recorded run, so the wait lives HERE, before the
 # first timed query. Bounded: contention that outlasts the wait is
 # stamped, not hidden.
-SETTLE_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX", "180"))
-SETTLE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOAD", "2.0"))
+# Thresholds carried from the shell gate this replaces (preship r13
+# waited for <1.5 up to 15 min): the first r14 preship run gated at
+# <2.0/3min started 10s after pytest ended at 1m=1.83 — still inside
+# the post-phase memory/page-cache reclaim — and recorded uniform
+# 1.5-2.6× inflation with 7 budget violations on untouched source; the
+# same bench re-run on the drained machine was quiet. 1m<1.3 with a
+# 10-minute ceiling is the measured drain envelope.
+SETTLE_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX", "600"))
+SETTLE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOAD", "1.3"))
 
 
 def _settle() -> float:

@@ -139,6 +139,7 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
                           key_col: str = "doc_id",
                           token_col: str | None = None,
                           order_col: str | None = None,
+                          bins_per_file: int | None = None,
                           mode: str = "overwrite") -> None:
     """The egress half of the packing pipeline: materialize the corpus
     as ``shard=N`` parquet directories whose ROW ORDER inside each shard
@@ -149,11 +150,24 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     order exactly as in pack_sequences.
 
     Plan shape: the pack assignment's single window shuffle, one
-    repartition on ``shard`` (so each output directory is written by one
-    task, preserving the sort), and a per-partition sort — parquet
-    preserves row order within files, which is the property the loader
-    relies on. One directory per shard; size ``n_shards`` so a shard
-    fits a loader worker, same guidance as pack_sequences."""
+    repartition (so each output file is written by one task, preserving
+    the sort), and a per-partition sort — parquet preserves row order
+    within files, which is the property the loader relies on.
+
+    ``bins_per_file=None`` (default) writes ONE file per shard — one
+    writer task per shard, the simplest loader contract. At corpus
+    scale that serializes each shard through a single task (a 100 GB
+    shard = one writer), so pass ``bins_per_file`` to sub-split every
+    shard into ``file_seq=K`` sub-directories of ``bins_per_file``
+    CONTIGUOUS bins each (``file_seq = bin_id // bins_per_file`` — a
+    closed form, no extra aggregation): one writer task per
+    (shard, file_seq), so write parallelism scales with corpus size
+    while order stays restorable — a loader streams file_seq in
+    numeric order and gets exactly the single-file row order.
+    Size it as bins_per_file ≈ target_file_bytes / (max_tokens ×
+    bytes_per_token). Documents may straddle a file boundary exactly
+    as they straddle bins (assignment is by START offset; the trainer
+    handles tails)."""
     packed = pack_sequences(df, max_tokens, n_shards=n_shards,
                             text_col=text_col, key_col=key_col,
                             token_col=token_col, order_col=order_col)
@@ -163,7 +177,20 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     # column — (order_col, key) when supplied, else key — is the
     # tie-break, not merely key.
     order = ([order_col, key_col] if order_col else [key_col])
-    out = (df.join(packed, key_col)
-           .repartition("shard")
-           .sortWithinPartitions("shard", "bin_id", "bin_offset", *order))
-    out.write.mode(mode).partitionBy("shard").parquet(path)
+    out = df.join(packed, key_col)
+    if bins_per_file is None:
+        out = (out.repartition("shard")
+               .sortWithinPartitions("shard", "bin_id", "bin_offset",
+                                     *order))
+        out.write.mode(mode).partitionBy("shard").parquet(path)
+        return
+    if bins_per_file <= 0:
+        raise ValueError(
+            f"bins_per_file must be positive, got {bins_per_file}")
+    out = (out.withColumn(
+               "file_seq",
+               (F.col("bin_id") / bins_per_file).cast("bigint"))
+           .repartition("shard", "file_seq")
+           .sortWithinPartitions("shard", "file_seq", "bin_id",
+                                 "bin_offset", *order))
+    out.write.mode(mode).partitionBy("shard", "file_seq").parquet(path)

@@ -187,3 +187,53 @@ def test_write_training_shards_readback_row_index_is_pack_position(
             .select("doc_id", "shard",
                     (F.row_number().over(w) - 1).cast("bigint").alias("pos")))
     assert rows_set(rb) == rows_set(want)
+
+
+def test_write_training_shards_multifile_order_restorable(spark, tmp_path):
+    """bins_per_file sub-splits each shard into contiguous-bin
+    file_seq=K directories written by PARALLEL tasks (the 100 TB write
+    path): concatenating a shard's files in numeric file_seq order must
+    reproduce the single-file row order exactly, each (shard, file_seq)
+    dir holds one file, and the dataloader seek arithmetic
+    (bin_id*max_tokens + bin_offset == running token cumsum) holds
+    across file boundaries."""
+    from pyspark.sql import Window
+
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, f"w {'t ' * (i % 9)}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "shards_mf")
+    packing.write_training_shards(df, path, max_tokens=16, n_shards=3,
+                                  bins_per_file=4)
+    rb = spark.read.parquet(path).select(
+        "doc_id", F.col("shard").cast("int").alias("shard"),
+        F.col("file_seq").cast("long").alias("file_seq"),
+        "n_tokens", "bin_id", "bin_offset",
+        F.col("_metadata.row_index").alias("pos"),
+        F.col("_metadata.file_path").alias("fp")).collect()
+    assert len(rb) == 120
+    by_sf: dict = {}
+    for r in rb:
+        assert r.file_seq == r.bin_id // 4
+        by_sf.setdefault((r.shard, r.file_seq), []).append(r)
+    assert len({sf[1] for sf in by_sf}) > 1  # genuinely multi-file
+    for sf, rs in by_sf.items():
+        assert len({r.fp for r in rs}) == 1, f"{sf} split across files"
+
+    packed = packing.pack_sequences(df, 16, n_shards=3)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    want = {r.doc_id: r.rank for r in packed.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("rank")).collect()}
+    shards: dict = {}
+    for r in rb:
+        shards.setdefault(r.shard, []).append(r)
+    for shard, rs in shards.items():
+        rs.sort(key=lambda r: (r.file_seq, r.pos))
+        cum = 0
+        for i, r in enumerate(rs):
+            assert want[r.doc_id] == i, \
+                f"shard {shard}: concatenated order diverged at {i}"
+            assert r.bin_id * 16 + r.bin_offset == cum, \
+                f"shard {shard} pos {i}: seek arithmetic diverged"
+            cum += r.n_tokens

@@ -777,8 +777,6 @@ def _t13_chunk(spark, sf_dir):
     # over (epoch_key, doc_id); a wrong file sort order or a dropped
     # zero-token tie-break would permute sh_pos across doc_ids and
     # hash-mismatch.
-    import os as _os
-
     from datafusion_substrait_spark.operators import packing
     from datafusion_substrait_spark.operators.sampling import _key_bytes
 
@@ -794,9 +792,9 @@ def _t13_chunk(spark, sf_dir):
     # Overwrite-per-call keeps repeat runs (bench best-of-3) fresh, and
     # the returned DataFrame reads the files lazily AFTER this call, so
     # the write must stay on disk — no cleanup here by design.
-    shard_path = _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), "scratch",
-        f"t13_shards_{_os.path.basename(sf_dir.rstrip('/'))}")
+    shard_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scratch",
+        f"t13_shards_{os.path.basename(sf_dir.rstrip('/'))}")
     packing.write_training_shards(keyed, shard_path, max_tokens=512,
                                   n_shards=8, order_col="epoch_key")
     readback = spark.read.parquet(shard_path).select(

@@ -546,7 +546,6 @@ if _SEED_RANGE:
     _LO, _HI = (int(x) for x in _SEED_RANGE.split(":"))
 else:
     _LO, _HI = 0, 400
-N_SEEDS = _HI - _LO
 _BATCH = 10
 
 

@@ -428,8 +428,13 @@ class ForeignGen:
         sql = (f"SELECT {names[g]} AS o{n}_0, {ord_sql} AS o{n}_1, "
                f"{plain_name}({names[val]}) AS o{n}_2 "
                f"FROM ({prev.sql}) AS a{n} GROUP BY {names[g]}")
+        # the group key (ordinal 0) is UNIQUE post-aggregation — one row
+        # per group — so it carries uniq forward, letting the tail
+        # sort_fetch stage compose LIMIT-over-GROUP-BY (r14 review
+        # catch: gating on the pre-agg uniq left SortRel+FetchRel over
+        # an AggregateRel output permanently unfuzzed)
         return Stage({"aggregate": body}, sql, 3,
-                     [prev.kinds[g], "arr", "int"], None, None, n)
+                     [prev.kinds[g], "arr", "int"], 0, None, n)
 
     def sort_fetch_stage(self, prev: Stage) -> Stage:
         """SortRel + FetchRel (r14 fuzz stage): a TOTAL-order sort — an
@@ -562,7 +567,6 @@ if _SEED_RANGE:
     _LO, _HI = (int(x) for x in _SEED_RANGE.split(":"))
 else:
     _LO, _HI = 0, 120
-N_SEEDS = _HI - _LO
 _BATCH = 10
 
 

@@ -167,7 +167,14 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     Size it as bins_per_file ≈ target_file_bytes / (max_tokens ×
     bytes_per_token). Documents may straddle a file boundary exactly
     as they straddle bins (assignment is by START offset; the trainer
-    handles tails)."""
+    handles tails).
+
+    An EMPTY input writes only the ``_SUCCESS`` marker (Spark's
+    partitionBy emits no data files for zero rows, so the directory has
+    no readable schema) — a loader probing the output should treat a
+    marker-only directory as an empty corpus, not an error; the write
+    itself succeeds because an upstream filter legitimately matching
+    nothing is not a pipeline fault."""
     packed = pack_sequences(df, max_tokens, n_shards=n_shards,
                             text_col=text_col, key_col=key_col,
                             token_col=token_col, order_col=order_col)

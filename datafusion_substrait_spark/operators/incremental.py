@@ -107,11 +107,17 @@ def append_to_minhash_store(new_docs: DataFrame, store: str) -> None:
     """Fold a verified new batch into the store (bands + shingle sets
     appended into the same bucketed layout). Run AFTER
     :func:`minhash_lsh_pairs_increment` on the same batch — appending
-    first would make the batch match itself through the store. Note the
-    increment's result DataFrame is lazy over the store tables: collect
-    or write it before appending, or its re-evaluation will see the
-    appended batch (self-pairs at jaccard 1.0)."""
+    first would make the batch match itself through the store (the
+    increment's result is an eager localCheckpoint, so the ORDER of the
+    two calls is the only discipline needed)."""
     p = read_store_meta(new_docs.sparkSession, store)
+    # finish/roll back any interrupted compact FIRST (r14 review catch):
+    # a crash between compact's two renames hides {store}_buckets behind
+    # *_compact_old, and the tableExists layout probe below would then
+    # silently append to bands only — a later compact recovery would
+    # promote the PRE-append buckets table and the probe path would
+    # permanently miss this generation's near-duplicates.
+    _recover_compact_swap(new_docs.sparkSession, f"{store}_buckets")
     banded = _banded_rows(new_docs, p["text_col"], p["key_col"],
                           p["num_hashes"], p["bands"], p["shingle_n"])
     # bucketBy inserts must repeat the spec; Spark validates it matches
@@ -269,6 +275,10 @@ def minhash_lsh_pairs_increment(new_docs: DataFrame, store: str,
                               p["num_hashes"], p["bands"], p["shingle_n"])
     new_buckets = (new_banded.groupBy("band", "sig")
                    .agg(F.collect_list(key_col).alias("_new_ids")))
+    # finish/roll back any interrupted compact before the layout probe
+    # (same hazard as append_to_minhash_store: a crashed swap hides the
+    # buckets table and this probe would silently take the legacy path)
+    _recover_compact_swap(spark, f"{store}_buckets")
     # left join: every bucket with a new member survives, whether or not
     # the store has seen its (band, sig) before
     if spark.catalog.tableExists(f"{store}_buckets"):
@@ -332,11 +342,17 @@ def write_exact_store(df: DataFrame, store: str, text_col: str = "text",
     """Exact-dedup fingerprint store: the SURVIVOR rows of
     ``dedup.exact_dedup(df)`` — (key, fingerprint) — bucketed by
     fingerprint, so incremental probes join shuffle-free on the store
-    side."""
+    side. Column names are PERSISTED in ``{store}_e_meta`` (r14 review
+    catch: this was the one store that trusted caller-supplied columns
+    at probe time — the exact parameter-drift failure the meta tables
+    exist to prevent)."""
     from datafusion_substrait_spark.operators.dedup import exact_dedup
     sinks.write_bucketed(exact_dedup(df, text_col, key_col),
                          f"{store}_fps", "fingerprint",
                          n_buckets=n_buckets, mode=mode)
+    meta = df.sparkSession.createDataFrame(
+        [(text_col, key_col)], "text_col string, key_col string")
+    sinks.write_table(meta, f"{store}_e_meta", mode=mode)
 
 
 def exact_dedup_increment(new_docs: DataFrame, store: str,
@@ -353,9 +369,17 @@ def exact_dedup_increment(new_docs: DataFrame, store: str,
     in both generations (batch keeps the global min key); the survivor
     fingerprint SET is identical either way. Append the result to
     ``{store}_fps`` to fold the batch in.
+
+    Column names come from ``{store}_e_meta`` when present (stores
+    written from r14 on); the ``text_col``/``key_col`` parameters are
+    only honored for legacy meta-less stores — probing with columns the
+    store was not built with would silently never match.
     """
     from datafusion_substrait_spark.operators.dedup import exact_dedup
     spark = new_docs.sparkSession
+    if spark.catalog.tableExists(f"{store}_e_meta"):
+        m = _meta_row(spark, f"{store}_e")
+        text_col, key_col = m["text_col"], m["key_col"]
     batch = exact_dedup(new_docs, text_col, key_col)
     # anti-join on the store's bucket key: store side shuffle-free
     return batch.join(spark.table(f"{store}_fps").select("fingerprint"),
@@ -400,8 +424,9 @@ def append_to_hamming_store(new_sigs: DataFrame, store: str) -> None:
     """Fold a probed new batch's signatures in (one generation row per
     touched bucket; the probe merges generations after its bucketed
     join). Run AFTER :func:`hamming_pairs_increment` on the same batch —
-    and materialize the increment's result first (it is lazy over the
-    store table, the same note as :func:`append_to_minhash_store`)."""
+    the increment's result is an eager localCheckpoint (r14; was lazy
+    with a materialize-first caveat), so call order is the only
+    discipline needed, same as :func:`append_to_minhash_store`."""
     from datafusion_substrait_spark.operators.dedup import _banded_sigs
 
     spark = new_sigs.sparkSession
@@ -457,12 +482,24 @@ def hamming_pairs_increment(new_sigs: DataFrame, store: str,
     )
     pairs = _hamming_expand(buckets, max_hamming, max_bucket_size,
                             out_prefix="key")
-    new_keys = new_banded.select(F.col("_k").alias("key_a")).distinct()
-    # keep pairs touching a new key: semi-join either side
-    a_new = pairs.join(new_keys, "key_a", "left_semi")
-    b_new = pairs.join(new_keys.withColumnRenamed("key_a", "key_b"),
-                       "key_b", "left_semi")
-    return a_new.unionByName(b_new.select(*a_new.columns)).distinct()
+    # keep pairs touching a new key in ONE pass (r14 review catch: two
+    # semi-joins + union re-executed the whole banding/store-join/expand
+    # pipeline twice) — the left-join boolean-flag shape of
+    # minhash_lsh_pairs_increment. Returned eagerly via localCheckpoint
+    # like the minhash path, so a subsequent append_to_hamming_store can
+    # never leak the appended batch into this result's re-evaluation.
+    new_keys = new_banded.select(F.col("_k").alias("_nk")).distinct()
+    out = (pairs
+           .join(new_keys.select(F.col("_nk").alias("key_a"),
+                                 F.lit(True).alias("_an")),
+                 "key_a", "left")
+           .join(new_keys.select(F.col("_nk").alias("key_b"),
+                                 F.lit(True).alias("_bn")),
+                 "key_b", "left")
+           .filter(F.col("_an").isNotNull() | F.col("_bn").isNotNull())
+           .select(*pairs.columns)
+           .distinct())
+    return out.localCheckpoint(eager=True)
 
 
 def compact_hamming_store(spark: SparkSession, store: str) -> None:

@@ -93,7 +93,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         return (
             events.withWatermark("event_time", f"{2 * gap_minutes} minutes")
             .groupBy(F.session_window("event_time", f"{gap_minutes} minutes"), "user_id")
-            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            # round exactly like the batch branch below (r14 review
+            # catch: an unrounded stream sum differs from batch on fp
+            # representation, e.g. 0.30000000000000004 vs 0.3)
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
         )
     from pyspark.sql import Window
 

@@ -49,6 +49,14 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     numbers via one hash aggregate. Both paths return the same schema, and
     on a fully-drained stream the LAST emitted row per user equals the
     batch row — pinned by tests/test_streaming.py.
+
+    Boundary (r14 advisory-style note): the last-row≡batch invariant is
+    contracted on NaN-FREE ``value`` columns. A genuine NaN double is
+    indistinguishable from NULL after the Arrow transfer into the state
+    function (both land as NaN in a float64 block), so the streaming
+    path skips it like a NULL, while the batch aggregate propagates it
+    (Spark sum → NaN, max ranks NaN greatest). Filter NaNs upstream if
+    the corpus can contain them.
     """
     if not events.isStreaming:
         return (
@@ -123,11 +131,24 @@ def streaming_exact_dedup(events: DataFrame,
     fp = F.md5(F.concat_ws(
         "\x1f", *[null_safe_tag(F.col(c)) for c in fingerprint_cols]))
     if not events.isStreaming:
-        w_src = events.select(fp.alias("fingerprint"), "event_id", "user_id", "value")
-        first = w_src.groupBy("fingerprint").agg(F.min("event_id").alias("event_id"))
-        return first.join(w_src, ["fingerprint", "event_id"], "inner").select(
-            "fingerprint", "event_id", "user_id", "value"
-        )
+        from pyspark.sql import Window
+
+        # exactly ONE row per fingerprint even when the min event_id is
+        # tied (r14 review catch: the min+equi-join shape emitted BOTH
+        # copies of an exactly-redelivered row — the very input this
+        # operator exists to clean). row_number over (event_id, user_id,
+        # value) is deterministic and engine-replayable; the NOT NULL
+        # filter keeps the old all-NULL-event_id-drops-the-group
+        # contract (the streaming path's dropna does the same).
+        w_src = (events.select(fp.alias("fingerprint"), "event_id",
+                               "user_id", "value")
+                 .filter(F.col("event_id").isNotNull()))
+        w = Window.partitionBy("fingerprint").orderBy(
+            "event_id", F.col("user_id").asc_nulls_first(),
+            F.col("value").asc_nulls_first())
+        return (w_src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("fingerprint", "event_id", "user_id", "value"))
 
     def keep_first(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:

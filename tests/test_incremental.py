@@ -17,7 +17,9 @@ STORE = "inc_store"
 def _drop_store(spark, store=STORE):
     import shutil
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for suffix in ("_bands", "_buckets", "_shingles", "_meta", "_fps"):
+    for suffix in ("_bands", "_buckets", "_shingles", "_meta", "_fps",
+                   "_e_meta", "_buckets_compact_old",
+                   "_buckets_compact_tmp"):
         spark.sql(f"DROP TABLE IF EXISTS {store}{suffix}")
         # a crashed earlier run can leave the managed-table dir behind with
         # no catalog entry; saveAsTable then fails LOCATION_ALREADY_EXISTS
@@ -451,3 +453,85 @@ def test_hamming_store_increment_equals_batch(spark):
     _assert_scan_not_under_exchange(probe, "hstore_hbuckets")
     for t in ("hstore_hbuckets", "hstore_h_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_recovers_interrupted_compact_swap(spark):
+    """r14 review catch: a crash between compact's two renames hides
+    {store}_buckets behind *_compact_old; append's layout probe then
+    silently appended to bands only, and a later compact recovery
+    promoted the PRE-append buckets table — the probe path permanently
+    missed that generation's near-duplicates. append must recover the
+    swap FIRST, and the post-append increment must pair new docs
+    against the appended generation through the buckets path."""
+    _drop_store(spark)
+    g1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "entirely unrelated text about databases")],
+        "doc_id bigint, text string")
+    g2 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dogs")],
+        "doc_id bigint, text string")
+    g3 = spark.createDataFrame(
+        [(30, "the quick brown fox jumps over the lazy dog!")],
+        "doc_id bigint, text string")
+    incremental.write_minhash_store(g1, STORE, n_buckets=2, **PARAMS)
+
+    # simulate the crash window: buckets table renamed aside, new table
+    # not yet promoted (the state _recover_compact_swap rolls back)
+    spark.sql(f"ALTER TABLE {STORE}_buckets RENAME TO "
+              f"{STORE}_buckets_compact_old")
+    assert not spark.catalog.tableExists(f"{STORE}_buckets")
+
+    incremental.append_to_minhash_store(g2, STORE)
+    # the swap was recovered and the generation landed in the buckets table
+    assert spark.catalog.tableExists(f"{STORE}_buckets")
+    assert not spark.catalog.tableExists(f"{STORE}_buckets_compact_old")
+    n_gen = spark.table(f"{STORE}_buckets").count()
+    assert n_gen > 0
+
+    # and a later increment pairs g3 against BOTH prior generations
+    inc = incremental.minhash_lsh_pairs_increment(g3, STORE, threshold=0.5)
+    partners = {r.doc_a for r in inc.collect()} | \
+               {r.doc_b for r in inc.collect()}
+    assert 10 in partners and 20 in partners and 30 in partners
+
+
+def test_exact_store_meta_pins_columns(spark):
+    """r14 review catch: write_exact_store persisted no meta, so a probe
+    with default column names against a store built on different ones
+    silently never matched. The meta table now pins them; the increment
+    reads the store's columns even when called with the defaults."""
+    _drop_store(spark)
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id bigint, body string")
+    new = spark.createDataFrame(
+        [(7, "ALPHA  beta"), (8, "epsilon zeta")],
+        "doc_id bigint, body string")
+    incremental.write_exact_store(old, STORE, text_col="body",
+                                  n_buckets=2)
+    # defaults (text_col='text') would have crashed or silently missed;
+    # the meta override must dedup 7 against stored 1 and keep 8
+    inc = incremental.exact_dedup_increment(new, STORE)
+    assert {r.doc_id for r in inc.collect()} == {8}
+
+
+def test_streaming_exact_dedup_batch_redelivered_row_once(spark):
+    """r14 review catch: an exactly-redelivered event (same event_id,
+    verbatim row — at-least-once delivery) survived its own dedup in the
+    batch path because the min+equi-join matched both copies. Exactly
+    one row per fingerprint must come back, matching the streaming
+    path's single-emit contract."""
+    from datafusion_substrait_spark.streaming import stateful
+
+    events = spark.createDataFrame(
+        [(100, 1, "click", 1.5),
+         (100, 1, "click", 1.5),      # verbatim redelivery
+         (200, 1, "view", 2.0),
+         (150, 2, "click", 9.0),
+         (140, 2, "click", 3.0)],     # smaller event_id wins for (2, click)
+        "event_id bigint, user_id bigint, event_type string, value double")
+    out = stateful.streaming_exact_dedup(events).collect()
+    assert len(out) == 3
+    by_uid = {(r.user_id, r.event_id) for r in out}
+    assert (1, 100) in by_uid and (1, 200) in by_uid and (2, 140) in by_uid

@@ -347,12 +347,28 @@ def write_exact_store(df: DataFrame, store: str, text_col: str = "text",
     at probe time — the exact parameter-drift failure the meta tables
     exist to prevent)."""
     from datafusion_substrait_spark.operators.dedup import exact_dedup
+    spark = df.sparkSession
+    if mode == "append" and spark.catalog.tableExists(f"{store}_e_meta"):
+        # r15 (ADVICE r14): appending a batch with drifted column names
+        # would probe/extend the fps table with fingerprints computed
+        # over DIFFERENT columns — silently never matching. Fail loud.
+        m = _meta_row(spark, f"{store}_e")
+        if (m["text_col"], m["key_col"]) != (text_col, key_col):
+            raise ValueError(
+                f"{store} was built with text_col={m['text_col']!r}, "
+                f"key_col={m['key_col']!r}; appending with "
+                f"({text_col!r}, {key_col!r}) would mix fingerprints "
+                "over different columns")
     sinks.write_bucketed(exact_dedup(df, text_col, key_col),
                          f"{store}_fps", "fingerprint",
                          n_buckets=n_buckets, mode=mode)
-    meta = df.sparkSession.createDataFrame(
+    meta = spark.createDataFrame(
         [(text_col, key_col)], "text_col string, key_col string")
-    sinks.write_table(meta, f"{store}_e_meta", mode=mode)
+    # the meta table is a single parameter row, never data: ALWAYS
+    # overwrite (r15, ADVICE r14 — mode="append" used to append a second
+    # meta row, after which _meta_row raised on every increment and the
+    # store was bricked until manual repair)
+    sinks.write_table(meta, f"{store}_e_meta", mode="overwrite")
 
 
 def exact_dedup_increment(new_docs: DataFrame, store: str,
@@ -430,6 +446,12 @@ def append_to_hamming_store(new_sigs: DataFrame, store: str) -> None:
     from datafusion_substrait_spark.operators.dedup import _banded_sigs
 
     spark = new_sigs.sparkSession
+    # finish/roll back any interrupted compact FIRST (r15, ADVICE r14:
+    # the r14 minhash fix left the parallel hamming store open to the
+    # same hazard — a crash between compact_hamming_store's two renames
+    # hides {store}_hbuckets behind *_compact_old and this append would
+    # fail on the bucket-count probe until someone re-ran compact)
+    _recover_compact_swap(spark, f"{store}_hbuckets")
     m = _meta_row(spark, f"{store}_h")  # reads {store}_hmeta
     banded = _banded_sigs(new_sigs, m["key_col"], m["sig_col"])
     arrays = (banded.groupBy("band", "val")
@@ -460,6 +482,11 @@ def hamming_pairs_increment(new_sigs: DataFrame, store: str,
                                                             _hamming_expand)
 
     spark = new_sigs.sparkSession
+    # recover an interrupted compact before touching {store}_hbuckets
+    # (r15, ADVICE r14 — mirrors minhash_lsh_pairs_increment): without
+    # this, a crashed swap makes the spark.table() below raise until a
+    # manual compact re-run, and the store is effectively offline.
+    _recover_compact_swap(spark, f"{store}_hbuckets")
     m = _meta_row(spark, f"{store}_h")
     new_banded = _banded_sigs(new_sigs, m["key_col"], m["sig_col"])
     new_arrays = (new_banded.groupBy("band", "val")

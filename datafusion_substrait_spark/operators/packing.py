@@ -163,7 +163,14 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     closed form, no extra aggregation): one writer task per
     (shard, file_seq), so write parallelism scales with corpus size
     while order stays restorable — a loader streams file_seq in
-    numeric order and gets exactly the single-file row order.
+    numeric order and gets exactly the single-file row order. The
+    ``file_seq`` partition VALUE is zero-padded to 9 digits (r15,
+    ADVICE r14: a non-Spark loader that lists and sorts directory names
+    LEXICOGRAPHICALLY would otherwise interleave ``file_seq=10`` before
+    ``file_seq=2`` and silently corrupt the restored order; with the
+    padding, lexicographic == numeric for up to 10⁹ files per shard —
+    far beyond any real shard). Spark readers still see an integral
+    column (partition-value inference parses the padded string).
     Size it as bins_per_file ≈ target_file_bytes / (max_tokens ×
     bytes_per_token). Documents may straddle a file boundary exactly
     as they straddle bins (assignment is by START offset; the trainer
@@ -196,7 +203,9 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
             f"bins_per_file must be positive, got {bins_per_file}")
     out = (out.withColumn(
                "file_seq",
-               (F.col("bin_id") / bins_per_file).cast("bigint"))
+               F.format_string(
+                   "%09d",
+                   (F.col("bin_id") / bins_per_file).cast("bigint")))
            .repartition("shard", "file_seq")
            .sortWithinPartitions("shard", "file_seq", "bin_id",
                                  "bin_offset", *order))

@@ -535,3 +535,83 @@ def test_streaming_exact_dedup_batch_redelivered_row_once(spark):
     assert len(out) == 3
     by_uid = {(r.user_id, r.event_id) for r in out}
     assert (1, 100) in by_uid and (1, 200) in by_uid and (2, 140) in by_uid
+
+
+def _drop_hamming(spark, store):
+    import shutil
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("_hbuckets", "_h_meta", "_hbuckets_compact_old",
+                   "_hbuckets_compact_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {store}{suffix}")
+        shutil.rmtree(f"{warehouse}/{store}{suffix}", ignore_errors=True)
+
+
+def test_hamming_append_and_increment_recover_interrupted_compact_swap(spark):
+    """r15 (ADVICE r14, medium): the r14 crash-recovery fix covered the
+    minhash paths only — append_to_hamming_store and
+    hamming_pairs_increment touched {store}_hbuckets without recovering
+    an interrupted compact first, so a crash between
+    compact_hamming_store's two renames left the parallel store offline
+    (table-lookup error) until someone happened to re-run compact. Both
+    entry points must recover the swap themselves."""
+    store = "hrec"
+    _drop_hamming(spark, store)
+    g1 = spark.createDataFrame(
+        [(1, 0x0F0F0F0F0F0F0F0F), (2, -1234567890123456789)],
+        "key bigint, phash bigint")
+    g2 = spark.createDataFrame([(3, 0x0F0F0F0F0F0F0F0E)],
+                               "key bigint, phash bigint")  # 1 bit from key 1
+    g3 = spark.createDataFrame([(4, 0x0F0F0F0F0F0F0F0C)],
+                               "key bigint, phash bigint")  # 2 bits from key 1
+    incremental.write_hamming_store(g1, store, n_buckets=2)
+
+    # crash window: hbuckets renamed aside, compacted table not promoted
+    spark.sql(f"ALTER TABLE {store}_hbuckets RENAME TO "
+              f"{store}_hbuckets_compact_old")
+    assert not spark.catalog.tableExists(f"{store}_hbuckets")
+    incremental.append_to_hamming_store(g2, store)  # must recover, not fail
+    assert spark.catalog.tableExists(f"{store}_hbuckets")
+    assert not spark.catalog.tableExists(f"{store}_hbuckets_compact_old")
+
+    # same crash window again: the increment must also self-recover and
+    # pair the probe batch against BOTH prior generations
+    spark.sql(f"ALTER TABLE {store}_hbuckets RENAME TO "
+              f"{store}_hbuckets_compact_old")
+    inc = incremental.hamming_pairs_increment(g3, store, max_hamming=6)
+    assert spark.catalog.tableExists(f"{store}_hbuckets")
+    partners = set()
+    for r in inc.collect():
+        partners |= {r.key_a, r.key_b}
+    assert {1, 3, 4} <= partners
+    _drop_hamming(spark, store)
+
+
+def test_exact_store_append_keeps_single_meta_row(spark):
+    """r15 (ADVICE r14, low): write_exact_store(mode="append") used to
+    append a second meta row, after which _meta_row raised on every
+    increment — the store was bricked until manual repair. The meta
+    table is a single parameter row: appends must keep it that way, and
+    an append with DRIFTED columns must fail loud instead of mixing
+    fingerprints computed over different columns."""
+    _drop_store(spark)
+    g1 = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")],
+                               "doc_id bigint, body string")
+    g2 = spark.createDataFrame([(3, "epsilon zeta")],
+                               "doc_id bigint, body string")
+    incremental.write_exact_store(g1, STORE, text_col="body", n_buckets=2)
+    incremental.write_exact_store(g2, STORE, text_col="body", n_buckets=2,
+                                  mode="append")
+    assert spark.table(f"{STORE}_e_meta").count() == 1
+    # the store still probes (would raise 'exactly one parameter row'
+    # before the fix) and sees both generations' fingerprints
+    new = spark.createDataFrame(
+        [(7, "ALPHA  beta"), (8, "epsilon  ZETA"), (9, "fresh text")],
+        "doc_id bigint, body string")
+    inc = incremental.exact_dedup_increment(new, STORE)
+    assert {r.doc_id for r in inc.collect()} == {9}
+    # drifted columns on append: loud error, store unchanged
+    drifted = spark.createDataFrame([(10, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="was built with"):
+        incremental.write_exact_store(drifted, STORE, text_col="text",
+                                      n_buckets=2, mode="append")
+    _drop_store(spark)

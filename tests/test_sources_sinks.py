@@ -213,6 +213,15 @@ def test_write_training_shards_multifile_order_restorable(spark, tmp_path):
         F.col("_metadata.row_index").alias("pos"),
         F.col("_metadata.file_path").alias("fp")).collect()
     assert len(rb) == 120
+    # r15 (ADVICE r14): the file_seq partition VALUE is zero-padded so a
+    # non-Spark loader sorting directory names LEXICOGRAPHICALLY gets
+    # the numeric order (file_seq=10 used to interleave before =2)
+    import os as _os
+    seq_vals = [d.split("=", 1)[1]
+                for d in _os.listdir(_os.path.join(path, "shard=0"))
+                if d.startswith("file_seq=")]
+    assert seq_vals and all(len(v) == 9 and v.isdigit() for v in seq_vals)
+    assert sorted(seq_vals) == sorted(seq_vals, key=int)
     by_sf: dict = {}
     for r in rb:
         assert r.file_seq == r.bin_id // 4

@@ -408,3 +408,97 @@ def test_binary_ingestion_streams_with_phash_parity(spark, tmp_path):
     q.awaitTermination(180)
     got = rows_set(spark.table("stream_phash"))
     assert got == want and got
+
+
+def _nan_safe_rows(df):
+    """rows_set that can compare NaN cells (NaN != NaN would make two
+    identical result sets unequal)."""
+    out = set()
+    for r in df.collect():
+        out.add(tuple("NaN" if isinstance(v, float) and v != v else v
+                      for v in r))
+    return out
+
+
+def test_running_stats_nan_values_stream_equals_batch(spark, tmp_path):
+    """r15 (VERDICT r14 #4): the last-row≡batch invariant must hold on a
+    planted-NaN corpus. NaN and NULL are indistinguishable after the
+    Arrow transfer into the state function, so the distinction rides a
+    JVM-side isnan sentinel; a user who ever saw NaN emits NaN sum/max
+    exactly like the batch aggregate (sum propagates NaN, max ranks NaN
+    greatest), and NaN still counts as non-NULL."""
+    from datafusion_substrait_spark.streaming import stateful
+
+    nan = float("nan")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 10:01:00", 1, "click", nan, None),
+        (3, "2024-01-01 10:02:00", 1, "click", 2.0, None),
+        (4, "2024-01-01 10:03:00", 2, "view", nan, None),   # NaN-only user
+        (5, "2024-01-01 10:04:00", 3, "view", None, None),
+        (6, "2024-01-01 10:05:00", 3, "view", 5.0, None),   # NULL+real mix
+        (7, "2024-01-01 10:06:00", 4, "view", None, None),  # all-NULL user
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "nan_events")
+    df.coalesce(1).write.parquet(path)
+
+    stream = ev.read_events_stream(spark, path)
+    out = stateful.running_user_stats(stream)
+    q = (out.writeStream.format("memory").queryName("nan_stats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("nan_stats")
+           .withColumn("_r", F.monotonically_increasing_id())
+           .groupBy("user_id")
+           .agg(F.max_by(F.struct("n_events", "sum_value", "max_value"),
+                         "_r").alias("s"))
+           .select("user_id", "s.n_events", "s.sum_value", "s.max_value"))
+    expect = stateful.running_user_stats(df)
+    assert _nan_safe_rows(got) == _nan_safe_rows(expect)
+    by_uid = {r.user_id: (r.n_events, r.sum_value, r.max_value)
+              for r in got.collect()}
+    assert by_uid[1][0] == 3
+    assert by_uid[1][1] != by_uid[1][1] and by_uid[1][2] != by_uid[1][2]
+    assert by_uid[2][1] != by_uid[2][1]              # NaN-only → NaN, not NULL
+    assert by_uid[3] == (2, 5.0, 5.0)                # NULLs skipped
+    assert by_uid[4][1] is None and by_uid[4][2] is None
+
+
+def test_stream_dedup_tie_break_matches_batch(spark, tmp_path):
+    """r15 (ADVICE r14, low): two DISTINCT rows sharing a fingerprint
+    AND an event_id inside one micro-batch must elect the same row the
+    batch branch's (event_id, user_id, value nulls-first) ordering
+    elects — bare idxmin used to pick whichever arrived first."""
+    from datafusion_substrait_spark.streaming import stateful
+
+    rows = [
+        # fp (1, click): same event_id, values 2.0 then 1.0 — batch picks 1.0
+        (100, "2024-01-01 10:00:00", 1, "click", 2.0, None),
+        (100, "2024-01-01 10:00:01", 1, "click", 1.0, None),
+        # fp (2, view): same event_id, NULL arrives second — nulls-first wins
+        (200, "2024-01-01 10:01:00", 2, "view", 3.0, None),
+        (200, "2024-01-01 10:01:01", 2, "view", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "tie_events")
+    df.coalesce(1).write.parquet(path)
+
+    stream = ev.read_events_stream(spark, path)
+    out = stateful.streaming_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("tie_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("tie_dedup")
+    expect = stateful.streaming_exact_dedup(df)
+    assert rows_set(got) == rows_set(expect)
+    by_uid = {r.user_id: r.value for r in got.collect()}
+    assert by_uid[1] == 1.0 and by_uid[2] is None

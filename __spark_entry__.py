@@ -803,12 +803,44 @@ def _t13_chunk(spark, sf_dir):
         F.col("bin_id").alias("sh_bin_id"),
         F.col("bin_offset").alias("sh_bin_offset"),
         F.col("_metadata.row_index").alias("sh_pos"))
+    # r15 mf leg (VERDICT r14 #3): the bins_per_file PARALLEL multi-file
+    # layout — the egress a real 100 TB run would use — under the same
+    # driver oracle. write_training_shards sub-splits every shard into
+    # file_seq = bin_id // bpf directories, one writer task per
+    # (shard, file_seq), each dir exactly one file, so
+    # _metadata.row_index IS the row's position within its file_seq
+    # slice. The oracle replays mf_file_seq closed-form and mf_pos as
+    # the within-(shard, file_seq) rank over (epoch_key, doc_id): a
+    # wrong sub-split, a broken within-file sort, or a (shard,
+    # file_seq) group split across writer tasks would permute mf_pos
+    # and hash-mismatch.
+    #
+    # bins_per_file is a file-SIZE knob, not semantics (packing.py
+    # docstring: size it by target file bytes) — so it scales with the
+    # corpus via a closed form BOTH engines replay (the oracle computes
+    # the same CASE over count(*)): ≤1000 docs (the sf≤0.01 oracle
+    # scales) → 4, guaranteeing ≥2 file dirs per shard so the
+    # multi-file path is genuinely exercised; larger corpora → 32,
+    # keeping output files production-shaped (at sf0.1, bpf=4 writes
+    # 136 four-bin slivers whose per-file commit overhead is 2.5 s vs
+    # 0.91 s for 24 files — measured r15; a fixed tiny bpf would bench
+    # the local-FS commit protocol, not the plan).
+    bpf = 4 if docs.count() <= 1000 else 32
+    mf_path = shard_path + "_mf"
+    packing.write_training_shards(keyed, mf_path, max_tokens=512,
+                                  n_shards=8, order_col="epoch_key",
+                                  bins_per_file=bpf)
+    mf_readback = spark.read.parquet(mf_path).select(
+        "doc_id",
+        F.col("file_seq").cast("bigint").alias("mf_file_seq"),
+        F.col("_metadata.row_index").alias("mf_pos"))
     return (packed.select("doc_id",
                           F.col("n_tokens").alias("pk_tokens"),
                           "shard", "bin_id", "bin_offset",
                           F.md5(_key_bytes(F.col("doc_id"), "r9epoch"))
                           .alias("epoch_key"))
             .join(readback, "doc_id")
+            .join(mf_readback, "doc_id")
             .join(chunks, "doc_id", "left"))
 
 
@@ -2786,11 +2818,32 @@ ORACLES: dict[str, str] = {
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY epoch_key, doc_id) - 1 AS BIGINT) AS sh_pos
             FROM pk
+        ), bpf AS (
+            -- the Spark side's corpus-size-scaled bins_per_file knob,
+            -- replayed exactly: ≤1000 docs → 4, else 32 (file sizing,
+            -- not semantics — see _t13_chunk)
+            SELECT CASE WHEN count(*) <= 1000 THEN 4 ELSE 32 END AS k
+            FROM documents
+        ), mf AS (
+            -- r15 mf leg: the bins_per_file PARALLEL multi-file
+            -- layout read back from file_seq=K sub-dirs; file_seq is
+            -- the closed form bin_id // bpf.k and position-within-file
+            -- is the within-(shard, file_seq) rank in pack order —
+            -- equality proves the sub-split, the one-file-per-dir
+            -- writer assignment, and the within-file sort all held
+            SELECT doc_id,
+                   CAST(floor(bin_id / k) AS BIGINT) AS mf_file_seq,
+                   CAST(row_number() OVER (
+                        PARTITION BY shard, floor(bin_id / k)
+                        ORDER BY epoch_key, doc_id) - 1 AS BIGINT) AS mf_pos
+            FROM pk, bpf
         )
         SELECT pk.doc_id, pk.pk_tokens, pk.shard, pk.bin_id, pk.bin_offset,
                pk.epoch_key, sh.sh_shard, sh.sh_bin_id, sh.sh_bin_offset,
-               sh.sh_pos, ch.chunk_id, ch.n_tokens, ch.chunk_text
-        FROM pk JOIN sh USING (doc_id) LEFT JOIN ch USING (doc_id)
+               sh.sh_pos, mf.mf_file_seq, mf.mf_pos,
+               ch.chunk_id, ch.n_tokens, ch.chunk_text
+        FROM pk JOIN sh USING (doc_id) JOIN mf USING (doc_id)
+             LEFT JOIN ch USING (doc_id)
     """,
     # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid
     # because (a) d2's output is exact-verified Jaccard over LSH candidates,

@@ -97,16 +97,15 @@ BUDGETS: dict[str, float] = {
     # settle states (this sandbox's documented variance), so the budget
     # derives from the conservative end: 1.5 × 2.96. History: r8 6.75
     "d8_semdedup": 4.45,
-    # r14 re-derived (same formula, best-of-3 1.243s quiet at 1m load
-    # ~1.2): the query gained the shards egress leg (VERDICT r13 #4) —
-    # write_training_shards MATERIALIZES the pack to shard=N parquet
-    # and the sh_* columns read the files back via _metadata.row_index,
-    # so every timed run now includes a real 8-file parquet write job +
-    # read-back scan on top of the pack/chunk plan; workload change,
-    # not drift. (The r13-recorded 1.262s violation against the OLD
-    # 0.68 budget was contention — the quiet strict run measured 0.36s
-    # on unchanged source, BENCH_NOTES.md r13.) History: r9 0.68.
-    "t13_chunk": 1.87,
+    # r15 re-derived (same formula, best-of-5 2.074s quiet at 1m≈1.1):
+    # the query gained the bins_per_file MULTI-FILE egress leg (VERDICT
+    # r14 #3) — a second write_training_shards job sub-splitting every
+    # shard into file_seq=K dirs (one writer task per (shard,
+    # file_seq); bpf corpus-scaled 4→32 so files stay production-
+    # shaped, see _t13_chunk) plus its read-back scan and a docs
+    # count() for the knob; workload change, not drift. History: r14
+    # 1.87 (single-file sh_* leg, quiet 1.243), r9 0.68.
+    "t13_chunk": 3.11,
     "s1_bruteforce_topk": 2.18,
     "s3_ivf_topk": 2.41,
     "t2_quality": 2.62,  # re-derived after the gopher-columns merge
@@ -154,6 +153,22 @@ def _load_stamp(tag: str) -> tuple[float, float, float]:
 # 10-minute ceiling is the measured drain envelope.
 SETTLE_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX", "600"))
 SETTLE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_LOAD", "1.3"))
+
+
+def _cpu_probe() -> float:
+    """Fixed CPU calibration probe (r15, VERDICT r14 #2): time a
+    deterministic single-thread arithmetic loop (~0.22 s nominal on this
+    machine idle — reference in BENCH_NOTES.md). Guest loadavg cannot
+    see HOST-level contention (two r14 strict runs with identical
+    settled starts diverged 28%), but a slowed probe can: run it before
+    the first timed query and after the last, and a probe/idle ratio
+    > 1.2 on either end mechanically attributes any budget violation to
+    host noise instead of arguing it in prose."""
+    x = 0
+    t0 = time.perf_counter()
+    for _ in range(2_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return time.perf_counter() - t0
 
 
 def _settle() -> float:
@@ -204,6 +219,9 @@ def main() -> None:
         tdf.limit(1).count()
 
     queries = entry.queries()
+    # calibration probe AFTER warm-up, immediately before the first
+    # timed query — the window the budgets defend
+    probe_start = _cpu_probe()
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -224,6 +242,7 @@ def main() -> None:
             best = min([best] + [run_once(name) for _ in range(2)])
         timings[name] = round(best, 3)
 
+    probe_end = _cpu_probe()
     violations = {n: {"sec": t, "budget": BUDGETS[n]}
                   for n, t in timings.items()
                   if n in BUDGETS and t > BUDGETS[n]}
@@ -231,6 +250,15 @@ def main() -> None:
         print(f"BUDGET VIOLATION: {n} took {v['sec']}s "
               f"(budget {v['budget']}s)", file=sys.stderr)
 
+    # one compact recap immediately before the END stamp (r15, VERDICT
+    # r14 #1): the driver records only the LAST 2,000 chars of stderr,
+    # which truncated the settle/start stamps out of the r14 record —
+    # re-printing them here makes the recorded tail PROVE the run
+    # started quiet (or show it didn't) and carry the probe timings.
+    print(f"BENCH_RECAP: settle_wait={settle_wait:.0f}s "
+          f"load_start_1m={load_start[0]:.2f} "
+          f"probe_start={probe_start:.3f}s probe_end={probe_end:.3f}s "
+          f"violations={len(violations)}", file=sys.stderr)
     load_end = _load_stamp("END")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -261,6 +289,8 @@ def main() -> None:
             "settle_wait_s": settle_wait,
             "load_start_1m": round(load_start[0], 2),
             "load_end_1m": round(load_end[0], 2),
+            "probe_start_s": round(probe_start, 3),
+            "probe_end_s": round(probe_end, 3),
             "violations": violations,
         })
         with open(quiet_path, "a") as fh:

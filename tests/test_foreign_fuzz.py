@@ -10,7 +10,8 @@ shapes only. This tier fuzz-COMPOSES them: each seed builds a random
 plan pipeline the way a foreign producer would —
 
     READ(filter?, emit?) → PROJECT(exprs, spec-space emit)?
-        → JOIN(dim, postJoinFilter?, emit?)?
+        → JOIN(dim; INNER/LEFT/SINGLE + postJoinFilter?, or SEMI/ANTI
+          over a ReadRel-filtered dim, emit?)?
         → WINDOW(count-DISTINCT rebuild / partition aggregate /
           ordered row_number)?
         → AGGREGATE(ordered + plain measures, per-measure FILTER?)?
@@ -231,6 +232,43 @@ class ForeignGen:
         combined_kinds = prev.kinds + d_kinds
         combined_sql = ([f"L.{prev.name(i)}" for i in range(n_l)]
                         + [f"R.{c}" for c in d_names])
+        if self.r.random() < 0.35:
+            # SEMI/ANTI (r15, VERDICT r14 #6): the dim side carries a
+            # ReadRel.filter so the match set is NON-trivial — on these
+            # FK joins an unfiltered dim would make semi ≡ all left
+            # rows and anti ≡ empty, testing nothing. The output space
+            # is left-only (postJoinFilter is intentionally fenced on
+            # semi/anti — consumer.py — so it never composes here);
+            # downstream window/agg/sort+fetch stages then run over the
+            # semi/anti output like any other.
+            how = self.pick(["JOIN_TYPE_SEMI", "JOIN_TYPE_ANTI"])
+            p, psql = self.pred(list(range(len(d_ints))),
+                                [f"R.{c}" for c in d_names])
+            right["read"]["filter"] = p
+            body = {"common": {"direct": {}},
+                    "left": prev.rel, "right": right,
+                    "expression": fn("equal", field(prev.fk),
+                                     field(n_l + d_names.index(dim_key))),
+                    "type": how}
+            out = list(range(n_l))
+            if self.r.random() < 0.5:
+                must = [x for x in (prev.uniq,) if x is not None] or [0]
+                strs = [i for i, k in enumerate(prev.kinds) if k == "str"]
+                if strs:
+                    must.append(self.pick(strs))
+                out = self.emit_of(n_l, must)
+                body["common"] = {"emit": {"outputMapping": out}}
+            names = [prev.name(i) for i in range(n_l)]
+            sel = ", ".join(f"L.{names[j]} AS o{n}_{i}"
+                            for i, j in enumerate(out))
+            neg = "NOT " if how == "JOIN_TYPE_ANTI" else ""
+            sql = (f"SELECT {sel} FROM ({prev.sql}) AS L WHERE {neg}"
+                   f"EXISTS (SELECT 1 FROM {dim} AS R WHERE {psql} "
+                   f"AND L.{prev.name(prev.fk)} = R.{dim_key})")
+            return Stage({"join": body}, sql, len(out),
+                         [prev.kinds[j] for j in out],
+                         out.index(prev.uniq) if prev.uniq in out else None,
+                         None, n)
         # SINGLE consumes as a guarded LEFT (r12); on these FK joins every
         # left row matches exactly one right row, so the guard never fires
         # and DuckDB's oracle is the plain LEFT JOIN — the composition

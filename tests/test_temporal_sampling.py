@@ -440,3 +440,79 @@ def test_chunk_documents_is_shuffle_free(spark, tables):
         tables["documents"].select("doc_id", "text"), chunk_tokens=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_asof_join_differential_vs_pandas_merge_asof(spark):
+    """Differential oracle for the asof family (r15): pandas
+    ``merge_asof`` implements the same point-in-time contract (backward/
+    forward, inclusive ties, tolerance, left-join semantics) as an
+    INDEPENDENT implementation — seeded random frames must agree
+    exactly. Right side deduped to unique (key, ts) per the documented
+    determinism contract; every 5th seed also pins the salted variant
+    against the plain one on the same frame."""
+    import random
+
+    import pandas as pd
+
+    from datafusion_substrait_spark.operators import temporal
+
+    def nrm(v):
+        return None if v is None or (isinstance(v, float) and v != v) \
+            else int(v)
+
+    for seed in range(25):
+        rnd = random.Random(seed)
+        n_l, n_r = rnd.randint(1, 40), rnd.randint(0, 30)
+        lrows = [(rnd.randint(0, 4), rnd.randint(0, 100), i)
+                 for i in range(n_l)]
+        seen = set()
+        rrows = []
+        for j in range(n_r):
+            kt = (rnd.randint(0, 4), rnd.randint(0, 100))
+            if kt in seen:
+                continue
+            seen.add(kt)
+            rrows.append((kt[0], kt[1], 1000 + j))
+        direction = rnd.choice(["backward", "forward"])
+        tolerance = rnd.choice([None, rnd.randint(1, 30)])
+
+        left = spark.createDataFrame(lrows, "k bigint, ts bigint, lval bigint")
+        right = spark.createDataFrame(
+            rrows or [(None, None, None)],
+            "k bigint, ts bigint, rval bigint")
+        if not rrows:
+            right = right.filter("k is not null")
+        got = {
+            (r.k, r.ts, r.lval, nrm(r.ts_r), nrm(r.rval_r))
+            for r in temporal.asof_join(
+                left, right, on="k", ts_col="ts",
+                direction=direction, tolerance=tolerance).collect()
+        }
+
+        lp = pd.DataFrame(lrows, columns=["k", "ts", "lval"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "rval"]).sort_values("ts")
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            suffixes=("", "_r"),
+            tolerance=tolerance if tolerance is not None else None,
+        ) if len(rp) else lp.assign(rval=None)
+        want = set()
+        for row in merged.itertuples(index=False):
+            rv = nrm(getattr(row, "rval", None))
+            # merge_asof keeps only the matched VALUE column; the matched
+            # right ts equals the asof lookup result, reconstructable from
+            # rval's uniqueness (1000+j keys the right row)
+            ts_r = None if rv is None else next(
+                t for (k2, t, v2) in rrows if v2 == rv)
+            want.add((row.k, row.ts, row.lval, ts_r, rv))
+        assert got == want, f"seed {seed} ({direction}, tol={tolerance})"
+
+        if seed % 5 == 0 and rrows:
+            salted = {
+                (r.k, r.ts, r.lval, nrm(r.ts_r), nrm(r.rval_r))
+                for r in temporal.asof_join_salted(
+                    left, right, on="k", ts_col="ts",
+                    direction=direction, tolerance=tolerance,
+                    salt=3).collect()
+            }
+            assert salted == got, f"salted diverged at seed {seed}"

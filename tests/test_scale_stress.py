@@ -470,3 +470,70 @@ def test_training_shards_10x_selfconsistent_token_stream(spark, tables,
             cum += r.n_tokens
             assert r.doc_id not in seen
             seen.add(r.doc_id)
+
+
+def test_training_shards_multifile_10x_selfconsistent(spark, tables,
+                                                      tmp_path):
+    """r15 mf egress at 10×, self-verifying like the single-file stress
+    above: with bins_per_file the shard sub-splits into file_seq=K dirs
+    written by PARALLEL tasks, and the loader contract is that
+    concatenating a shard's files in numeric file_seq order restores the
+    single-file row order. Verified with no engine in the loop: sorting
+    each shard's rows by (file_seq, row_index), the running token cumsum
+    must equal bin_id*max_tokens + bin_offset row by row ACROSS file
+    boundaries, each (shard, file_seq) dir must hold exactly one file,
+    file_seq must equal bin_id // bins_per_file, and the zero-padded
+    directory names must sort lexicographically == numerically."""
+    import os
+
+    from datafusion_substrait_spark.operators import packing
+
+    docs = tables["documents"].select("doc_id", "text")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"), "text")
+    n = docs10.count()
+    path = str(tmp_path / "shards10x_mf")
+    t0 = time.perf_counter()
+    packing.write_training_shards(docs10, path, max_tokens=256,
+                                  n_shards=16, bins_per_file=8)
+    t1 = time.perf_counter()
+    rows = spark.read.parquet(path).select(
+        "doc_id", F.col("shard").cast("int").alias("shard"),
+        F.col("file_seq").cast("long").alias("file_seq"),
+        "n_tokens", "bin_id", "bin_offset",
+        F.col("_metadata.row_index").alias("pos"),
+        F.col("_metadata.file_path").alias("fp")).collect()
+    print(f"\nshards 10x mf: write {t1-t0:.1f}s, {n} rows, "
+          f"{len({(r.shard, r.file_seq) for r in rows})} file dirs")
+
+    assert len(rows) == n
+    # zero-padded dir names: lexicographic == numeric
+    for d in os.listdir(path):
+        if not d.startswith("shard="):
+            continue
+        vals = [x.split("=", 1)[1] for x in os.listdir(os.path.join(path, d))
+                if x.startswith("file_seq=")]
+        assert vals and all(len(v) == 9 and v.isdigit() for v in vals)
+        assert sorted(vals) == sorted(vals, key=int)
+    by_sf: dict[tuple, set] = {}
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.doc_id % 16 == r.shard
+        assert r.file_seq == r.bin_id // 8, (r.shard, r.bin_id, r.file_seq)
+        by_sf.setdefault((r.shard, r.file_seq), set()).add(r.fp)
+        by_shard.setdefault(r.shard, []).append(r)
+    assert all(len(fps) == 1 for fps in by_sf.values()), \
+        "a (shard, file_seq) dir split across writer tasks"
+    assert len({sf[1] for sf in by_sf}) > 1, "degenerate single-file split"
+    seen = set()
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.file_seq, r.pos))
+        cum = 0
+        for i, r in enumerate(rs):
+            assert r.bin_id * 256 + r.bin_offset == cum, \
+                f"shard {shard} concat pos {i}: seek arithmetic diverged"
+            cum += r.n_tokens
+            assert r.doc_id not in seen
+            seen.add(r.doc_id)
+    assert len(seen) == n

@@ -86,6 +86,28 @@ def write_minhash_store(df: DataFrame, store: str, text_col: str = "text",
     the same bucket count at probe time, so more buckets = more probe
     parallelism)."""
     spark = df.sparkSession
+    # the meta table is a single parameter row, never data (r15, the
+    # write_exact_store ADVICE-r14 fix's PARALLEL in this store):
+    # mode="append" used to append a second meta row, after which
+    # _meta_row raised on every increment — and appending with DRIFTED
+    # parameters would mix incompatible signatures, so fail loud first.
+    if mode == "append":
+        # recover an interrupted compact BEFORE touching the buckets
+        # table: appending while {store}_buckets hides behind
+        # *_compact_old would CREATE a fresh one-generation table, and
+        # the next recovery would then drop the real (renamed-aside)
+        # store as "old"
+        _recover_compact_swap(spark, f"{store}_buckets")
+    if mode == "append" and spark.catalog.tableExists(f"{store}_meta"):
+        m = read_store_meta(spark, store)
+        want = dict(num_hashes=num_hashes, bands=bands,
+                    shingle_n=shingle_n, text_col=text_col,
+                    key_col=key_col)
+        if m != want:
+            raise ValueError(
+                f"{store} was built with {m}; appending with {want} "
+                "would mix signatures computed under different "
+                "parameters")
     banded = _banded_rows(df, text_col, key_col, num_hashes, bands,
                           shingle_n)
     sinks.write_bucketed(banded, f"{store}_bands", ("band", "sig"),
@@ -100,7 +122,7 @@ def write_minhash_store(df: DataFrame, store: str, text_col: str = "text",
         [(num_hashes, bands, shingle_n, text_col, key_col)],
         "num_hashes int, bands int, shingle_n int, "
         "text_col string, key_col string")
-    sinks.write_table(meta, f"{store}_meta", mode=mode)
+    sinks.write_table(meta, f"{store}_meta", mode="overwrite")
 
 
 def append_to_minhash_store(new_docs: DataFrame, store: str) -> None:
@@ -423,6 +445,21 @@ def write_hamming_store(sigs: DataFrame, store: str, key_col: str = "key",
     from datafusion_substrait_spark.operators.dedup import _banded_sigs
 
     spark = sigs.sparkSession
+    # single-parameter-row meta: always overwrite, validate drift on
+    # append (r15 — the same parallel of the write_exact_store
+    # ADVICE-r14 fix as write_minhash_store above)
+    if mode == "append":
+        # same pre-append recovery as write_minhash_store (a hidden
+        # hbuckets table must not be recreated one-generation fresh)
+        _recover_compact_swap(spark, f"{store}_hbuckets")
+    if mode == "append" and spark.catalog.tableExists(f"{store}_h_meta"):
+        m = _meta_row(spark, f"{store}_h")
+        if (m["key_col"], m["sig_col"]) != (key_col, sig_col):
+            raise ValueError(
+                f"{store} was built with key_col={m['key_col']!r}, "
+                f"sig_col={m['sig_col']!r}; appending with "
+                f"({key_col!r}, {sig_col!r}) would mix signatures over "
+                "different columns")
     banded = _banded_sigs(sigs, key_col, sig_col)
     arrays = (banded.groupBy("band", "val")
               .agg(F.sort_array(F.collect_list(F.struct("_k", "_sig")))
@@ -433,7 +470,7 @@ def write_hamming_store(sigs: DataFrame, store: str, key_col: str = "key",
                                  "key_col string, sig_col string")
     # named {store}_h_meta so the shared _meta_row helper (which appends
     # "_meta") reads it via the "{store}_h" prefix
-    sinks.write_table(meta, f"{store}_h_meta", mode=mode)
+    sinks.write_table(meta, f"{store}_h_meta", mode="overwrite")
 
 
 def append_to_hamming_store(new_sigs: DataFrame, store: str) -> None:

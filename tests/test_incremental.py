@@ -615,3 +615,54 @@ def test_exact_store_append_keeps_single_meta_row(spark):
         incremental.write_exact_store(drifted, STORE, text_col="text",
                                       n_buckets=2, mode="append")
     _drop_store(spark)
+
+
+def test_minhash_store_append_keeps_single_meta_row(spark, split_docs):
+    """r15 parallel of the write_exact_store ADVICE-r14 fix: appending a
+    second corpus generation through write_minhash_store(mode='append')
+    used to append a second meta row, bricking every later
+    read_store_meta; drifted parameters must fail loud instead of mixing
+    incompatible signatures."""
+    _, old, new = split_docs
+    _drop_store(spark)
+    incremental.write_minhash_store(old, STORE, n_buckets=2, **PARAMS)
+    incremental.write_minhash_store(new, STORE, n_buckets=2, mode="append",
+                                    **PARAMS)
+    assert spark.table(f"{STORE}_meta").count() == 1
+    # the store still probes after the append (read_store_meta works)
+    assert incremental.read_store_meta(spark, STORE)["bands"] == \
+        PARAMS["bands"]
+    drifted = dict(PARAMS, num_hashes=PARAMS["num_hashes"] * 2)
+    with pytest.raises(ValueError, match="was built with"):
+        incremental.write_minhash_store(new, STORE, n_buckets=2,
+                                        mode="append", **drifted)
+    _drop_store(spark)
+
+
+def test_hamming_store_append_keeps_single_meta_row(spark):
+    """Same parallel for the hamming store: single meta row after an
+    append-mode write, loud error on column drift, and a hidden
+    (mid-compact) hbuckets table is recovered before the append rather
+    than recreated one-generation fresh."""
+    store = "happ"
+    _drop_hamming(spark, store)
+    g1 = spark.createDataFrame([(1, 111), (2, -222)],
+                               "key bigint, phash bigint")
+    g2 = spark.createDataFrame([(3, 333)], "key bigint, phash bigint")
+    incremental.write_hamming_store(g1, store, n_buckets=2)
+    # crash window open: table renamed aside, then an append-mode write
+    spark.sql(f"ALTER TABLE {store}_hbuckets RENAME TO "
+              f"{store}_hbuckets_compact_old")
+    incremental.write_hamming_store(g2, store, n_buckets=2, mode="append")
+    assert not spark.catalog.tableExists(f"{store}_hbuckets_compact_old")
+    assert spark.table(f"{store}_h_meta").count() == 1
+    # BOTH generations present (recovery first, then append — a fresh
+    # one-generation table would hold only g2's buckets)
+    keys = {r["ids"][0]["_k"] for r in
+            spark.table(f"{store}_hbuckets").collect()}
+    assert {1, 2, 3} <= keys, keys
+    with pytest.raises(ValueError, match="was built with"):
+        incremental.write_hamming_store(
+            g2.withColumnRenamed("phash", "sig"), store, n_buckets=2,
+            sig_col="sig", mode="append")
+    _drop_hamming(spark, store)

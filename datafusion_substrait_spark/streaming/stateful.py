@@ -139,6 +139,12 @@ SEEN_SCHEMA = T.StructType([
     T.StructField("value", T.DoubleType()),
 ])
 
+# internal emission schema (same r15 NaN seam as _USER_STATS_EMIT): an
+# elected row whose value is a GENUINE NaN must leave the state function
+# as a flag, because the Arrow hop maps NaN→NULL in both directions
+_SEEN_EMIT = T.StructType(
+    list(SEEN_SCHEMA) + [T.StructField("_vn", T.BooleanType())])
+
 
 def streaming_exact_dedup(events: DataFrame,
                           fingerprint_cols: tuple[str, ...] = ("user_id", "event_type"),
@@ -155,7 +161,11 @@ def streaming_exact_dedup(events: DataFrame,
     micro-batch (r15), so a stream drained in event order picks exactly
     the batch rows even when distinct rows tie on (fingerprint,
     event_id) within a batch; ties split ACROSS micro-batches keep the
-    first-seen row — the streaming contract.
+    first-seen row — the streaming contract. NaN ``value``s rank and
+    emit exactly like batch (NULL first, NaN greatest-of-all, NaN
+    preserved in the output) via the same JVM-side isnan sentinel seam
+    as :func:`running_user_stats` — the Arrow hop cannot carry the
+    NULL/NaN distinction in either direction.
     """
     # null-safe field encoding: concat_ws SKIPS nulls, so (1, NULL) and
     # (NULL, 1) would collide on one fingerprint and dedup away distinct
@@ -187,13 +197,16 @@ def streaming_exact_dedup(events: DataFrame,
 
     def _elect_key(row) -> tuple:
         # the batch branch's row_number ordering: (event_id, user_id
-        # asc_nulls_first, value asc_nulls_first) as a comparable tuple
-        # (NaN == NULL here; the leading bool puts it first, matching
-        # Spark's nulls-first)
+        # asc_nulls_first, value asc_nulls_first) as a comparable tuple.
+        # Spark orders NULL first and NaN GREATEST-of-all, and NaN==NULL
+        # after the Arrow hop, so value ranks via the 3-way class the
+        # JVM-side _vnan sentinel restores: 0 NULL, 1 real (by value),
+        # 2 genuine NaN.
         uid, val = row["user_id"], row["value"]
+        vclass = 2 if row["_vnan"] else (0 if pd.isna(val) else 1)
         return (row["event_id"],
                 not pd.isna(uid), 0.0 if pd.isna(uid) else float(uid),
-                not pd.isna(val), 0.0 if pd.isna(val) else float(val))
+                vclass, 0.0 if vclass != 1 else float(val))
 
     def keep_first(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
@@ -212,9 +225,15 @@ def streaming_exact_dedup(events: DataFrame,
             # ADVICE r14: bare idxmin picked the first min-event_id row
             # in ARRIVAL order, so two distinct rows sharing a
             # fingerprint and event_id could make a fully-drained stream
-            # disagree with batch)
-            pdf = pdf.sort_values(["event_id", "user_id", "value"],
-                                  na_position="first")
+            # disagree with batch). Sorting by the _elect_key ordering:
+            # NULL user_id/value first, genuine-NaN value LAST (Spark's
+            # NaN-greatest), real values in between.
+            pdf = pdf.assign(
+                _vcls=pdf["_vnan"].astype(bool).map({True: 2, False: 1})
+                .where(~pdf["value"].isna() | pdf["_vnan"].astype(bool), 0))
+            pdf = pdf.sort_values(
+                ["event_id", "user_id", "_vcls", "value"],
+                na_position="first")
             row = pdf.iloc[0]
             if best is None or _elect_key(row) < _elect_key(best):
                 best = row
@@ -222,7 +241,8 @@ def streaming_exact_dedup(events: DataFrame,
             state.update((True,))
             # nullable dtypes: user_id/value may be NULL on the elected row
             # (only event_id is guaranteed non-null); int(NaN) would crash
-            # the whole streaming query
+            # the whole streaming query. A genuine-NaN value leaves as the
+            # _vn flag (Arrow would turn the NaN itself into NULL).
             uid, val = best["user_id"], best["value"]
             yield pd.DataFrame({
                 "fingerprint": [key[0]],
@@ -230,13 +250,21 @@ def streaming_exact_dedup(events: DataFrame,
                 "user_id": pd.array(
                     [None if pd.isna(uid) else int(uid)], dtype="Int64"),
                 "value": [None if pd.isna(val) else float(val)],
+                "_vn": pd.Series([bool(best["_vnan"])], dtype="bool"),
             })
 
-    keyed = events.select(fp.alias("fingerprint"), "event_id", "user_id", "value")
-    return keyed.groupBy("fingerprint").applyInPandasWithState(
+    keyed = events.select(fp.alias("fingerprint"), "event_id", "user_id",
+                          "value",
+                          F.isnan(F.col("value").cast("double"))
+                          .alias("_vnan"))
+    raw = keyed.groupBy("fingerprint").applyInPandasWithState(
         keep_first,
-        outputStructType=SEEN_SCHEMA,
+        outputStructType=_SEEN_EMIT,
         stateStructType="seen BOOLEAN",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return raw.select(
+        "fingerprint", "event_id", "user_id",
+        F.when(F.col("_vn"), F.lit(float("nan")))
+        .otherwise(F.col("value")).alias("value"))

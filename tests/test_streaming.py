@@ -502,3 +502,44 @@ def test_stream_dedup_tie_break_matches_batch(spark, tmp_path):
     assert rows_set(got) == rows_set(expect)
     by_uid = {r.user_id: r.value for r in got.collect()}
     assert by_uid[1] == 1.0 and by_uid[2] is None
+
+
+def test_stream_dedup_nan_values_match_batch(spark, tmp_path):
+    """r15 parallel of the running_user_stats NaN fix: the elected row's
+    NaN value must survive into the stream output (Arrow turns NaN into
+    NULL in both directions without the sentinel), and NaN must rank
+    GREATEST in the election exactly like Spark's batch ordering (NULL
+    first, real values, NaN last)."""
+    nan = float("nan")
+    rows = [
+        # fp (1, click), tied event_id: real value beats NaN (NaN greatest)
+        (100, "2024-01-01 10:00:00", 1, "click", nan, None),
+        (100, "2024-01-01 10:00:01", 1, "click", 7.0, None),
+        # fp (2, view), tied event_id: NULL beats NaN (nulls first)
+        (200, "2024-01-01 10:01:00", 2, "view", nan, None),
+        (200, "2024-01-01 10:01:01", 2, "view", None, None),
+        # fp (3, view): NaN-only — the output row must carry NaN, not NULL
+        (300, "2024-01-01 10:02:00", 3, "view", nan, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "nan_dedup_events")
+    df.coalesce(1).write.parquet(path)
+
+    from datafusion_substrait_spark.streaming import stateful
+
+    stream = ev.read_events_stream(spark, path)
+    out = stateful.streaming_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("nan_dedup2")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("nan_dedup2")
+    expect = stateful.streaming_exact_dedup(df)
+    assert _nan_safe_rows(got) == _nan_safe_rows(expect)
+    by_uid = {r.user_id: r.value for r in got.collect()}
+    assert by_uid[1] == 7.0
+    assert by_uid[2] is None
+    assert by_uid[3] != by_uid[3]  # genuine NaN preserved

@@ -210,3 +210,37 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
            .sortWithinPartitions("shard", "file_seq", "bin_id",
                                  "bin_offset", *order))
     out.write.mode(mode).partitionBy("shard", "file_seq").parquet(path)
+
+
+def read_training_shards(spark, path: str) -> DataFrame:
+    """Loader-side inverse of :func:`write_training_shards`: read a shard
+    directory (either layout) back with a ``pos`` column holding each
+    row's position in its shard's CONCATENATION order — the row order a
+    single-file-per-shard write would have had, restored for the
+    ``bins_per_file`` multi-file layout by ordering on (file_seq,
+    in-file row index). Columns: every written column plus ``pos``;
+    ``file_seq`` is normalized to bigint when present (the directory
+    value is zero-padded for non-Spark loaders).
+
+    Spark loaders should prefer this over hand-listing files; non-Spark
+    loaders stream ``file_seq=K`` directories in name order (zero-padded,
+    so lexicographic == numeric) and rely on parquet row order within
+    each file.
+
+    Scale shape: one window shuffle keyed on ``shard`` — same key and
+    cost as the pack itself; row_number over (file_seq, row_index) is
+    exact because each (shard, file_seq) dir holds exactly one file
+    (one writer task per group, pinned by tests). An empty/marker-only
+    directory raises Spark's unreadable-schema error — match
+    write_training_shards' empty-input note by probing for data files
+    first if empty corpora are expected."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    order = [F.col("_metadata.row_index")]
+    if "file_seq" in df.columns:
+        df = df.withColumn("file_seq", F.col("file_seq").cast("bigint"))
+        order = [F.col("file_seq"), F.col("_metadata.row_index")]
+    w = Window.partitionBy("shard").orderBy(*order)
+    return df.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint"))

@@ -246,3 +246,29 @@ def test_write_training_shards_multifile_order_restorable(spark, tmp_path):
             assert r.bin_id * 16 + r.bin_offset == cum, \
                 f"shard {shard} pos {i}: seek arithmetic diverged"
             cum += r.n_tokens
+
+
+def test_read_training_shards_restores_concat_order_both_layouts(
+        spark, tmp_path):
+    """r15 (ADVICE r14 follow-through): the loader helper must return
+    pos == pack_sequences' within-shard rank for BOTH layouts — the
+    one-file-per-shard default and the bins_per_file multi-file split —
+    so a Spark consumer never hand-lists file_seq directories."""
+    from pyspark.sql import Window
+
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, f"w {'t ' * (i % 9)}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = packing.pack_sequences(df, 16, n_shards=3)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    want = {r.doc_id: r.rank for r in packed.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("rank")).collect()}
+
+    for layout, kwargs in (("single", {}), ("multi", {"bins_per_file": 4})):
+        path = str(tmp_path / f"rb_{layout}")
+        packing.write_training_shards(df, path, max_tokens=16, n_shards=3,
+                                      **kwargs)
+        got = {r.doc_id: r.pos for r in
+               packing.read_training_shards(spark, path).collect()}
+        assert got == want, f"{layout} layout diverged"

@@ -182,6 +182,19 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     marker-only directory as an empty corpus, not an error; the write
     itself succeeds because an upstream filter legitimately matching
     nothing is not a pipeline fault."""
+    if mode == "append":
+        # fail LOUD (r15, same hazard class as the store meta appends):
+        # appending writes a SECOND part file into each shard=N dir whose
+        # rows restart pack order at offset 0 — the loader's
+        # row-order-within-shard contract silently corrupts (row_index /
+        # file_seq concat order interleaves two independent packs).
+        # Growing a packed corpus means re-packing (old ∪ new) — the bin
+        # assignment of every doc after the first new one changes anyway
+        # — or writing the new generation to a NEW path.
+        raise ValueError(
+            "write_training_shards cannot append: a second pack in the "
+            "same shard dirs breaks the loader's row-order contract; "
+            "re-pack the combined corpus or write a new path")
     packed = pack_sequences(df, max_tokens, n_shards=n_shards,
                             text_col=text_col, key_col=key_col,
                             token_col=token_col, order_col=order_col)

@@ -272,3 +272,17 @@ def test_read_training_shards_restores_concat_order_both_layouts(
         got = {r.doc_id: r.pos for r in
                packing.read_training_shards(spark, path).collect()}
         assert got == want, f"{layout} layout diverged"
+
+
+def test_write_training_shards_refuses_append(spark, tmp_path):
+    """r15 (same class as the store meta-append fixes): appending a
+    second pack into existing shard dirs would interleave two
+    independent concatenation orders — the writer must fail loud."""
+    import pytest as _pytest
+
+    from datafusion_substrait_spark.operators import packing
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="cannot append"):
+        packing.write_training_shards(df, str(tmp_path / "x"),
+                                      max_tokens=16, mode="append")

@@ -33,7 +33,13 @@ echo "== preship 3/3: bench (strict: a budget violation FAILS preship) =="
 # violation from riding into the round record. If this trips on a loaded
 # machine, check BENCH_LOAD_START in stderr and BENCH_NOTES.md's quiet
 # reference column before touching any budget.
-out="$(SPARK_GRAFT_BENCH_STRICT=1 python3 bench.py)"
+# r15: the preship bench starts seconds after the 13-minute pytest
+# phase — two of three r15 post-pytest starts tripped noise violations
+# at 1m≈1.2 (inside bench.py's default <1.3 gate, but still in the
+# post-phase reclaim window) that a settled re-run disproved on
+# identical source. Tighten THIS run's settle gate to the drained
+# envelope; the driver's standalone runs keep bench.py's default.
+out="$(SPARK_GRAFT_BENCH_STRICT=1 SPARK_GRAFT_BENCH_SETTLE_LOAD=0.7 python3 bench.py)"
 echo "$out" | tail -1 | python3 -c "
 import json, sys
 rec = json.loads(sys.stdin.readline())

@@ -767,16 +767,17 @@ def _t13_chunk(spark, sf_dir):
     #
     # r14 shards leg (VERDICT r13 #4 — the egress family's driver row):
     # write_training_shards MATERIALIZES the same pack to shard=N
-    # parquet dirs and the leg reads them BACK with the parquet
-    # _metadata.row_index, so the sh_* columns verify the real
-    # write→read-back path — sh_pos is each row's PHYSICAL position in
-    # its shard file (repartition("shard") gives every shard one
-    # writer task, hence one file, so row_index IS the concatenation
-    # position) and sh_bin_id/sh_bin_offset are the values as WRITTEN.
-    # The oracle replays sh_pos as the closed-form within-shard rank
-    # over (epoch_key, doc_id); a wrong file sort order or a dropped
-    # zero-token tie-break would permute sh_pos across doc_ids and
-    # hash-mismatch.
+    # parquet dirs and the leg reads them BACK through the SHIPPED
+    # loader, packing.read_training_shards (r16, VERDICT r15 #1: the
+    # public API users would call — its window-rank pos restoration —
+    # is what the DuckDB hash compare validates, not a hand-rolled
+    # _metadata.row_index select that duplicated the same contract).
+    # sh_pos is the loader's pos — each row's position in its shard's
+    # concatenation order — and sh_bin_id/sh_bin_offset are the values
+    # as WRITTEN. The oracle replays sh_pos as the closed-form
+    # within-shard rank over (epoch_key, doc_id); a wrong file sort
+    # order, a dropped zero-token tie-break, or a loader ordering bug
+    # would permute sh_pos across doc_ids and hash-mismatch.
     from datafusion_substrait_spark.operators import packing
     from datafusion_substrait_spark.operators.sampling import _key_bytes
 
@@ -797,23 +798,26 @@ def _t13_chunk(spark, sf_dir):
         f"t13_shards_{os.path.basename(sf_dir.rstrip('/'))}")
     packing.write_training_shards(keyed, shard_path, max_tokens=512,
                                   n_shards=8, order_col="epoch_key")
-    readback = spark.read.parquet(shard_path).select(
+    readback = packing.read_training_shards(spark, shard_path).select(
         "doc_id",
         F.col("shard").cast("int").alias("sh_shard"),
         F.col("bin_id").alias("sh_bin_id"),
         F.col("bin_offset").alias("sh_bin_offset"),
-        F.col("_metadata.row_index").alias("sh_pos"))
+        F.col("pos").alias("sh_pos"))
     # r15 mf leg (VERDICT r14 #3): the bins_per_file PARALLEL multi-file
     # layout — the egress a real 100 TB run would use — under the same
-    # driver oracle. write_training_shards sub-splits every shard into
-    # file_seq = bin_id // bpf directories, one writer task per
-    # (shard, file_seq), each dir exactly one file, so
-    # _metadata.row_index IS the row's position within its file_seq
-    # slice. The oracle replays mf_file_seq closed-form and mf_pos as
-    # the within-(shard, file_seq) rank over (epoch_key, doc_id): a
-    # wrong sub-split, a broken within-file sort, or a (shard,
-    # file_seq) group split across writer tasks would permute mf_pos
-    # and hash-mismatch.
+    # driver oracle, read back through the SHIPPED loader (r16, VERDICT
+    # r15 #1). read_training_shards restores the full CONCATENATION
+    # order across the file_seq sub-dirs — pos orders by (file_seq,
+    # file_name, row_index) within each shard — so the oracle replays
+    # mf_file_seq closed-form (bin_id // bpf) and mf_pos as the plain
+    # within-SHARD rank over (epoch_key, doc_id): a wrong sub-split, a
+    # broken within-file sort, a (shard, file_seq) group split across
+    # writer tasks, or a loader that mis-orders file_seq slices would
+    # permute mf_pos and hash-mismatch. (Stronger than r15's per-file
+    # rank: every row's position across ALL of its shard's files must
+    # be exact, which implies both the file order and the in-file
+    # order.)
     #
     # bins_per_file is a file-SIZE knob, not semantics (packing.py
     # docstring: size it by target file bytes) — so it scales with the
@@ -830,10 +834,10 @@ def _t13_chunk(spark, sf_dir):
     packing.write_training_shards(keyed, mf_path, max_tokens=512,
                                   n_shards=8, order_col="epoch_key",
                                   bins_per_file=bpf)
-    mf_readback = spark.read.parquet(mf_path).select(
+    mf_readback = packing.read_training_shards(spark, mf_path).select(
         "doc_id",
-        F.col("file_seq").cast("bigint").alias("mf_file_seq"),
-        F.col("_metadata.row_index").alias("mf_pos"))
+        F.col("file_seq").alias("mf_file_seq"),
+        F.col("pos").alias("mf_pos"))
     return (packed.select("doc_id",
                           F.col("n_tokens").alias("pk_tokens"),
                           "shard", "bin_id", "bin_offset",
@@ -2825,16 +2829,18 @@ ORACLES: dict[str, str] = {
             SELECT CASE WHEN count(*) <= 1000 THEN 4 ELSE 32 END AS k
             FROM documents
         ), mf AS (
-            -- r15 mf leg: the bins_per_file PARALLEL multi-file
-            -- layout read back from file_seq=K sub-dirs; file_seq is
-            -- the closed form bin_id // bpf.k and position-within-file
-            -- is the within-(shard, file_seq) rank in pack order —
-            -- equality proves the sub-split, the one-file-per-dir
-            -- writer assignment, and the within-file sort all held
+            -- r15 mf leg, r16 loader-backed (VERDICT r15 #1): the
+            -- bins_per_file PARALLEL multi-file layout read back via
+            -- the SHIPPED read_training_shards; file_seq is the closed
+            -- form bin_id // bpf.k and pos is the loader's restored
+            -- CONCATENATION position — the plain within-SHARD rank in
+            -- pack order, across all of the shard's file_seq slices.
+            -- Equality proves the sub-split, the one-task-per-dir
+            -- writer assignment, the within-file sort, AND the
+            -- loader's (file_seq, file_name, row_index) restoration.
             SELECT doc_id,
                    CAST(floor(bin_id / k) AS BIGINT) AS mf_file_seq,
-                   CAST(row_number() OVER (
-                        PARTITION BY shard, floor(bin_id / k)
+                   CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY epoch_key, doc_id) - 1 AS BIGINT) AS mf_pos
             FROM pk, bpf
         )

@@ -241,19 +241,30 @@ def read_training_shards(spark, path: str) -> DataFrame:
     each file.
 
     Scale shape: one window shuffle keyed on ``shard`` — same key and
-    cost as the pack itself; row_number over (file_seq, row_index) is
-    exact because each (shard, file_seq) dir holds exactly one file
-    (one writer task per group, pinned by tests). An empty/marker-only
+    cost as the pack itself. Row order is restored by
+    (file_seq, file_name, row_index): each (shard[, file_seq]) dir is
+    written by exactly ONE task (pinned by tests), and when
+    ``spark.sql.files.maxRecordsPerFile`` splits that task's output into
+    several files (r16, ADVICE r15: ``row_index`` restarts per file, so
+    row_index alone would silently permute ``pos``), the split files
+    share the task's ``part-NNNNN-<uuid>`` prefix and differ only in the
+    monotonically increasing ``-cNNN`` split counter, so NAME order ==
+    write order — exact for up to 1000 split files per dir (the counter
+    is %03d; past 999 Spark emits ``c1000`` which sorts before ``c999``,
+    a regime no sane maxRecordsPerFile reaches). Multiple TASKS per dir
+    would break this (part numbers order by task id, not pack order) —
+    that is exactly what the one-writer-per-group repartition in
+    :func:`write_training_shards` rules out. An empty/marker-only
     directory raises Spark's unreadable-schema error — match
     write_training_shards' empty-input note by probing for data files
     first if empty corpora are expected."""
     from pyspark.sql import Window
 
     df = spark.read.parquet(path)
-    order = [F.col("_metadata.row_index")]
+    order = [F.col("_metadata.file_name"), F.col("_metadata.row_index")]
     if "file_seq" in df.columns:
         df = df.withColumn("file_seq", F.col("file_seq").cast("bigint"))
-        order = [F.col("file_seq"), F.col("_metadata.row_index")]
+        order = [F.col("file_seq")] + order
     w = Window.partitionBy("shard").orderBy(*order)
     return df.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("bigint"))

@@ -47,6 +47,18 @@ _USER_STATS_EMIT = T.StructType(
 _STATE_SCHEMA = "n LONG, s DOUBLE, m DOUBLE, k LONG, hn BOOLEAN"
 
 
+def _state_or_default(stored: tuple | None) -> tuple:
+    """Unpack running_user_stats state, tolerating the pre-r15 4-field
+    layout (no ``hn``) with ``hn=False`` — see the checkpoint-migration
+    note in :func:`running_user_stats`. Unit-tested directly (the update
+    closure only ever sees what Spark's state store hands it)."""
+    if stored is None:
+        return (0, 0.0, float("-inf"), 0, False)
+    if len(stored) == 4:
+        return (*stored, False)
+    return tuple(stored)
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum, max) over ``value``.
 
@@ -67,6 +79,17 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     NaN value emits NaN sum/max exactly like the batch aggregate (Spark
     sum propagates NaN; max ranks NaN greatest), and NaN counts as
     non-NULL for the all-NULL→NULL rule, matching ``count(value)``.
+
+    Checkpoint migration (r16, ADVICE r15): the r15 NaN fix widened the
+    state schema from 4 fields to 5 (``hn BOOLEAN`` appended). A query
+    RESTARTED from a pre-r15 checkpoint is rejected by Spark's
+    state-schema compatibility check (the state store validates the
+    declared stateStructType against the checkpointed one) — discard the
+    old checkpoint directory and let the query rebuild state from the
+    source, or replay from the source into a fresh checkpoint. As a
+    second line of defense the unpack below also tolerates a 4-tuple
+    ``state.get`` (defaults ``hn=False``) in case a state-store format
+    skips the schema check.
     """
     if not events.isStreaming:
         return (
@@ -84,8 +107,8 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         # NULL); hn latches "a genuine NaN was seen" from the JVM-side
         # sentinel (pandas count/sum/max silently DROP NaN, where the
         # batch aggregate poisons sum and ranks NaN greatest for max)
-        (n, s, m, k, hn) = (state.get if state.exists
-                            else (0, 0.0, float("-inf"), 0, False))
+        (n, s, m, k, hn) = _state_or_default(
+            state.get if state.exists else None)
         for pdf in pdfs:
             n += len(pdf)
             # Spark's isnan is false for NULL, so the sentinel is
@@ -146,6 +169,26 @@ _SEEN_EMIT = T.StructType(
     list(SEEN_SCHEMA) + [T.StructField("_vn", T.BooleanType())])
 
 
+def _elect_key(row) -> tuple:
+    """streaming_exact_dedup's cross-micro-batch election key: the batch
+    branch's row_number ordering — (event_id, user_id asc_nulls_first,
+    value asc_nulls_first) — as a comparable tuple. Spark orders NULL
+    first and NaN GREATEST-of-all, and NaN==NULL after the Arrow hop, so
+    value ranks via the 3-way class the JVM-side _vnan sentinel
+    restores: 0 NULL, 1 real (by value), 2 genuine NaN. Ids compare as
+    PYTHON INTS (r16, ADVICE r15: ``float(uid)`` rounded bigints above
+    2^53, so two large ids differing only in low bits compared equal and
+    the election could diverge from batch; ``int()`` of a numpy int64 is
+    exact, and of an already-float64 id it adds no further loss — that
+    conversion only happens at the Arrow hop when the COLUMN holds a
+    NULL in the same micro-batch, a narrower exposure)."""
+    uid, val = row["user_id"], row["value"]
+    vclass = 2 if row["_vnan"] else (0 if pd.isna(val) else 1)
+    return (int(row["event_id"]),
+            not pd.isna(uid), 0 if pd.isna(uid) else int(uid),
+            vclass, 0.0 if vclass != 1 else float(val))
+
+
 def streaming_exact_dedup(events: DataFrame,
                           fingerprint_cols: tuple[str, ...] = ("user_id", "event_type"),
                           ) -> DataFrame:
@@ -194,19 +237,6 @@ def streaming_exact_dedup(events: DataFrame,
         return (w_src.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .select("fingerprint", "event_id", "user_id", "value"))
-
-    def _elect_key(row) -> tuple:
-        # the batch branch's row_number ordering: (event_id, user_id
-        # asc_nulls_first, value asc_nulls_first) as a comparable tuple.
-        # Spark orders NULL first and NaN GREATEST-of-all, and NaN==NULL
-        # after the Arrow hop, so value ranks via the 3-way class the
-        # JVM-side _vnan sentinel restores: 0 NULL, 1 real (by value),
-        # 2 genuine NaN.
-        uid, val = row["user_id"], row["value"]
-        vclass = 2 if row["_vnan"] else (0 if pd.isna(val) else 1)
-        return (row["event_id"],
-                not pd.isna(uid), 0.0 if pd.isna(uid) else float(uid),
-                vclass, 0.0 if vclass != 1 else float(val))
 
     def keep_first(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:

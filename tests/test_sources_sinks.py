@@ -274,6 +274,54 @@ def test_read_training_shards_restores_concat_order_both_layouts(
         assert got == want, f"{layout} layout diverged"
 
 
+def test_read_training_shards_survives_max_records_per_file(
+        spark, tmp_path):
+    """r16 (ADVICE r15): with ``spark.sql.files.maxRecordsPerFile`` set —
+    common in production — one writer task's output splits into several
+    part files per (shard[, file_seq]) dir and ``row_index`` RESTARTS in
+    each, so a loader ordering on row_index alone silently permutes pos.
+    read_training_shards now tie-breaks on ``_metadata.file_name`` (the
+    split files share the task's part-NNNNN-<uuid> prefix and differ
+    only in the monotonic -cNNN split counter, so name order == write
+    order); this pins pos == pack rank for BOTH layouts under a forced
+    split, and asserts the split genuinely happened."""
+    from pyspark.sql import Window
+
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, f"w {'t ' * (i % 9)}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = packing.pack_sequences(df, 16, n_shards=3)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    want = {r.doc_id: r.rank for r in packed.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("rank")).collect()}
+
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+    try:
+        for layout, kwargs in (("single", {}),
+                               ("multi", {"bins_per_file": 8})):
+            path = str(tmp_path / f"split_{layout}")
+            packing.write_training_shards(df, path, max_tokens=16,
+                                          n_shards=3, **kwargs)
+            fps = spark.read.parquet(path).select(
+                F.col("shard").cast("int").alias("shard"),
+                *([F.col("file_seq").cast("long").alias("fsq")]
+                  if layout == "multi" else []),
+                F.col("_metadata.file_name").alias("fn")).collect()
+            per_dir: dict = {}
+            for r in fps:
+                key = (r.shard, r.fsq) if layout == "multi" else r.shard
+                per_dir.setdefault(key, set()).add(r.fn)
+            assert any(len(s) > 1 for s in per_dir.values()), \
+                f"{layout}: maxRecordsPerFile did not split — test inert"
+            got = {r.doc_id: r.pos for r in
+                   packing.read_training_shards(spark, path).collect()}
+            assert got == want, f"{layout} layout diverged under file split"
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+
+
 def test_write_training_shards_refuses_append(spark, tmp_path):
     """r15 (same class as the store meta-append fixes): appending a
     second pack into existing shard dirs would interleave two

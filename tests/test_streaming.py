@@ -543,3 +543,47 @@ def test_stream_dedup_nan_values_match_batch(spark, tmp_path):
     assert by_uid[1] == 7.0
     assert by_uid[2] is None
     assert by_uid[3] != by_uid[3]  # genuine NaN preserved
+
+
+def test_elect_key_bigint_precision_above_2_53():
+    """r16 (ADVICE r15): the cross-micro-batch election key compared ids
+    as float64, so bigints above 2^53 differing only in low bits tied and
+    the election could pick a different row than the batch row_number.
+    Python-int comparison is exact; pin it on ids float() cannot tell
+    apart, in both orderings."""
+    import numpy as np
+
+    from datafusion_substrait_spark.streaming.stateful import _elect_key
+
+    big, bigger = 2**53, 2**53 + 1   # float64 rounds the odd one down
+    assert float(big) == float(bigger)
+    lo = {"event_id": np.int64(7), "user_id": np.int64(big),
+          "value": 1.0, "_vnan": False}
+    hi = {"event_id": np.int64(7), "user_id": np.int64(bigger),
+          "value": 1.0, "_vnan": False}
+    assert _elect_key(lo) < _elect_key(hi)
+    # event_id precision too (post-dropna event_id is non-null, so int()
+    # is always safe there)
+    e_lo = dict(lo, event_id=np.int64(big))
+    e_hi = dict(lo, event_id=np.int64(bigger))
+    assert _elect_key(e_lo) < _elect_key(e_hi)
+    # NULL user_id still ranks first, NaN value still ranks last
+    nul = dict(lo, user_id=float("nan"))
+    assert _elect_key(nul) < _elect_key(lo)
+    nanv = dict(lo, value=float("nan"), _vnan=True)
+    assert _elect_key(lo) < _elect_key(nanv)
+
+
+def test_state_or_default_tolerates_pre_r15_4_field_state():
+    """r16 (ADVICE r15): the r15 NaN fix widened running_user_stats'
+    state schema 4→5 fields; a pre-r15 checkpoint that slips past the
+    state-store schema check must unpack with hn=False, not crash the
+    query. The docstring carries the discard-the-checkpoint migration
+    note; this pins the defensive unpack."""
+    from datafusion_substrait_spark.streaming.stateful import (
+        _state_or_default,
+    )
+
+    assert _state_or_default(None) == (0, 0.0, float("-inf"), 0, False)
+    assert _state_or_default((3, 1.5, 9.0, 2)) == (3, 1.5, 9.0, 2, False)
+    assert _state_or_default((3, 1.5, 9.0, 2, True)) == (3, 1.5, 9.0, 2, True)

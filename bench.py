@@ -54,8 +54,11 @@ BENCH_QUERIES = [
 # max(1.5x, +0.25s) over the best of three round-7 runs — the absolute
 # floor keeps sub-second queries from tripping on scheduler jitter. A
 # genuine plan regression trips these; sandbox contention (documented
-# 3-10x swings) is defended twice — best-of-3 baseline, plus 2 EXTRA runs
-# for any query over budget before it is reported. Violations go to
+# 3-10x swings) is defended three ways — best-of-3 baseline, 2 EXTRA runs
+# for any query over budget, and (r16) a post-loop SETTLED rerun of any
+# still-violated query that stamps a machine-readable noise|regression
+# disposition (see BENCH_NOTES.md "violation disposition"). Violations
+# that survive all three are regressions. They go to
 # stderr ONLY — the driver's recorded JSON schema is exactly
 # {metric,value,unit,queries,sf} and must stay parseable by a strict
 # reader (rc stays 0 so one noisy neighbor cannot void the whole bench
@@ -97,15 +100,14 @@ BUDGETS: dict[str, float] = {
     # settle states (this sandbox's documented variance), so the budget
     # derives from the conservative end: 1.5 × 2.96. History: r8 6.75
     "d8_semdedup": 4.45,
-    # r15 re-derived (same formula, best-of-5 2.074s quiet at 1m≈1.1):
-    # the query gained the bins_per_file MULTI-FILE egress leg (VERDICT
-    # r14 #3) — a second write_training_shards job sub-splitting every
-    # shard into file_seq=K dirs (one writer task per (shard,
-    # file_seq); bpf corpus-scaled 4→32 so files stay production-
-    # shaped, see _t13_chunk) plus its read-back scan and a docs
-    # count() for the knob; workload change, not drift. History: r14
+    # r16 re-derived (same formula, best-of-4 2.355s at 1m≈1.0): both
+    # read-back legs now route through the SHIPPED read_training_shards
+    # loader (VERDICT r15 #1) — each adds one window shuffle (row_number
+    # over shard) where the old hand-rolled selects were shuffle-free
+    # metadata projections; ~+0.28s on the quiet column. Workload
+    # change, not drift. History: r15 3.11 (mf leg, quiet 2.074), r14
     # 1.87 (single-file sh_* leg, quiet 1.243), r9 0.68.
-    "t13_chunk": 3.11,
+    "t13_chunk": 3.53,
     "s1_bruteforce_topk": 2.18,
     "s3_ivf_topk": 2.41,
     "t2_quality": 2.62,  # re-derived after the gopher-columns merge
@@ -171,24 +173,29 @@ def _cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
-def _settle() -> float:
+def _settle() -> tuple[float, bool]:
     """Wait (bounded by SETTLE_MAX_S) for the 1m loadavg to drop below
-    SETTLE_LOAD1 before any timed work; returns seconds waited. Stamps
-    the wait + final load to stderr so the recorded tail shows whether
-    the run started quiet or timed out still hot."""
+    SETTLE_LOAD1 before any timed work; returns (seconds waited,
+    timed_out). Stamps the wait + final load to stderr; a run that
+    burned the full ceiling without reaching the gate is flagged LOUDLY
+    here and in the recap line (r16, ADVICE r15: proceeding hot after a
+    silent timeout made the record look settled when it wasn't)."""
     waited = 0.0
     while os.getloadavg()[0] >= SETTLE_LOAD1 and waited < SETTLE_MAX_S:
         time.sleep(10)
         waited += 10
     la = os.getloadavg()
+    timed_out = la[0] >= SETTLE_LOAD1
     print(f"BENCH_SETTLE: waited={waited:.0f}s 1m={la[0]:.2f} "
-          f"(gate <{SETTLE_LOAD1}, max {SETTLE_MAX_S:.0f}s)",
+          f"(gate <{SETTLE_LOAD1}, max {SETTLE_MAX_S:.0f}s)"
+          + (" TIMEOUT — proceeding on a machine still above the gate;"
+             " treat violations below as suspect" if timed_out else ""),
           file=sys.stderr)
-    return waited
+    return waited, timed_out
 
 
 def main() -> None:
-    settle_wait = _settle()
+    settle_wait, settle_timeout = _settle()
     load_start = _load_stamp("START")
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -243,22 +250,51 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     probe_end = _cpu_probe()
+
+    # mechanical violation disposition (r16, VERDICT r15 #2): the
+    # single-thread CPU probe measurably missed a memory-bandwidth /
+    # host-scheduler contention event in r15 (q09/d3 violated with both
+    # probes inside 1.2×), so noise-vs-regression is no longer argued in
+    # prose — on any first-pass violation, re-settle (bounded) and
+    # re-time JUST the violated queries once; a rerun inside budget is
+    # stamped disposition=noise (and folds into the best-of min, keeping
+    # the recorded value honest), a rerun still out is
+    # disposition=regression and fails strict mode. Both readings land
+    # in the RECAP line and BENCH_QUIET.jsonl.
+    first_pass = {n: t for n, t in timings.items()
+                  if n in BUDGETS and t > BUDGETS[n]}
+    dispositions: dict[str, dict] = {}
+    if first_pass:
+        _settle()
+        for n, first in first_pass.items():
+            rerun = round(run_once(n), 3)
+            disp = "noise" if rerun <= BUDGETS[n] else "regression"
+            dispositions[n] = {"first": first, "rerun": rerun,
+                               "budget": BUDGETS[n], "disposition": disp}
+            timings[n] = min(timings[n], rerun)
+
     violations = {n: {"sec": t, "budget": BUDGETS[n]}
                   for n, t in timings.items()
                   if n in BUDGETS and t > BUDGETS[n]}
     for n, v in violations.items():
         print(f"BUDGET VIOLATION: {n} took {v['sec']}s "
-              f"(budget {v['budget']}s)", file=sys.stderr)
+              f"(budget {v['budget']}s) — REGRESSION: survived a "
+              "settled rerun", file=sys.stderr)
 
     # one compact recap immediately before the END stamp (r15, VERDICT
     # r14 #1): the driver records only the LAST 2,000 chars of stderr,
     # which truncated the settle/start stamps out of the r14 record —
     # re-printing them here makes the recorded tail PROVE the run
     # started quiet (or show it didn't) and carry the probe timings.
-    print(f"BENCH_RECAP: settle_wait={settle_wait:.0f}s "
+    disp_str = " ".join(
+        f"{n}:{d['disposition']}({d['first']}/{d['rerun']}/b{d['budget']})"
+        for n, d in dispositions.items()) or "none"
+    print(f"BENCH_RECAP: settle_wait={settle_wait:.0f}s"
+          f"{' SETTLE_TIMEOUT' if settle_timeout else ''} "
           f"load_start_1m={load_start[0]:.2f} "
           f"probe_start={probe_start:.3f}s probe_end={probe_end:.3f}s "
-          f"violations={len(violations)}", file=sys.stderr)
+          f"violations={len(violations)} dispositions={disp_str}",
+          file=sys.stderr)
     load_end = _load_stamp("END")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -287,11 +323,13 @@ def main() -> None:
         rec.update({
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "settle_wait_s": settle_wait,
+            "settle_timeout": settle_timeout,
             "load_start_1m": round(load_start[0], 2),
             "load_end_1m": round(load_end[0], 2),
             "probe_start_s": round(probe_start, 3),
             "probe_end_s": round(probe_end, 3),
             "violations": violations,
+            "dispositions": dispositions,
         })
         with open(quiet_path, "a") as fh:
             fh.write(json.dumps(rec) + "\n")

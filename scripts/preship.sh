@@ -17,13 +17,26 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== preship 1/3: entry-module import guard =="
+echo "== preship 1/4: entry-module import guard =="
 python3 -c "import __spark_entry__ as e; assert set(e.ORACLES) == set(e.QUERIES); assert len(e.QUERIES) <= 50; print(f'ok: {len(e.QUERIES)} entries, lockstep holds')"
 
-echo "== preship 2/3: pytest =="
+echo "== preship 2/4: pytest =="
 python3 -m pytest tests/ -q
 
-echo "== preship 3/3: bench (strict: a budget violation FAILS preship) =="
+echo "== preship 3/4: scale-stress gates (r16, VERDICT r15 #6) =="
+# Promote the two heaviest egress/dedup stress invariants into every
+# shipped round: the 10x training-shards token-stream self-check (both
+# layouts) and the minhash 10x replication exact pair count. Opt-in for
+# the normal suite (SPARK_GRAFT_STRESS), mandatory here. Log lands in
+# scratch/ and is force-added with the snapshot (scratch/ is gitignored)
+# — referenced from COVERAGE.md.
+stress_log="scratch/preship_stress_$(date +%Y%m%d).log"
+SPARK_GRAFT_STRESS=1 python3 -m pytest tests/test_scale_stress.py -q \
+  -k "training_shards_10x or training_shards_multifile_10x or minhash_10x" \
+  2>&1 | tee "$stress_log"
+grep -q "3 passed" "$stress_log"
+
+echo "== preship 4/4: bench (strict: a budget violation FAILS preship) =="
 # settle gate (r13→r14): bench.py now settle-waits ITSELF (bounded,
 # stamped — see bench.py _settle), so every run that produces a record
 # is protected, including the driver's; no shell-side loop needed. The
@@ -39,7 +52,7 @@ echo "== preship 3/3: bench (strict: a budget violation FAILS preship) =="
 # post-phase reclaim window) that a settled re-run disproved on
 # identical source. Tighten THIS run's settle gate to the drained
 # envelope; the driver's standalone runs keep bench.py's default.
-out="$(SPARK_GRAFT_BENCH_STRICT=1 SPARK_GRAFT_BENCH_SETTLE_LOAD=0.7 python3 bench.py)"
+out="$(SPARK_GRAFT_BENCH_STRICT=1 SPARK_GRAFT_BENCH_SETTLE_LOAD="${SPARK_GRAFT_BENCH_SETTLE_LOAD:-0.7}" python3 bench.py)"
 echo "$out" | tail -1 | python3 -c "
 import json, sys
 rec = json.loads(sys.stdin.readline())

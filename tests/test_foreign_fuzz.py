@@ -10,11 +10,13 @@ shapes only. This tier fuzz-COMPOSES them: each seed builds a random
 plan pipeline the way a foreign producer would —
 
     READ(filter?, emit?) → PROJECT(exprs, spec-space emit)?
-        → JOIN(dim; INNER/LEFT/SINGLE + postJoinFilter?, or SEMI/ANTI
-          over a ReadRel-filtered dim, emit?)?
+        → JOIN(dim; INNER/LEFT/SINGLE + postJoinFilter?, SEMI/ANTI
+          over a ReadRel-filtered dim, or FULL/RIGHT null-extending
+          over an optionally-filtered dim + postJoinFilter?, emit?)?
         → WINDOW(count-DISTINCT rebuild / partition aggregate /
           ordered row_number)?
-        → AGGREGATE(ordered + plain measures, per-measure FILTER?)?
+        → AGGREGATE(ordered + plain measures, per-measure FILTER?;
+          plain-only after a null-extending join)?
 
 — together with the equivalent DuckDB SQL built stage-by-stage as
 nested subqueries, consumes the plan, and compares values. Every seed
@@ -27,7 +29,13 @@ IEEE doubles), string columns only as group keys / passthrough, ordered
 aggregates always sort on a genuinely UNIQUE key (tie order is
 unspecified in both engines), FK joins only (referential integrity
 makes LEFT ≡ INNER row-wise; postJoinFilter still sees the combined
-row like a WHERE above the join in both engines).
+row like a WHERE above the join in both engines). FULL/RIGHT (r16) are
+the deliberate exception to the LEFT≡INNER collapse: TPC-H dims carry
+unmatched keys (customers with no orders) and an optional dim-side
+ReadRel.filter unmatches left rows too, so both joins genuinely
+null-extend — and the NULLs flow into every downstream stage; with no
+surviving unique key those pipelines use the plain-measure aggregate
+branch and skip ordered/sort-fetch stages, exactly like post-expand.
 """
 
 from __future__ import annotations
@@ -232,7 +240,62 @@ class ForeignGen:
         combined_kinds = prev.kinds + d_kinds
         combined_sql = ([f"L.{prev.name(i)}" for i in range(n_l)]
                         + [f"R.{c}" for c in d_names])
-        if self.r.random() < 0.35:
+        roll = self.r.random()
+        if 0.35 <= roll < 0.55:
+            # FULL/RIGHT outer (r16, VERDICT r15 #4): the null-EXTENDING
+            # join types, previously reached only by hand-built plans
+            # and q09. TPC-H dims naturally contain unmatched keys
+            # (customers with no orders, nations with no suppliers in a
+            # filtered base), and an optional ReadRel.filter on the dim
+            # makes LEFT rows unmatched too — so FULL composes
+            # null-extended rows from BOTH sides, RIGHT from the left
+            # side, and those NULL ints/strings then flow into the
+            # downstream predicate/window/aggregate stages (where
+            # sign/NULL bugs hide: NULL group keys, all-NULL window
+            # partitions, NULL-propagating arithmetic). The consumer
+            # applies postJoinFilter as a filter ABOVE the join — it
+            # sees the null-extended rows (consumer.py) — which is
+            # exactly SQL's WHERE above the join, so the oracle mirrors
+            # it verbatim. uniq/fk do NOT survive (null-extended rows
+            # share NULL in every left column; dim keys repeat across
+            # matched rows), so downstream stages that need a unique
+            # key degrade the same way they do after expand_stage.
+            how = self.pick(["JOIN_TYPE_OUTER", "JOIN_TYPE_RIGHT"])
+            dim_where = ""
+            if self.r.random() < 0.5:
+                p, psql = self.pred(list(range(len(d_ints))),
+                                    [f"R.{c}" for c in d_names])
+                right["read"]["filter"] = p
+                dim_where = f" WHERE {psql.replace('R.', '')}"
+            body = {"common": {"direct": {}},
+                    "left": prev.rel, "right": right,
+                    "expression": fn("equal", field(prev.fk),
+                                     field(n_l + d_names.index(dim_key))),
+                    "type": how}
+            sql_how = "FULL JOIN" if how == "JOIN_TYPE_OUTER" \
+                else "RIGHT JOIN"
+            where = ""
+            ints = [i for i, k in enumerate(combined_kinds) if k == "int"]
+            if self.r.random() < 0.4:
+                p, psql = self.pred(ints, combined_sql)
+                body["postJoinFilter"] = p
+                where = f" WHERE {psql}"
+            out = list(range(len(combined_kinds)))
+            if self.r.random() < 0.5:
+                # keep ≥1 column from EACH side so the null extension
+                # stays observable through the emit
+                must = [self.pick(list(range(n_l))),
+                        n_l + self.r.randrange(len(d_names))]
+                out = self.emit_of(len(combined_kinds), must)
+                body["common"] = {"emit": {"outputMapping": out}}
+            sel = ", ".join(f"{combined_sql[j]} AS o{n}_{i}"
+                            for i, j in enumerate(out))
+            sql = (f"SELECT {sel} FROM ({prev.sql}) AS L {sql_how} "
+                   f"(SELECT {', '.join(d_names)} FROM {dim}{dim_where}) "
+                   f"AS R ON L.{prev.name(prev.fk)} = R.{dim_key}{where}")
+            return Stage({"join": body}, sql, len(out),
+                         [combined_kinds[j] for j in out], None, None, n)
+        if roll < 0.35:
             # SEMI/ANTI (r15, VERDICT r14 #6): the dim side carries a
             # ReadRel.filter so the match set is NON-trivial — on these
             # FK joins an unfiltered dim would make semi ≡ all left
@@ -436,6 +499,39 @@ class ForeignGen:
             else self.pick(ints)
         val = self.pick(ints)
         uniq = prev.uniq
+        if uniq is None:
+            # post-FULL/RIGHT (r16): no unique key survives the null
+            # extension, so ordered measures (whose tie order needs one)
+            # are out — aggregate with TWO plain measures instead. This
+            # is where the null-extended rows bite: NULL group keys form
+            # their own group in both engines, count(val) skips the
+            # null-extended rows where count would not, sum/min/max over
+            # an all-NULL group yield NULL.
+            names_a = self.pick(["sum", "min", "max"])
+            names_b = "count"
+            measures = [{"measure": {
+                "functionReference": REF[nm],
+                "arguments": [{"value": field(val)}],
+                "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+            }} for nm in (names_a, names_b)]
+            if self.r.random() < 0.4:
+                p, psql = self.pred(ints, names)
+                measures[0]["filter"] = p
+                fsql = f" FILTER (WHERE {psql})"
+            else:
+                fsql = ""
+            body = {"input": prev.rel,
+                    "groupings": [{"groupingExpressions": [field(g)]}],
+                    "measures": measures}
+            sql = (f"SELECT {names[g]} AS o{n}_0, "
+                   f"{names_a}({names[val]}){fsql} AS o{n}_1, "
+                   f"count({names[val]}) AS o{n}_2 "
+                   f"FROM ({prev.sql}) AS a{n} GROUP BY {names[g]}")
+            # the group key is unique post-agg even when one group is
+            # the NULL group — sort_fetch's null-direction enums give
+            # it a total order
+            return Stage({"aggregate": body}, sql, 3,
+                         [prev.kinds[g], "int", "int"], 0, None, n)
         direction = self.pick(["SORT_DIRECTION_ASC_NULLS_LAST",
                                "SORT_DIRECTION_DESC_NULLS_LAST"])
         dsql = "ASC" if "ASC" in direction else "DESC"
@@ -545,7 +641,11 @@ class ForeignGen:
             # sort+fetch UNDER the aggregate: GROUP BY over a
             # deterministically LIMITed subquery
             st = self.sort_fetch_stage(st)
-        if self.r.random() < 0.6 and st.uniq is not None:
+        if self.r.random() < 0.6 and (
+                st.uniq is not None
+                or any(k == "int" for k in st.kinds)):
+            # uniq=None (post-FULL/RIGHT) takes agg_stage's plain-measure
+            # branch — null-extended rows composed UNDER the aggregate
             st = self.agg_stage(n, st)
             n += 1
         if self.r.random() < 0.3:

@@ -565,13 +565,27 @@ class _Consumer:
         non-matching ROWS (row exclusion, not argument-nulling), while
         the explicit sort defines which surviving row is "first". Groups
         whose rows are all filtered out yield NULL (SQL
-        aggregate-over-empty, verified against DuckDB). Still fenced,
-        with named errors: DISTINCT + ORDER BY (dropping duplicates
-        keeps an unspecified row's sort key — no exact rebuild), other
-        aggregate names (their results are order-insensitive only if the
-        producer thought otherwise — translate-or-error), and comparator
-        sorts (same as _sort_keys). The reference never writes this
-        field (producer.rs emits plain AggregateFunction); this is
+        aggregate-over-empty, verified against DuckDB).
+
+        DISTINCT + ORDER BY (r16; was a blanket fence) consumes in the
+        one case where it is exactly defined: a SINGLE sort key that is
+        STRUCTURALLY the aggregated argument itself (the raw expression
+        dicts compare equal) — ``array_agg(DISTINCT x ORDER BY x)`` and
+        friends. Deduplicating by the value then sorting by the value is
+        total, so no "unspecified row's sort key" ambiguity exists:
+        rebuild = ``array_distinct`` over the null-keeping struct array
+        before the comparator sort (array_distinct treats null-fielded
+        structs as equal, so at most one NULL element survives, exactly
+        DuckDB/DataFusion's DISTINCT-with-null; direction enums place
+        it). FILTER still composes (row exclusion happens before dedup,
+        matching SQL's FILTER-then-DISTINCT order). Any OTHER
+        sort-key/argument combination keeps the named fence —
+        deduplication keeps an unspecified row's key there, so no
+        rebuild is exact. Remaining fences: other aggregate names
+        (their results are order-insensitive only if the producer
+        thought otherwise — translate-or-error) and comparator sorts
+        (same as _sort_keys). The reference never writes this field
+        (producer.rs emits plain AggregateFunction); this is
         foreign-producer surface, consume-only.
         """
         if name not in self._ORDERED_REBUILDS:
@@ -579,11 +593,18 @@ class _Consumer:
                 f"ordered aggregate {name!r} (AggregateFunction.sorts) has "
                 "no exact Spark rebuild; dropping the sort would silently "
                 "reorder the result")
-        if body.get("invocation") == proto.AGG_DISTINCT:
-            raise SubstraitError(
-                f"ordered DISTINCT aggregate {name!r} is not consumable: "
-                "deduplication keeps an unspecified row's sort key, so no "
-                "rebuild is exact")
+        distinct = body.get("invocation") == proto.AGG_DISTINCT
+        if distinct:
+            sorts = body.get("sorts", [])
+            raw_args = [a["value"] for a in body.get("arguments", [])]
+            if (len(sorts) != 1 or len(raw_args) != 1
+                    or sorts[0].get("expr") != raw_args[0]):
+                raise SubstraitError(
+                    f"ordered DISTINCT aggregate {name!r} is only "
+                    "consumable when its single sort key IS the aggregated "
+                    "argument (dedup-then-sort is total there); any other "
+                    "key keeps an unspecified row's sort key, so no "
+                    "rebuild is exact")
         args = [self.rex(a["value"], resolver)
                 for a in body.get("arguments", [])]
         if len(args) != 1:
@@ -611,6 +632,12 @@ class _Consumer:
         if filt is not None:
             st = F.when(self.rex(filt, resolver), st)
         collected = F.collect_list(st)
+        if distinct:
+            # key ≡ value (guarded above): dedup the null-keeping struct
+            # array before the sort — FILTER already excluded its rows
+            # via the null-struct drop, so the order is
+            # filter → DISTINCT → ORDER BY, as in SQL
+            collected = F.array_distinct(collected)
 
         def cmp(a: Column, b: Column) -> Column:
             res: Column = F.lit(0)

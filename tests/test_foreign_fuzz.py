@@ -538,14 +538,30 @@ class ForeignGen:
         ordered_name = self.pick(["array_agg", "first_value", "last_value"])
         ord_sql_fn = {"array_agg": "array_agg", "first_value": "first",
                       "last_value": "last"}[ordered_name]
-        ordered: dict = {"measure": {
-            "functionReference": REF[ordered_name],
-            "arguments": [{"value": field(val)}],
-            "sorts": [{"expr": field(uniq), "direction": direction}],
-            "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
-        }}
-        ord_sql = (f"{ord_sql_fn}({names[val]} "
-                   f"ORDER BY {names[uniq]} {dsql})")
+        if self.r.random() < 0.25:
+            # r16: the ordered-DISTINCT form the consumer now rebuilds —
+            # the single sort key IS the aggregated argument
+            # (dedup-then-sort is total there; any other key stays
+            # fenced). val is non-unique, so DISTINCT genuinely
+            # collapses duplicates before the sort.
+            ordered: dict = {"measure": {
+                "functionReference": REF[ordered_name],
+                "arguments": [{"value": field(val)}],
+                "sorts": [{"expr": field(val), "direction": direction}],
+                "invocation": "AGGREGATION_INVOCATION_DISTINCT",
+                "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+            }}
+            ord_sql = (f"{ord_sql_fn}(DISTINCT {names[val]} "
+                       f"ORDER BY {names[val]} {dsql})")
+        else:
+            ordered = {"measure": {
+                "functionReference": REF[ordered_name],
+                "arguments": [{"value": field(val)}],
+                "sorts": [{"expr": field(uniq), "direction": direction}],
+                "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+            }}
+            ord_sql = (f"{ord_sql_fn}({names[val]} "
+                       f"ORDER BY {names[uniq]} {dsql})")
         if self.r.random() < 0.4:
             p, psql = self.pred(ints, names)
             ordered["filter"] = p

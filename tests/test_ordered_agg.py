@@ -251,13 +251,110 @@ def _expect_fence(spark, plan, match: str):
         from_substrait_plan(spark, plan)
 
 
-def test_ordered_distinct_stays_fenced(spark, nulls_table):
+def test_ordered_distinct_foreign_key_stays_fenced(spark, nulls_table):
+    """r16 narrowed the DISTINCT+ORDER BY fence to the genuinely
+    ambiguous case: sort key ≠ the aggregated argument (dedup keeps an
+    unspecified row's key). Aggregating v ordered by k must still fence;
+    multi-key sorts too."""
     plan = agg_plan(read_rel(nulls_table, PROBE_NAMES, PROBE_TYPES),
                     [0],
                     [measure(1, [3], [sort(1, ASC_NL)],
                              invocation="AGGREGATION_INVOCATION_DISTINCT")],
                     ["g", "vs"], {1: "array_agg"})
     _expect_fence(spark, plan, "ordered DISTINCT")
+    multi = agg_plan(read_rel(nulls_table, PROBE_NAMES, PROBE_TYPES),
+                     [0],
+                     [measure(1, [3], [sort(3, ASC_NL), sort(1, ASC_NL)],
+                              invocation="AGGREGATION_INVOCATION_DISTINCT")],
+                     ["g", "vs"], {1: "array_agg"})
+    _expect_fence(spark, multi, "ordered DISTINCT")
+
+
+@pytest.fixture(scope="module")
+def dups_table(spark):
+    """(g, v) with duplicate values AND nulls per group — the surface
+    ordered-DISTINCT (key ≡ value) must dedup-then-sort exactly."""
+    spark.createDataFrame(
+        [(0, 3), (0, 1), (0, 3), (0, None), (0, 1), (0, None), (0, 2),
+         (1, 5), (1, 5), (2, None), (2, None)],
+        "g bigint, v bigint",
+    ).createOrReplaceTempView("ordered_distinct_probe")
+    yield "ordered_distinct_probe"
+    spark.catalog.dropTempView("ordered_distinct_probe")
+
+
+@pytest.mark.parametrize("direction,dsql", [
+    (ASC_NF, "ASC NULLS FIRST"), (ASC_NL, "ASC NULLS LAST"),
+    (DESC_NF, "DESC NULLS FIRST"), (DESC_NL, "DESC NULLS LAST"),
+])
+def test_ordered_distinct_same_key_matches_duckdb(spark, dups_table,
+                                                  direction, dsql):
+    """r16: array_agg(DISTINCT v ORDER BY v) — the single well-defined
+    ordered-DISTINCT form — consumes exactly: duplicates collapse, ONE
+    null element survives and lands per the direction enum, all-null
+    groups yield [NULL], verified against DuckDB's native form."""
+    import duckdb
+
+    plan = agg_plan(read_rel(dups_table, ["g", "v"], [I64, I64]),
+                    [0],
+                    [measure(1, [1], [sort(1, direction)],
+                             invocation="AGGREGATION_INVOCATION_DISTINCT")],
+                    ["g", "vs"], {1: "array_agg"})
+    got = _consume_grouped(spark, plan)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW t AS SELECT * FROM (VALUES "
+            "(0,3),(0,1),(0,3),(0,NULL),(0,1),(0,NULL),(0,2),"
+            "(1,5),(1,5),(2,NULL),(2,NULL)) AS t(g, v)")
+    want = {g: (vs,) for g, vs in con.sql(
+        f"SELECT g, array_agg(DISTINCT v ORDER BY v {dsql}) "
+        "FROM t GROUP BY g").fetchall()}
+    assert got == want
+
+
+def test_ordered_distinct_first_last_and_filter(spark, dups_table):
+    """first/last over the deduped sorted set, FILTER composing BEFORE
+    the dedup (SQL order), and an all-rows-filtered group yielding NULL
+    — against DuckDB."""
+    import duckdb
+
+    gt1 = {"scalarFunction": {"functionReference": 9, "arguments": [
+        {"value": field(1)},
+        {"value": {"literal": {"i64": 1}}}]}}
+    plan = agg_plan(
+        read_rel(dups_table, ["g", "v"], [I64, I64]),
+        [0],
+        [measure(1, [1], [sort(1, ASC_NL)],
+                 invocation="AGGREGATION_INVOCATION_DISTINCT"),
+         measure(2, [1], [sort(1, ASC_NL)],
+                 invocation="AGGREGATION_INVOCATION_DISTINCT"),
+         measure(3, [1], [sort(1, ASC_NL)], filter_expr=gt1,
+                 invocation="AGGREGATION_INVOCATION_DISTINCT")],
+        ["g", "first_v", "last_v", "agg_gt1"],
+        {1: "first_value", 2: "last_value", 3: "array_agg", 9: "gt"})
+    got = _consume_grouped(spark, plan)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW t AS SELECT * FROM (VALUES "
+            "(0,3),(0,1),(0,3),(0,NULL),(0,1),(0,NULL),(0,2),"
+            "(1,5),(1,5),(2,NULL),(2,NULL)) AS t(g, v)")
+    want = {g: rest for g, *rest in map(tuple, con.sql(
+        "SELECT g, first(DISTINCT v ORDER BY v ASC NULLS LAST), "
+        "last(DISTINCT v ORDER BY v ASC NULLS LAST), "
+        "array_agg(DISTINCT v ORDER BY v ASC NULLS LAST) "
+        "  FILTER (WHERE v > 1) "
+        "FROM t GROUP BY g").fetchall())}
+    assert {k: tuple(v) for k, v in got.items()} \
+        == {k: tuple(v) for k, v in want.items()}
+
+
+def test_ordered_distinct_same_key_through_binary_wire(spark, dups_table):
+    plan = agg_plan(read_rel(dups_table, ["g", "v"], [I64, I64]),
+                    [0],
+                    [measure(1, [1], [sort(1, DESC_NF)],
+                             invocation="AGGREGATION_INVOCATION_DISTINCT")],
+                    ["g", "vs"], {1: "array_agg"})
+    decoded = wire.decode_plan(wire.encode_plan(plan))
+    assert wire.canonical(decoded) == wire.canonical(plan)
+    assert _consume_grouped(spark, decoded) == _consume_grouped(spark, plan)
 
 
 def test_ordered_unsupported_name_stays_fenced(spark, nulls_table):

@@ -246,11 +246,15 @@ def _q05_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDERED-aggregate foreign leg: leg (a) is the original SQL through
     the roundtrip; leg (b) CONSUMES a hand-authored foreign plan whose
     measures carry ``AggregateFunction.sorts`` — array_agg(pri ORDER BY
-    key DESC), first_value(pri ORDER BY key), and a FILTERed
+    key DESC), first_value(pri ORDER BY key), a FILTERed
     last_value(cust ORDER BY key) — the r12 rebuild (VERDICT r11 #3,
-    previously a fence). Order fidelity reaches the driver's hash as a
-    '|'-joined string; DuckDB replays with string_agg/first/last
-    ORDER BY."""
+    previously a fence) — and, r16, the ordered-DISTINCT same-key form
+    the fence narrowed to admit: array_agg(DISTINCT pri ORDER BY pri
+    DESC), dedup-then-sort on the value itself (array_distinct over the
+    null-keeping struct array before the comparator sort). Order
+    fidelity reaches the driver's hash as '|'-joined strings; DuckDB
+    replays with string_agg/first/last ORDER BY and
+    array_to_string(array_agg(DISTINCT …))."""
     from datafusion_substrait_spark.plans.consumer import from_substrait_plan
 
     _prep(spark, sf_dir)
@@ -291,8 +295,18 @@ def _q05_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            {"value": {"literal": {"i64": 2}}}],
                          }}},
                          {"value": {"literal": {"i64": 0}}}]}}},
+                {"measure": {
+                    # r16 ordered-DISTINCT same-key form: sort key IS
+                    # the argument, the one case dedup-then-sort defines
+                    "functionReference": 1,
+                    "arguments": [{"value": _fld(3)}],
+                    "sorts": [{"expr": _fld(3),
+                               "direction": "SORT_DIRECTION_DESC_NULLS_LAST"}],
+                    "invocation": "AGGREGATION_INVOCATION_DISTINCT",
+                    "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT"}},
             ],
-        }}, "names": ["g", "pris", "first_pri", "last_even"]}}],
+        }}, "names": ["g", "pris", "first_pri", "last_even",
+                      "dpris"]}}],
         "extensions": [
             {"extensionFunction": {"functionAnchor": 1, "name": "array_agg"}},
             {"extensionFunction": {"functionAnchor": 2, "name": "first_value"}},
@@ -304,7 +318,8 @@ def _q05_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg_b = from_substrait_plan(spark, plan).select(
         F.col("g").alias("o_orderstatus"),
         F.concat(F.concat_ws("|", F.col("pris")), F.lit("#"),
-                 F.col("first_pri")).alias("o_orderpriority"),
+                 F.col("first_pri"), F.lit("#"),
+                 F.concat_ws("|", F.col("dpris"))).alias("o_orderpriority"),
         F.col("last_even").cast("bigint").alias("n"),
         F.lit(None).cast("double").alias("sum_price"),
         F.lit(None).cast("double").alias("avg_price"),
@@ -1618,6 +1633,9 @@ ORACLES: dict[str, str] = {
                string_agg(o_orderpriority, '|' ORDER BY o_orderkey DESC)
                    || '#' ||
                    first(o_orderpriority ORDER BY o_orderkey)
+                   || '#' ||
+                   array_to_string(array_agg(DISTINCT o_orderpriority
+                       ORDER BY o_orderpriority DESC), '|')
                    AS o_orderpriority,
                last(o_custkey ORDER BY o_orderkey)
                    FILTER (WHERE o_orderkey % 2 = 0) AS n,

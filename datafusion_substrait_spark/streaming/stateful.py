@@ -255,16 +255,14 @@ def streaming_exact_dedup(events: DataFrame,
             # ADVICE r14: bare idxmin picked the first min-event_id row
             # in ARRIVAL order, so two distinct rows sharing a
             # fingerprint and event_id could make a fully-drained stream
-            # disagree with batch). Sorting by the _elect_key ordering:
-            # NULL user_id/value first, genuine-NaN value LAST (Spark's
-            # NaN-greatest), real values in between.
-            pdf = pdf.assign(
-                _vcls=pdf["_vnan"].astype(bool).map({True: 2, False: 1})
-                .where(~pdf["value"].isna() | pdf["_vnan"].astype(bool), 0))
-            pdf = pdf.sort_values(
-                ["event_id", "user_id", "_vcls", "value"],
-                na_position="first")
-            row = pdf.iloc[0]
+            # disagree with batch): min by _elect_key directly — NULL
+            # user_id/value first, genuine-NaN value LAST (Spark's
+            # NaN-greatest), real values in between, ids compared as
+            # exact Python ints (r16; the former float64 sort_values
+            # could mis-tie bigints above 2^53 within a batch too).
+            # Per-fingerprint micro-batch groups are small, so the
+            # row-dict scan is not a hot path.
+            row = min(pdf.to_dict("records"), key=_elect_key)
             if best is None or _elect_key(row) < _elect_key(best):
                 best = row
         if best is not None:

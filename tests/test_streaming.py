@@ -587,3 +587,34 @@ def test_state_or_default_tolerates_pre_r15_4_field_state():
     assert _state_or_default(None) == (0, 0.0, float("-inf"), 0, False)
     assert _state_or_default((3, 1.5, 9.0, 2)) == (3, 1.5, 9.0, 2, False)
     assert _state_or_default((3, 1.5, 9.0, 2, True)) == (3, 1.5, 9.0, 2, True)
+
+
+def test_stream_dedup_bigint_tie_above_2_53_matches_batch(spark, tmp_path):
+    """r16 end-to-end pin for the ADVICE r15 precision fix: two rows tied
+    on (fingerprint, event_id) whose user_ids differ only below float64
+    precision (2^53 vs 2^53+1) — the election must pick the smaller id's
+    row exactly like the batch row_number, in-batch and drained."""
+    big = 2**53
+    df = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", big + 1, "click", 1.0, ""),
+         (10, "2024-01-01 00:00:01", big, "click", 2.0, "")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "bigid_events")
+    df.coalesce(1).write.parquet(path)
+
+    from datafusion_substrait_spark.streaming import stateful
+
+    want = {(r.event_id, r.user_id, r.value) for r in
+            stateful.streaming_exact_dedup(
+                df, fingerprint_cols=("event_type",)).collect()}
+    stream = ev.read_events_stream(spark, path)
+    out = stateful.streaming_exact_dedup(stream,
+                                         fingerprint_cols=("event_type",))
+    q = (out.writeStream.format("memory").queryName("bigid_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_id, r.user_id, r.value)
+           for r in spark.table("bigid_dedup").collect()}
+    assert got == want == {(10, big, 2.0)}

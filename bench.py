@@ -264,11 +264,18 @@ def main() -> None:
     first_pass = {n: t for n, t in timings.items()
                   if n in BUDGETS and t > BUDGETS[n]}
     dispositions: dict[str, dict] = {}
+    rerun_timeout = False
     if first_pass:
-        _settle()
+        _, rerun_timeout = _settle()
         for n, first in first_pass.items():
             rerun = round(run_once(n), 3)
-            disp = "noise" if rerun <= BUDGETS[n] else "regression"
+            # a rerun on a machine that never reached the settle gate
+            # cannot prove a regression (review catch r16: the timeout
+            # flag was discarded, so hot-rerun noise could be stamped
+            # 'regression' and fail strict preship on a loaded box)
+            disp = ("noise" if rerun <= BUDGETS[n]
+                    else "regression-suspect-hot" if rerun_timeout
+                    else "regression")
             dispositions[n] = {"first": first, "rerun": rerun,
                                "budget": BUDGETS[n], "disposition": disp}
             timings[n] = min(timings[n], rerun)
@@ -290,7 +297,9 @@ def main() -> None:
         f"{n}:{d['disposition']}({d['first']}/{d['rerun']}/b{d['budget']})"
         for n, d in dispositions.items()) or "none"
     print(f"BENCH_RECAP: settle_wait={settle_wait:.0f}s"
-          f"{' SETTLE_TIMEOUT' if settle_timeout else ''} "
+          f"{' SETTLE_TIMEOUT' if settle_timeout else ''}"
+          f"{' RERUN_SETTLE_TIMEOUT' if rerun_timeout else ''} "
+          f"gate={SETTLE_LOAD1} "
           f"load_start_1m={load_start[0]:.2f} "
           f"probe_start={probe_start:.3f}s probe_end={probe_end:.3f}s "
           f"violations={len(violations)} dispositions={disp_str}",
@@ -324,6 +333,8 @@ def main() -> None:
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "settle_wait_s": settle_wait,
             "settle_timeout": settle_timeout,
+            "rerun_settle_timeout": rerun_timeout,
+            "settle_gate": SETTLE_LOAD1,
             "load_start_1m": round(load_start[0], 2),
             "load_end_1m": round(load_end[0], 2),
             "probe_start_s": round(probe_start, 3),

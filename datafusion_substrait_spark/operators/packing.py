@@ -242,26 +242,37 @@ def read_training_shards(spark, path: str) -> DataFrame:
 
     Scale shape: one window shuffle keyed on ``shard`` — same key and
     cost as the pack itself. Row order is restored by
-    (file_seq, file_name, row_index): each (shard[, file_seq]) dir is
-    written by exactly ONE task (pinned by tests), and when
-    ``spark.sql.files.maxRecordsPerFile`` splits that task's output into
-    several files (r16, ADVICE r15: ``row_index`` restarts per file, so
-    row_index alone would silently permute ``pos``), the split files
-    share the task's ``part-NNNNN-<uuid>`` prefix and differ only in the
-    monotonically increasing ``-cNNN`` split counter, so NAME order ==
-    write order — exact for up to 1000 split files per dir (the counter
-    is %03d; past 999 Spark emits ``c1000`` which sorts before ``c999``,
-    a regime no sane maxRecordsPerFile reaches). Multiple TASKS per dir
-    would break this (part numbers order by task id, not pack order) —
-    that is exactly what the one-writer-per-group repartition in
-    :func:`write_training_shards` rules out. An empty/marker-only
+    (file_seq, split-counter, file_name, row_index): each
+    (shard[, file_seq]) dir is written by exactly ONE task (pinned by
+    tests), and when ``spark.sql.files.maxRecordsPerFile`` splits that
+    task's output into several files (r16, ADVICE r15: ``row_index``
+    restarts per file, so row_index alone would silently permute
+    ``pos``), the split files share the task's ``part-NNNNN-<uuid>``
+    prefix and differ only in the monotonically increasing ``-cNNN``
+    split counter. The counter is parsed NUMERICALLY (review catch r16:
+    it is %03d-formatted, so past 999 splits ``c1000`` sorts
+    lexicographically before ``c999`` and a name sort silently permutes
+    pos — a 10M-row shard at maxRecordsPerFile=10000 is exactly that
+    regime), with the full name as a residual tie-break; files with no
+    counter (foreign layouts) order by name alone. Multiple TASKS per
+    dir would break this (part numbers order by task id, not pack
+    order) — that is exactly what the one-writer-per-group repartition
+    in :func:`write_training_shards` rules out. An empty/marker-only
     directory raises Spark's unreadable-schema error — match
     write_training_shards' empty-input note by probing for data files
     first if empty corpora are expected."""
     from pyspark.sql import Window
 
     df = spark.read.parquet(path)
-    order = [F.col("_metadata.file_name"), F.col("_metadata.row_index")]
+    # try_cast: regexp_extract yields '' when a (foreign) file name has
+    # no -cNNN counter, and ANSI cast('') throws — those files order by
+    # name alone via the counter-0 default
+    split_no = F.coalesce(
+        F.regexp_extract(F.col("_metadata.file_name"),
+                         r"[.-]c(\d+)\.", 1).try_cast("long"),
+        F.lit(0))
+    order = [split_no, F.col("_metadata.file_name"),
+             F.col("_metadata.row_index")]
     if "file_seq" in df.columns:
         df = df.withColumn("file_seq", F.col("file_seq").cast("bigint"))
         order = [F.col("file_seq")] + order

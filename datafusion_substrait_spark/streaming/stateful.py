@@ -179,9 +179,14 @@ def _elect_key(row) -> tuple:
     PYTHON INTS (r16, ADVICE r15: ``float(uid)`` rounded bigints above
     2^53, so two large ids differing only in low bits compared equal and
     the election could diverge from batch; ``int()`` of a numpy int64 is
-    exact, and of an already-float64 id it adds no further loss — that
-    conversion only happens at the Arrow hop when the COLUMN holds a
-    NULL in the same micro-batch, a narrower exposure)."""
+    exact). HONEST RESIDUAL (review catch r16): when the same
+    micro-batch holds a NULL in an id column, the Arrow hop materializes
+    the whole COLUMN as float64 and >2^53 ids collapse BEFORE this code
+    runs — ``int()`` of the already-rounded float cannot restore them;
+    that loss is upstream of any election key and is not fixable here
+    (applyInPandasWithState's pandas conversion, not our math). The fix
+    is exact whenever the batch's id columns arrive as int64, i.e. no
+    same-batch NULL in that column."""
     uid, val = row["user_id"], row["value"]
     vclass = 2 if row["_vnan"] else (0 if pd.isna(val) else 1)
     return (int(row["event_id"]),

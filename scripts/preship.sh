@@ -34,7 +34,9 @@ stress_log="scratch/preship_stress_$(date +%Y%m%d).log"
 SPARK_GRAFT_STRESS=1 python3 -m pytest tests/test_scale_stress.py -q \
   -k "training_shards_10x or training_shards_multifile_10x or minhash_10x" \
   2>&1 | tee "$stress_log"
-grep -q "3 passed" "$stress_log"
+# anchored: a bare '3 passed' substring would also match '13 passed'
+# if the -k selection ever grows (review catch r16)
+grep -qE '(^|[^0-9])3 passed' "$stress_log"
 
 echo "== preship 4/4: bench (strict: a budget violation FAILS preship) =="
 # settle gate (r13→r14): bench.py now settle-waits ITSELF (bounded,
@@ -52,6 +54,10 @@ echo "== preship 4/4: bench (strict: a budget violation FAILS preship) =="
 # post-phase reclaim window) that a settled re-run disproved on
 # identical source. Tighten THIS run's settle gate to the drained
 # envelope; the driver's standalone runs keep bench.py's default.
+# the effective gate is echoed here AND stamped in bench.py's
+# BENCH_SETTLE/BENCH_RECAP lines (review catch r16: an ambient override
+# must be visible in the record, not silent)
+echo "preship settle gate: ${SPARK_GRAFT_BENCH_SETTLE_LOAD:-0.7}"
 out="$(SPARK_GRAFT_BENCH_STRICT=1 SPARK_GRAFT_BENCH_SETTLE_LOAD="${SPARK_GRAFT_BENCH_SETTLE_LOAD:-0.7}" python3 bench.py)"
 echo "$out" | tail -1 | python3 -c "
 import json, sys

@@ -283,9 +283,13 @@ class ForeignGen:
             out = list(range(len(combined_kinds)))
             if self.r.random() < 0.5:
                 # keep ≥1 column from EACH side so the null extension
-                # stays observable through the emit
+                # stays observable through the emit, and ≥1 INT overall
+                # (review catch r16: a str-only emit made the ungated
+                # window/expand stages pick from an empty int list —
+                # random.choice([]) IndexError at seeds 3146, 6105, …)
                 must = [self.pick(list(range(n_l))),
-                        n_l + self.r.randrange(len(d_names))]
+                        n_l + self.r.randrange(len(d_names)),
+                        self.pick(ints)]
                 out = self.emit_of(len(combined_kinds), must)
                 body["common"] = {"emit": {"outputMapping": out}}
             sel = ", ".join(f"{combined_sql[j]} AS o{n}_{i}"

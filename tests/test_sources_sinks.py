@@ -322,6 +322,32 @@ def test_read_training_shards_survives_max_records_per_file(
         spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
 
 
+def test_read_training_shards_numeric_split_counter_past_999(
+        spark, tmp_path):
+    """r16 review catch: Spark's split counter is %03d-formatted, so
+    past 999 split files ``c1000`` sorts LEXICOGRAPHICALLY before
+    ``c999`` — a name sort silently permutes pos exactly in the regime
+    the maxRecordsPerFile fix targets (a 10M-row shard at
+    maxRecordsPerFile=10000). The loader parses the counter numerically
+    ([.-]c(\\d+). — the separator is a DOT in Spark 4's names); this
+    pins pos across the c999/c1000 boundary with 1050 one-row files."""
+    from datafusion_substrait_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, f"w {'t ' * (i % 5)}") for i in range(1050)],
+        "doc_id bigint, text string")
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        path = str(tmp_path / "boundary")
+        packing.write_training_shards(df, path, max_tokens=16, n_shards=1)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+    got = [r.doc_id for r in packing.read_training_shards(spark, path)
+           .orderBy("pos").collect()]
+    assert got == list(range(1050)), "pos permuted across c999/c1000"
+
+
 def test_write_training_shards_refuses_append(spark, tmp_path):
     """r15 (same class as the store meta-append fixes): appending a
     second pack into existing shard dirs would interleave two

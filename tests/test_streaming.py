@@ -562,8 +562,10 @@ def test_elect_key_bigint_precision_above_2_53():
     hi = {"event_id": np.int64(7), "user_id": np.int64(bigger),
           "value": 1.0, "_vnan": False}
     assert _elect_key(lo) < _elect_key(hi)
-    # event_id precision too (post-dropna event_id is non-null, so int()
-    # is always safe there)
+    # event_id precision too — exact when the column arrives int64
+    # (no same-batch NULL); a NULL in the same batch degrades the whole
+    # column to float64 at the Arrow hop BEFORE _elect_key runs, which
+    # no election key can undo (documented residual, stateful.py)
     e_lo = dict(lo, event_id=np.int64(big))
     e_hi = dict(lo, event_id=np.int64(bigger))
     assert _elect_key(e_lo) < _elect_key(e_hi)

@@ -346,6 +346,55 @@ def test_ordered_distinct_first_last_and_filter(spark, dups_table):
         == {k: tuple(v) for k, v in want.items()}
 
 
+@pytest.mark.parametrize("band", range(0, 20, 5))
+def test_ordered_distinct_random_multisets_vs_duckdb(spark, band):
+    """r16 seeded differential sweep for the ordered-DISTINCT rebuild on
+    NULL-heavy data (the foreign fuzzer composes the form over non-null
+    TPC-H ints only): random multisets with ~30% NULLs and heavy
+    duplication, all four directions, optional FILTER, array_agg and
+    first/last — each seed compared against DuckDB's native form."""
+    import duckdb
+    import random
+
+    con = duckdb.connect()
+    dirs = [(ASC_NF, "ASC NULLS FIRST"), (ASC_NL, "ASC NULLS LAST"),
+            (DESC_NF, "DESC NULLS FIRST"), (DESC_NL, "DESC NULLS LAST")]
+    for seed in range(band, band + 5):
+        r = random.Random(seed)
+        rows = [(r.randint(0, 2),
+                 None if r.random() < 0.3 else r.randint(-3, 3))
+                for _ in range(r.randint(1, 25))]
+        direction, dsql = r.choice(dirs)
+        name = r.choice(["array_agg", "first_value", "last_value"])
+        dfn = {"array_agg": "array_agg", "first_value": "first",
+               "last_value": "last"}[name]
+        use_filter = r.random() < 0.4
+        view = f"od_probe_{seed}"
+        spark.createDataFrame(rows, "g bigint, v bigint") \
+            .createOrReplaceTempView(view)
+        gt = {"scalarFunction": {"functionReference": 9, "arguments": [
+            {"value": field(1)}, {"value": {"literal": {"i64": 0}}}]}}
+        plan = agg_plan(
+            read_rel(view, ["g", "v"], [I64, I64]), [0],
+            [measure(1, [1], [sort(1, direction)],
+                     filter_expr=gt if use_filter else None,
+                     invocation="AGGREGATION_INVOCATION_DISTINCT")],
+            ["g", "out"], {1: name, 9: "gt"})
+        got = _consume_grouped(spark, plan)
+        vals = ", ".join(
+            f"({g}, {'NULL' if v is None else v})" for g, v in rows)
+        fsql = " FILTER (WHERE v > 0)" if use_filter else ""
+        want = {g: (o,) for g, o in con.sql(
+            f"SELECT g, {dfn}(DISTINCT v ORDER BY v {dsql}){fsql} "
+            f"FROM (VALUES {vals}) AS t(g, v) GROUP BY g").fetchall()}
+        norm = lambda d: {k: tuple(tuple(x) if isinstance(x, list)
+                                   else x for x in v)
+                          for k, v in d.items()}
+        assert norm(got) == norm(want), \
+            f"seed {seed} ({name} {dsql} filter={use_filter}) diverged"
+        spark.catalog.dropTempView(view)
+
+
 def test_ordered_distinct_same_key_through_binary_wire(spark, dups_table):
     plan = agg_plan(read_rel(dups_table, ["g", "v"], [I64, I64]),
                     [0],

@@ -387,10 +387,7 @@ def test_ordered_distinct_random_multisets_vs_duckdb(spark, band):
         want = {g: (o,) for g, o in con.sql(
             f"SELECT g, {dfn}(DISTINCT v ORDER BY v {dsql}){fsql} "
             f"FROM (VALUES {vals}) AS t(g, v) GROUP BY g").fetchall()}
-        norm = lambda d: {k: tuple(tuple(x) if isinstance(x, list)
-                                   else x for x in v)
-                          for k, v in d.items()}
-        assert norm(got) == norm(want), \
+        assert got == want, \
             f"seed {seed} ({name} {dsql} filter={use_filter}) diverged"
         spark.catalog.dropTempView(view)
 

@@ -173,6 +173,32 @@ def _cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+_MEM_PROBE_BUF = None
+
+
+def _mem_probe() -> float:
+    """Memory-BANDWIDTH calibration probe (r16, VERDICT r15 'what's
+    wrong' #1): the arithmetic probe runs entirely in registers, so the
+    r15 contention event (q09/d3 violated while both CPU probes sat
+    inside 1.2×) was invisible to it — 32-thread shuffles are
+    bandwidth-bound, not ALU-bound. This times three sequential sums
+    over a 400 MB float64 array (far beyond LLC, so every pass streams
+    from DRAM); host memory-bus pressure inflates it where the ALU loop
+    stays flat. Idle reference in BENCH_NOTES.md; same >1.2× rule. The
+    buffer is allocated once and reused so the start and end probes
+    measure bandwidth, not page-fault service."""
+    import numpy as np
+
+    global _MEM_PROBE_BUF
+    if _MEM_PROBE_BUF is None:
+        _MEM_PROBE_BUF = np.ones(50_000_000, dtype=np.float64)
+        _MEM_PROBE_BUF.sum()  # fault every page in before timing
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _MEM_PROBE_BUF.sum()
+    return time.perf_counter() - t0
+
+
 def _settle() -> tuple[float, bool]:
     """Wait (bounded by SETTLE_MAX_S) for the 1m loadavg to drop below
     SETTLE_LOAD1 before any timed work; returns (seconds waited,
@@ -229,6 +255,7 @@ def main() -> None:
     # calibration probe AFTER warm-up, immediately before the first
     # timed query — the window the budgets defend
     probe_start = _cpu_probe()
+    mem_start = _mem_probe()
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -250,6 +277,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     probe_end = _cpu_probe()
+    mem_end = _mem_probe()
 
     # mechanical violation disposition (r16, VERDICT r15 #2): the
     # single-thread CPU probe measurably missed a memory-bandwidth /
@@ -302,6 +330,7 @@ def main() -> None:
           f"gate={SETTLE_LOAD1} "
           f"load_start_1m={load_start[0]:.2f} "
           f"probe_start={probe_start:.3f}s probe_end={probe_end:.3f}s "
+          f"mem_start={mem_start:.3f}s mem_end={mem_end:.3f}s "
           f"violations={len(violations)} dispositions={disp_str}",
           file=sys.stderr)
     load_end = _load_stamp("END")
@@ -339,6 +368,8 @@ def main() -> None:
             "load_end_1m": round(load_end[0], 2),
             "probe_start_s": round(probe_start, 3),
             "probe_end_s": round(probe_end, 3),
+            "mem_probe_start_s": round(mem_start, 3),
+            "mem_probe_end_s": round(mem_end, 3),
             "violations": violations,
             "dispositions": dispositions,
         })

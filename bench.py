@@ -173,7 +173,10 @@ def _cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
-_MEM_PROBE_BUF = None
+# idle references for the two probes (BENCH_NOTES.md; >1.2× ⇒ host
+# contention present in that window)
+_CPU_IDLE_S = 0.22
+_MEM_IDLE_S = 0.16
 
 
 def _mem_probe() -> float:
@@ -185,17 +188,17 @@ def _mem_probe() -> float:
     over a 400 MB float64 array (far beyond LLC, so every pass streams
     from DRAM); host memory-bus pressure inflates it where the ALU loop
     stays flat. Idle reference in BENCH_NOTES.md; same >1.2× rule. The
-    buffer is allocated once and reused so the start and end probes
-    measure bandwidth, not page-fault service."""
+    buffer is allocated and filled UNTIMED (np.ones writes every
+    element, faulting every page before t0) and released on return, so
+    no extra 400 MB rides the timed query window between probes
+    (review catch r16: a resident buffer would make cross-round totals
+    compare runs with different driver footprints)."""
     import numpy as np
 
-    global _MEM_PROBE_BUF
-    if _MEM_PROBE_BUF is None:
-        _MEM_PROBE_BUF = np.ones(50_000_000, dtype=np.float64)
-        _MEM_PROBE_BUF.sum()  # fault every page in before timing
+    buf = np.ones(50_000_000, dtype=np.float64)
     t0 = time.perf_counter()
     for _ in range(3):
-        _MEM_PROBE_BUF.sum()
+        buf.sum()
     return time.perf_counter() - t0
 
 
@@ -295,17 +298,29 @@ def main() -> None:
     rerun_timeout = False
     if first_pass:
         _, rerun_timeout = _settle()
+        # probe the DECISIVE window too (review catch r16: the main
+        # probes end before the rerun, so contention arriving during
+        # the one measurement that stamps 'regression' was unmeasured —
+        # the exact blind-spot class VERDICT r15 #1 flagged)
+        rr_cpu0, rr_mem0 = _cpu_probe(), _mem_probe()
+        reruns = {n: round(run_once(n), 3) for n in first_pass}
+        rr_cpu1, rr_mem1 = _cpu_probe(), _mem_probe()
+        rerun_hot = (rerun_timeout
+                     or max(rr_cpu0, rr_cpu1) > 1.2 * _CPU_IDLE_S
+                     or max(rr_mem0, rr_mem1) > 1.2 * _MEM_IDLE_S)
         for n, first in first_pass.items():
-            rerun = round(run_once(n), 3)
-            # a rerun on a machine that never reached the settle gate
-            # cannot prove a regression (review catch r16: the timeout
-            # flag was discarded, so hot-rerun noise could be stamped
-            # 'regression' and fail strict preship on a loaded box)
+            rerun = reruns[n]
+            # a rerun on a machine that never settled, or whose own
+            # probe window reads hot, cannot prove a regression
             disp = ("noise" if rerun <= BUDGETS[n]
-                    else "regression-suspect-hot" if rerun_timeout
+                    else "regression-suspect-hot" if rerun_hot
                     else "regression")
             dispositions[n] = {"first": first, "rerun": rerun,
-                               "budget": BUDGETS[n], "disposition": disp}
+                               "budget": BUDGETS[n], "disposition": disp,
+                               "rerun_probes": [round(rr_cpu0, 3),
+                                                round(rr_mem0, 3),
+                                                round(rr_cpu1, 3),
+                                                round(rr_mem1, 3)]}
             timings[n] = min(timings[n], rerun)
 
     violations = {n: {"sec": t, "budget": BUDGETS[n]}

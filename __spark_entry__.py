@@ -844,7 +844,8 @@ def _t13_chunk(spark, sf_dir):
     # 136 four-bin slivers whose per-file commit overhead is 2.5 s vs
     # 0.91 s for 24 files — measured r15; a fixed tiny bpf would bench
     # the local-FS commit protocol, not the plan).
-    bpf = 4 if docs.count() <= 1000 else 32
+    n_docs = docs.count()
+    bpf = 4 if n_docs <= 1000 else 32
     mf_path = shard_path + "_mf"
     packing.write_training_shards(keyed, mf_path, max_tokens=512,
                                   n_shards=8, order_col="epoch_key",
@@ -853,6 +854,29 @@ def _t13_chunk(spark, sf_dir):
         "doc_id",
         F.col("file_seq").alias("mf_file_seq"),
         F.col("pos").alias("mf_pos"))
+    # r17 sp leg (VERDICT r16 #4): the single-file layout written with
+    # spark.sql.files.maxRecordsPerFile SET — the production knob that
+    # used to silently permute pos (ADVICE r15) — sized corpus-
+    # proportionally to force ~3 -cNNN split files per shard dir at
+    # every SF (500 docs / 8 shards / 3 → mrpf 20 at the oracle SFs;
+    # 5000 docs → 208 at bench sf0.1 — splits guaranteed, no tiny-file
+    # explosion). The knob changes PHYSICAL layout only, so the oracle
+    # replays sp_pos with the same closed-form within-shard rank as
+    # sh_pos; equality proves the loader's numeric split-counter
+    # ordering under the real knob, not just in pytest. The conf is
+    # restored immediately after the eager write (the readback is lazy
+    # and layout-independent).
+    sp_path = shard_path + "_sp"
+    mrpf = max(1, n_docs // 8 // 3)
+    old_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(mrpf))
+    try:
+        packing.write_training_shards(keyed, sp_path, max_tokens=512,
+                                      n_shards=8, order_col="epoch_key")
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old_mrpf)
+    sp_readback = packing.read_training_shards(spark, sp_path).select(
+        "doc_id", F.col("pos").alias("sp_pos"))
     return (packed.select("doc_id",
                           F.col("n_tokens").alias("pk_tokens"),
                           "shard", "bin_id", "bin_offset",
@@ -860,6 +884,7 @@ def _t13_chunk(spark, sf_dir):
                           .alias("epoch_key"))
             .join(readback, "doc_id")
             .join(mf_readback, "doc_id")
+            .join(sp_readback, "doc_id")
             .join(chunks, "doc_id", "left"))
 
 
@@ -2861,12 +2886,25 @@ ORACLES: dict[str, str] = {
                    CAST(row_number() OVER (PARTITION BY shard
                         ORDER BY epoch_key, doc_id) - 1 AS BIGINT) AS mf_pos
             FROM pk, bpf
+        ), sp AS (
+            -- r17 sp leg (VERDICT r16 #4): the Spark side re-writes the
+            -- single-file layout with spark.sql.files.maxRecordsPerFile
+            -- forcing ~3 -cNNN split files per shard dir, then reads it
+            -- back through the SHIPPED loader. The knob is physical
+            -- only — the restored concatenation position is the SAME
+            -- within-shard rank — so equality proves the loader's
+            -- numeric split-counter ordering under the production knob.
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY epoch_key, doc_id) - 1 AS BIGINT) AS sp_pos
+            FROM pk
         )
         SELECT pk.doc_id, pk.pk_tokens, pk.shard, pk.bin_id, pk.bin_offset,
                pk.epoch_key, sh.sh_shard, sh.sh_bin_id, sh.sh_bin_offset,
-               sh.sh_pos, mf.mf_file_seq, mf.mf_pos,
+               sh.sh_pos, mf.mf_file_seq, mf.mf_pos, sp.sp_pos,
                ch.chunk_id, ch.n_tokens, ch.chunk_text
         FROM pk JOIN sh USING (doc_id) JOIN mf USING (doc_id)
+             JOIN sp USING (doc_id)
              LEFT JOIN ch USING (doc_id)
     """,
     # d2: the oracle is the EXACT all-pairs char-5-gram Jaccard — valid

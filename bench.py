@@ -100,14 +100,17 @@ BUDGETS: dict[str, float] = {
     # settle states (this sandbox's documented variance), so the budget
     # derives from the conservative end: 1.5 × 2.96. History: r8 6.75
     "d8_semdedup": 4.45,
-    # r16 re-derived (same formula, best-of-4 2.355s at 1m≈1.0): both
-    # read-back legs now route through the SHIPPED read_training_shards
-    # loader (VERDICT r15 #1) — each adds one window shuffle (row_number
-    # over shard) where the old hand-rolled selects were shuffle-free
-    # metadata projections; ~+0.28s on the quiet column. Workload
-    # change, not drift. History: r15 3.11 (mf leg, quiet 2.074), r14
-    # 1.87 (single-file sh_* leg, quiet 1.243), r9 0.68.
-    "t13_chunk": 3.53,
+    # r17 re-derived (same formula, best-of-4 3.097s at 1m≈1.2): the
+    # query gained the sp leg (VERDICT r16 #4) — a THIRD shard write
+    # under a forced spark.sql.files.maxRecordsPerFile split plus its
+    # loader read-back — so the oracle validates the numeric -cNNN
+    # split-counter ordering under the real production knob. The
+    # read-time layout guard (VERDICT r16 #2) rides along at ~zero
+    # cost (driver-side inputFiles pass, no Spark job). Workload
+    # change, not drift. History: r16 3.53 (loader-routed read-backs,
+    # quiet 1.905), r15 3.11 (mf leg, quiet 2.074), r14 1.87
+    # (single-file sh_* leg, quiet 1.243), r9 0.68.
+    "t13_chunk": 4.65,
     "s1_bruteforce_topk": 2.18,
     "s3_ivf_topk": 2.41,
     "t2_quality": 2.62,  # re-derived after the gopher-columns merge

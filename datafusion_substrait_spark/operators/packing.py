@@ -271,15 +271,16 @@ def read_training_shards(spark, path: str,
     order) — that is exactly what the one-writer-per-group repartition
     in :func:`write_training_shards` rules out, and (r17, VERDICT r16
     #2) exactly what ``verify_layout`` (default on) CHECKS at read
-    time: one aggregate over the ``part-NNNNN`` task prefixes of the
-    file names it already reads — a metadata-only Spark job touching no
-    data columns — raising :class:`MultiWriterShardLayoutError` for any
-    directory two tasks wrote (a foreign writer, or two outputs
-    hand-merged). Files with no ``part-NNNNN-`` prefix at all (fully
-    foreign layouts) are exempt: they order by name alone, the
-    documented fallback, and carry no task-id evidence to check. Pass
-    ``verify_layout=False`` to skip the extra job for a trusted
-    directory. An empty/marker-only
+    time: a driver-side pass over the scan's file index
+    (``df.inputFiles()`` — the listing the read performs anyway, so NO
+    extra Spark job and no data touched) grouping ``part-NNNNN`` task
+    prefixes by parent directory, raising
+    :class:`MultiWriterShardLayoutError` for any directory two tasks
+    wrote (a foreign writer, or two outputs hand-merged). Files with
+    no ``part-NNNNN-`` prefix at all (fully foreign layouts) are
+    exempt: they order by name alone, the documented fallback, and
+    carry no task-id evidence to check. Pass ``verify_layout=False``
+    to skip the check for a trusted directory. An empty/marker-only
     directory raises Spark's unreadable-schema error — match
     write_training_shards' empty-input note by probing for data files
     first if empty corpora are expected."""
@@ -287,25 +288,23 @@ def read_training_shards(spark, path: str,
 
     df = spark.read.parquet(path)
     if verify_layout:
-        group = ["shard"] + (["file_seq"] if "file_seq" in df.columns else [])
-        task_prefix = F.regexp_extract(
-            F.col("_metadata.file_name"), r"^(part-\d+)-", 1)
-        bad = (df.select(*group, task_prefix.alias("_task"))
-               .filter(F.col("_task") != "")
-               .groupBy(*group)
-               .agg(F.count_distinct("_task").alias("_n_tasks"))
-               .filter(F.col("_n_tasks") > 1)
-               .limit(3).collect())
+        import re
+
+        by_dir: dict[str, set[str]] = {}
+        for f in df.inputFiles():
+            d, _, name = f.rpartition("/")
+            m = re.match(r"part-(\d+)-", name)
+            if m:
+                by_dir.setdefault(d, set()).add(m.group(1))
+        bad = sorted(d for d, tasks in by_dir.items() if len(tasks) > 1)
         if bad:
-            dirs = ", ".join(
-                "/".join(f"{g}={r[g]}" for g in group) for r in bad)
             raise MultiWriterShardLayoutError(
                 f"{path}: part files from multiple writer tasks inside "
-                f"one shard directory ({dirs}) — pos restoration is only "
-                "defined for one-task-per-directory layouts "
-                "(write_training_shards' contract); re-pack the corpus, "
-                "or pass verify_layout=False to accept name-order "
-                "semantics for a directory you trust")
+                f"one shard directory ({', '.join(bad[:3])}) — pos "
+                "restoration is only defined for one-task-per-directory "
+                "layouts (write_training_shards' contract); re-pack the "
+                "corpus, or pass verify_layout=False to accept "
+                "name-order semantics for a directory you trust")
     # try_cast: regexp_extract yields '' when a (foreign) file name has
     # no -cNNN counter, and ANSI cast('') throws — those files order by
     # name alone via the counter-0 default. The pattern is anchored to

@@ -169,6 +169,35 @@ _SEEN_EMIT = T.StructType(
     list(SEEN_SCHEMA) + [T.StructField("_vn", T.BooleanType())])
 
 
+_F64_EXACT_MAX = 2 ** 53
+
+
+def _warn_inexact_ids(pdf, cols=("event_id", "user_id")) -> None:
+    """Make the documented unfixable residual OBSERVABLE (r17, ADVICE
+    r16): when a micro-batch carries a NULL in an id column, the Arrow
+    hop hands the whole column to pandas as float64, and ids above 2^53
+    are already rounded before any election code runs — two large ids
+    differing only in low bits can tie and the election can silently
+    diverge from batch. Nothing downstream can restore the lost bits,
+    but a batch that is BOTH float64-degraded AND carries >2^53
+    magnitudes is detectable in O(batch) — warn once per such batch
+    (executor stderr) so the divergence window is visible instead of
+    silent. int64/Int64 batches (no same-batch NULL) are exact and
+    skip the scan."""
+    import warnings
+
+    for c in cols:
+        s = pdf[c]
+        if s.dtype == "float64" and s.abs().gt(_F64_EXACT_MAX).any():
+            warnings.warn(
+                f"streaming_exact_dedup: id column '{c}' arrived as "
+                f"float64 (same-batch NULL) with magnitudes above 2^53 "
+                "— ids are rounded upstream of the election and "
+                "first-seen election may diverge from the batch path "
+                "for rows tying on the rounded key",
+                RuntimeWarning, stacklevel=2)
+
+
 def _elect_key(row) -> tuple:
     """streaming_exact_dedup's cross-micro-batch election key: the batch
     branch's row_number ordering — (event_id, user_id asc_nulls_first,
@@ -186,7 +215,9 @@ def _elect_key(row) -> tuple:
     that loss is upstream of any election key and is not fixable here
     (applyInPandasWithState's pandas conversion, not our math). The fix
     is exact whenever the batch's id columns arrive as int64, i.e. no
-    same-batch NULL in that column."""
+    same-batch NULL in that column. r17 (ADVICE r16):
+    :func:`_warn_inexact_ids` detects the degraded-batch case and warns,
+    so the divergence window is observable instead of silent."""
     uid, val = row["user_id"], row["value"]
     vclass = 2 if row["_vnan"] else (0 if pd.isna(val) else 1)
     return (int(row["event_id"]),
@@ -249,6 +280,7 @@ def streaming_exact_dedup(events: DataFrame,
             return  # fingerprint already emitted in an earlier batch
         best = None
         for pdf in pdfs:
+            _warn_inexact_ids(pdf)
             # NULL event_ids arrive as NaN; min-of-key ignores them (the
             # batch path's min(event_id) does too, and its equi-join then
             # drops all-NULL fingerprints entirely — mirror that here by

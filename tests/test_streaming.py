@@ -576,6 +576,43 @@ def test_elect_key_bigint_precision_above_2_53():
     assert _elect_key(lo) < _elect_key(nanv)
 
 
+def test_warn_inexact_ids_flags_float64_degraded_bigints():
+    """r17 (ADVICE r16): the >2^53-with-same-batch-NULL residual is
+    upstream of any election code and unfixable there — but it IS
+    detectable. _warn_inexact_ids must warn exactly when a column is
+    BOTH float64-degraded and carries >2^53 magnitudes, and stay silent
+    for exact int64/Int64 batches and for small float64 values (where
+    rounding is lossless)."""
+    import warnings
+
+    import pandas as pd
+
+    from datafusion_substrait_spark.streaming.stateful import (
+        _warn_inexact_ids,
+    )
+
+    degraded = pd.DataFrame({
+        "event_id": pd.Series([float(2**53 + 2), None], dtype="float64"),
+        "user_id": pd.Series([1.0, 2.0], dtype="float64")})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_inexact_ids(degraded)
+    assert len(w) == 1 and "event_id" in str(w[0].message) \
+        and "2^53" in str(w[0].message)
+
+    exact_int = pd.DataFrame({
+        "event_id": pd.Series([2**53 + 2], dtype="int64"),
+        "user_id": pd.Series([2**60], dtype="int64")})
+    small_float = pd.DataFrame({
+        "event_id": pd.Series([7.0, None], dtype="float64"),
+        "user_id": pd.Series([3.0], dtype="float64").reindex(range(2))})
+    for pdf in (exact_int, small_float):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            _warn_inexact_ids(pdf)
+        assert not w, [str(x.message) for x in w]
+
+
 def test_state_or_default_tolerates_pre_r15_4_field_state():
     """r16 (ADVICE r15): the r15 NaN fix widened running_user_stats'
     state schema 4→5 fields; a pre-r15 checkpoint that slips past the

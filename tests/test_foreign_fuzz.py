@@ -103,9 +103,26 @@ class Stage:
         return f"o{self.n}_{i}"
 
 
+# r17 dedicated band knob (VERDICT r16 #3): with
+# SPARK_GRAFT_FUZZ_ORD_DISTINCT=1, every seed whose pipeline CAN carry
+# an aggregate takes the agg stage, and every agg stage with a
+# surviving unique key takes the ordered-DISTINCT arm (the r16
+# same-key array_agg/first/last DISTINCT ORDER BY consume) — pinning
+# the array_distinct rebuild against DuckDB's native
+# array_agg(DISTINCT … ORDER BY …) at fuzz density instead of the
+# default ~15% arm rate. The knob only WIDENS two if-conditions after
+# their random() draws are consumed, so the RNG stream — and therefore
+# every other per-seed choice — is identical with the knob on or off:
+# a band seed generates the default sweep's plan except for the arm.
+_ORD_DISTINCT = os.environ.get("SPARK_GRAFT_FUZZ_ORD_DISTINCT") == "1"
+
+
 class ForeignGen:
     def __init__(self, seed: int):
         self.r = random.Random(seed)
+        # set by agg_stage when the ordered-DISTINCT arm fires — band
+        # runs count it so the recorded log proves arm density
+        self.ord_distinct_fired = False
 
     def pick(self, xs):
         return self.r.choice(xs)
@@ -542,12 +559,15 @@ class ForeignGen:
         ordered_name = self.pick(["array_agg", "first_value", "last_value"])
         ord_sql_fn = {"array_agg": "array_agg", "first_value": "first",
                       "last_value": "last"}[ordered_name]
-        if self.r.random() < 0.25:
+        if self.r.random() < 0.25 or _ORD_DISTINCT:
             # r16: the ordered-DISTINCT form the consumer now rebuilds —
             # the single sort key IS the aggregated argument
             # (dedup-then-sort is total there; any other key stays
             # fenced). val is non-unique, so DISTINCT genuinely
-            # collapses duplicates before the sort.
+            # collapses duplicates before the sort. (random() draws
+            # BEFORE the r17 band knob widens the condition — stream
+            # consumption is knob-independent.)
+            self.ord_distinct_fired = True
             ordered: dict = {"measure": {
                 "functionReference": REF[ordered_name],
                 "arguments": [{"value": field(val)}],
@@ -661,7 +681,7 @@ class ForeignGen:
             # sort+fetch UNDER the aggregate: GROUP BY over a
             # deterministically LIMITed subquery
             st = self.sort_fetch_stage(st)
-        if self.r.random() < 0.6 and (
+        if (self.r.random() < 0.6 or _ORD_DISTINCT) and (
                 st.uniq is not None
                 or any(k == "int" for k in st.kinds)):
             # uniq=None (post-FULL/RIGHT) takes agg_stage's plain-measure

@@ -31,12 +31,15 @@ echo "== preship 3/4: scale-stress gates (r16, VERDICT r15 #6) =="
 # scratch/ and is force-added with the snapshot (scratch/ is gitignored)
 # — referenced from COVERAGE.md.
 stress_log="scratch/preship_stress_$(date +%Y%m%d).log"
+# r17: + the split-file loader gate (maxRecordsPerFile at 10× through
+# the shipped read_training_shards) — the sh/mf/sp egress family is now
+# fully stressed per-ship
 SPARK_GRAFT_STRESS=1 python3 -m pytest tests/test_scale_stress.py -q \
-  -k "training_shards_10x or training_shards_multifile_10x or minhash_10x" \
+  -k "training_shards_10x or training_shards_multifile_10x or training_shards_split_files_10x or minhash_10x" \
   2>&1 | tee "$stress_log"
-# anchored: a bare '3 passed' substring would also match '13 passed'
+# anchored: a bare '4 passed' substring would also match '14 passed'
 # if the -k selection ever grows (review catch r16)
-grep -qE '(^|[^0-9])3 passed' "$stress_log"
+grep -qE '(^|[^0-9])4 passed' "$stress_log"
 
 echo "== preship 4/4: bench (strict: a budget violation FAILS preship) =="
 # settle gate (r13→r14): bench.py now settle-waits ITSELF (bounded,

@@ -537,3 +537,63 @@ def test_training_shards_multifile_10x_selfconsistent(spark, tables,
             assert r.doc_id not in seen
             seen.add(r.doc_id)
     assert len(seen) == n
+
+
+def test_training_shards_split_files_10x_loader_restores_order(
+        spark, tables, tmp_path):
+    """r17 split-counter egress at 10× (VERDICT r16 #4's stress tier):
+    the single-file layout written with spark.sql.files.maxRecordsPerFile
+    forcing several -cNNN split files per shard dir, read back through
+    the SHIPPED read_training_shards (layout guard on). Self-verifying
+    with no engine in the loop: walking each shard in the loader's
+    restored ``pos`` order, the running token cumsum must equal
+    bin_id*max_tokens + bin_offset row by row ACROSS split-file
+    boundaries — one counter mis-sort anywhere and the seek arithmetic
+    diverges at that row. Also asserts the split genuinely happened in
+    every shard and every doc appears exactly once."""
+    from datafusion_substrait_spark.operators import packing
+
+    docs = tables["documents"].select("doc_id", "text")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"), "text")
+    n = docs10.count()
+    path = str(tmp_path / "shards10x_sp")
+    mrpf = max(1, n // 16 // 4)  # ~4-5 split files per shard dir
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(mrpf))
+    t0 = time.perf_counter()
+    try:
+        packing.write_training_shards(docs10, path, max_tokens=256,
+                                      n_shards=16)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+    t1 = time.perf_counter()
+    rows = packing.read_training_shards(spark, path).select(
+        "doc_id", F.col("shard").cast("int").alias("shard"),
+        "n_tokens", "bin_id", "bin_offset", "pos",
+        F.col("_metadata.file_name").alias("fn")).collect()
+    print(f"\nshards 10x split: write {t1-t0:.1f}s, {n} rows, "
+          f"{len({(r.shard, r.fn) for r in rows})} files, mrpf={mrpf}")
+
+    assert len(rows) == n
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.doc_id % 16 == r.shard
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sorted(by_shard) == list(range(16))
+    seen = set()
+    for shard, rs in by_shard.items():
+        assert len({r.fn for r in rs}) >= 2, \
+            f"shard {shard}: maxRecordsPerFile did not split — test inert"
+        rs.sort(key=lambda r: r.pos)
+        cum = 0
+        for i, r in enumerate(rs):
+            assert r.pos == i, f"shard {shard} pos gap at {i}"
+            assert r.bin_id * 256 + r.bin_offset == cum, \
+                f"shard {shard} pos {i}: seek arithmetic diverged " \
+                "(split-counter order broken)"
+            cum += r.n_tokens
+            assert r.doc_id not in seen
+            seen.add(r.doc_id)
+    assert len(seen) == n

@@ -30,7 +30,10 @@ echo "== preship 3/4: scale-stress gates (r16, VERDICT r15 #6) =="
 # the normal suite (SPARK_GRAFT_STRESS), mandatory here. Log lands in
 # scratch/ and is force-added with the snapshot (scratch/ is gitignored)
 # — referenced from COVERAGE.md.
-stress_log="scratch/preship_stress_$(date +%Y%m%d).log"
+# timestamped to the minute (r17: two same-day preships collided on the
+# %Y%m%d name and the second silently overwrote the first round's
+# committed evidence — caught and restored from history)
+stress_log="scratch/preship_stress_$(date +%Y%m%d_%H%M).log"
 # r17: + the split-file loader gate (maxRecordsPerFile at 10× through
 # the shipped read_training_shards) — the sh/mf/sp egress family is now
 # fully stressed per-ship

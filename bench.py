@@ -342,9 +342,12 @@ def main() -> None:
         rr_cpu0, rr_mem0 = _cpu_probe(), _mem_probe()
         reruns = {n: round(run_once(n), 3) for n in first_pass}
         rr_cpu1, rr_mem1 = _cpu_probe(), _mem_probe()
+        # same gates as _settle (r17): one pair of hot-lines across the
+        # whole file — a rerun the settle would have admitted can't be
+        # branded hot by a second, slightly-tighter threshold
         rerun_hot = (rerun_timeout
-                     or max(rr_cpu0, rr_cpu1) > 1.2 * _CPU_IDLE_S
-                     or max(rr_mem0, rr_mem1) > 1.2 * _MEM_IDLE_S)
+                     or max(rr_cpu0, rr_cpu1) >= _CPU_GATE_S
+                     or max(rr_mem0, rr_mem1) >= _MEM_GATE_S)
         for n, first in first_pass.items():
             rerun = reruns[n]
             # a rerun on a machine that never settled, or whose own

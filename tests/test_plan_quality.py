@@ -395,3 +395,25 @@ def test_single_join_guard_is_one_window_no_extra_shuffle(spark):
     plan = _phys(out)
     assert plan.count("Window") == 1, "guard + row_number split into two windows"
     assert "row_number" in plan and "count(1)" in plan
+
+
+def test_read_training_shards_single_window_shuffle(spark, tmp_path,
+                                                    tables):
+    """r17: the loader's pos restoration must cost exactly the pack's
+    own shuffle shape — ONE Exchange (the shard-keyed window) and one
+    Window stage — for BOTH layouts, with the layout guard adding zero
+    Spark jobs (it walks the scan's file index driver-side). A second
+    exchange here would double the loader's cost at 100 TB; the window
+    ordering on (_metadata…) must not force a wider scan than the data
+    columns + metadata struct."""
+    from datafusion_substrait_spark.operators import packing
+
+    docs = tables["documents"].select("doc_id", "text").limit(200)
+    for layout, kwargs in (("single", {}), ("multi", {"bins_per_file": 4})):
+        path = str(tmp_path / f"pq_{layout}")
+        packing.write_training_shards(docs, path, max_tokens=128,
+                                      n_shards=4, **kwargs)
+        out = packing.read_training_shards(spark, path)
+        plan = _phys(out)
+        assert plan.count("Exchange") == 1, (layout, plan)
+        assert plan.count("Window") == 1, (layout, plan)

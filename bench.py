@@ -182,7 +182,10 @@ def _cpu_probe() -> float:
 
 
 # idle references for the two probes (BENCH_NOTES.md; >1.2× ⇒ host
-# contention present in that window)
+# contention present in that window). The gates below DERIVE from these
+# (review catch r17: hand-rounded 0.27/0.20 gates drifted from the
+# documented 1.2× rule and left the idle constants dead — a future
+# idle re-calibration now moves every gate in the file)
 _CPU_IDLE_S = 0.22
 _MEM_IDLE_S = 0.16
 
@@ -218,8 +221,8 @@ def _mem_probe() -> float:
 # pass), shipping four unresolvable suspect-hot violations. Loadavg
 # remains a cheap pre-filter; the gate that admits timed work is the
 # probes themselves.
-_CPU_GATE_S = 0.27
-_MEM_GATE_S = 0.20
+_CPU_GATE_S = round(1.2 * _CPU_IDLE_S, 3)   # 0.264
+_MEM_GATE_S = round(1.2 * _MEM_IDLE_S, 3)   # 0.192
 
 
 def _settle() -> tuple[float, bool]:
@@ -233,7 +236,11 @@ def _settle() -> tuple[float, bool]:
     RECORD_HOT in the recap (r17: the r16 record needed cross-file
     forensics to adjudicate its four suspect-hot violations; the
     artifact must adjudicate itself)."""
-    waited = 0.0
+    # wall-clock deadline, not a sleep accumulator (review catch r17:
+    # probe time — slowest exactly when the machine is contended — was
+    # uncounted, so the 'bounded' wait could overrun the ceiling by
+    # minutes and the stamped waited= understated the real wait)
+    t0 = time.monotonic()
     cpu = mem = -1.0  # -1 = not probed (loadavg pre-filter failed)
     while True:
         if os.getloadavg()[0] < SETTLE_LOAD1:
@@ -241,13 +248,13 @@ def _settle() -> tuple[float, bool]:
             if cpu < _CPU_GATE_S and mem < _MEM_GATE_S:
                 timed_out = False
                 break
-        if waited >= SETTLE_MAX_S:
+        if time.monotonic() - t0 >= SETTLE_MAX_S:
             timed_out = True
             if cpu < 0:  # ceiling burned on loadavg alone: probe once
                 cpu, mem = _cpu_probe(), _mem_probe()  # for the record
             break
         time.sleep(10)
-        waited += 10
+    waited = time.monotonic() - t0
     la = os.getloadavg()
     print(f"BENCH_SETTLE: waited={waited:.0f}s 1m={la[0]:.2f} "
           f"cpu={cpu:.3f}s mem={mem:.3f}s "
@@ -384,12 +391,17 @@ def main() -> None:
     disp_str = " ".join(
         f"{n}:{d['disposition']}({d['first']}/{d['rerun']}/b{d['budget']})"
         for n, d in dispositions.items()) or "none"
-    # RECORD_HOT (r17, VERDICT r16 #1): either settle burned its ceiling
-    # without draining the probes ⇒ every number below ran on a machine
-    # measurably hot by the run's own instruments — the record
-    # adjudicates itself, no cross-file forensics needed
-    record_hot = settle_timeout or rerun_timeout
-    print(f"BENCH_RECAP:{' RECORD_HOT' if record_hot else ''} "
+    # RECORD_HOT (r17, VERDICT r16 #1): a settle ceiling burned without
+    # draining the probes, OR the bracketing probes around the timed
+    # loop read hot (review catch r17: contention ARRIVING mid-run —
+    # the r16 record's exact shape, mem_end 2.2× idle — previously
+    # stamped record_hot=false and could enter the quiet reference
+    # column) ⇒ the record adjudicates itself, no cross-file forensics
+    end_hot = (probe_end >= _CPU_GATE_S or mem_end >= _MEM_GATE_S
+               or probe_start >= _CPU_GATE_S or mem_start >= _MEM_GATE_S)
+    record_hot = settle_timeout or rerun_timeout or end_hot
+    print(f"BENCH_RECAP:{' RECORD_HOT' if record_hot else ''}"
+          f"{' WINDOW_HOT' if end_hot else ''} "
           f"settle_wait={settle_wait:.0f}s"
           f"{' SETTLE_TIMEOUT' if settle_timeout else ''}"
           f"{' RERUN_SETTLE_TIMEOUT' if rerun_timeout else ''} "
@@ -428,6 +440,7 @@ def main() -> None:
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "settle_wait_s": settle_wait,
             "record_hot": record_hot,
+            "window_hot": end_hot,
             "settle_timeout": settle_timeout,
             "rerun_settle_timeout": rerun_timeout,
             "settle_gate": SETTLE_LOAD1,

@@ -273,14 +273,21 @@ def read_training_shards(spark, path: str,
     #2) exactly what ``verify_layout`` (default on) CHECKS at read
     time: a driver-side pass over the scan's file index
     (``df.inputFiles()`` — the listing the read performs anyway, so NO
-    extra Spark job and no data touched) grouping ``part-NNNNN`` task
-    prefixes by parent directory, raising
-    :class:`MultiWriterShardLayoutError` for any directory two tasks
-    wrote (a foreign writer, or two outputs hand-merged). Files with
-    no ``part-NNNNN-`` prefix at all (fully foreign layouts) are
-    exempt: they order by name alone, the documented fallback, and
-    carry no task-id evidence to check. Pass ``verify_layout=False``
-    to skip the check for a trusted directory. An empty/marker-only
+    extra Spark job and no data touched; the pass itself is O(#files)
+    driver time — one py4j string array plus a per-name regex, ~1-2 s
+    per million part files) grouping ``part-NNNNN`` task prefixes by
+    parent directory, raising :class:`MultiWriterShardLayoutError` for
+    any directory two tasks wrote (a foreign writer, or two outputs
+    hand-merged). Files with no ``part-NNNNN-`` prefix at all (fully
+    foreign layouts) are exempt: they order by name alone, the
+    documented fallback, and carry no task-id evidence to check. A
+    foreign SINGLE-writer layout that nevertheless uses distinct
+    ``part-NNNNN-`` prefixes inside one directory is indistinguishable
+    from a genuinely-broken multi-task merge and is rejected too —
+    deliberately: silently reading a maybe-permuted layout was exactly
+    the r16 hazard, and the error names the escape hatch. Pass
+    ``verify_layout=False`` to skip the check for a trusted
+    directory. An empty/marker-only
     directory raises Spark's unreadable-schema error — match
     write_training_shards' empty-input note by probing for data files
     first if empty corpora are expected."""

@@ -182,20 +182,28 @@ def _warn_inexact_ids(pdf, cols=("event_id", "user_id")) -> None:
     but a batch that is BOTH float64-degraded AND carries >2^53
     magnitudes is detectable in O(batch) — warn once per such batch
     (executor stderr) so the divergence window is visible instead of
-    silent. int64/Int64 batches (no same-batch NULL) are exact and
-    skip the scan."""
+    silent. The warn bypasses Python's per-location warning registry
+    (review catch r17: with long-lived reused workers, the default
+    ``once``-per-registry dedup would report only the FIRST degraded
+    batch per worker process and silence every later divergence
+    window; ``simplefilter("always")`` inside a ``catch_warnings``
+    scope keeps it per-batch without touching global filters).
+    int64/Int64 batches (no same-batch NULL) are exact and skip the
+    scan."""
     import warnings
 
     for c in cols:
         s = pdf[c]
         if s.dtype == "float64" and s.abs().gt(_F64_EXACT_MAX).any():
-            warnings.warn(
-                f"streaming_exact_dedup: id column '{c}' arrived as "
-                f"float64 (same-batch NULL) with magnitudes above 2^53 "
-                "— ids are rounded upstream of the election and "
-                "first-seen election may diverge from the batch path "
-                "for rows tying on the rounded key",
-                RuntimeWarning, stacklevel=2)
+            with warnings.catch_warnings():
+                warnings.simplefilter("always")
+                warnings.warn(
+                    f"streaming_exact_dedup: id column '{c}' arrived as "
+                    f"float64 (same-batch NULL) with magnitudes above "
+                    "2^53 — ids are rounded upstream of the election "
+                    "and first-seen election may diverge from the batch "
+                    "path for rows tying on the rounded key",
+                    RuntimeWarning, stacklevel=2)
 
 
 def _elect_key(row) -> tuple:

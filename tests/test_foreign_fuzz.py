@@ -753,6 +753,26 @@ def _norm(rows):
                          for v in r) for r in rows), key=repr)
 
 
+@pytest.mark.skipif(not _ORD_DISTINCT, reason="density gate runs only "
+                    "in the dedicated band (SPARK_GRAFT_FUZZ_ORD_DISTINCT=1)")
+def test_ord_distinct_band_arm_density():
+    """r17 (review catch: ord_distinct_fired was written but never
+    read, so a generator change silently killing the arm would still
+    produce an all-green band log). Generator-only — no Spark — over
+    the band's exact seed range: the ordered-DISTINCT arm must fire in
+    ≥80% of seeds (the remainder are post-FULL/RIGHT uniq=None
+    pipelines, empirically ~8%). Runs inside every band invocation, so
+    the recorded band log itself enforces arm density."""
+    fired = 0
+    for seed in range(_LO, _HI):
+        g = ForeignGen(seed)
+        g.build()
+        fired += g.ord_distinct_fired
+    total = _HI - _LO
+    assert fired >= 0.8 * total, \
+        f"ordered-DISTINCT arm fired in only {fired}/{total} band seeds"
+
+
 @pytest.mark.parametrize("start", range(_LO, _HI, _BATCH))
 def test_foreign_surface_values_vs_duckdb(spark, duck, start):
     for seed in range(start, min(start + _BATCH, _HI)):

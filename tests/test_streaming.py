@@ -600,6 +600,16 @@ def test_warn_inexact_ids_flags_float64_degraded_bigints():
     assert len(w) == 1 and "event_id" in str(w[0].message) \
         and "2^53" in str(w[0].message)
 
+    # per-BATCH, not once-per-worker (review catch r17): under the
+    # DEFAULT filters a second degraded batch hours later must still
+    # warn — the per-location registry dedup would otherwise silence
+    # every divergence window after the first in a reused worker
+    with warnings.catch_warnings(record=True) as w:
+        warnings.resetwarnings()  # default filters, fresh registry view
+        _warn_inexact_ids(degraded)
+        _warn_inexact_ids(degraded)
+    assert len(w) == 2, [str(x.message) for x in w]
+
     exact_int = pd.DataFrame({
         "event_id": pd.Series([2**53 + 2], dtype="int64"),
         "user_id": pd.Series([2**60], dtype="int64")})

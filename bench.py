@@ -345,29 +345,35 @@ def main() -> None:
         # probe the DECISIVE window too (review catch r16: the main
         # probes end before the rerun, so contention arriving during
         # the one measurement that stamps 'regression' was unmeasured —
-        # the exact blind-spot class VERDICT r15 #1 flagged)
-        rr_cpu0, rr_mem0 = _cpu_probe(), _mem_probe()
-        reruns = {n: round(run_once(n), 3) for n in first_pass}
-        rr_cpu1, rr_mem1 = _cpu_probe(), _mem_probe()
-        # same gates as _settle (r17): one pair of hot-lines across the
-        # whole file — a rerun the settle would have admitted can't be
-        # branded hot by a second, slightly-tighter threshold
-        rerun_hot = (rerun_timeout
-                     or max(rr_cpu0, rr_cpu1) >= _CPU_GATE_S
-                     or max(rr_mem0, rr_mem1) >= _MEM_GATE_S)
+        # the exact blind-spot class VERDICT r15 #1 flagged).
+        # r17 hardening, driven by a recorded false 'regression': the
+        # 01:30Z preship window stamped untouched d2 'regression' from
+        # ONE rerun sample bracketed by probes reading 0.97× of the
+        # gate, and the immediately-following clean strict run on the
+        # identical tree read d2 at 0.687s vs the 1.16 budget (quiet
+        # row 01:37Z). A single-thread probe at the gate line
+        # undersamples contention that inflates 32-way work 2-3×, so
+        # the decisive pass now takes BEST-OF-2 per query with probes
+        # bracketing EACH query's rerun — a 'regression' stamp needs
+        # two slow samples inside its own per-query-quiet window.
         for n, first in first_pass.items():
-            rerun = reruns[n]
+            p_cpu0, p_mem0 = _cpu_probe(), _mem_probe()
+            rerun = round(min(run_once(n) for _ in range(2)), 3)
+            p_cpu1, p_mem1 = _cpu_probe(), _mem_probe()
+            q_hot = (rerun_timeout
+                     or max(p_cpu0, p_cpu1) >= _CPU_GATE_S
+                     or max(p_mem0, p_mem1) >= _MEM_GATE_S)
             # a rerun on a machine that never settled, or whose own
             # probe window reads hot, cannot prove a regression
             disp = ("noise" if rerun <= BUDGETS[n]
-                    else "regression-suspect-hot" if rerun_hot
+                    else "regression-suspect-hot" if q_hot
                     else "regression")
             dispositions[n] = {"first": first, "rerun": rerun,
                                "budget": BUDGETS[n], "disposition": disp,
-                               "rerun_probes": [round(rr_cpu0, 3),
-                                                round(rr_mem0, 3),
-                                                round(rr_cpu1, 3),
-                                                round(rr_mem1, 3)]}
+                               "rerun_probes": [round(p_cpu0, 3),
+                                                round(p_mem0, 3),
+                                                round(p_cpu1, 3),
+                                                round(p_mem1, 3)]}
             timings[n] = min(timings[n], rerun)
 
     violations = {n: {"sec": t, "budget": BUDGETS[n]}

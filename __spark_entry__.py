@@ -811,14 +811,6 @@ def _t13_chunk(spark, sf_dir):
     shard_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scratch",
         f"t13_shards_{os.path.basename(sf_dir.rstrip('/'))}")
-    packing.write_training_shards(keyed, shard_path, max_tokens=512,
-                                  n_shards=8, order_col="epoch_key")
-    readback = packing.read_training_shards(spark, shard_path).select(
-        "doc_id",
-        F.col("shard").cast("int").alias("sh_shard"),
-        F.col("bin_id").alias("sh_bin_id"),
-        F.col("bin_offset").alias("sh_bin_offset"),
-        F.col("pos").alias("sh_pos"))
     # r15 mf leg (VERDICT r14 #3): the bins_per_file PARALLEL multi-file
     # layout — the egress a real 100 TB run would use — under the same
     # driver oracle, read back through the SHIPPED loader (r16, VERDICT
@@ -844,37 +836,62 @@ def _t13_chunk(spark, sf_dir):
     # 136 four-bin slivers whose per-file commit overhead is 2.5 s vs
     # 0.91 s for 24 files — measured r15; a fixed tiny bpf would bench
     # the local-FS commit protocol, not the plan).
+    # r17 sp leg (VERDICT r16 #4): the single-file layout written with
+    # the maxRecordsPerFile knob SET — the production knob that used to
+    # silently permute pos (ADVICE r15) — sized corpus-proportionally to
+    # force ~3 -cNNN split files per shard dir at every SF (500 docs /
+    # 8 shards / 3 → mrpf 20 at the oracle SFs; 5000 docs → 208 at bench
+    # sf0.1 — splits guaranteed, no tiny-file explosion). The knob
+    # changes PHYSICAL layout only, so the oracle replays sp_pos with
+    # the same closed-form within-shard rank as sh_pos; equality proves
+    # the loader's numeric split-counter ordering under the real knob,
+    # not just in pytest. r17 opt: the knob rides the WRITER
+    # (write_training_shards' max_records_per_file →
+    # option("maxRecordsPerFile") — the per-write scope of the same
+    # spark.sql.files.maxRecordsPerFile machinery, identical -cNNN split
+    # files; the session-conf path keeps its own pytest + stress-gate
+    # coverage) instead of a session-global conf set/restore, because…
+    #
+    # …r17 opt (guide §2.6): the three shard writes are INDEPENDENT
+    # eager jobs on different paths, and each uses ≤ n_shards=8 writer
+    # tasks on a 32-core master — sequential they left 3/4 of the
+    # machine idle per write. Submitting them from a small thread pool
+    # lets each write's tail back-fill the next write's tasks (FIFO
+    # scheduling; job descriptions are thread-local). Measured at
+    # sf0.1: t13 build phase 3.65 s → see OPTIMIZATION_r17.md. The
+    # read-backs stay AFTER all three writes complete —
+    # read_training_shards reads the schema (and runs the layout guard)
+    # eagerly at call time.
     n_docs = docs.count()
     bpf = 4 if n_docs <= 1000 else 32
     mf_path = shard_path + "_mf"
-    packing.write_training_shards(keyed, mf_path, max_tokens=512,
-                                  n_shards=8, order_col="epoch_key",
-                                  bins_per_file=bpf)
+    sp_path = shard_path + "_sp"
+    mrpf = max(1, n_docs // 8 // 3)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w(path: str, **kw) -> None:
+        spark.sparkContext.setJobDescription(f"t13: shard write {path}")
+        packing.write_training_shards(keyed, path, max_tokens=512,
+                                      n_shards=8, order_col="epoch_key",
+                                      **kw)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(_w, shard_path),
+                pool.submit(_w, mf_path, bins_per_file=bpf),
+                pool.submit(_w, sp_path, max_records_per_file=mrpf)]
+        for f in futs:
+            f.result()  # surface the first failure, never swallow
+    spark.sparkContext.setJobDescription(None)
+    readback = packing.read_training_shards(spark, shard_path).select(
+        "doc_id",
+        F.col("shard").cast("int").alias("sh_shard"),
+        F.col("bin_id").alias("sh_bin_id"),
+        F.col("bin_offset").alias("sh_bin_offset"),
+        F.col("pos").alias("sh_pos"))
     mf_readback = packing.read_training_shards(spark, mf_path).select(
         "doc_id",
         F.col("file_seq").alias("mf_file_seq"),
         F.col("pos").alias("mf_pos"))
-    # r17 sp leg (VERDICT r16 #4): the single-file layout written with
-    # spark.sql.files.maxRecordsPerFile SET — the production knob that
-    # used to silently permute pos (ADVICE r15) — sized corpus-
-    # proportionally to force ~3 -cNNN split files per shard dir at
-    # every SF (500 docs / 8 shards / 3 → mrpf 20 at the oracle SFs;
-    # 5000 docs → 208 at bench sf0.1 — splits guaranteed, no tiny-file
-    # explosion). The knob changes PHYSICAL layout only, so the oracle
-    # replays sp_pos with the same closed-form within-shard rank as
-    # sh_pos; equality proves the loader's numeric split-counter
-    # ordering under the real knob, not just in pytest. The conf is
-    # restored immediately after the eager write (the readback is lazy
-    # and layout-independent).
-    sp_path = shard_path + "_sp"
-    mrpf = max(1, n_docs // 8 // 3)
-    old_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(mrpf))
-    try:
-        packing.write_training_shards(keyed, sp_path, max_tokens=512,
-                                      n_shards=8, order_col="epoch_key")
-    finally:
-        spark.conf.set("spark.sql.files.maxRecordsPerFile", old_mrpf)
     sp_readback = packing.read_training_shards(spark, sp_path).select(
         "doc_id", F.col("pos").alias("sp_pos"))
     return (packed.select("doc_id",
@@ -1018,6 +1035,16 @@ def _t2_quality(spark, sf_dir):
     # training, weight folding, and codegen scoring.
     _prep(spark, sf_dir)
     docs = spark.table("documents")
+    # r17 opt (guide §2.5/§6, the m1 gate verbatim): the single-file
+    # local parquet arrives as ONE scan partition, serializing the
+    # feature maps (incl. the classifier sample job's feature pass —
+    # 0.73 s of the build was that one-core collect) — repartition only
+    # in the degenerate few-split case; corpus-scale inputs never pay
+    # it. Features are row-local and the training sample is a
+    # deterministic hash-top-k, so results are partitioning-independent.
+    target = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < target:
+        docs = docs.repartition(target)
     feats = text.quality_features(docs)
     sr = F.col("stopword_ratio")
     labeled = feats.filter((sr >= 0.04) | (sr <= 0.02)).withColumn(

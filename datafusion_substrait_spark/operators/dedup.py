@@ -754,7 +754,12 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     # norm precomputed once per ROW: cosine() at pair level would re-fold
     # both 64-dim norms per candidate PAIR (the semdedup 3×-arithmetic
-    # lesson; identical IEEE product, so the d5 oracle is unchanged)
+    # lesson; identical IEEE product, so the d5 oracle is unchanged).
+    # _parallelize (r17): the 16-plane signature + norm folds are the
+    # per-row hot path and a single-file toy input serializes them on one
+    # task — same gate (and same no-op-at-scale argument) as the text
+    # dedup family above; pair output is partitioning-independent.
+    df = _parallelize(df, key_col)
     sigs = df.select(F.col(key_col), F.col(vec_col),
                      rh_signature(F.col(vec_col), planes).alias("bucket"),
                      norm(F.col(vec_col)).alias("_nrm"))

@@ -151,6 +151,7 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
                           token_col: str | None = None,
                           order_col: str | None = None,
                           bins_per_file: int | None = None,
+                          max_records_per_file: int | None = None,
                           mode: str = "overwrite") -> None:
     """The egress half of the packing pipeline: materialize the corpus
     as ``shard=N`` parquet directories whose ROW ORDER inside each shard
@@ -187,6 +188,14 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     as they straddle bins (assignment is by START offset; the trainer
     handles tails).
 
+    ``max_records_per_file`` caps rows per output file via the writer's
+    ``maxRecordsPerFile`` option — the WRITE-SCOPED form of
+    ``spark.sql.files.maxRecordsPerFile`` (same split machinery, same
+    ``-cNNN`` counter naming the loader restores order from), set here so
+    concurrent writes in one session (e.g. independent corpus generations
+    overlapped per the scheduler's FIFO back-fill) never race on a
+    session-global conf; ``None`` leaves the session conf in charge.
+
     An EMPTY input writes only the ``_SUCCESS`` marker (Spark's
     partitionBy emits no data files for zero rows, so the directory has
     no readable schema) — a loader probing the output should treat a
@@ -216,11 +225,21 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
     # tie-break, not merely key.
     order = ([order_col, key_col] if order_col else [key_col])
     out = df.join(packed, key_col)
+
+    def _writer(frame: DataFrame):
+        w = frame.write.mode(mode)
+        if max_records_per_file is not None:
+            if max_records_per_file <= 0:
+                raise ValueError("max_records_per_file must be positive, "
+                                 f"got {max_records_per_file}")
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        return w
+
     if bins_per_file is None:
         out = (out.repartition("shard")
                .sortWithinPartitions("shard", "bin_id", "bin_offset",
                                      *order))
-        out.write.mode(mode).partitionBy("shard").parquet(path)
+        _writer(out).partitionBy("shard").parquet(path)
         return
     if bins_per_file <= 0:
         raise ValueError(
@@ -233,7 +252,7 @@ def write_training_shards(df: DataFrame, path: str, max_tokens: int,
            .repartition("shard", "file_seq")
            .sortWithinPartitions("shard", "file_seq", "bin_id",
                                  "bin_offset", *order))
-    out.write.mode(mode).partitionBy("shard", "file_seq").parquet(path)
+    _writer(out).partitionBy("shard", "file_seq").parquet(path)
 
 
 def read_training_shards(spark, path: str,

@@ -59,12 +59,48 @@ of a query through ONE task's sort — fine at sf0.1, a scale-killer on a
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _dbl_lit(v: float) -> str:
+    """Exact SQL double literal for a plan-time constant. ``repr`` emits
+    the shortest decimal that round-trips the IEEE double, and Spark's
+    parser reads the ``D`` suffix back through Double.parseDouble — the
+    same value bit-for-bit (a bare decimal would land in DecimalType).
+    Used to ship constant vectors in ONE ``F.expr`` py4j call instead of
+    per-element ``F.lit`` chatter (r17: ``F.lit(list)`` builds the array
+    element-by-element — 65 driver round trips per 64-dim centroid, and
+    the centroid battery was over half of s3/d8's DataFrame-construction
+    time; see OPTIMIZATION_r17.md)."""
+    x = float(v)
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite plan constant {v!r}")
+    return repr(x) + "D"
+
 _KNUTH = 2654435761  # Fibonacci-hash multiplier for deterministic planes
+
+
+def _scan_parallel(df: DataFrame, key_col: str) -> DataFrame:
+    """Input-parallelism floor for the CORPUS side of the search paths
+    (r17, guide §2.5 input skew / §6 scan parallelism): a single small
+    parquet file arrives as ONE scan partition, serializing the whole
+    per-vector signature/scoring stage — and the per-PAIR interpreted
+    dot folds above it — on one core. Delegates to ``dedup._parallelize``
+    (the established gate): a no-op on real multi-file corpora (input
+    files ≫ cores), a compact-row repartition keyed on ``key_col`` when
+    a degenerate few-file input would otherwise serialize. Results are
+    partitioning-independent everywhere this is applied: cosines are
+    row-local, and ``_topk_per_query``'s phase-1 local rank provably
+    retains every global top-k row for ANY partitioning (its docstring).
+    Measured at sf0.1 (single-file embeddings): semdedup exec 2.02→1.48 s
+    (scratch/ab_parallel_r17.py; checksums identical)."""
+    from datafusion_substrait_spark.operators.dedup import _parallelize
+
+    return _parallelize(df, key_col)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -87,10 +123,14 @@ def dot_const(a: Column, values: list[float]) -> Column:
       variable map at 8 cells x 64 dims; with only single dot products
       unrolled it fell out of whole-stage codegen and ran ~5x SLOWER
       than the fold, 4.4s vs 0.9s for the IVF scan);
-    * ONE list literal, not dim x ``F.lit`` calls — plan CONSTRUCTION is
-      driver-side py4j chatter, and a 512-literal centroid battery cost
-      more wall time than the query's execution."""
-    return dot(a, F.lit([float(v) for v in values]))
+    * ONE parsed ``array(…D,…)`` expression, not dim x ``F.lit`` calls —
+      plan CONSTRUCTION is driver-side py4j chatter, and a 512-literal
+      centroid battery cost more wall time than the query's execution
+      (r17: even ``F.lit(list)`` expands to per-element lits — 65 round
+      trips per centroid; the parsed form is one round trip and
+      constant-folds to the identical array, see ``_dbl_lit``)."""
+    arr = "array(" + ",".join(_dbl_lit(v) for v in values) + ")"
+    return dot(a, F.expr(arr))
 
 
 def norm(a: Column) -> Column:
@@ -219,7 +259,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qnorm"),
     )
-    e = embeddings.select(
+    e = _scan_parallel(embeddings, key_col).select(
         key_col, vec_col, norm(F.col(vec_col)).alias("__enorm")
     )
     scored = e.join(F.broadcast(q), on=F.lit(True), how="inner").select(
@@ -258,18 +298,29 @@ def _with_cell_scores(df: DataFrame, vec_col: str,
     chain over the raw score expressions duplicates every prior subtree
     per step — tree size grows ~3^n_cells and OOMs the driver during
     optimization (observed at n_cells=8).
+
+    r17: each score column is built as ONE parsed ``F.expr`` string —
+    the exact SQL spelling of the previous DSL tree (zip_with/aggregate
+    fold, CAST-to-DOUBLE products, 0.0D seed, SQRT norm, try_divide), so
+    the Catalyst expression and every output bit are unchanged
+    (verified value-for-value at sf0.1, tests/test_operators.py) — but
+    plan construction drops from ~1,100 py4j round trips (65 per
+    centroid literal + 2 HOF builds per dot) to one parse per cell:
+    0.64 s → 0.18 s warm for the 8×64 battery, which the bench pays
+    twice per s3 run and once per d8 run.
     """
-    n = norm(F.col(vec_col))
-    return df.select(
-        "*",
-        *[
-            F.try_divide(
-                dot_const(F.col(vec_col), c),
-                n * F.lit(sum(x * x for x in c) ** 0.5),
-            ).alias(f"__s{i}")
-            for i, c in enumerate(centroids)
-        ],
-    )
+    v = f"`{vec_col}`"
+    mul = "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+    fold = "0.0D, (acc, x) -> acc + x"
+    nrm = f"SQRT(aggregate(zip_with({v}, {v}, {mul}), {fold}))"
+    cols = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ",".join(_dbl_lit(x) for x in c) + ")"
+        d = f"aggregate(zip_with({v}, {arr}, {mul}), {fold})"
+        cn = _dbl_lit(sum(x * x for x in c) ** 0.5)
+        cols.append(F.expr(f"try_divide({d}, {nrm} * {cn})")
+                    .alias(f"__s{i}"))
+    return df.select("*", *cols)
 
 
 def _nearest_cell(n_cells: int) -> Column:
@@ -291,8 +342,12 @@ def assign_cells(df: DataFrame, centroids: list[list[float]],
     same rule as IVF's ``_nearest_cell`` and the DuckDB
     ``list_position(ss, list_max(ss))`` replay, so any consumer
     (IVF probing, SemDeDup, cluster stats) shares one oracle-checkable
-    assignment."""
-    return _with_cell_scores(df, vec_col, centroids).select(
+    assignment. (The r17 ``_scan_parallel`` gate below is a no-op on any
+    real multi-file corpus — the map stays narrow at scale; it only
+    spreads the degenerate single-file toy scan, whose 16 interpreted
+    64-dim folds per row would otherwise run on one core.)"""
+    return _with_cell_scores(_scan_parallel(df, key_col), vec_col,
+                             centroids).select(
         key_col, vec_col, _nearest_cell(len(centroids)).alias("cell"))
 
 
@@ -347,7 +402,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         centroids = train_kmeans_centroids(embeddings, n_cells, vec_col=vec_col,
                                            key_col=key_col)
     n_cells = len(centroids)
-    e = _with_cell_scores(embeddings, vec_col, centroids).select(
+    e = _with_cell_scores(_scan_parallel(embeddings, key_col), vec_col,
+                          centroids).select(
         key_col, vec_col,
         _nearest_cell(n_cells).alias("__cell"),
         norm(F.col(vec_col)).alias("__enorm"),
@@ -504,7 +560,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              query_key_col: str = "query_id", planes: int = 8) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Same schema as brute_force_topk; recall < 1 by design."""
-    e = embeddings.select(
+    e = _scan_parallel(embeddings, key_col).select(
         key_col, vec_col,
         rh_signature(F.col(vec_col), planes).alias("__bucket"),
         norm(F.col(vec_col)).alias("__enorm"),
@@ -580,7 +636,7 @@ def brute_force_topk_quantized(quantized: DataFrame, queries: DataFrame,
     step (≤ scale/2 per component); recall@k is checked in tests on real
     embeddings. The corpus scan reads ~1/4 the bytes of the float path —
     at 100 TB that IS the query cost."""
-    deq = quantized.select(
+    deq = _scan_parallel(quantized, key_col).select(
         key_col,
         dequantize_expr(F.col("qvec"), F.col("scale")).alias("_dv"),
         norm(dequantize_expr(F.col("qvec"), F.col("scale"))).alias("_dnorm"),

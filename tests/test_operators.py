@@ -2989,3 +2989,38 @@ def test_flat_dot_signed_zero_matches_hof_fold(spark):
     # both +0.0: equal AND same sign bit (copysign distinguishes -0.0)
     assert got == want == 0.0
     assert math.copysign(1.0, got) == math.copysign(1.0, want) == 1.0
+
+
+def test_cell_scores_expr_build_matches_dsl(spark, tables):
+    """r17 opt regression: ``_with_cell_scores`` builds each per-cell
+    cosine column as ONE parsed ``F.expr`` string (killing ~1,100 py4j
+    round trips of per-element ``F.lit`` centroid chatter per battery).
+    The parse must yield the EXACT former Catalyst tree — this pins
+    bit-identity (==, not approx) of every score against an in-test DSL
+    reconstruction of the pre-r17 expression, on the real embeddings
+    table plus a zero vector (try_divide NULL arm)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_substrait_spark.operators import similarity as S
+
+    emb = tables["embeddings"].select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(10**9, [0.0] * 64)],
+                              "vec_id bigint, embedding array<double>"))
+    cents = S.deterministic_centroids(5, 64)
+
+    def dsl_scores(df):  # the pre-r17 construction, verbatim
+        n = S.norm(F.col("embedding"))
+        return df.select("*", *[
+            F.try_divide(
+                S.dot(F.col("embedding"),
+                      F.lit([float(v) for v in c])),
+                n * F.lit(sum(x * x for x in c) ** 0.5),
+            ).alias(f"__s{i}")
+            for i, c in enumerate(cents)
+        ])
+
+    got = {r.vec_id: tuple(r[f"__s{i}"] for i in range(5))
+           for r in S._with_cell_scores(emb, "embedding", cents).collect()}
+    want = {r.vec_id: tuple(r[f"__s{i}"] for i in range(5))
+            for r in dsl_scores(emb).collect()}
+    assert got == want and got[10**9] == (None,) * 5

@@ -428,3 +428,50 @@ def test_write_training_shards_refuses_append(spark, tmp_path):
     with _pytest.raises(ValueError, match="cannot append"):
         packing.write_training_shards(df, str(tmp_path / "x"),
                                       max_tokens=16, mode="append")
+
+
+def test_write_training_shards_per_write_split_option(spark, tmp_path):
+    """r17 opt: ``max_records_per_file`` rides the WRITER
+    (``option("maxRecordsPerFile")``) instead of the session conf, so
+    concurrent shard writes in one session (the t13 overlap, guide §2.6)
+    cannot race on a global knob. Pins that the option (a) actually
+    splits — same -cNNN machinery as the conf — (b) restores pos
+    identically to the unsplit write, and (c) stays scoped to its own
+    write: a sibling write in the same session must NOT split."""
+    import pytest
+    from pyspark.sql import Window
+
+    from datafusion_substrait_spark.operators import packing
+
+    rows = [(i, f"w {'t ' * (i % 9)}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = packing.pack_sequences(df, 16, n_shards=3)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    want = {r.doc_id: r.rank for r in packed.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("rank")).collect()}
+
+    split_path = str(tmp_path / "opt_split")
+    plain_path = str(tmp_path / "opt_plain")
+    packing.write_training_shards(df, split_path, max_tokens=16,
+                                  n_shards=3, max_records_per_file=7)
+    packing.write_training_shards(df, plain_path, max_tokens=16, n_shards=3)
+
+    def files_per_dir(path):
+        per_dir: dict = {}
+        for r in spark.read.parquet(path).select(
+                F.col("shard").cast("int").alias("shard"),
+                F.col("_metadata.file_name").alias("fn")).collect():
+            per_dir.setdefault(r.shard, set()).add(r.fn)
+        return per_dir
+
+    assert any(len(s) > 1 for s in files_per_dir(split_path).values()), \
+        "writer-scoped maxRecordsPerFile did not split — option inert"
+    assert all(len(s) == 1 for s in files_per_dir(plain_path).values()), \
+        "sibling write split too — the option leaked out of its writer"
+    got = {r.doc_id: r.pos for r in
+           packing.read_training_shards(spark, split_path).collect()}
+    assert got == want, "pos diverged under the writer-scoped split"
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        packing.write_training_shards(df, str(tmp_path / "bad"),
+                                      max_tokens=16, n_shards=3,
+                                      max_records_per_file=0)

@@ -132,8 +132,14 @@ def _minhash_minima(bases: DataFrame, key_col: str, num_hashes: int) -> DataFram
     seeding scheme — minhash_signatures and minhash_lsh_pairs both build on
     it, so signature compatibility (incl. with the DuckDB oracle) cannot
     silently fork."""
+    # r17: each measure is ONE parsed expression — the DSL form
+    # (F.min(F.xxhash64(F.lit(i), col)) + alias) cost ~5 py4j round
+    # trips per measure × K, a measurable slice of plan construction;
+    # the parse yields the identical Min(XxHash64(seed, _sh)) tree
+    # (integer literal seeds, same function resolution), so signatures
+    # are bit-unchanged (d2 oracle + planted-pair tests pin it).
     return bases.groupBy(key_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_mh{i}")
+        *[F.expr(f"MIN(xxhash64({i}, _sh)) AS _mh{i}")
           for i in range(num_hashes)]
     )
 
@@ -294,16 +300,19 @@ def _banded_rows(df: DataFrame, text_col: str, key_col: str,
     rows_per_band = num_hashes // bands
     bases = _exploded_shingles(df, text_col, key_col, shingle_n)
     minima = _minhash_minima(bases, key_col, num_hashes)
+    # r17: the band-struct array is ONE parsed expression (the DSL built
+    # it with ~10 py4j round trips per band); identical tree — integer
+    # band literals, xxhash64 over the band's minima columns, named
+    # struct — so band fingerprints are bit-unchanged.
+    structs = ",".join(
+        "struct({b} AS band, xxhash64({cols}) AS sig)".format(
+            b=b,
+            cols=",".join(f"_mh{b * rows_per_band + i}"
+                          for i in range(rows_per_band)))
+        for b in range(bands))
     return minima.select(
         F.col(key_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"_mh{b * rows_per_band + i}")
-                             for i in range(rows_per_band)]).alias("sig"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(key_col, "bb.band", "bb.sig")
 
 
@@ -411,26 +420,32 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         F.col(key_col), F.explode(arr).alias("_t"),
     )
     hashed = toks.select(F.col(key_col), hash_fn(F.col("_t")).alias("_h"))
+    # r17: lane measures and the 64-bit word assembly are parsed
+    # expressions instead of per-bit DSL chatter (the assembly alone was
+    # 64 iterations × ~6 py4j round trips — over half of d3's DataFrame
+    # construction time). The SQL spells the IDENTICAL Catalyst tree:
+    # SUM(shiftrightunsigned & mask) lane measures, CASE WHEN cnt*2 > _n
+    # THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END
+    # per bit, left-assoc |-fold — every output bit unchanged (d3 oracle
+    # + planted ground-truth tests pin it).
     votes = hashed.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.shiftrightunsigned(F.col("_h"), j)
-                .bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
-            ).alias(f"_l{j}")
+            F.expr(f"SUM(shiftrightunsigned(_h, {j}) & "
+                   f"{_SIMHASH_LANE_MASK}L) AS _l{j}")
             for j in range(16)
         ],
     )
-    sig = None
+    terms = []
     for j in range(16):
         for lane in range(4):
             i = j + 16 * lane
-            cnt = F.shiftrightunsigned(F.col(f"_l{j}"), 16 * lane) \
-                .bitwiseAND(F.lit(0xFFFF))
-            bit = F.when(cnt * 2 > F.col("_n"),
-                         F.shiftleft(F.lit(1).cast("long"), i)) \
-                .otherwise(F.lit(0).cast("long"))
-            sig = bit if sig is None else sig.bitwiseOR(bit)
+            cnt = f"(shiftrightunsigned(_l{j}, {16 * lane}) & 65535)"
+            terms.append(
+                f"(CASE WHEN {cnt} * 2 > _n THEN "
+                f"shiftleft(CAST(1 AS BIGINT), {i}) "
+                f"ELSE CAST(0 AS BIGINT) END)")
+    sig = F.expr(" | ".join(terms))
     return votes.select(F.col(key_col), sig.alias("simhash"))
 
 

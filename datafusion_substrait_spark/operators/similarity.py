@@ -163,19 +163,27 @@ def _flat_dot(a_prefix: str, b_prefix: str, dim: int) -> Column:
     module docstring's three boundaries (semdedup 4.41→2.51s;
     computed-column and broadcast-nested-loop sites keep the fold).
     Callers unpack each side ONCE PER ROW before the join via
-    :func:`_unpacked`."""
-    return reduce(
-        lambda acc, i: acc + F.col(f"{a_prefix}{i}") * F.col(f"{b_prefix}{i}"),
-        range(dim),
-        F.lit(0.0))
+    :func:`_unpacked`. (r17: built as ONE parsed expression — the DSL
+    reduce cost ~2 py4j round trips per term × dim; the SQL chain
+    ``0.0D + a0*b0 + a1*b1 + …`` parses to the identical left-assoc
+    Add/Multiply tree over the same dotted column references, so every
+    sum bit is unchanged — pinned by the existing _flat_dot-vs-fold
+    bit-identity tests.)"""
+    if dim <= 0:
+        return F.lit(0.0)
+    return F.expr("0.0D + " + " + ".join(
+        f"{a_prefix}{i} * {b_prefix}{i}" for i in range(dim)))
 
 
 def _unpacked(df: DataFrame, vec_col: str, prefix: str, dim: int,
               keep: list) -> DataFrame:
     """Project ``keep`` plus the vector unpacked to ``{prefix}0..{dim-1}``
-    double columns (once per row, before the scoring join)."""
+    double columns (once per row, before the scoring join). r17: each
+    extraction is one parsed ``CAST(vec[i] AS DOUBLE)`` expression
+    (identical UnresolvedExtractValue+Cast tree, a quarter of the py4j
+    round trips)."""
     return df.select(*keep, *[
-        F.col(vec_col)[i].cast("double").alias(f"{prefix}{i}")
+        F.expr(f"CAST(`{vec_col}`[{i}] AS DOUBLE) AS `{prefix}{i}`")
         for i in range(dim)])
 
 

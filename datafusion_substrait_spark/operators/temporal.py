@@ -66,10 +66,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     # so one last(ignorenulls) carries ts and all right columns atomically
     rpay = F.struct(F.col(ts_col).alias(ts_col),
                     *[F.col(c) for c in right_cols]).alias("_rpay")
+    # the NULL-literal cast targets are built python-side from the inputs'
+    # (already-analyzed, cached) schemas: CreateNamedStruct's field types
+    # and nullability are exactly the child columns' schema entries, and
+    # re-deriving them via `right.select(rpay).schema` re-ANALYZED the
+    # whole input lineage per call — for the salted variant that analysis
+    # was a third of e7's DataFrame-construction time (r17; bit-identical
+    # types, pinned by the e6/e7 oracles and the NULL-semantics tests)
+    from pyspark.sql.types import StructField, StructType
+
+    def _pay_type(df: DataFrame, cols: list[str]) -> StructType:
+        by_name = {f.name: f for f in df.schema.fields}
+        return StructType([StructField(c, by_name[c].dataType,
+                                       by_name[c].nullable) for c in cols])
+
+    rpay_t = _pay_type(right, [ts_col, *right_cols])
+    lpay_t = _pay_type(left, list(left.columns))
     l_tag = left.select(
         F.col(on), F.col(ts_col).alias("_ts"), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lpay"),
-        F.lit(None).cast(right.select(rpay).schema["_rpay"].dataType).alias("_rpay"),
+        F.lit(None).cast(rpay_t).alias("_rpay"),
     )
     # a NULL-timestamp right row can never be a temporal match, but under
     # the ascending nulls-first sort it would be carried by last(ignorenulls)
@@ -82,9 +98,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     r_tag = right.filter(
         F.col(ts_col).isNotNull() & F.col(on).isNotNull()).select(
         F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
-        F.lit(None).cast(left.select(
-            F.struct(*[F.col(c) for c in left.columns]).alias("_lpay")
-        ).schema["_lpay"].dataType).alias("_lpay"),
+        F.lit(None).cast(lpay_t).alias("_lpay"),
         rpay,
     )
     unioned = l_tag.unionByName(r_tag)

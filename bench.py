@@ -305,10 +305,15 @@ def main() -> None:
     mem_start = _mem_probe()
 
     def run_once(name: str) -> float:
+        # label the jobs (guide §1.5) so event logs / a UI-enabled rerun
+        # attribute stages to queries; ~free (one py4j call per run)
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
+        return dt
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -856,6 +856,32 @@ class _Consumer:
         part = [self.rex(p, resolver) for p in body.get("partitionExpressions", [])]
         order = self._sort_keys(df, body.get("sorts", []))
 
+        # r17 opt: ONE schema probe for every sum/avg DISTINCT rebuild in
+        # this rel instead of one per measure — _distinct_fold_post needs
+        # the argument's Spark type, and each ``df.select(arg).schema``
+        # re-runs the analyzer over the whole input tree (~30 ms per
+        # probe at the q24 foreign leg's depth; grows with plan size).
+        # Args are rex'd once here and REUSED by the main loop, so the
+        # built expression tree is unchanged; phase-invalid or unknown-
+        # name entries are skipped so the main loop's named errors fire
+        # exactly as before.
+        fold_args: dict[int, Column] = {}
+        for j, wf in enumerate(body.get("windowFunctions", [])):
+            if wf.get("invocation") != proto.AGG_DISTINCT:
+                continue
+            if wf.get("phase") not in self._CONSUMABLE_PHASES:
+                continue
+            raw = [a["value"] for a in wf.get("arguments", [])]
+            if len(raw) == 1 and \
+                    self._fn_name(wf["functionReference"]) in ("sum", "avg"):
+                fold_args[j] = self.rex(raw[0], resolver)
+        fold_types: dict[int, object] = {}
+        if fold_args:
+            probed = df.select(*[c.alias(f"_t{j}")
+                                 for j, c in fold_args.items()]).schema
+            fold_types = {j: f.dataType
+                          for j, f in zip(fold_args, probed.fields)}
+
         n = len(df.columns)
         outs = []
         for j, wf in enumerate(body.get("windowFunctions", [])):
@@ -889,9 +915,9 @@ class _Consumer:
                     col = (F.min if name == "min" else F.max)(
                         self.rex(raw[0], resolver))
                 elif name in ("sum", "avg") and len(raw) == 1:
-                    arg = self.rex(raw[0], resolver)
+                    arg = fold_args[j]
                     col = F.collect_set(arg)
-                    post = self._distinct_fold_post(name, df, arg)
+                    post = self._distinct_fold_post(name, fold_types[j])
                 else:
                     raise SubstraitError(
                         f"DISTINCT window aggregate {name!r} has no exact "
@@ -929,7 +955,7 @@ class _Consumer:
         return df.select("*", *outs)
 
     @staticmethod
-    def _distinct_fold_post(name: str, df: DataFrame, arg: Column):
+    def _distinct_fold_post(name: str, dt):
         """sum/avg DISTINCT window rebuild (r13; was a translate-or-error
         fence): ``sum(DISTINCT x) OVER w`` ≡ an ``aggregate`` fold over
         ``collect_set(x) OVER w`` with the accumulator EXPLICITLY cast to
@@ -947,7 +973,10 @@ class _Consumer:
         not). avg divides by a LONG-cast set size so the decimal division
         is type-identical to native Average's Divide(sum, count: long),
         then casts to the native avg result type decimal(min(38, p+4),
-        min(38, s+4)). Integral AVG folds its accumulator in DOUBLE —
+        min(38, s+4)). ``dt`` is the argument's Spark type — probed by
+        the caller in ONE batched ``select(...).schema`` per window rel
+        (r17 opt; was one full analysis per measure here). Integral AVG
+        folds its accumulator in DOUBLE —
         native Average accumulates integral inputs in DoubleType, so a
         distinct set whose sum exceeds int64 range stays a finite double
         exactly where native avg does (r13 advisory: a long fold would
@@ -956,7 +985,6 @@ class _Consumer:
         Non-numeric inputs (interval, string) keep a named fence."""
         from pyspark.sql import types as T
 
-        dt = df.select(arg.alias("_t")).schema[0].dataType
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
                            T.LongType)):
             sum_t: T.DataType = T.LongType()

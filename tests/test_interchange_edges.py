@@ -1191,11 +1191,14 @@ def test_distinct_window_sum_avg_framed_matches_duckdb(spark):
             from_substrait_plan(spark, _poison_distinct(plan)).collect()
 
     # non-numeric value set keeps a named fence (unit probe: no Substrait
-    # producer will type-check sum over a string, but a hostile wire can)
+    # producer will type-check sum over a string, but a hostile wire can).
+    # r17: the fold takes the probed Spark TYPE (the caller batches the
+    # schema probe per window rel), so the unit probe hands it one
+    from pyspark.sql import types as T
+
     from datafusion_substrait_spark.plans.consumer import _Consumer
-    df = spark.table("orders").select(F.col("o_orderpriority").alias("f0"))
     with pytest.raises(SubstraitError, match="no exact Spark rebuild"):
-        _Consumer._distinct_fold_post("sum", df, df["f0"])
+        _Consumer._distinct_fold_post("sum", T.StringType())
 
 
 def test_comparison_function_sort_is_fenced(spark):

@@ -858,42 +858,48 @@ def _t13_chunk(spark, sf_dir):
     # machine idle per write. Submitting them from a small thread pool
     # lets each write's tail back-fill the next write's tasks (FIFO
     # scheduling; job descriptions are thread-local). Measured at
-    # sf0.1: t13 build phase 3.65 s → see OPTIMIZATION_r17.md. The
-    # read-backs stay AFTER all three writes complete —
-    # read_training_shards reads the schema (and runs the layout guard)
-    # eagerly at call time.
-    n_docs = docs.count()
-    bpf = 4 if n_docs <= 1000 else 32
+    # sf0.1: t13 build phase 3.65 s → see OPTIMIZATION_r17.md.
+    # Second pass (same guide section): each thread now also CONSTRUCTS
+    # its own read-back — read_training_shards reads the parquet schema
+    # and runs the driver-side layout guard eagerly at call time, so
+    # chaining it after the write INSIDE the thread overlaps that
+    # driver I/O with the sibling writes instead of serializing three
+    # footer reads after the barrier. And the sh write needs no sizing
+    # knob, so it is submitted FIRST and the corpus count that sizes
+    # bpf/mrpf runs concurrently with it (FIFO back-fill absorbs the
+    # one-task metadata count) instead of gating all three writes.
     mf_path = shard_path + "_mf"
     sp_path = shard_path + "_sp"
-    mrpf = max(1, n_docs // 8 // 3)
     from concurrent.futures import ThreadPoolExecutor
 
-    def _w(path: str, **kw) -> None:
+    def _w(path: str, select_cols, **kw) -> DataFrame:
         spark.sparkContext.setJobDescription(f"t13: shard write {path}")
         packing.write_training_shards(keyed, path, max_tokens=512,
                                       n_shards=8, order_col="epoch_key",
                                       **kw)
+        return packing.read_training_shards(spark, path).select(*select_cols)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [pool.submit(_w, shard_path),
-                pool.submit(_w, mf_path, bins_per_file=bpf),
-                pool.submit(_w, sp_path, max_records_per_file=mrpf)]
-        for f in futs:
-            f.result()  # surface the first failure, never swallow
+        f_sh = pool.submit(_w, shard_path, [
+            "doc_id",
+            F.col("shard").cast("int").alias("sh_shard"),
+            F.col("bin_id").alias("sh_bin_id"),
+            F.col("bin_offset").alias("sh_bin_offset"),
+            F.col("pos").alias("sh_pos")])
+        n_docs = docs.count()
+        bpf = 4 if n_docs <= 1000 else 32
+        mrpf = max(1, n_docs // 8 // 3)
+        f_mf = pool.submit(_w, mf_path, [
+            "doc_id",
+            F.col("file_seq").alias("mf_file_seq"),
+            F.col("pos").alias("mf_pos")], bins_per_file=bpf)
+        f_sp = pool.submit(_w, sp_path, [
+            "doc_id", F.col("pos").alias("sp_pos")],
+            max_records_per_file=mrpf)
+        # .result() in submit order: surface the first failure, never swallow
+        readback, mf_readback, sp_readback = (
+            f_sh.result(), f_mf.result(), f_sp.result())
     spark.sparkContext.setJobDescription(None)
-    readback = packing.read_training_shards(spark, shard_path).select(
-        "doc_id",
-        F.col("shard").cast("int").alias("sh_shard"),
-        F.col("bin_id").alias("sh_bin_id"),
-        F.col("bin_offset").alias("sh_bin_offset"),
-        F.col("pos").alias("sh_pos"))
-    mf_readback = packing.read_training_shards(spark, mf_path).select(
-        "doc_id",
-        F.col("file_seq").alias("mf_file_seq"),
-        F.col("pos").alias("mf_pos"))
-    sp_readback = packing.read_training_shards(spark, sp_path).select(
-        "doc_id", F.col("pos").alias("sp_pos"))
     return (packed.select("doc_id",
                           F.col("n_tokens").alias("pk_tokens"),
                           "shard", "bin_id", "bin_offset",

@@ -610,17 +610,32 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     docstring); all-zero vectors keep scale 0 and an all-zero qvec.
     Lossless to reverse within ±scale/2 per component via
     :func:`dequantize_expr`. ``keep_cols`` pass through unchanged (e.g.
-    an IVF ``cell_id`` for the quantized partitioned layout)."""
+    an IVF ``cell_id`` for the quantized partitioned layout).
+
+    r17 (guide §4 — per-row redundant work): ``amax`` is materialized
+    ONCE per row in its own Project. The previous single-Project
+    spelling referenced the full 64-step fold from INSIDE the transform
+    lambda (the zero-guard and the division both), and HOF lambdas are
+    interpreted — the fold re-evaluated per ELEMENT, 64× redundant
+    work: measured 1.16 s of the s1 leg for 2,000 rows at sf0.1
+    (scratch/probe_s1_s4.py), ~0.03 s after. The fold stays a
+    multi-consumer non-cheap alias, which CollapseProject declines to
+    inline back (verified: one `aggregate(` in the optimized plan).
+    Identical per-element arithmetic → bit-identical output (pinned by
+    test_quantize_amax_staging_matches_inline_fold)."""
     v = F.col(vec_col)
     amax = F.aggregate(v, F.lit(0.0),
                        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
-    scale = (amax / F.lit(127.0)).alias("scale")
-    return df.select(
+    staged = df.select(F.col(key_col), v, *keep_cols,
+                       amax.alias("__amax"))
+    am = F.col("__amax")
+    scale = (am / F.lit(127.0)).alias("scale")
+    return staged.select(
         F.col(key_col),
         F.transform(
             v,
-            lambda x: F.when(amax == 0.0, F.lit(0)).otherwise(
-                F.round(x.cast("double") * F.lit(127.0) / amax)
+            lambda x: F.when(am == 0.0, F.lit(0)).otherwise(
+                F.round(x.cast("double") * F.lit(127.0) / am)
             ).cast("tinyint"),
         ).alias("qvec"),
         scale.cast("float"),

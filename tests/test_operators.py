@@ -578,6 +578,44 @@ def test_quantize_embeddings_roundtrip_and_recall(spark, tables):
     assert a == b
 
 
+def test_quantize_amax_staging_matches_inline_fold(spark, tables):
+    """r17 regression test (named for what it prevents): quantize_embeddings
+    materializes the per-row amax fold in its OWN Project so the interpreted
+    transform lambda reads a column instead of re-evaluating the 64-step
+    fold per element (64x redundant work — 1.16 s of the s1 leg at sf0.1).
+    Pins (a) bit-identity against an in-test reconstruction of the pre-r17
+    single-Project spelling, and (b) that CollapseProject does not inline
+    the fold back into the lambda (exactly one `aggregate(` in the
+    optimized plan — the inlined spelling has three)."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+
+    def inline_fold_quantize(df, vec_col="embedding", key_col="vec_id"):
+        v = F.col(vec_col)
+        amax = F.aggregate(
+            v, F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
+        scale = (amax / F.lit(127.0)).alias("scale")
+        return df.select(
+            F.col(key_col),
+            F.transform(
+                v,
+                lambda x: F.when(amax == 0.0, F.lit(0)).otherwise(
+                    F.round(x.cast("double") * F.lit(127.0) / amax)
+                ).cast("tinyint"),
+            ).alias("qvec"),
+            scale.cast("float"),
+        )
+
+    new = similarity.quantize_embeddings(emb)
+    old = inline_fold_quantize(emb)
+    assert new.schema == old.schema
+    got = {r["vec_id"]: (tuple(r["qvec"]), r["scale"]) for r in new.collect()}
+    want = {r["vec_id"]: (tuple(r["qvec"]), r["scale"]) for r in old.collect()}
+    assert got == want
+    plan = new._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan
+
+
 def test_lsh_topk_subset_of_bruteforce_scores(spark, tables):
     emb = tables["embeddings"].select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 2).select(

@@ -316,19 +316,30 @@ def _with_cell_scores(df: DataFrame, vec_col: str,
     centroid literal + 2 HOF builds per dot) to one parse per cell:
     0.64 s → 0.18 s warm for the 8×64 battery, which the bench pays
     twice per s3 run and once per d8 run.
+
+    r17 second pass (guide §4 — per-row redundant work, the same
+    pattern as quantize_embeddings' amax staging): the row norm is
+    materialized ONCE per row in its own Project instead of being
+    interpolated into all ``n_cells`` score expressions — the
+    interpreted 64-step norm fold used to evaluate 8× per row across
+    the battery. Multi-consumer non-cheap alias ⇒ CollapseProject
+    keeps it staged; the division reads the identical double, so every
+    score bit is unchanged (test_cell_scores_expr_build_matches_dsl
+    re-pins == equality against the inline DSL tree).
     """
     v = f"`{vec_col}`"
     mul = "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
     fold = "0.0D, (acc, x) -> acc + x"
     nrm = f"SQRT(aggregate(zip_with({v}, {v}, {mul}), {fold}))"
+    staged = df.select("*", F.expr(nrm).alias("__nrm"))
     cols = []
     for i, c in enumerate(centroids):
         arr = "array(" + ",".join(_dbl_lit(x) for x in c) + ")"
         d = f"aggregate(zip_with({v}, {arr}, {mul}), {fold})"
         cn = _dbl_lit(sum(x * x for x in c) ** 0.5)
-        cols.append(F.expr(f"try_divide({d}, {nrm} * {cn})")
+        cols.append(F.expr(f"try_divide({d}, `__nrm` * {cn})")
                     .alias(f"__s{i}"))
-    return df.select("*", *cols)
+    return staged.select(*[staged[c] for c in df.columns], *cols)
 
 
 def _nearest_cell(n_cells: int) -> Column:

@@ -1661,7 +1661,16 @@ def video_features(df: DataFrame, dim: int = 64, max_frames: int = 8,
     Scale shape: two narrow Arrow-batched maps plus ONE shuffle on the
     video key whose groups are bounded by ``max_frames`` rows — the
     pooling runs as codegen array expressions over the collected frame
-    vectors (zip_with fold), never Python."""
+    vectors (zip_with fold), never Python.
+
+    r17 (guide §4 — the quantize/cell-score staging pattern): the mean
+    and its norm are materialized once per group in their own Projects.
+    The previous single-agg spelling referenced ``nrm`` (and through it
+    the whole frames fold) from INSIDE the unit-normalize lambda, so the
+    interpreted evaluator recomputed the fold per OUTPUT ELEMENT —
+    ~dim²·(frames+2) steps per video instead of ~dim·frames. Identical
+    arithmetic per element → bit-identical output (the determinism test
+    re-pins values across partitionings)."""
     frames = sample_frames(df, payload_col=payload_col, key_col=key_col,
                            max_frames=max_frames)
     ff = extract_features(frames, dim=dim, payload_col="frame_bytes",
@@ -1672,12 +1681,18 @@ def video_features(df: DataFrame, dim: int = 64, max_frames: int = 8,
         fs, zeros,
         lambda acc, x: F.zip_with(acc, x,
                                   lambda p, q: p + q.cast("double")))
-    mean = F.transform(summed, lambda v: v / F.size(fs))
-    nrm = F.sqrt(F.aggregate(mean, F.lit(0.0),
-                             lambda acc, x: acc + x * x))
-    unit = F.transform(
-        mean,
-        lambda x: F.when(nrm > 0, x / nrm).otherwise(x).cast("float"))
-    return ff.groupBy("key").agg(
+    agged = ff.groupBy("key").agg(
         F.size(fs).cast("int").alias("n_frames"),
-        unit.alias("features"))
+        summed.alias("__summed"))
+    mean = F.transform(F.col("__summed"),
+                       lambda v: v / F.col("n_frames"))
+    staged = agged.select("key", "n_frames", mean.alias("__mean"))
+    nrm = F.sqrt(F.aggregate(F.col("__mean"), F.lit(0.0),
+                             lambda acc, x: acc + x * x))
+    staged = staged.select("key", "n_frames", F.col("__mean"),
+                           nrm.alias("__nrm"))
+    unit = F.transform(
+        F.col("__mean"),
+        lambda x: F.when(F.col("__nrm") > 0,
+                         x / F.col("__nrm")).otherwise(x).cast("float"))
+    return staged.select("key", "n_frames", unit.alias("features"))

@@ -565,11 +565,16 @@ def ivf_topk_partitioned_quantized(path: str, queries: DataFrame,
     q = _probe_rows(queries, vec_col, query_key_col, centroids, nprobe)
     probe_cells = sorted({r["__cell"] for r in q.select("__cell").distinct().collect()})
     deq = dequantize_expr(F.col("qvec"), F.col("scale"))
+    # r17 staging (the quantize-amax pattern): dequantize ONCE per probed
+    # row, then norm over the materialized column — the inline spelling
+    # ran the dequantize transform three times per row (at serving scale
+    # that triples the probe stage's per-row work). Bit-identical scores.
     e = (queries.sparkSession.read.parquet(path)
          .filter(F.col("cell_id").isin(probe_cells))
          .select(key_col, deq.alias("__dv"),
-                 F.col("cell_id").alias("__cell"),
-                 norm(deq).alias("__enorm")))
+                 F.col("cell_id").alias("__cell"))
+         .select(key_col, "__dv", "__cell",
+                 norm(F.col("__dv")).alias("__enorm")))
     scored = _score_probed(e, q, "__dv", key_col, query_key_col)
     return _topk_per_query(scored, k, query_key_col, key_col)
 
@@ -670,10 +675,16 @@ def brute_force_topk_quantized(quantized: DataFrame, queries: DataFrame,
     step (≤ scale/2 per component); recall@k is checked in tests on real
     embeddings. The corpus scan reads ~1/4 the bytes of the float path —
     at 100 TB that IS the query cost."""
+    # r17 staging (the quantize-amax pattern): dequantize ONCE per row,
+    # then take the norm over the materialized column — the inline
+    # spelling evaluated the dequantize transform three times per row
+    # (once for _dv, twice as zip_with's children inside the norm fold).
+    # Same arithmetic → bit-identical scores.
     deq = _scan_parallel(quantized, key_col).select(
         key_col,
         dequantize_expr(F.col("qvec"), F.col("scale")).alias("_dv"),
-        norm(dequantize_expr(F.col("qvec"), F.col("scale"))).alias("_dnorm"),
+    ).select(
+        key_col, "_dv", norm(F.col("_dv")).alias("_dnorm"),
     )
     q = queries.select(
         F.col(query_key_col),

@@ -261,7 +261,18 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     Pure narrow map — split/filter/regexp_count inside codegen, no
     shuffle, no Python; thresholds are plan literals. Ratios 6dp-rounded
     for the cross-engine oracle like every feature op here.
-    """
+
+    r17 (guide §4 — the quantize/cell-score staging pattern): the chunk
+    and line arrays (interpreted HOF filters — CodegenFallback islands
+    that whole-stage-codegen subexpression elimination cannot CSE) are
+    materialized once per row in their own Projects, then the ratios,
+    then the flag over the ratio COLUMNS. The previous single-select
+    spelling re-ran the whitespace split+filter 4× and the line
+    split+trim+filter 8× per row across the six output columns (each
+    ratio appears in its own column AND inside gopher_flagged, and each
+    numerator/denominator pair re-evaluated its array). Identical
+    arithmetic per reference → bit-identical output (the t2 oracle leg
+    and the planted gopher tests pin it)."""
     text = F.col(text_col)
     toks = tokens(text)
     n_words = F.size(toks).cast("double")
@@ -271,32 +282,53 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     # words here are whitespace chunks (bullets/symbols survive), unlike
     # tokens(): the alpha rule is about junk BETWEEN words
     chunks = F.filter(F.split(text, r"\s+"), lambda c: c != "")
-    n_chunks = F.size(chunks).cast("double")
-    n_alpha = F.size(
-        F.filter(chunks, lambda c: c.rlike("[A-Za-z]"))).cast("double")
     lines = F.filter(
         F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
         lambda ln: ln != "")
-    n_lines = F.size(lines).cast("double")
-    n_bullet = F.size(
-        F.filter(lines, lambda ln: ln.rlike("^[•\\-\\*]"))).cast("double")
-    n_ellipsis = F.size(
-        F.filter(lines,
-                 lambda ln: ln.rlike("(\\.\\.\\.|…)$"))).cast("double")
-    swr = F.round(F.try_divide(n_symbols, n_words), 6)
-    awf = F.round(F.try_divide(n_alpha, n_chunks), 6)
-    blf = F.round(F.try_divide(n_bullet, n_lines), 6)
-    elf = F.round(F.try_divide(n_ellipsis, n_lines), 6)
-    flagged = (F.coalesce(swr > max_symbol_word_ratio, F.lit(False))
-               | F.coalesce(awf < min_alpha_word_frac, F.lit(False))
-               | F.coalesce(blf > max_bullet_line_frac, F.lit(False))
-               | F.coalesce(elf > max_ellipsis_line_frac, F.lit(False)))
-    return df.select(
+    staged = df.select(
+        F.col(key_col),
+        n_words.alias("__nw"),
+        n_symbols.alias("__ns"),
+        chunks.alias("__chunks"),
+        lines.alias("__lines"),
+    )
+    staged = staged.select(
+        F.col(key_col), F.col("__nw"), F.col("__ns"),
+        F.size("__chunks").cast("double").alias("__nc"),
+        F.size(F.filter("__chunks", lambda c: c.rlike("[A-Za-z]")))
+        .cast("double").alias("__na"),
+        F.size("__lines").cast("double").alias("__nl"),
+        F.size(F.filter("__lines", lambda ln: ln.rlike("^[•\\-\\*]")))
+        .cast("double").alias("__nb"),
+        F.size(F.filter("__lines", lambda ln: ln.rlike("(\\.\\.\\.|…)$")))
+        .cast("double").alias("__ne"),
+    )
+    swr = F.round(F.try_divide(F.col("__ns"), F.col("__nw")), 6)
+    awf = F.round(F.try_divide(F.col("__na"), F.col("__nc")), 6)
+    blf = F.round(F.try_divide(F.col("__nb"), F.col("__nl")), 6)
+    elf = F.round(F.try_divide(F.col("__ne"), F.col("__nl")), 6)
+    staged = staged.select(
         F.col(key_col),
         swr.alias("symbol_word_ratio"),
         awf.alias("alpha_word_frac"),
         blf.alias("bullet_line_frac"),
         elf.alias("ellipsis_line_frac"),
+    )
+    flagged = (
+        F.coalesce(F.col("symbol_word_ratio") > max_symbol_word_ratio,
+                   F.lit(False))
+        | F.coalesce(F.col("alpha_word_frac") < min_alpha_word_frac,
+                     F.lit(False))
+        | F.coalesce(F.col("bullet_line_frac") > max_bullet_line_frac,
+                     F.lit(False))
+        | F.coalesce(F.col("ellipsis_line_frac") > max_ellipsis_line_frac,
+                     F.lit(False)))
+    return staged.select(
+        F.col(key_col),
+        F.col("symbol_word_ratio"),
+        F.col("alpha_word_frac"),
+        F.col("bullet_line_frac"),
+        F.col("ellipsis_line_frac"),
         flagged.alias("gopher_flagged"),
     )
 

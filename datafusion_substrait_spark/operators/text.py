@@ -101,39 +101,54 @@ def quality_features(df: DataFrame, text_col: str = "text",
     Heuristics follow the usual pretraining-filter recipe (length, mean token
     length, punctuation density, stopword density). Pure narrow map; rounded
     to 6 dp so the DuckDB oracle hash-matches despite FP formatting.
+
+    r17 (guide §4 — the quantize/cell-score staging pattern): the token
+    array and the raw counts are materialized once per row, the ratios
+    computed from the count COLUMNS, and quality_score from the ratio
+    COLUMNS. The single-select spelling re-evaluated the interpreted
+    stopword-filter island (per-token array_contains over the full
+    stopword list) twice per row — once for the stopword_ratio column
+    and once inside quality_score. Identical arithmetic per reference →
+    bit-identical output (t2/d6 oracle legs pin it).
     """
     text = F.col(text_col)
     toks = tokens(text)
-    n_chars = F.length(text).cast("double")
-    n_toks = F.size(toks).cast("double")
     all_stop = F.array(*[F.lit(w) for ws in LANG_STOPWORDS.values() for w in ws])
+    staged = df.select(
+        *key_cols,
+        toks.alias("__toks"),
+        F.length(text).cast("double").alias("__nc"),
+        F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("double")
+        .alias("__np"),
+    )
+    # true token-occurrence density (stopword TOKENS / all tokens), not
+    # distinct-stopword count: array_intersect dedups, capping the
+    # numerator at the stopword-list size and inverting the score
+    # ordering with document length (a 2000-token fluent doc scored
+    # lower than a 50-token fragment)
+    staged = staged.select(
+        *key_cols, F.col("__nc"), F.col("__np"),
+        F.size("__toks").cast("double").alias("__nt"),
+        F.size(F.filter("__toks",
+                        lambda t: F.array_contains(all_stop, t)))
+        .cast("double").alias("__nstop"),
+    )
+    n_chars = F.col("__nc")
+    n_toks = F.col("__nt")
     # try_divide everywhere: Spark 4 defaults ANSI mode ON, so a bare x/0
     # on a zero-token ('???') or empty ('') document ABORTS the whole job
     # with DIVIDE_BY_ZERO; try_divide yields NULL for the undefined ratio
     # (and the quality_score guard below already scores such docs 0.0)
-    feats = {
-        "n_chars": n_chars,
-        "n_tokens": n_toks,
-        "mean_token_len": F.round(F.try_divide(n_chars, n_toks), 6),
-        "punct_ratio": F.round(
-            F.try_divide(
-                F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("double"),
-                n_chars,
-            ), 6
-        ),
-        # true token-occurrence density (stopword TOKENS / all tokens), not
-        # distinct-stopword count: array_intersect dedups, capping the
-        # numerator at the stopword-list size and inverting the score
-        # ordering with document length (a 2000-token fluent doc scored
-        # lower than a 50-token fragment)
-        "stopword_ratio": F.round(
-            F.try_divide(
-                F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
-                .cast("double"),
-                n_toks,
-            ), 6
-        ),
-    }
+    staged = staged.select(
+        *key_cols,
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(F.try_divide(n_chars, n_toks), 6).alias("mean_token_len"),
+        F.round(F.try_divide(F.col("__np"), n_chars), 6)
+        .alias("punct_ratio"),
+        F.round(F.try_divide(F.col("__nstop"), n_toks), 6)
+        .alias("stopword_ratio"),
+    )
     # the raw score lives on a 1.25e-6 lattice (term granularities 5e-3,
     # 2.5e-6, 1.25e-6), so round(x, 6) hits exact decimal HALVES and the
     # two engines' ulp-different sums round opposite ways (observed:
@@ -141,16 +156,18 @@ def quality_features(df: DataFrame, text_col: str = "text",
     # snaps to the lattice instead: the true value is an INTEGER there, so
     # a few ulp of error can never cross the floor boundary on either
     # engine.
+    nt = F.col("n_tokens")
     raw = (
-        (F.least(n_toks / 100.0, F.lit(1.0)) * 0.5)
-        + (1.0 - F.least(feats["punct_ratio"] * 10.0, F.lit(1.0))) * 0.25
-        + F.least(feats["stopword_ratio"] * 5.0, F.lit(1.0)) * 0.25
+        (F.least(nt / 100.0, F.lit(1.0)) * 0.5)
+        + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.25
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.25
     )
-    score = F.when(n_toks <= 0, F.lit(0.0)).otherwise(
+    score = F.when(nt <= 0, F.lit(0.0)).otherwise(
         F.floor(raw * 800000 + F.lit(0.5)) / 800000
     )
-    return df.select(
-        *key_cols, *[c.alias(k) for k, c in feats.items()], score.alias("quality_score")
+    return staged.select(
+        *key_cols, "n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", score.alias("quality_score")
     )
 
 

@@ -440,18 +440,32 @@ def audio_embedding(df: DataFrame, frame: int = 1024, hop: int = 512,
     # operator is total over its input (left join keeps every clip)
     keys = df.select(F.col(key_col).alias("key")).distinct()
     pooled = keys.join(pooled, "key", "left")
+    # r17 (guide §4 — the quantize/cell-score staging pattern): the raw
+    # vector and its norm are materialized once per row in their own
+    # Projects. The single-select spelling referenced ``nrm`` (and
+    # through it the 6-step fold over ``raw``) from inside the
+    # unit-normalize lambda AND the degenerate-vector guard, so the
+    # interpreted evaluator re-ran the fold per output element. Identical
+    # arithmetic per element → bit-identical output (the determinism
+    # test re-pins values across partitionings).
     raw = F.array(
         F.col("_m_rms"), F.col("_s_rms"), F.col("_x_rms"),
         F.col("_m_zcr"), F.col("_s_zcr"),
         F.log1p(F.coalesce(F.col("n_frames"), F.lit(0)).cast("double")))
-    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(raw, lambda x: (x / nrm).cast("float"))
+    staged = pooled.select(
+        "key", F.col("n_frames").alias("__nf"), raw.alias("__raw"))
+    staged = staged.select(
+        "key", "__nf", "__raw",
+        F.sqrt(F.aggregate(F.col("__raw"), F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("__nrm"))
+    unit = F.transform(F.col("__raw"),
+                       lambda x: (x / F.col("__nrm")).cast("float"))
     basis = F.array(F.lit(1.0).cast("float"),
                     *[F.lit(0.0).cast("float")] * 5)
-    return pooled.select(
+    return staged.select(
         "key",
-        F.coalesce(F.col("n_frames"), F.lit(0)).alias("n_frames"),
-        F.when(F.col("n_frames").isNull() | (nrm <= 0), basis)
+        F.coalesce(F.col("__nf"), F.lit(0)).alias("n_frames"),
+        F.when(F.col("__nf").isNull() | (F.col("__nrm") <= 0), basis)
         .otherwise(unit).alias("features"),
     )
 

@@ -414,10 +414,23 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     # doc whose text yields zero tokens ('', '!!!') still gets a signature
     # — all such docs hash the same '' token, so they pair with each other
     # instead of silently vanishing from the dedup pass
-    arr = F.array_distinct(tokens(F.col(text_col)))
-    arr = F.when(F.size(arr) == 0, F.array(F.lit(""))).otherwise(arr)
-    toks = _parallelize(df, key_col).select(
-        F.col(key_col), F.explode(arr).alias("_t"),
+    # r17 (guide §4 — the staging pattern): the distinct-token array is
+    # materialized once per row in its own Project. The previous spelling
+    # put the array_distinct(tokens(...)) subtree in BOTH the empty-floor
+    # guard's size() and the otherwise branch of the generator, and
+    # conditional-branch occurrences are outside codegen subexpression
+    # elimination — the whole-document split+distinct ran twice per row.
+    # Same arithmetic → bit-identical signatures (d3 oracle + planted
+    # ground-truth tests re-pin).
+    base = _parallelize(df, key_col).select(
+        F.col(key_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("_arr"),
+    )
+    toks = base.select(
+        F.col(key_col),
+        F.explode(
+            F.when(F.size("_arr") == 0, F.array(F.lit("")))
+            .otherwise(F.col("_arr"))).alias("_t"),
     )
     hashed = toks.select(F.col(key_col), hash_fn(F.col("_t")).alias("_h"))
     # r17: lane measures and the 64-bit word assembly are parsed

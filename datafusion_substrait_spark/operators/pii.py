@@ -117,12 +117,21 @@ def url_features(df: DataFrame, text_col: str = "text",
     :func:`detect_pii` for link-spam triage and blocklist joins. Narrow
     map, codegen, no shuffle; same Java-regex ∩ RE2 dialect subset, so
     the DuckDB replay in tests/test_pii.py is exact."""
+    # r17 (guide §4 — the staging pattern): the URL scan is materialized
+    # once per row in its own Project. The single-select spelling ran the
+    # full-document regexp_extract_all twice per row — once (codegen) for
+    # n_urls and once inside the interpreted transform island, which
+    # codegen subexpression elimination cannot reach. Identical
+    # arithmetic → bit-identical output (the DuckDB replay in
+    # tests/test_pii.py re-pins it).
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    staged = df.select(F.col(key_col), urls.alias("__urls"))
     domains = F.array_sort(F.array_distinct(F.transform(
-        urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1)))))
-    return df.select(
+        F.col("__urls"),
+        lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1)))))
+    return staged.select(
         F.col(key_col),
-        F.size(urls).cast("int").alias("n_urls"),
+        F.size("__urls").cast("int").alias("n_urls"),
         domains.alias("domains"),
     )
 

@@ -71,27 +71,51 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
 
     Row-local (``F.transform`` over an index sequence) — no explode, no
     shuffle; used as the shingle stage of MinHash dedup.
+
+    r17 (guide §4 — the staging pattern, lambda-variable form): the
+    normalized text is bound ONCE per row as a lambda variable via a
+    one-element ``transform``. The previous spelling referenced the
+    ``regexp_replace`` subtree from inside the per-gram lambda, re-running
+    the whole-document regex per OUTPUT GRAM (no CSE across the HOF
+    boundary — O(len²) regex work). Same per-gram arithmetic →
+    bit-identical output.
     """
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    ln = F.length(norm)
-    return F.when(
-        ln < n, F.array(norm)
-    ).otherwise(
-        F.transform(F.sequence(F.lit(1), ln - (n - 1)),
-                    lambda i: norm.substr(i, F.lit(n)))
-    )
+
+    def grams(nm: Column) -> Column:
+        ln = F.length(nm)
+        return F.when(
+            ln < n, F.array(nm)
+        ).otherwise(
+            F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                        lambda i: nm.substr(i, F.lit(n)))
+        )
+
+    return F.transform(F.array(norm), grams)[0]
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>), row-local."""
-    toks = tokens(text)
-    cnt = F.size(toks)
-    return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    """Word n-gram shingles (array<string>), row-local.
+
+    r17 (guide §4 — the staging pattern, lambda-variable form): the token
+    array is bound ONCE per row as a lambda variable via a one-element
+    ``transform``. The previous spelling referenced the ``tokens(...)``
+    subtree from inside the per-gram slice lambda, re-splitting the whole
+    document per OUTPUT GRAM (no CSE across the HOF boundary —
+    O(tokens·len) work per row). Same per-gram arithmetic → bit-identical
+    output for every consumer (contamination grams, DSIR buckets,
+    repetition features, n-gram Jaccard — oracle legs re-pin).
+    """
+    def grams(toks: Column) -> Column:
+        cnt = F.size(toks)
+        return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
         )
-    )
+
+    return F.transform(F.array(tokens(text)), grams)[0]
 
 
 def quality_features(df: DataFrame, text_col: str = "text",
@@ -918,14 +942,22 @@ def remove_repeated_lines(df: DataFrame, text_col: str = "text",
     Engine-portable: DuckDB replays with the same list semantics.
     """
     lines = F.split(F.col(text_col), "\n")
+    # r17 (guide §4 — the staging pattern): the normalized-lines array is
+    # materialized once per row. Referencing the transform from inside
+    # the indexed filter lambda re-ran the O(lines) lower+trim pass per
+    # ELEMENT (no CSE across the HOF boundary) — O(lines²) trims on top
+    # of the inherent O(lines²) compares. Same array, same compares →
+    # bit-identical output (DuckDB replay in tests re-pins it).
     norm = F.transform(lines, lambda ln: F.lower(F.trim(ln)))
+    pre = df.select(F.col(key_col), lines.alias("_lines"),
+                    norm.alias("_norm"))
     # line i kept iff empty OR its normalized form first occurs at i
     # (two-arg indexed filter lambda; NULL text propagates naturally —
     # split→filter→join/size all yield NULL)
     kept_lines = F.filter(
-        lines,
+        F.col("_lines"),
         lambda ln, i: (F.lower(F.trim(ln)) == "")
-        | (F.array_position(norm, F.lower(F.trim(ln))) == i + 1))
+        | (F.array_position(F.col("_norm"), F.lower(F.trim(ln))) == i + 1))
     # TWO projections, deliberately: the output column is aliased
     # ``text_col`` (same name as the input), and Spark 4's LATERAL COLUMN
     # ALIAS resolution makes later items of the SAME select list resolve
@@ -933,8 +965,8 @@ def remove_repeated_lines(df: DataFrame, text_col: str = "text",
     # counts then silently measured the already-deduped lines (and an
     # earlier variant aborted with an out-of-bounds element_at). Arrays
     # are materialized under non-conflicting names first.
-    base = df.select(F.col(key_col), lines.alias("_lines"),
-                     kept_lines.alias("_kept"))
+    base = pre.select(F.col(key_col), F.col("_lines"),
+                      kept_lines.alias("_kept"))
     return base.select(
         F.col(key_col),
         F.array_join("_kept", "\n").alias(text_col),

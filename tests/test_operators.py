@@ -40,6 +40,47 @@ def test_quality_features_ranges(spark, tables):
         assert 0.0 <= r["punct_ratio"] <= 1.0
 
 
+def test_word_ngrams_lambda_bind_matches_inline_spelling(spark, tables):
+    """r17 regression test (named for what it prevents): word_ngrams binds
+    the token array ONCE per row as a lambda variable (one-element
+    transform). The pre-r17 spelling referenced the tokens(...) subtree
+    from inside the per-gram slice lambda, re-splitting the whole document
+    per OUTPUT GRAM (no CSE across the HOF boundary — measured 3.59 s vs
+    0.33 s for the sf0.1 gram projection). Pins (a) bit-identity against
+    an in-test reconstruction of the inline spelling, including the
+    short-document fallback and NULL text, and (b) that exactly one
+    `split(` survives in the optimized plan (the inline spelling carries
+    three)."""
+    from datafusion_substrait_spark.operators.text import tokens
+
+    def inline_word_ngrams(t, n=3):
+        toks = tokens(t)
+        cnt = F.size(toks)
+        return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+
+    docs = tables["documents"].select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(9001, "a b"), (9002, ""), (9003, None), (9004, "one two three")],
+            "doc_id bigint, text string"))
+    new = docs.select("doc_id", text.word_ngrams(F.col("text"), 3).alias("g"))
+    old = docs.select("doc_id", inline_word_ngrams(F.col("text"), 3).alias("g"))
+    assert new.schema == old.schema
+    got = {r["doc_id"]: r["g"] for r in new.collect()}
+    want = {r["doc_id"]: r["g"] for r in old.collect()}
+    assert got == want
+    # plan probe on a single (non-union) branch: the union pushes the
+    # projection into both children, doubling every occurrence count
+    plan = tables["documents"].select(
+        "doc_id", text.word_ngrams(F.col("text"), 3).alias("g"))\
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+
+
 def test_lang_id_deterministic_and_total(spark, tables):
     out = text.lang_id(tables["documents"])
     assert out.count() == tables["documents"].count()

@@ -102,6 +102,39 @@ class _Consumer:
         # being consumed, innermost last — lambda_var(depth, index) resolves
         # against this stack
         self._lambda_stack: list[list[Column]] = []
+        # r18 (guide §4 driver boundary): one unresolved Column per f-name,
+        # shared across every single-input rel of this consume. The f0..fn-1
+        # invariant makes the name unambiguous within any one input, and
+        # ``df[name]`` costs a py4j round trip (plus a deferred delete) per
+        # reference for the same resolution — only joins need qualified
+        # resolution and they build their own __sl/__sr columns.
+        self._fcols: dict[int, Column] = {}
+        self._lit_cache: dict[tuple, Column] = {}
+
+    def _fcol(self, i: int) -> Column:
+        c = self._fcols.get(i)
+        if c is None:
+            c = self._fcols[i] = F.col(f"f{int(i)}")
+        return c
+
+    # literal kinds whose Column build is a pure function of (kind, value)
+    # over a hashable scalar — safe to share one Column per distinct value
+    # within a consume (r18; F.lit + cast is 2-4 round trips per call and
+    # plans repeat small literals heavily)
+    _CACHEABLE_LITS = frozenset(
+        ["boolean", "i8", "i16", "i32", "i64", "fp32", "fp64", "string",
+         "date"])
+
+    def _literal_cached(self, body: dict) -> Column:
+        kinds = [k for k in body if k != "nullable"]
+        if len(kinds) == 1 and kinds[0] in self._CACHEABLE_LITS \
+                and not isinstance(body[kinds[0]], (dict, list)):
+            key = (kinds[0], body[kinds[0]])
+            c = self._lit_cache.get(key)
+            if c is None:
+                c = self._lit_cache[key] = _literal_column(body)
+            return c
+        return _literal_column(body)
 
     def _fn_name(self, anchor: int) -> str:
         name = self.extensions.get(int(anchor))
@@ -153,7 +186,7 @@ class _Consumer:
             )
         # trailing ordinal remap; duplicates are spec-legal (a column may be
         # emitted more than once), so plain positional selection, no dedup
-        return df.select(*[df[f"f{m}"].alias(f"f{j}")
+        return df.select(*[self._fcol(m).alias(f"f{j}")
                            for j, m in enumerate(mapping)])
 
     def _project_emit_space(self, body: dict) -> DataFrame:
@@ -167,12 +200,12 @@ class _Consumer:
         exprs = body.get("expressions", [])
         df, prev = self._attach_scalar_subqueries(df, exprs)
         try:
-            out = [self.rex(e, lambda i, d=df: d[f"f{i}"]) for e in exprs]
+            out = [self.rex(e, self._fcol) for e in exprs]
         finally:
             self._sq_map = prev
         # passthrough input columns first (attached scalar-subquery helper
         # columns are NOT part of the ordinal space and are dropped here)
-        return df.select(*[df[f"f{i}"] for i in range(n_in)],
+        return df.select(*[self._fcol(i) for i in range(n_in)],
                          *[c.alias(f"f{n_in + j}") for j, c in enumerate(out)])
 
     def _rel_read(self, body: dict) -> DataFrame:
@@ -282,7 +315,7 @@ class _Consumer:
         exprs = body.get("expressions", [])
         df, prev = self._attach_scalar_subqueries(df, exprs)
         try:
-            out = [self.rex(e, lambda i, d=df: d[f"f{i}"]) for e in exprs]
+            out = [self.rex(e, self._fcol) for e in exprs]
         finally:
             self._sq_map = prev
         return df.select(*[c.alias(f"f{j}") for j, c in enumerate(out)])
@@ -292,7 +325,7 @@ class _Consumer:
         n = len(df.columns)
         df, prev = self._attach_scalar_subqueries(df, [body["condition"]])
         try:
-            cond = self.rex(body["condition"], lambda i, d=df: d[f"f{i}"])
+            cond = self.rex(body["condition"], self._fcol)
         finally:
             self._sq_map = prev
         out = df.filter(cond)
@@ -410,7 +443,7 @@ class _Consumer:
             method = self._SORT_METHODS.get(sf.get("direction"))
             if method is None:
                 raise SubstraitError(f"unsupported sort kind {sf}")
-            col = self.rex(sf["expr"], lambda i, d=df: d[f"f{i}"])
+            col = self.rex(sf["expr"], self._fcol)
             keys.append(getattr(col, method)())
         return keys
 
@@ -425,7 +458,7 @@ class _Consumer:
             return self._rel_aggregate_grouping_sets(df, body)
         if len(groupings) != 1:
             raise SubstraitError("exactly one grouping set (consumer.rs:230-235)")
-        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        resolver = self._fcol
         g_exprs = groupings[0].get("groupingExpressions", [])
         # aliased straight to the output ordinal names — no trailing toDF
         # rename (each classic Dataset op analyzes eagerly; see _rel_read)
@@ -455,7 +488,7 @@ class _Consumer:
         absent from a row's set) ++ measures ++ i32 grouping-set index —
         reconstructed from Spark's ``grouping_id()`` bitmask (bit j,
         MSB-first, set ⇔ grouping column j absent)."""
-        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        resolver = self._fcol
         flat = body.get("groupingExpressions", [])
         if not flat:
             raise SubstraitError(
@@ -732,8 +765,7 @@ class _Consumer:
             joined = self._single_join_guard(joined, n_left,
                                              len(right.columns))
 
-            def resolver(i: int, d=joined) -> Column:  # noqa: F811
-                return d[f"f{i}"]  # guard select flattened the space
+            resolver = self._fcol  # noqa: F811  guard select flattened the space
         post = body.get("postJoinFilter")
         if post is not None:
             # JoinRel.post_join_filter (r11, same silent-drop class as the
@@ -852,7 +884,7 @@ class _Consumer:
         from pyspark.sql.window import Window as W
 
         df = self.rel(body["input"])
-        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        resolver = self._fcol
         part = [self.rex(p, resolver) for p in body.get("partitionExpressions", [])]
         order = self._sort_keys(df, body.get("sorts", []))
 
@@ -1074,7 +1106,7 @@ class _Consumer:
         Spark itself would build: each branch prunes/pushes down
         independently and no shuffle is introduced."""
         df = self.rel(body["input"])
-        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        resolver = self._fcol
         fields = body.get("fields", [])
         if not fields:
             raise SubstraitError("ExpandRel requires at least one field")
@@ -1156,13 +1188,13 @@ class _Consumer:
             # not silently repartition by the wrong top-level column
             n_cols = len(df.columns)
 
-            def resolver(i: int, d=df, width=n_cols):
+            def resolver(i: int, width=n_cols):
                 if not (0 <= i < width):
                     raise SubstraitError(
                         f"scatter field ordinal {i} out of range for "
                         f"{width}-column input"
                     )
-                return d[f"f{i}"]
+                return self._fcol(i)
 
             cols = []
             for f in body["scatterByFields"].get("fields", []):
@@ -1272,10 +1304,10 @@ class _Consumer:
         layout. Output = requiredChildIndices columns ++ generated columns."""
         detail = body["detail"]
         df = self.rel(body["input"])
-        resolver = lambda i, d=df: d[f"f{i}"]  # noqa: E731
+        resolver = self._fcol
         arg = self.rex(detail["argument"], resolver)
         req_idx = detail.get("requiredChildIndices", [])
-        req = [df[f"f{i}"].alias(f"f{j}") for j, i in enumerate(req_idx)]
+        req = [self._fcol(i).alias(f"f{j}") for j, i in enumerate(req_idx)]
         n_out = int(detail.get("generatorOutputs", 1))
         if detail.get("mode") == "replicaterows":
             # Catalyst's ReplicateRows (INTERSECT/EXCEPT ALL): emit each
@@ -1395,7 +1427,7 @@ class _Consumer:
             args = [self.rex(a, resolver) for a in raw]
             return ops.apply_scalar(name, args)
         if kind == "literal":
-            return _literal_column(body)
+            return self._literal_cached(body)
         if kind == "ifThen":
             return self._if_then(body, resolver)
         if kind == "cast":

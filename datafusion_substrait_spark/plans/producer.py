@@ -18,9 +18,12 @@ from __future__ import annotations
 
 import base64
 import decimal
+import json
 import re
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
+from pyspark.sql import types as _sql_types
 
 from datafusion_substrait_spark.functions import ops
 from datafusion_substrait_spark.functions.registry import ExtensionRegistry
@@ -57,13 +60,78 @@ def _cls(jobj) -> str:
     return jobj.getClass().getSimpleName()
 
 
+def _cls_fast(jobj) -> str:
+    """Class simple name in ONE py4j round trip (r18, guide §4 driver
+    boundary): for Scala case classes — every Catalyst plan/expression
+    node — ``productPrefix`` is compiler-generated as exactly the class's
+    simple name, and unlike ``getClass().getSimpleName()`` it returns a
+    string directly, so there is no intermediate Class proxy to call
+    through or finalize (2 round trips + 1 deferred delete → 1 round
+    trip). Non-Product objects and manual Products (empty prefix) fall
+    back to the reflective walk. NOT used where the value can be a case
+    OBJECT (``RowFrame$``, ``IntegerType$`` …): their productPrefix drops
+    the trailing ``$`` that those comparison sites pin.
+    ``tests/test_roundtrip.py::test_product_prefix_matches_simple_name``
+    pins the equality over every node of every declared query plan."""
+    try:
+        p = jobj.productPrefix()
+    except Py4JError:
+        return _cls(jobj)
+    return p if p else _cls(jobj)
+
+
+# Attribute.toString is ``name#id`` with an ``L`` suffix iff the type is
+# bigint (verified on Spark 4.1.2, scratch/spike_batch_prims_r18.py; the
+# same render Spark prints in every plan dump). The trailing ``#digits[L]``
+# is appended by toString itself AFTER the name, so taking the LAST such
+# group (greedy ``.*``) decomposes unambiguously even for names that
+# themselves contain ``#7L``. Any element that does not match — or a name
+# containing the separator — makes the batch parser return None and the
+# caller falls back to the per-attribute py4j walk.
+_ATTR_STR_RE = re.compile(r"\A(.*)#(\d+)L?\Z", re.DOTALL)
+_ATTR_SEP = ""
+
+
+def _parse_attr_strs(s: str) -> list[tuple[str, int]] | None:
+    """``Seq[Attribute].mkString(_ATTR_SEP)`` → [(name, exprId)] or None
+    on any element that is not the pinned ``name#id[L]`` render."""
+    if s == "":
+        return []
+    out = []
+    for part in s.split(_ATTR_SEP):
+        m = _ATTR_STR_RE.match(part)
+        if m is None:
+            return None
+        out.append((m.group(1), int(m.group(2))))
+    return out
+
+
+def _ids_of(jseq) -> list[int]:
+    """exprIds of a Seq[Attribute] in 2 round trips (mkString + parse)
+    instead of 1 + 3 per attribute; falls back on parse failure."""
+    parsed = _parse_attr_strs(jseq.mkString(_ATTR_SEP))
+    if parsed is not None:
+        return [eid for _, eid in parsed]
+    return [a.exprId().id() for a in _seq(jseq)]
+
+
+def _attr_eid(e) -> int:
+    """exprId of one Attribute/NamedExpression whose toString ends with
+    its own ``#id[L]`` render (AttributeReference, NamedLambdaVariable) —
+    1 round trip, no ExprId proxy; falls back to the 2-trip accessor."""
+    m = _ATTR_STR_RE.match(e.toString())
+    if m is not None:
+        return int(m.group(2))
+    return e.exprId().id()
+
+
 def _attr_ids(jnode) -> list[int]:
-    return [a.exprId().id() for a in _seq(jnode.output())]
+    return _ids_of(jnode.output())
 
 
 def _refs(jnode) -> set[int]:
     """exprIds referenced by a plan node's own expressions."""
-    return {a.exprId().id() for a in _seq(jnode.references().toSeq())}
+    return set(_ids_of(jnode.references().toSeq()))
 
 
 # ---------------------------------------------------------------------------
@@ -125,8 +193,14 @@ class _Producer:
         reference, threaded top-down so every ReadRel gets a column-projection
         mask — the reference *requires* pruned scans (producer.rs:111-115),
         and an unpruned 100 TB scan is exactly the plan we must not emit."""
-        kind = _cls(node)
+        kind = _cls_fast(node)
         handler = getattr(self, f"_rel_{kind}", None)
+        if handler is None:
+            # recheck with the reflective name before rejecting: a node
+            # whose productPrefix diverges from its class name (none known
+            # in Catalyst) must degrade to the old path, never misroute
+            kind = _cls(node)
+            handler = getattr(self, f"_rel_{kind}", None)
         if handler is None:
             raise SubstraitError(
                 f"unsupported logical operator {kind} "
@@ -134,7 +208,7 @@ class _Producer:
             )
         return handler(node, needed)
 
-    def _rel_LogicalRelation(self, node, needed=None, mask_attrs=None):
+    def _rel_LogicalRelation(self, node, needed=None, mask_ids=None):
         ct = _opt(node.catalogTable())
         if ct is not None:
             table_names = list(ct.identifier().unquotedString().split("."))
@@ -146,22 +220,48 @@ class _Producer:
             if len(paths) != 1:
                 raise SubstraitError("multi-path scans not nameable as NamedTable")
             table_names = [catalog.table_name_for_path(paths[0].toString())]
-        out = _seq(node.output())
-        base_names = [a.name() for a in out]
-        base_types = [spark_type_to_substrait(a.dataType().simpleString()) for a in out]
-        if mask_attrs is None and needed is not None:
+        base_names, base_types, all_ids = self._scan_schema(node)
+        if mask_ids is None and needed is not None:
             # top-down pruning: scan only the columns referenced above; keep
             # one column if nothing is referenced (e.g. bare COUNT(*)) so the
             # scan stays non-degenerate
-            mask_attrs = [a for a in out if a.exprId().id() in needed] or out[:1]
-        if mask_attrs is None:
-            mask = list(range(len(out)))
-            out_ids = [a.exprId().id() for a in out]
+            mask_ids = [i for i in all_ids if i in needed] or all_ids[:1]
+        if mask_ids is None:
+            mask = list(range(len(all_ids)))
+            out_ids = all_ids
         else:
-            all_ids = [a.exprId().id() for a in out]
-            mask = [all_ids.index(a.exprId().id()) for a in mask_attrs]
-            out_ids = [a.exprId().id() for a in mask_attrs]
+            mask = [all_ids.index(i) for i in mask_ids]
+            out_ids = list(mask_ids)
         return proto.read_rel(table_names, base_names, base_types, mask), out_ids
+
+    @staticmethod
+    def _scan_schema(node) -> tuple[list[str], list, list[int]]:
+        """(names, substrait types, exprIds) of a scan's output in ~4 round
+        trips instead of 1 + 6 per column (r18, guide §4): names+types come
+        from ONE ``schema().json()`` decoded python-side via pyspark's own
+        StructType.fromJson (simpleString computed locally), ids from ONE
+        ``output().mkString``. The parsed names must equal the schema names
+        positionally — any mismatch (exotic render, separator collision)
+        falls back to the per-attribute walk, which stays the source of
+        truth."""
+        parsed = _parse_attr_strs(node.output().mkString(_ATTR_SEP))
+        if parsed is not None:
+            try:
+                st = _sql_types.StructType.fromJson(
+                    json.loads(node.schema().json()))
+            except Exception:
+                st = None
+            if st is not None and len(st.fields) == len(parsed) and \
+                    all(f.name == n for f, (n, _) in zip(st.fields, parsed)):
+                return ([f.name for f in st.fields],
+                        [spark_type_to_substrait(f.dataType.simpleString())
+                         for f in st.fields],
+                        [eid for _, eid in parsed])
+        out = _seq(node.output())
+        return ([a.name() for a in out],
+                [spark_type_to_substrait(a.dataType().simpleString())
+                 for a in out],
+                [a.exprId().id() for a in out])
 
     # InternalRow accessor per Spark simpleString type (LocalRelation rows)
     _ROW_GETTERS = {
@@ -223,23 +323,35 @@ class _Producer:
 
     def _rel_Project(self, node, needed=None):
         exprs = _seq(node.projectList())
+        kinds = [_cls_fast(e) for e in exprs]
         child = node.child()
         # pure column selection directly over a scan folds into the ReadRel
         # projection mask (≡ producer.rs:74-116 requiring scan projection)
-        if _cls(child) == "LogicalRelation" and all(
-            _cls(e) == "AttributeReference" for e in exprs
+        if _cls_fast(child) == "LogicalRelation" and all(
+            k == "AttributeReference" for k in kinds
         ):
-            return self._rel_LogicalRelation(child, mask_attrs=exprs)
+            ids = _parse_attr_strs(node.projectList().mkString(_ATTR_SEP))
+            mask_ids = ([eid for _, eid in ids] if ids is not None
+                        else [e.exprId().id() for e in exprs])
+            return self._rel_LogicalRelation(child, mask_ids=mask_ids)
         crel, cids = self.rel(child, _refs(node))
         out_ids = []
         expressions = []
-        for e in exprs:
-            expressions.append(self.rex(e, cids))
-            if _cls(e) in ("Alias", "AttributeReference"):
-                out_ids.append(e.exprId().id())
-            else:
-                out_ids.append(self._fresh_id())
+        for e, kind in zip(exprs, kinds):
+            expressions.append(self.rex(e, cids, kind))
+            out_ids.append(self._named_out_id(e, kind))
         return proto.project_rel(crel, expressions), out_ids
+
+    def _named_out_id(self, e, kind: str) -> int:
+        """Output exprId for a NamedExpression slot: the attribute's own id
+        (1 round trip via the toString parse for AttributeReference, the
+        2-trip accessor for Alias whose toString renders its whole child),
+        or a fresh sentinel for anonymous expressions."""
+        if kind == "AttributeReference":
+            return _attr_eid(e)
+        if kind == "Alias":
+            return e.exprId().id()
+        return self._fresh_id()
 
     def _rel_Filter(self, node, needed=None):
         crel, cids = self.rel(
@@ -273,10 +385,10 @@ class _Producer:
         count = node.limitExpr().value()
         inner = node.child()
         offset = 0
-        if _cls(inner) == "Offset":
+        if _cls_fast(inner) == "Offset":
             offset = inner.offsetExpr().value()
             inner = inner.child()
-        if _cls(inner) == "LocalLimit":
+        if _cls_fast(inner) == "LocalLimit":
             inner = inner.child()
         crel, cids = self.rel(inner, needed)
         return proto.fetch_rel(crel, offset, count), cids
@@ -301,7 +413,7 @@ class _Producer:
         outputs are not exactly the identity over groupings++measures — wrap
         the AggregateRel in a ProjectRel that rebuilds each Catalyst output
         over the (groupings ++ measures) ordinal space."""
-        if _cls(node.child()) == "Expand" and \
+        if _cls_fast(node.child()) == "Expand" and \
                 self._is_grouping_sets_expand(node.child()):
             # GROUPING SETS / ROLLUP / CUBE → native multi-grouping
             # AggregateRel. An Expand that is NOT the grouping-sets shape
@@ -314,16 +426,30 @@ class _Producer:
         crel, cids = self.rel(node.child(), _refs(node))
         g_exprs = _seq(node.groupingExpressions())
         a_exprs = _seq(node.aggregateExpressions())
-        groupings = [self.rex(g, cids) for g in g_exprs]
+        g_kinds = [_cls_fast(g) for g in g_exprs]
+        groupings = [self.rex(g, cids, k) for g, k in zip(g_exprs, g_kinds)]
         n_g = len(g_exprs)
 
-        measures: list[dict] = []
-        measure_nodes: list = []
+        # grouping-slot matching: when every grouping is a plain attribute
+        # (the overwhelmingly common GROUP BY columns shape), attribute
+        # identity IS semantic equality (AttributeReference.semanticEquals
+        # compares exprIds), so the per-node O(n_g) JVM semanticEquals loop
+        # collapses to one python dict probe on the id already parsed from
+        # toString. Aliases/strip-wrappers over a grouping attr reach the
+        # same field_ref through rex's own recursion (it unwraps them and
+        # re-consults the override), so the emitted tree is unchanged.
+        g_attr_ids: dict[int, int] | None = None
+        if all(k == "AttributeReference" for k in g_kinds):
+            gp = _parse_attr_strs(
+                node.groupingExpressions().mkString(_ATTR_SEP))
+            if gp is not None:
+                g_attr_ids = {}
+                for j, (_, eid) in enumerate(gp):
+                    g_attr_ids.setdefault(eid, j)
 
-        def agg_override(e):
-            kind = _cls(e)
+        def agg_override(e, kind):
             if kind == "AggregateExpression":
-                if _cls(e.aggregateFunction()) == "PivotFirst":
+                if _cls_fast(e.aggregateFunction()) == "PivotFirst":
                     return self._lower_pivot_first(
                         e, cids, n_g, measures, measure_nodes)
                 for idx, m in enumerate(measure_nodes):
@@ -332,22 +458,27 @@ class _Producer:
                 measure_nodes.append(e)
                 measures.append(self._measure(e, cids))
                 return proto.field_ref(n_g + len(measures) - 1)
+            if g_attr_ids is not None:
+                if kind != "AttributeReference":
+                    return None
+                j = g_attr_ids.get(_attr_eid(e))
+                return proto.field_ref(j) if j is not None else None
             for j, g in enumerate(g_exprs):
                 if g.semanticEquals(e):
                     return proto.field_ref(j)
             return None
 
+        measures: list[dict] = []
+        measure_nodes: list = []
         out_exprs: list[dict] = []
         out_ids: list[int] = []
         prev_override = self._override
         self._override = agg_override
         try:
             for e in a_exprs:
-                out_exprs.append(self.rex(e, cids))
-                if _cls(e) in ("Alias", "AttributeReference"):
-                    out_ids.append(e.exprId().id())
-                else:
-                    out_ids.append(self._fresh_id())
+                kind = _cls_fast(e)
+                out_exprs.append(self.rex(e, cids, kind))
+                out_ids.append(self._named_out_id(e, kind))
         finally:
             self._override = prev_override
 
@@ -396,10 +527,16 @@ class _Producer:
         """
         ex = node.child()
         rows = [_seq(r) for r in _seq(ex.projections())]
-        out_attrs = _seq(ex.output())
-        out_ids = [a.exprId().id() for a in out_attrs]
-        gid_positions = [i for i, a in enumerate(out_attrs)
-                         if a.name() == "spark_grouping_id"]
+        parsed = _parse_attr_strs(ex.output().mkString(_ATTR_SEP))
+        if parsed is not None:
+            out_names = [n for n, _ in parsed]
+            out_ids = [eid for _, eid in parsed]
+        else:
+            out_attrs = _seq(ex.output())
+            out_names = [a.name() for a in out_attrs]
+            out_ids = [a.exprId().id() for a in out_attrs]
+        gid_positions = [i for i, n in enumerate(out_names)
+                         if n == "spark_grouping_id"]
         if len(gid_positions) != 1:
             raise SubstraitError(
                 "Expand without exactly one spark_grouping_id output is not "
@@ -409,19 +546,20 @@ class _Producer:
         gid_id = out_ids[gid_pos]
         g_positions: list[int] = []
         for g in _seq(node.groupingExpressions()):
-            if _cls(g) != "AttributeReference":
+            if _cls_fast(g) != "AttributeReference":
                 raise SubstraitError(
                     "grouping-sets aggregate with a non-attribute grouping "
                     f"expression {_cls(g)}"
                 )
-            if g.exprId().id() != gid_id:
-                g_positions.append(out_ids.index(g.exprId().id()))
+            geid = _attr_eid(g)
+            if geid != gid_id:
+                g_positions.append(out_ids.index(geid))
 
         def is_null_slot(e) -> bool:
-            return _cls(e) == "Literal" and e.value() is None
+            return _cls_fast(e) == "Literal" and e.value() is None
 
-        used = {a.exprId().id() for r in rows for e in r
-                for a in _seq(e.references().toSeq())}
+        used = {eid for r in rows for e in r
+                for eid in _ids_of(e.references().toSeq())}
         crel, cids = self.rel(ex.child(), used or None)
 
         g_exprs_sub: list[dict] = []
@@ -451,8 +589,7 @@ class _Producer:
         g_pos_by_id = {out_ids[j]: k for k, j in enumerate(g_positions)}
 
         def make_override(set_idx_ordinal: int | None):
-            def agg_override(e):
-                kind = _cls(e)
+            def agg_override(e, kind):
                 if kind == "AggregateExpression":
                     for idx, m in enumerate(measure_nodes):
                         if m.semanticEquals(e):
@@ -461,7 +598,7 @@ class _Producer:
                     measures.append(self._measure(e, cids))
                     return proto.field_ref(n_g + len(measures) - 1)
                 if kind == "AttributeReference":
-                    eid = e.exprId().id()
+                    eid = _attr_eid(e)
                     if eid == gid_id:
                         if set_idx_ordinal is None:
                             return proto.literal("i64", 0)  # pass-1 stub
@@ -497,11 +634,9 @@ class _Producer:
         self._override = make_override(set_idx_ord)
         try:
             for e in a_exprs:
-                out_exprs.append(self.rex(e, cids))
-                if _cls(e) in ("Alias", "AttributeReference"):
-                    out_ids_out.append(e.exprId().id())
-                else:
-                    out_ids_out.append(self._fresh_id())
+                kind = _cls_fast(e)
+                out_exprs.append(self.rex(e, cids, kind))
+                out_ids_out.append(self._named_out_id(e, kind))
         finally:
             self._override = prev_override
 
@@ -518,17 +653,15 @@ class _Producer:
         gen = node.generator()
         modes = {"Explode": "explode", "PosExplode": "posexplode",
                  "ReplicateRows": "replicaterows"}
-        mode = modes.get(_cls(gen))
+        mode = modes.get(_cls_fast(gen))
         if mode is None:
             raise SubstraitError(
                 f"unsupported generator {_cls(gen)} "
                 "(explode/posexplode/replicaterows only)"
             )
-        req = _seq(node.requiredChildOutput())
+        req_ids = _ids_of(node.requiredChildOutput())
         child_needed = (
-            {a.exprId().id() for a in req}
-            | {a.exprId().id()
-               for a in _seq(gen.references().toSeq())}
+            set(req_ids) | set(_ids_of(gen.references().toSeq()))
         ) if needed is not None else None
         crel, cids = self.rel(node.child(), child_needed)
         gen_children = _seq(gen.children())
@@ -538,17 +671,17 @@ class _Producer:
         arg = self.rex(gen_children[0], cids)
         extra = ([self.rex(c, cids) for c in gen_children[1:]]
                  if mode == "replicaterows" else None)
-        req_ordinals = [cids.index(a.exprId().id()) for a in req]
-        gen_out = _seq(node.generatorOutput())
-        if mode == "replicaterows" and len(gen_out) != len(extra or []):
+        req_ordinals = [cids.index(i) for i in req_ids]
+        gen_out_ids = _ids_of(node.generatorOutput())
+        if mode == "replicaterows" and len(gen_out_ids) != len(extra or []):
             raise SubstraitError(
-                f"ReplicateRows outputs {len(gen_out)} columns but has "
+                f"ReplicateRows outputs {len(gen_out_ids)} columns but has "
                 f"{len(extra or [])} column expressions")
-        out_ids = [a.exprId().id() for a in req] + \
-                  [a.exprId().id() for a in gen_out]
+        out_ids = req_ids + gen_out_ids
         return (
             proto.generate_rel(crel, arg, mode, bool(node.outer()),
-                               req_ordinals, len(gen_out), arguments=extra),
+                               req_ordinals, len(gen_out_ids),
+                               arguments=extra),
             out_ids,
         )
 
@@ -573,7 +706,7 @@ class _Producer:
         ``repartitionByRange`` keeps a named fence: the spec's exchange
         kinds have no range-distribution analogue."""
         exprs = _seq(node.partitionExpressions())
-        if any(_cls(e) == "SortOrder" for e in exprs):
+        if any(_cls_fast(e) == "SortOrder" for e in exprs):
             raise SubstraitError(
                 "repartitionByRange (range distribution) has no "
                 "ExchangeRel analogue in the spec's exchange kinds"
@@ -582,8 +715,8 @@ class _Producer:
         crel, cids = self.rel(node.child(), wanted)
         fields: list = []
         for e in exprs:
-            if _cls(e) == "AttributeReference":
-                eid = e.exprId().id()
+            if _cls_fast(e) == "AttributeReference":
+                eid = _attr_eid(e)
                 if eid not in cids:
                     # translate-or-error contract: a partition key absent
                     # from the child ordinal space must surface as
@@ -798,14 +931,14 @@ class _Producer:
         rel = proto.range_rel(
             int(node.start()), int(node.end()), int(node.step()),
             None if slices is None else int(slices))
-        return rel, [a.exprId().id() for a in _seq(node.output())]
+        return rel, _attr_ids(node)
 
     def _rel_Deduplicate(self, node, needed=None):
         # df.distinct() → AggregateRel grouping on all columns, zero measures
         # (≡ producer.rs:203-222). Optimizer usually rewrites this to
         # Aggregate already; handle the raw node for robustness.
         crel, cids = self.rel(node.child())
-        keys = [k.exprId().id() for k in _seq(node.keys())]
+        keys = _ids_of(node.keys())
         if sorted(keys) != sorted(cids):
             raise SubstraitError(
                 "dropDuplicates(subset) keeps an arbitrary row per key and has "
@@ -829,7 +962,7 @@ class _Producer:
         single all-columns read — and the n× row multiplication is
         identical either way."""
         rows = [_seq(r) for r in _seq(node.projections())]
-        out_ids = [a.exprId().id() for a in _seq(node.output())]
+        out_ids = _attr_ids(node)
         if needed is not None:
             # push the parent's pruning through every branch (r10, ADVICE):
             # positions are aligned across projection rows, so dropping an
@@ -841,8 +974,8 @@ class _Producer:
                 or [0]
             rows = [[r[i] for i in keep] for r in rows]
             out_ids = [out_ids[i] for i in keep]
-        used = {a.exprId().id() for r in rows for e in r
-                for a in _seq(e.references().toSeq())}
+        used = {eid for r in rows for e in r
+                for eid in _ids_of(e.references().toSeq())}
         crel, cids = self.rel(node.child(), used or None)
         branches = [
             proto.project_rel(crel, [self.rex(e, cids) for e in row])
@@ -907,13 +1040,14 @@ class _Producer:
         wfs = []
         out_ids = list(cids)
         for we in _seq(node.windowExpressions()):
-            if _cls(we) != "Alias" or _cls(we.child()) != "WindowExpression":
+            if _cls_fast(we) != "Alias" or \
+                    _cls_fast(we.child()) != "WindowExpression":
                 raise SubstraitError(
                     f"unsupported window output {_cls(we)}: {we.toString()}"
                 )
             wexpr = we.child()
             fn = wexpr.windowFunction()
-            kind = _cls(fn)
+            kind = _cls_fast(fn)
             if kind == "AggregateExpression":
                 if fn.isDistinct():
                     raise SubstraitError("DISTINCT window aggregates unsupported")
@@ -996,14 +1130,15 @@ class _Producer:
         microsecond width."""
         has_interval_range = False
         for we in _seq(node.windowExpressions()):
-            if _cls(we) != "Alias" or _cls(we.child()) != "WindowExpression":
+            if _cls_fast(we) != "Alias" or \
+                    _cls_fast(we.child()) != "WindowExpression":
                 continue  # the main loop raises its named error
             frame = we.child().windowSpec().frameSpecification()
-            if _cls(frame) != "SpecifiedWindowFrame" or \
+            if _cls_fast(frame) != "SpecifiedWindowFrame" or \
                     _cls(frame.frameType()) == "RowFrame$":
                 continue
             for b in (frame.lower(), frame.upper()):
-                if _cls(b) == "Literal" and \
+                if _cls_fast(b) == "Literal" and \
                         _cls(b.dataType()).startswith("DayTimeIntervalType"):
                     has_interval_range = True
         if not has_interval_range:
@@ -1097,14 +1232,15 @@ class _Producer:
 
     # -- expressions --------------------------------------------------------
 
-    def rex(self, e, input_ids: list[int]) -> dict:
+    def rex(self, e, input_ids: list[int], kind: str | None = None) -> dict:
+        if kind is None:
+            kind = _cls_fast(e)
         if self._override is not None:
-            hit = self._override(e)
+            hit = self._override(e, kind)
             if hit is not None:
                 return hit
-        kind = _cls(e)
         if kind == "AttributeReference":
-            eid = e.exprId().id()
+            eid = _attr_eid(e)
             try:
                 ordinal = input_ids.index(eid)
             except ValueError:
@@ -1161,7 +1297,7 @@ class _Producer:
             )
         if kind == "Not":
             inner = e.child()
-            neg = ops.CATALYST_NOT_TO_NAME.get(_cls(inner))
+            neg = ops.CATALYST_NOT_TO_NAME.get(_cls_fast(inner))
             if neg is not None:
                 return self._binary(neg, inner, input_ids)
             return proto.scalar_function(
@@ -1169,7 +1305,7 @@ class _Producer:
             )
         if kind == "ScalarSubquery":
             return self._scalar_subquery(e)
-        if kind == "GetStructField" and _cls(e.child()) == "ScalarSubquery":
+        if kind == "GetStructField" and _cls_fast(e.child()) == "ScalarSubquery":
             # Spark 4 wraps subquery output in a struct access; Catalyst's
             # MergeScalarSubqueries also packs SEVERAL subqueries into one
             # struct — each field access becomes its own 1-column subquery
@@ -1198,7 +1334,7 @@ class _Producer:
         if kind == "InSet":
             return self._inset(e, input_ids)
         if kind == "NamedLambdaVariable":
-            eid = e.exprId().id()
+            eid = _attr_eid(e)
             for depth, frame in enumerate(reversed(self._lambda_stack)):
                 if eid in frame:
                     return proto.scalar_function(
@@ -1216,7 +1352,7 @@ class _Producer:
             # natively by make_ym_interval on consume; date + ym stays
             # DATE, timestamp + ym stays timestamp — Spark's own rules).
             right = e.right()
-            if _cls(right) != "Literal" or right.value() is None:
+            if _cls_fast(right) != "Literal" or right.value() is None:
                 raise SubstraitError(
                     "timestamp/date + year-month interval requires a "
                     "literal interval to encode")
@@ -1354,7 +1490,7 @@ class _Producer:
                 "has no Substrait encoding")
         args = []
         for c in _seq(e.children()):
-            if _cls(c) == "LambdaFunction":
+            if _cls_fast(c) == "LambdaFunction":
                 args.append(self._lambda(c, input_ids))
             else:
                 args.append(self.rex(c, input_ids))
@@ -1366,7 +1502,7 @@ class _Producer:
             # declared parameter slot; consuming positionally would bind
             # the wrong columns
             raise SubstraitError("hidden LambdaFunction has no encoding")
-        params = [v.exprId().id() for v in _seq(lf.arguments())]
+        params = _ids_of(lf.arguments())
         self._lambda_stack.append(params)
         try:
             body = self.rex(lf.function(), input_ids)
@@ -1403,7 +1539,7 @@ class _Producer:
             # OOB and on NULL-free in-bounds agree — so produce that;
             # anything else (dynamic ordinal) has no faithful encoding.
             right = e.right()
-            if _cls(right) == "Literal" and right.value() is not None:
+            if _cls_fast(right) == "Literal" and right.value() is not None:
                 ordinal = int(str(right.value()))
                 if ordinal >= 0:
                     return proto.scalar_function(
@@ -1443,7 +1579,7 @@ class _Producer:
                     raise SubstraitError(
                         "element_at with an out-of-bounds default is only "
                         "encodable over arrays")
-                if _cls(right) != "Literal" or right.value() is None:
+                if _cls_fast(right) != "Literal" or right.value() is None:
                     raise SubstraitError(
                         "element_at with an out-of-bounds default needs a "
                         "literal non-null ordinal to encode (the in-bounds "
@@ -1480,7 +1616,7 @@ class _Producer:
             # rebuilds it as a \Q..\E-quoted regex split, which needs the
             # delimiter as a plan-time string — fence what can't rebuild
             right = e.right()
-            if _cls(right) != "Literal" or right.value() is None:
+            if _cls_fast(right) != "Literal" or right.value() is None:
                 raise SubstraitError(
                     "string_split (split_part) requires a literal non-null "
                     "delimiter to encode")
@@ -1495,7 +1631,7 @@ class _Producer:
             # (consumer.rs:56-59, producer.rs:305-308) — the consumer
             # re-prepends "(?i)" on rebuild.
             right = e.right()
-            if _cls(right) == "Literal":
+            if _cls_fast(right) == "Literal":
                 pat = right.value()
                 pat = None if pat is None else str(pat)
                 if pat is not None and pat.startswith("(?i)") \

@@ -1133,3 +1133,84 @@ def test_timestamp_interval_arithmetic_roundtrips(spark):
                     "AS t2 FROM lineitem WHERE l_orderkey < 40")
     with pytest.raises(proto.SubstraitError, match="CalendarIntervalType"):
         to_substrait_plan(cal)
+
+
+def test_batched_walk_primitives_match_reflective_walk(spark):
+    """r18 producer batching (guide §4 driver boundary) rests on two JVM
+    renders the fast paths parse instead of per-field py4j calls:
+
+    1. ``productPrefix`` == ``getClass().getSimpleName()`` for every
+       Catalyst plan/expression node (compiler-generated for case
+       classes; ``_cls_fast`` falls back on empty/missing, but a
+       DIVERGING non-empty prefix would misroute dispatch — pin it).
+    2. ``Attribute.toString`` == ``name#id`` (+``L`` iff bigint), so
+       ``_parse_attr_strs``/``_attr_eid`` recover names and exprIds
+       exactly, including names that contain ``#7L`` themselves.
+
+    Walk a corpus of optimized plans covering scans, filters, aggregates,
+    windows, joins, generators, lambdas and pathological column names and
+    assert both invariants node by node.
+    """
+    from datafusion_substrait_spark.plans.producer import (
+        _ATTR_SEP, _attr_eid, _cls, _cls_fast, _parse_attr_strs, _seq)
+
+    sqls = [
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s, "
+        "avg(l_extendedprice) AS a, count(*) AS c FROM lineitem "
+        "WHERE l_shipdate <= DATE '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2",
+        "SELECT c.c_name, o.o_totalprice, "
+        "rank() OVER (PARTITION BY c.c_nationkey ORDER BY o.o_totalprice "
+        "DESC) AS r FROM customer c JOIN orders o "
+        "ON c.c_custkey = o.o_custkey WHERE o.o_totalprice > 100",
+        "SELECT x, y FROM (SELECT explode(sequence(1, 3)) AS x, 'k' AS y)",
+        "SELECT transform(sequence(1, 4), v -> v * 2) AS doubled, "
+        "filter(sequence(1, 4), v -> v % 2 = 0) AS evens",
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS d "
+        "FROM orders GROUP BY o_orderpriority",
+        # pathological names: embedded #id[L]-lookalikes, separator-free
+        "SELECT l_orderkey AS `weird#7L`, l_orderkey + 1 AS `a#3`, "
+        "CAST(l_orderkey AS BIGINT) AS big FROM lineitem LIMIT 5",
+    ]
+
+    checked_nodes = 0
+    checked_attrs = 0
+
+    def check_cls(x):
+        # case CLASSES must agree exactly; case OBJECTS (window frame
+        # bounds like UnboundedPreceding$) drop the trailing $ in
+        # productPrefix — the producer deliberately keeps the reflective
+        # _cls at every site where a case object can appear (frameType,
+        # frame bounds, dataTypes), so the only tolerated divergence is
+        # exactly that $ suffix
+        slow, fast = _cls(x), _cls_fast(x)
+        assert fast == slow or slow == fast + "$"
+
+    def walk_expr(e):
+        nonlocal checked_nodes
+        checked_nodes += 1
+        check_cls(e)
+        for c in _seq(e.children()):
+            walk_expr(c)
+
+    def walk(n):
+        nonlocal checked_nodes, checked_attrs
+        checked_nodes += 1
+        check_cls(n)
+        out = n.output()
+        parsed = _parse_attr_strs(out.mkString(_ATTR_SEP))
+        attrs = _seq(out)
+        assert parsed is not None and len(parsed) == len(attrs)
+        for (pname, peid), a in zip(parsed, attrs):
+            checked_attrs += 1
+            assert pname == a.name()
+            assert peid == a.exprId().id()
+            assert _attr_eid(a) == a.exprId().id()
+        for e in _seq(n.expressions()):
+            walk_expr(e)
+        for c in _seq(n.children()):
+            walk(c)
+
+    for sql in sqls:
+        walk(spark.sql(sql)._jdf.queryExecution().optimizedPlan())
+    assert checked_nodes > 150 and checked_attrs > 40

@@ -1192,8 +1192,6 @@ def _m1_multimodal_meta(spark, sf_dir):
 
     _prep(spark, sf_dir)
     docs = spark.table("documents")
-    payloads = multimodal.attach_binary_payload(docs)
-    meta = multimodal.extract_image_metadata(payloads)
     # the pixel stages are CPU-bound python codecs; a real 100 TB corpus
     # arrives in thousands of splits, but the local single-file parquet is
     # ONE partition — serializing all decode work on one core. Gate the
@@ -1210,19 +1208,22 @@ def _m1_multimodal_meta(spark, sf_dir):
     target = spark.sparkContext.defaultParallelism
     src = docs.repartition(target) \
         if len(docs.inputFiles()) < target else docs
-    # r12: the resize and feature branches are FUSED into one
-    # Arrow-batched pass — each PNG is encoded once and decoded once
-    # (previously two independent lineages decoded it twice and needed a
-    # persist/localCheckpoint/unpersist lifecycle to avoid re-encoding;
-    # the persist cached the COMPRESSED bytes, so both decodes still
-    # ran). Single consumer → no cache to manage, half the codec work.
-    imgs = multimodal.attach_synthetic_image_payload(src)
-    rf = multimodal.resize_and_features(imgs, 64, 64, dim=64).select(
-        "key",
+    # r12 fused resize+features into one Arrow pass (one PNG decode per
+    # doc); r18 (VERDICT r17 #3, guide §4/§2.4) fuses the METADATA leg in
+    # too: both legs are pure functions of (doc_id, text), so the
+    # three-Python-stage two-scan broadcast-join composition collapses to
+    # ONE mapInPandas over ONE scan with ZERO Exchange beyond the
+    # single-file parallelism gate. extract_image_metadata /
+    # attach_synthetic_image_payload / resize_and_features remain shipped
+    # seams for real-blob corpora (av1-adjacent flows, tests, fuzz); the
+    # fused pass runs their exact bodies — bit-identity pinned by
+    # test_m1_fused_pass_matches_unfused_composition.
+    fused = multimodal.synthetic_image_meta_features(src, 64, 64, dim=64)
+    return fused.select(
+        "key", "n_bytes", "format", "width", "height", "payload_sha256",
         F.sha2(F.lower(F.hex(F.col("pixels"))), 256).alias("resized_sha256"),
         F.expr("CAST(array_position(features, array_max(features)) "
                "AS BIGINT)").alias("feat_argmax"))
-    return meta.join(rf, "key")
 
 
 def _av1_media_meta(spark, sf_dir):

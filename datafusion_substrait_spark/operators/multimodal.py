@@ -417,25 +417,32 @@ def attach_synthetic_image_payload(df: DataFrame, text_col: str = "text",
     the other codec stages."""
 
     def run(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
-
-        def build(text) -> bytes:
-            digest = hashlib.sha256(str(text).encode("utf-8")).digest()
-            # 64 block values (digest repeated) -> 8x8 grid -> expand each
-            # cell to an 8x8 constant block (vectorized: the python-loop
-            # version cost 4096 iterations/doc, the m1 bench bottleneck)
-            grid = np.frombuffer(digest * 2, np.uint8).reshape(8, 8)
-            img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
-            return _encode_gray_png(img.tobytes(), 64, 64)
 
         for pdf in batches:
             yield pd.DataFrame({
                 "key": pdf[key_col].astype("int64"),
-                "payload": [build(t) for t in pdf[text_col]],
+                "payload": [_synthetic_png_from_text(t)
+                            for t in pdf[text_col]],
             })
 
     return df.mapInPandas(run, BINARY_PAYLOAD_SCHEMA)
+
+
+def _synthetic_png_from_text(text) -> bytes:
+    """The synthetic-payload body shared by
+    :func:`attach_synthetic_image_payload` and the fused m1 pass
+    (:func:`synthetic_image_meta_features`) — one definition so the two
+    can never drift."""
+    import numpy as np
+
+    digest = hashlib.sha256(str(text).encode("utf-8")).digest()
+    # 64 block values (digest repeated) -> 8x8 grid -> expand each
+    # cell to an 8x8 constant block (vectorized: the python-loop
+    # version cost 4096 iterations/doc, the m1 bench bottleneck)
+    grid = np.frombuffer(digest * 2, np.uint8).reshape(8, 8)
+    img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+    return _encode_gray_png(img.tobytes(), 64, 64)
 
 
 def _encode_const_block_jpeg(blocks, q: int = 16) -> bytes:
@@ -1619,15 +1626,7 @@ def resize_and_features(df: DataFrame, width: int = 64, height: int = 64,
     fallbacks the unfused seams take)."""
 
     def both(p: bytes):
-        try:
-            img = decode_image(p)
-        except ValueError:
-            img = None
-        if img is None:
-            return _fake_resize(p, width, height), _fake_features(p, dim)
-        gray = _to_gray(img)
-        return (_resize_from_gray(gray, width, height),
-                _features_from_gray(gray, dim))
+        return _resize_features_from_payload(p, width, height, dim)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1643,6 +1642,93 @@ def resize_and_features(df: DataFrame, width: int = 64, height: int = 64,
             })
 
     return df.mapInPandas(run, RESIZED_FEATURES_SCHEMA)
+
+
+def _resize_features_from_payload(p: bytes, width: int, height: int,
+                                  dim: int):
+    """The fused decode→gray→(resize, features) body shared by
+    :func:`resize_and_features` and :func:`synthetic_image_meta_features`
+    — one decode per payload, per-payload error capture, the same
+    deterministic fakes the unfused seams take."""
+    try:
+        img = decode_image(p)
+    except ValueError:
+        img = None
+    if img is None:
+        return _fake_resize(p, width, height), _fake_features(p, dim)
+    gray = _to_gray(img)
+    return (_resize_from_gray(gray, width, height),
+            _features_from_gray(gray, dim))
+
+
+M1_FUSED_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload_sha256", T.StringType()),
+    T.StructField("pixels", T.BinaryType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def synthetic_image_meta_features(df: DataFrame, width: int = 64,
+                                  height: int = 64, dim: int = 64,
+                                  text_col: str = "text",
+                                  key_col: str = "doc_id") -> DataFrame:
+    """m1's fused pass (r18, guide §4 + §2.4): binary-payload metadata,
+    synthetic-PNG encode, decode→gray→resize and feature extraction in
+    ONE Arrow-batched ``mapInPandas`` over the documents scan.
+
+    Composition it replaces:
+    ``extract_image_metadata(attach_binary_payload(docs))`` joined on key
+    with ``resize_and_features(attach_synthetic_image_payload(docs))`` —
+    three Python stages, two scans of the corpus, and a join whose
+    exchange shuffles (or broadcasts) every row at corpus scale, carrying
+    nothing the row didn't already have. Both legs are pure functions of
+    (key, text), so the fusion is a narrow map: one scan, one Python
+    worker hop, zero Exchange.
+
+    Bit-identity by construction: the metadata columns run the SAME
+    bodies ``extract_image_metadata`` uses (``_default_decode`` /
+    ``_payload_bytes`` / sha256 over the UTF-8 text bytes that
+    ``attach_binary_payload`` emits), and the pixel/feature columns run
+    ``_synthetic_png_from_text`` + ``_resize_features_from_payload`` —
+    the exact bodies of the unfused operators, which remain shipped
+    seams (real-blob corpora, av1-adjacent flows, tests/fuzz) for
+    payloads that are not text-derived."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            # NULL text: the metadata leg mirrors attach_binary_payload
+            # (F.encode(NULL) -> NULL payload -> _payload_bytes -> b""),
+            # while the pixel leg mirrors _synthetic_png_from_text's
+            # str() coercion — each leg keeps its unfused convention
+            payloads = [b"" if t is None else str(t).encode("utf-8")
+                        for t in pdf[text_col]]
+            metas = [_default_decode(p) for p in payloads]
+            pairs = [
+                _resize_features_from_payload(
+                    _synthetic_png_from_text(t), width, height, dim)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype("int64"),
+                "n_bytes": pd.Series([len(p) for p in payloads],
+                                     dtype="int64"),
+                "format": [m[0] for m in metas],
+                "width": pd.Series([m[1] for m in metas], dtype="int32"),
+                "height": pd.Series([m[2] for m in metas], dtype="int32"),
+                "payload_sha256": [hashlib.sha256(p).hexdigest()
+                                   for p in payloads],
+                "pixels": [px for px, _ in pairs],
+                "features": [ft for _, ft in pairs],
+            })
+
+    return df.select(key_col, text_col).mapInPandas(run, M1_FUSED_SCHEMA)
 
 
 def video_features(df: DataFrame, dim: int = 64, max_frames: int = 8,

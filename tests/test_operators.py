@@ -3103,3 +3103,41 @@ def test_cell_scores_expr_build_matches_dsl(spark, tables):
     want = {r.vec_id: tuple(r[f"__s{i}"] for i in range(5))
             for r in dsl_scores(emb).collect()}
     assert got == want and got[10**9] == (None,) * 5
+
+
+def test_m1_fused_pass_matches_unfused_composition(spark):
+    """r18 m1 fusion (VERDICT r17 #3): synthetic_image_meta_features must
+    be BIT-identical to the three-stage composition it replaces —
+    extract_image_metadata(attach_binary_payload(docs)) joined on key with
+    resize_and_features(attach_synthetic_image_payload(docs)) — and its
+    plan must be a single Python stage with no join Exchange."""
+    from datafusion_substrait_spark.operators import multimodal
+
+    docs = spark.table("documents")
+    fused = multimodal.synthetic_image_meta_features(docs, 64, 64, dim=64)
+
+    meta = multimodal.extract_image_metadata(
+        multimodal.attach_binary_payload(docs))
+    rf = multimodal.resize_and_features(
+        multimodal.attach_synthetic_image_payload(docs), 64, 64, dim=64) \
+        .select("key", "pixels", "features")
+    unfused = meta.join(rf, "key")
+
+    cols = ["key", "n_bytes", "format", "width", "height",
+            "payload_sha256", "pixels", "features"]
+    assert fused.columns == cols
+    a = {r["key"]: tuple(r) for r in fused.select(*cols).collect()}
+    b = {r["key"]: tuple(r) for r in unfused.select(*cols).collect()}
+    assert len(a) == len(b) > 0
+    for k in a:
+        ra, rb = a[k], b[k]
+        # bytes/arrays compare exactly — the fused pass runs the same
+        # bodies, so equality is bit-level, not approximate
+        assert ra == rb, (k, ra, rb)
+    # schema types identical to the join composition's
+    assert [f.dataType.simpleString() for f in fused.schema.fields] == \
+        [f.dataType.simpleString() for f in unfused.select(*cols).schema.fields]
+    # plan shape: ONE Python stage, zero joins/exchanges in the fused pass
+    phys = fused._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("MapInPandas") == 1
+    assert "Join" not in phys and "Exchange" not in phys

@@ -107,10 +107,14 @@ def _parse_attr_strs(s: str) -> list[tuple[str, int]] | None:
 
 
 def _ids_of(jseq) -> list[int]:
-    """exprIds of a Seq[Attribute] in 2 round trips (mkString + parse)
-    instead of 1 + 3 per attribute; falls back on parse failure."""
+    """exprIds of a Seq[Attribute] in 3 round trips (mkString + size +
+    parse) instead of 1 + 3 per attribute; falls back on parse failure.
+    The size cross-check closes the one silent-mis-split hazard: a name
+    CONTAINING the separator plus a ``#digits`` tail would split into
+    fragments that individually still match the attr regex — the element
+    count then disagrees with the Seq's size and the slow walk decides."""
     parsed = _parse_attr_strs(jseq.mkString(_ATTR_SEP))
-    if parsed is not None:
+    if parsed is not None and len(parsed) == jseq.size():
         return [eid for _, eid in parsed]
     return [a.exprId().id() for a in _seq(jseq)]
 
@@ -331,7 +335,8 @@ class _Producer:
             k == "AttributeReference" for k in kinds
         ):
             ids = _parse_attr_strs(node.projectList().mkString(_ATTR_SEP))
-            mask_ids = ([eid for _, eid in ids] if ids is not None
+            mask_ids = ([eid for _, eid in ids]
+                        if ids is not None and len(ids) == len(exprs)
                         else [e.exprId().id() for e in exprs])
             return self._rel_LogicalRelation(child, mask_ids=mask_ids)
         crel, cids = self.rel(child, _refs(node))
@@ -442,6 +447,8 @@ class _Producer:
         if all(k == "AttributeReference" for k in g_kinds):
             gp = _parse_attr_strs(
                 node.groupingExpressions().mkString(_ATTR_SEP))
+            if gp is not None and len(gp) != len(g_exprs):
+                gp = None  # separator mis-split: the slow loop decides
             if gp is not None:
                 g_attr_ids = {}
                 for j, (_, eid) in enumerate(gp):
@@ -528,7 +535,7 @@ class _Producer:
         ex = node.child()
         rows = [_seq(r) for r in _seq(ex.projections())]
         parsed = _parse_attr_strs(ex.output().mkString(_ATTR_SEP))
-        if parsed is not None:
+        if parsed is not None and len(parsed) == ex.output().size():
             out_names = [n for n, _ in parsed]
             out_ids = [eid for _, eid in parsed]
         else:

@@ -1214,3 +1214,19 @@ def test_batched_walk_primitives_match_reflective_walk(spark):
     for sql in sqls:
         walk(spark.sql(sql)._jdf.queryExecution().optimizedPlan())
     assert checked_nodes > 150 and checked_attrs > 40
+
+
+def test_ids_of_falls_back_on_separator_collision(spark):
+    """A column name CONTAINING the mkString separator plus a #digits
+    tail mis-splits into fragments that individually match the attr
+    regex; the size cross-check must detect it and the slow per-attr
+    walk must decide (r18 review hardening)."""
+    from pyspark.sql import functions as F
+    from datafusion_substrait_spark.plans.producer import _ids_of, _seq
+
+    evil = "a\x01b#3"  # separator inside the name, fake id tail
+    df = spark.range(2).select(
+        F.col("id").alias(evil), (F.col("id") + 1).alias("ok"))
+    out = df._jdf.queryExecution().optimizedPlan().output()
+    want = [a.exprId().id() for a in _seq(out)]
+    assert _ids_of(out) == want
